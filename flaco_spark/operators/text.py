@@ -1,0 +1,186 @@
+"""Text analysis operators over the ``documents`` table.
+
+All of these are single-pass, map-side-only column expressions (no
+shuffle except the final optional aggregation) — at 100 TB they scale
+linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flaco_spark.functions import tokens
+from flaco_spark.inventory import register
+from flaco_spark.tables import table
+
+# Tiny deterministic stopword lexicons for the heuristic language-ID.
+# (The synthetic corpus is English-ish; docs with no hits → 'und'.)
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "y", "que", "es"),
+    "fr": ("le", "les", "de", "et", "est", "une"),
+    "zh": ("de5", "le5", "shi4", "bu4"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
+
+
+def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {lang: _hit_count(toks, words) for lang, words in LEXICONS.items()}
+
+
+def predict_lang(text_col: Column) -> Column:
+    """Argmax language with deterministic alphabetical tie-break;
+    'und' when no lexicon hits at all."""
+    scores = lang_scores(text_col)
+    mx = F.greatest(*scores.values())
+    pred = F.when(mx == 0, "und")
+    for lang in sorted(scores):  # alphabetical priority on ties
+        pred = pred.when(scores[lang] == mx, lang)
+    return pred
+
+
+@register(
+    "t01_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_unique,
+       CAST(CAST(list_aggregate(list_transform(string_split_regex(text, '\s+'),
+                                t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT) AS DOUBLE)
+         / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS avg_token_len
+FROM documents
+""",
+    tags=("text", "tokens", "documents"),
+    doc="Whitespace token counting: total, distinct, average length "
+    "(pure map-side array expressions).",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        (total_len.cast("double") / F.size(toks).cast("double")).alias("avg_token_len"),
+    )
+
+
+_STOP_SQL = "', '".join(STOPWORDS)
+
+@register(
+    "t02_quality_score",
+    oracle=rf"""
+WITH feat AS (
+  SELECT doc_id, lang, n_chars,
+         string_split_regex(text, '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks, t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+       (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         * (1.0 - CAST(len(list_filter(toks, t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE)) AS quality_score,
+       CASE WHEN len(toks) < 20 THEN 1 ELSE 0 END AS is_short
+FROM feat
+""",
+    tags=("text", "quality", "documents"),
+    doc="Document quality scoring: stopword ratio, uniqueness ratio, "
+    "composite score, short-doc flag.",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = _hit_count(toks, STOPWORDS).cast("double") / n_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        (uniq_ratio * (F.lit(1.0) - stop_ratio)).alias("quality_score"),
+        F.when(F.size(toks) < 20, 1).otherwise(0).alias("is_short"),
+    )
+
+
+def _lexicon_sql(lang: str) -> str:
+    words = "', '".join(LEXICONS[lang])
+    return rf"CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('{words}'))) AS INT)"
+
+
+@register(
+    "t03_lang_id",
+    oracle=rf"""
+WITH scores AS (
+  SELECT doc_id, lang AS lang_actual,
+         {_lexicon_sql('de')} AS s_de,
+         {_lexicon_sql('en')} AS s_en,
+         {_lexicon_sql('es')} AS s_es,
+         {_lexicon_sql('fr')} AS s_fr,
+         {_lexicon_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang_actual,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       s_en AS en_hits
+FROM scores
+""",
+    tags=("text", "langid", "documents"),
+    doc="Heuristic n-gram/stopword language identification with "
+    "deterministic tie-breaking.",
+)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        predict_lang(F.col("text")).alias("lang_pred"),
+        scores["en"].alias("en_hits"),
+    ).select("doc_id", "lang_actual", "lang_pred", "en_hits")
+
+
+@register(
+    "t04_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(CAST(n_chars AS VARCHAR) || ':' || text) AS fingerprint,
+       substr(md5(text), 1, 16) AS short_fp
+FROM documents
+""",
+    tags=("text", "fingerprint", "documents"),
+    doc="Deterministic document fingerprinting (length-salted md5 + "
+    "64-bit short form).",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("n_chars").cast("string"), F.lit(":"), F.col("text"))).alias(
+            "fingerprint"
+        ),
+        F.substring(F.md5("text"), 1, 16).alias("short_fp"),
+    )

@@ -1,0 +1,15 @@
+"""Structured Streaming ingestion lane (extension — SURVEY.md §7.6).
+
+The reference is batch-only: ``read_sql`` drains the server cursor to
+completion (``/root/reference/src/lib.rs:188-195``).  This lane adds
+what a continuous version of the same ETL contract looks like on
+Spark: stream in → (optional windowed aggregation with watermark) →
+columnar files out.
+"""
+
+from flaco_spark.streaming.ingest import (
+    stream_parquet_sink,
+    windowed_event_counts,
+)
+
+__all__ = ["stream_parquet_sink", "windowed_event_counts"]

@@ -1,0 +1,72 @@
+"""Streaming ingestion building blocks.
+
+Batch/stream symmetry is deliberate: the windowed aggregation here is
+the same ``F.window`` construct the batch inventory uses
+(q40_tumbling_window), so a pipeline can promote a batch query to a
+stream by swapping ``read`` → ``readStream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark for late data.
+
+    Works on both batch and streaming DataFrames (watermark is a no-op
+    in batch), which is how we unit-test the semantics against the
+    batch oracle.
+    """
+    if events.isStreaming:
+        # Watermarks require TIMESTAMP (with local tz); the batch tables use
+        # NTZ — cast here (identity under the engine's pinned UTC session).
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+    else:
+        src = events
+    return (
+        src.groupBy(F.window(ts_col, window_duration).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def stream_parquet_sink(
+    spark: SparkSession,
+    source_dir: str,
+    schema: "str | object",
+    out_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> StreamingQuery:
+    """File-source → parquet-sink streaming job, available-now trigger.
+
+    The streaming analogue of the reference's read→file contract
+    (src/lib.rs:77-85): each micro-batch lands as parquet files with
+    exactly-once bookkeeping in the checkpoint.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

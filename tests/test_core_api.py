@@ -1,0 +1,156 @@
+"""flaco-parity API tests (FIXTURES.md F1/F2 style).
+
+Mirrors the reference's test strategy (tests/test_general.py in
+/root/reference): sink round-trips preserving rows/columns/NULLs,
+groupby equivalence after round-trip, and the single-exception error
+surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flaco_spark.core import FileFormat, write_dataframe_to_file
+from flaco_spark.errors import EngineError
+from flaco_spark.sources.feather import read_feather, write_feather
+from flaco_spark.sources.jdbc import translate_postgres_uri
+
+
+# ---- URI translation (src/lib.rs:46 connect-string parity) -------------
+
+
+def test_uri_translation_basic():
+    t = translate_postgres_uri("postgresql://user:pw@db.example.com:5433/mydb")
+    assert t.url == "jdbc:postgresql://db.example.com:5433/mydb"
+    assert t.properties["user"] == "user"
+    assert t.properties["password"] == "pw"
+    assert t.properties["driver"] == "org.postgresql.Driver"
+
+
+def test_uri_translation_defaults_and_options():
+    t = translate_postgres_uri("postgresql://localhost/postgres?sslmode=require")
+    assert t.url == "jdbc:postgresql://localhost:5432/postgres"
+    assert t.properties["sslmode"] == "require"
+
+
+def test_uri_translation_rejects_other_schemes():
+    with pytest.raises(EngineError):
+        translate_postgres_uri("mysql://localhost/db")
+
+
+# ---- F1: groupby equivalence through sink round-trip --------------------
+
+
+@pytest.fixture(scope="module")
+def simple_table(spark):
+    """FIXTURES.md F1: 10k rows (col1 int, col2 str, col3 double)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 100).cast("int").alias("col1"),
+            F.concat((F.col("id") % 100).cast("string"), F.lit("-hello")).alias("col2"),
+            ((F.col("id") * 37 % 1000) / 1000.0).alias("col3"),
+        )
+    )
+
+
+def _groupby_fingerprint(df):
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.groupBy("col1")
+        .agg(F.sum("col3").alias("s"), F.max("col2").alias("m"))
+        .orderBy("col1")
+        .collect()
+    )
+    return [(r.col1, round(r.s, 9), r.m) for r in rows]
+
+
+def test_parquet_roundtrip_groupby_equivalence(spark, simple_table, tmp_path):
+    path = str(tmp_path / "f1.parquet")
+    write_dataframe_to_file(simple_table, path, FileFormat.Parquet, single_file=True)
+    back = spark.read.parquet(path)
+    assert _groupby_fingerprint(back) == _groupby_fingerprint(simple_table)
+    assert back.count() == 10_000
+    assert set(back.columns) == {"col1", "col2", "col3"}
+
+
+def test_feather_roundtrip_single_file(spark, simple_table, tmp_path):
+    path = str(tmp_path / "f1.feather")
+    write_feather(simple_table, path, single_file=True)
+    back = read_feather(spark, path)
+    assert back.count() == 10_000
+    assert _groupby_fingerprint(back) == _groupby_fingerprint(simple_table)
+
+
+def test_feather_roundtrip_distributed(spark, simple_table, tmp_path):
+    path = str(tmp_path / "f1_dir")
+    write_feather(simple_table.repartition(4), path, single_file=False)
+    back = read_feather(spark, path)
+    assert back.count() == 10_000
+    assert set(back.columns) == {"col1", "col2", "col3"}
+    assert _groupby_fingerprint(back) == _groupby_fingerprint(simple_table)
+
+
+# ---- F2: NULLs stay NULL through round-trip (no NaN coercion) -----------
+
+
+def test_nulls_survive_roundtrip(spark, tmp_path):
+    """Deliberate divergence from the reference (src/lib.rs:272,280
+    coerces NULL floats to NaN); we keep NULL."""
+    import math
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("col1", T.IntegerType()),
+            T.StructField("col3", T.FloatType()),
+            T.StructField("col4", T.DoubleType()),
+            T.StructField("col5", T.StringType()),
+            T.StructField("col6", T.BinaryType()),
+        ]
+    )
+    rows = [(i, float(i), float(i), f"{i}-hello", str(i).encode()) for i in range(100)]
+    rows += [(None, None, None, None, None)] * 2
+    df = spark.createDataFrame(rows, schema)
+
+    for fmt, name in [(FileFormat.Parquet, "f2.parquet"), (FileFormat.Feather, "f2.feather")]:
+        path = str(tmp_path / name)
+        write_dataframe_to_file(df, path, fmt, single_file=True)
+        back = (
+            spark.read.parquet(path)
+            if fmt is FileFormat.Parquet
+            else read_feather(spark, path)
+        )
+        nulls = back.filter("col1 IS NULL").collect()
+        assert len(nulls) == 2
+        for r in nulls:
+            assert r.col3 is None and r.col4 is None  # NULL, not NaN
+            assert r.col5 is None and r.col6 is None
+        non_null = back.filter("col1 IS NOT NULL").collect()
+        assert len(non_null) == 100
+        assert not any(v is None or (isinstance(v, float) and math.isnan(v))
+                       for r in non_null for v in [r.col3, r.col4])
+
+
+# ---- zero-row results keep their schema (fixes src/lib.rs:203-206) ------
+
+
+def test_empty_result_keeps_schema(spark, simple_table, tmp_path):
+    empty = simple_table.filter("col1 < 0")
+    path = str(tmp_path / "empty.parquet")
+    write_dataframe_to_file(empty, path, FileFormat.Parquet, single_file=True)
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert set(back.columns) == {"col1", "col2", "col3"}  # schema survives
+
+
+# ---- error surface (tests/test_general.py:103-112 parity) ---------------
+
+
+def test_engine_error_on_bad_uri():
+    with pytest.raises(EngineError):
+        translate_postgres_uri("not-a-uri")

@@ -1,0 +1,94 @@
+"""Scale-posture tests: assert the physical plans we rely on at 100 TB
+actually materialize (pushdown, pruning, broadcast, top-k)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flaco_spark.inventory import load_inventory
+from flaco_spark.plans import (
+    broadcast_join_count,
+    has_pushed_filters,
+    read_schema_columns,
+    uses_take_ordered,
+)
+
+REGISTRY = load_inventory()
+
+
+def test_filter_pushdown_q06(spark, sf_dir):
+    df = REGISTRY["q06_forecast_revenue"].builder(spark, sf_dir)
+    assert has_pushed_filters(df), "q06 predicates must reach the parquet scan"
+
+
+def test_column_pruning_q02(spark, sf_dir):
+    df = REGISTRY["q02_projection_filter"].builder(spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert set(cols) <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+        "l_shipdate",
+    }, f"scan reads more columns than the query needs: {cols}"
+
+
+def test_broadcast_joins_q05(spark, sf_dir):
+    df = REGISTRY["q05_local_supplier_volume"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 4, "dimension joins must be broadcast"
+
+
+def test_topk_plan_q46(spark, sf_dir):
+    df = REGISTRY["q46_topk"].builder(spark, sf_dir)
+    assert uses_take_ordered(df), "ORDER BY + LIMIT must plan as TakeOrderedAndProject"
+
+
+def test_knn_is_map_side(spark, sf_dir):
+    """Brute-force knn must broadcast the query side — candidates never shuffle
+    before scoring."""
+    df = REGISTRY["e01_knn_bruteforce"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_streaming_batch_symmetry(spark, sf_dir):
+    """Windowed streaming aggregation matches the batch equivalent."""
+    from flaco_spark.streaming import windowed_event_counts
+
+    from flaco_spark.tables import table as _table
+    events = _table(spark, sf_dir, "events")
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in windowed_event_counts(events).collect()
+    }
+    want = {
+        (r.ws, r.event_type): r.n
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_streaming_parquet_sink(spark, sf_dir, tmp_path):
+    from flaco_spark.streaming import stream_parquet_sink, windowed_event_counts
+    from flaco_spark.tables import convert_event_ts
+
+    import shutil
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = stream_parquet_sink(
+        spark,
+        source_dir=str(src_dir),
+        schema=raw_schema,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=lambda df: windowed_event_counts(convert_event_ts(df)),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert set(out.columns) == {"window_start", "window_end", "event_type", "n"}
