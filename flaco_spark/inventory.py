@@ -46,6 +46,14 @@ def register(
 
 def load_inventory() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: fills REGISTRY)."""
-    from flaco_spark.operators import relational, dedup, similarity, text, multimodal  # noqa: F401
+    from flaco_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        timeseries,
+        udf_surface,
+    )
 
     return REGISTRY

@@ -1177,3 +1177,204 @@ def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins / ordering / multiset ops / regex / hashes / pagination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q47_full_outer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       coalesce(c.c_name, '<no customer>') AS cust,
+       coalesce(CAST(o.o_totalprice AS VARCHAR), '<no order>') AS price_str
+FROM (SELECT * FROM customer WHERE c_acctbal > 8000) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+""",
+    tags=("join", "outer"),
+    doc="Full outer join with unmatched rows on both sides.",
+)
+def q47_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.coalesce("c_name", F.lit("<no customer>")).alias("cust"),
+            F.coalesce(F.col("o_totalprice").cast("string"), F.lit("<no order>")).alias(
+                "price_str"
+            ),
+        )
+    )
+
+
+@register(
+    "q48_right_outer",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, s.s_suppkey
+FROM supplier s
+RIGHT OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+    tags=("join", "outer"),
+    doc="Right outer join (every nation kept, suppliers optional).",
+)
+def q48_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right_outer").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+@register(
+    "q49_nulls_ordering",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_price
+  FROM orders
+) t
+ORDER BY prev_price ASC NULLS FIRST, o_orderkey
+LIMIT 25
+""",
+    tags=("sort", "nulls", "window"),
+    doc="NULLS FIRST ordering over a computed (lag) column with a "
+    "deterministic tie-break + limit.",
+)
+def q49_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .orderBy(F.asc_nulls_first("prev_price"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q50_multiset_ops",
+    oracle="""
+SELECT 'ia' AS tag, l_returnflag, l_linestatus FROM (
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 0
+  INTERSECT ALL
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 1
+) a
+UNION ALL
+SELECT 'ea' AS tag, l_returnflag, l_linestatus FROM (
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 0
+  EXCEPT ALL
+  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 1
+) b
+""",
+    tags=("setop", "multiset"),
+    doc="INTERSECT ALL / EXCEPT ALL (bag semantics with duplicate "
+    "multiplicities).",
+)
+def q50_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    even = l.filter(F.col("l_orderkey") % 2 == 0).select("l_returnflag", "l_linestatus")
+    odd = l.filter(F.col("l_orderkey") % 2 == 1).select("l_returnflag", "l_linestatus")
+    ia = even.intersectAll(odd).select(F.lit("ia").alias("tag"), "l_returnflag", "l_linestatus")
+    ea = even.exceptAll(odd).select(F.lit("ea").alias("tag"), "l_returnflag", "l_linestatus")
+    return ia.unionAll(ea)
+
+
+@register(
+    "q51_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+') THEN 1 ELSE 0 END AS two_words,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+FROM part
+""",
+    tags=("scalar", "string", "regexp"),
+    doc="Regular-expression extract / replace / match (patterns chosen "
+    "inside the Java-regex ∩ RE2 common dialect).",
+)
+def q51_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^[a-z]+ [a-z]+"), 1).otherwise(0).alias("two_words"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "q52_hash_binary",
+    oracle="""
+SELECT p_partkey,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256,
+       to_base64(CAST(p_name AS BLOB)) AS name_b64,
+       CAST(octet_length(CAST(p_name AS BLOB)) AS INT) AS n_bytes
+FROM part
+WHERE p_partkey % 5 = 0
+""",
+    tags=("scalar", "binary", "hash"),
+    doc="Hash & binary function family: md5, sha2-256, base64, byte "
+    "length (BYTEA-arm parity, ref src/lib.rs:202-207).",
+)
+def q52_hash_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    payload = F.encode(F.col("p_name"), "UTF-8")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.base64(payload).alias("name_b64"),
+        F.length(payload).alias("n_bytes"),
+    )
+
+
+@register(
+    "q53_ilike",
+    oracle="""
+SELECT p_partkey, p_type
+FROM part
+WHERE p_type ILIKE '%prOmO%' OR upper(p_brand) LIKE 'BRAND#1%'
+""",
+    tags=("filter", "string"),
+    doc="Case-insensitive LIKE.",
+)
+def q53_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").ilike("%prOmO%") | F.upper("p_brand").like("BRAND#1%")
+    ).select("p_partkey", "p_type")
+
+
+@register(
+    "q54_offset_pagination",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 10 OFFSET 10
+""",
+    tags=("sort", "limit", "offset"),
+    doc="ORDER BY + OFFSET + LIMIT pagination (deterministic total "
+    "order).",
+)
+def q54_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .offset(10)
+        .limit(10)
+    )

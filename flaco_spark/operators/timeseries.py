@@ -1,0 +1,204 @@
+"""Time-series operators over the ``events`` stream table.
+
+Operators Spark lacks as single primitives, composed scale-first:
+
+- **as-of join** — "latest prior event" via a carried window value
+  (``last(..., ignorenulls)`` over an ordered per-key window).  This
+  is the shuffle-minimal formulation: one sort per key partition, no
+  range-join explosion, no per-row subqueries.
+- **sliding windows** — ``F.window(ts, size, slide)``; each event
+  lands in size/slide windows (map-side fan-out, then a normal
+  hash aggregation).
+- **session windows** — ``F.session_window`` (the same construct
+  Structured Streaming uses for stateful sessionization).
+- **hierarchical rollup** — hourly partials re-aggregated to daily,
+  the continuous-aggregate pattern: at 100 TB you keep the hourly
+  layer materialized and the daily layer is 24× cheaper than a
+  rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flaco_spark.compat import dsum, money, sql_dsum, sql_money
+from flaco_spark.inventory import register
+from flaco_spark.tables import table
+
+
+def asof_prior_event(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    mark_col: str,
+    pick_types: tuple[str, str],
+    id_col: str,
+) -> DataFrame:
+    """Generic as-of: for each row of type pick_types[0], attach the
+    latest prior row of type pick_types[1] within the same key."""
+    target, source = pick_types
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried_id = F.last(
+        F.when(F.col(mark_col) == source, F.col(id_col)), ignorenulls=True
+    ).over(w)
+    carried_ts = F.last(
+        F.when(F.col(mark_col) == source, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    return (
+        df.withColumn("asof_id", carried_id)
+        .withColumn("asof_ts", carried_ts)
+        .filter(F.col(mark_col) == target)
+    )
+
+
+@register(
+    "ts01_asof_join",
+    oracle="""
+SELECT event_id,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       asof_id AS prior_view_id,
+       strftime(asof_ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_view_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER w AS asof_id,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER w AS asof_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+) t
+WHERE event_type = 'purchase'
+""",
+    tags=("timeseries", "asof", "window", "events"),
+    doc="As-of join: each purchase gets the user's latest prior view "
+    "(carried-value window — no range-join explosion).",
+)
+def ts01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    res = asof_prior_event(
+        e, key_col="user_id", ts_col="ts", mark_col="event_type",
+        pick_types=("purchase", "view"), id_col="event_id",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.col("asof_id").alias("prior_view_id"),
+        F.date_format("asof_ts", fmt).alias("prior_view_ts"),
+    )
+
+
+@register(
+    "ts02_sliding_window",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       {sql_dsum(sql_money('value'), 'sum_value')}
+FROM events, (SELECT unnest([0, 1]) AS off) o
+GROUP BY 1
+""",
+    tags=("timeseries", "window", "events"),
+    doc="Sliding 2-hour window, 1-hour slide: each event fans out to "
+    "size/slide windows map-side.",
+)
+def ts02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(money("value"), "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "ts03_session_window",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum(sql_money('value'), 'sum_value')}
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+    tags=("timeseries", "session", "events"),
+    doc="Session windows (30-minute gap) via F.session_window — the "
+    "stateful-streaming sessionization construct, checked against a "
+    "lag/cumsum oracle.",
+)
+def ts03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(money("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), fmt).alias("session_start"),
+            F.date_format(F.col("w.end"), fmt).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "ts04_rollup_hierarchy",
+    oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum(sql_money('value'), 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("timeseries", "rollup", "events"),
+    doc="Hierarchical rollup: daily aggregates computed FROM hourly "
+    "partials (continuous-aggregate pattern); must equal a direct "
+    "daily scan.",
+)
+def ts04_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("value")).alias("sum_dec"),  # keep exact partials
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+        .select("day", "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,125 @@
+"""UDF surface (SURVEY.md §2.2 "UDF surface" row).
+
+Four escape hatches, in ascending batch-efficiency order:
+
+- row-at-a-time Python UDF (``F.udf``) — supported for parity, never
+  used in engine hot paths;
+- vectorized pandas UDF (``F.pandas_udf``) — Arrow-batched, the
+  correct choice when Python is unavoidable;
+- grouped pandas UDAF (``applyInPandas``) — per-group pandas frames;
+- Arrow-native table function (``mapInArrow``) — zero-pandas batch
+  transform (also the machinery behind the distributed Feather sink,
+  flaco_spark/sources/feather.py).
+
+Every entry computes integer/string results only, so the DuckDB
+oracle matches exactly despite the Python round-trip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flaco_spark.inventory import register
+from flaco_spark.tables import table
+
+
+@register(
+    "u01_python_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       'key=' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_partkey % 7 AS VARCHAR) AS tag
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+    tags=("udf", "python"),
+    doc="Row-at-a-time Python scalar UDF (the slow path, here for "
+    "surface parity).",
+)
+def u01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = F.udf(lambda k: f"key={k}:{k % 7}", "string")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return l.select("l_orderkey", "l_linenumber", tag("l_partkey").alias("tag"))
+
+
+@register(
+    "u02_pandas_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST((l_partkey * 31 + 7) % 1000003 AS BIGINT) AS bucket
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+    tags=("udf", "pandas", "arrow"),
+    doc="Vectorized (Arrow-batched) pandas UDF — the ~10-100× faster "
+    "Python escape hatch.",
+)
+def u02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("bigint")
+    def bucket(k: pd.Series) -> pd.Series:
+        return (k * 31 + 7) % 1000003
+
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return l.select("l_orderkey", "l_linenumber", bucket("l_partkey").alias("bucket"))
+
+
+@register(
+    "u03_grouped_pandas_udaf",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("udf", "pandas", "agg"),
+    doc="Grouped pandas UDAF via applyInPandas (integer-exact "
+    "aggregation so the oracle matches).",
+)
+def u03_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n": [len(pdf)],
+                # quantities are integral doubles; *100 stays exact
+                "qty_cents": [(pdf["l_quantity"] * 100).astype("int64").sum()],
+            }
+        )
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").applyInPandas(
+        agg, schema="l_returnflag string, n bigint, qty_cents bigint"
+    )
+
+
+@register(
+    "u04_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, CAST(l_orderkey * 2 AS BIGINT) AS double_key
+FROM lineitem
+WHERE l_quantity > 45
+""",
+    tags=("udf", "arrow"),
+    doc="Arrow-native batch table function (mapInArrow): filter + "
+    "project without touching pandas.",
+)
+def u04_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def transform(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            mask = pc.greater(batch.column("l_quantity"), pa.scalar(45.0))
+            kept = batch.filter(mask)
+            keys = kept.column("l_orderkey")
+            yield pa.RecordBatch.from_arrays(
+                [keys, pc.multiply(keys, pa.scalar(2, type=pa.int64()))],
+                names=["l_orderkey", "double_key"],
+            )
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return l.mapInArrow(transform, schema="l_orderkey bigint, double_key bigint")
