@@ -50,6 +50,7 @@ def load_inventory() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         text,
         timeseries,

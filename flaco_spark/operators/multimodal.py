@@ -131,3 +131,88 @@ FROM documents
 def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary_payload(table(spark, sf_dir, "documents"))
     return extract_features(d, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# m02 — video frame sampling (1 payload row → N frame rows)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+FRAME_STRIDE = 4
+
+
+def _fake_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE frame sampler (decode stub).
+
+    Real shape of the operation: one input payload row fans out to one
+    output row per sampled frame (every ``FRAME_STRIDE``-th frame of
+    ``n_frames`` = len(payload) % 24 + 1).  The frame "content" digest
+    is derived from the payload digest + frame index so results are
+    partitioning-independent.  A real ffmpeg sampler would replace the
+    body; the Arrow batch fan-out contract is identical.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out_doc, out_idx, out_dig = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            digest = hashlib.md5(raw).hexdigest()
+            n_frames = len(raw) % 24 + 1
+            for i in range(0, n_frames, FRAME_STRIDE):
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_dig.append(hashlib.md5(f"{digest}:{i}".encode()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_digest": pd.Series(out_dig, dtype="object"),
+            }
+        )
+
+
+def sample_frames(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched frame sampling over binary payloads.
+
+    Output cardinality is a multiple of the input's, so the fan-out
+    runs AFTER a repartition that bounds payloads per task — each task
+    emits a bounded number of frame rows regardless of upstream
+    partitioning (the property that matters at 100 TB of video).
+    """
+    n = max(1, media_df.sparkSession.sparkContext.defaultParallelism)
+    src = media_df.select("doc_id", "payload").repartition(n)
+    return src.mapInPandas(_fake_frame_batches, schema=FRAME_SCHEMA)
+
+
+@register(
+    "m02_frame_sample",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id,
+         md5(text) AS digest,
+         unnest(generate_series(0,
+                                octet_length(CAST(text AS BLOB)) % 24,
+                                {FRAME_STRIDE})) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       md5(digest || ':' || CAST(i AS VARCHAR)) AS frame_digest
+FROM frames
+""",
+    tags=("multimodal", "udf", "fanout", "documents"),
+    doc="Frame-sampling plumbing: each binary payload fans out to one "
+    "row per sampled frame (every 4th of n_frames) via mapInPandas — "
+    "the 1→N Arrow-batch contract a video pipeline needs.",
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(d)

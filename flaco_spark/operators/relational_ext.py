@@ -1,0 +1,441 @@
+"""Extended relational inventory — multi-join analytics (SURVEY.md §2.2).
+
+The reference's contract is "any SQL the PostgreSQL server can run"
+(``/root/reference/src/lib.rs:189``); this module covers the heavier
+end of that contract: 5-6 table star joins, market-share ratios,
+scalar-subquery-vs-aggregate comparisons, grouped-HAVING semi-joins,
+NOT IN anti-joins, FILTER-style conditional aggregation, and
+window-based discrete percentiles.
+
+Scale notes (100 TB posture):
+
+- Every dim table (region/nation/supplier/part/customer) joined to a
+  fact table is explicitly ``F.broadcast`` — the fact side never
+  shuffles for these joins.
+- The one fact-fact join (lineitem ⋈ orders) shuffles on the join key
+  once; AQE coalesces post-shuffle partitions (session config).
+- Percentiles use a per-group window sort; the group count here is
+  tiny (order statuses).  For high-cardinality groups at 100 TB the
+  scale path is ``approx_percentile`` (see q45's approx pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flaco_spark.compat import (
+    dsum,
+    money,
+    one_minus,
+    sql_money,
+    sql_one_minus,
+)
+from flaco_spark.inventory import register
+from flaco_spark.tables import table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+def _revenue():
+    return money("l_extendedprice") * one_minus("l_discount")
+
+
+_SQL_REV = f"{sql_money('l_extendedprice')} * {sql_one_minus('l_discount')}"
+
+
+# ---------------------------------------------------------------------------
+# q07 — nation-pair trade flows (TPC-H Q7 analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_nation_trade",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INT)
+""",
+    tags=("join", "agg", "multiway"),
+    doc="TPC-H Q7-style 6-table join: bilateral trade volume between "
+    "two nations by ship year.  All dims broadcast; the only shuffle "
+    "is lineitem ⋈ orders on orderkey + the final small group-by.",
+)
+def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(_revenue(), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q08 — market share ratio (TPC-H Q8 analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+WITH all_sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         {_SQL_REV} AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN region r   ON cn.n_regionkey = r.r_regionkey
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_sales
+FROM all_sales
+GROUP BY o_year
+""",
+    tags=("join", "agg", "ratio", "multiway"),
+    doc="TPC-H Q8-style market share: NATION_3's fraction of PROMO-part "
+    "revenue sold into ASIA, by order year.  Exact-decimal numerator "
+    "and denominator; one IEEE division at the end.",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cnk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    volume = _revenue().alias("volume")
+    sales = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .select(F.year("o_orderdate").alias("o_year"), volume, "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(20,4)")
+    national = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+    return sales.groupBy("o_year").agg(
+        (F.sum(national).cast("double") / F.sum("volume").cast("double")).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_sales"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — product profit by nation and year (TPC-H Q9 analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+SELECT sn.n_name AS nation,
+       CAST(year(l.l_shipdate) AS INT) AS o_year,
+       CAST(SUM({_SQL_REV}
+                - {sql_money('p.p_retailprice')} * {sql_money('l.l_quantity')}) AS DOUBLE)
+         AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY sn.n_name, CAST(year(l.l_shipdate) AS INT)
+""",
+    tags=("join", "agg", "multiway"),
+    doc="TPC-H Q9-style profit rollup: revenue minus retail cost for "
+    "'%red%' parts, by supplier nation × ship year (no partsupp table "
+    "in this schema; p_retailprice×quantity stands in for supplycost).",
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+    )
+    profit = _revenue() - money("p_retailprice") * money("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(dsum(profit, "sum_profit"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier by quarterly revenue (TPC-H Q15 analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({_SQL_REV}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    tags=("join", "subquery", "agg"),
+    doc="TPC-H Q15-style: supplier(s) with the maximum Q1-1996 revenue. "
+    "The max is compared on the EXACT decimal (not double), then "
+    "surfaced as double; the scalar max joins back via broadcast.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("rev_exact")
+    )
+    top = revenue.agg(F.max("rev_exact").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("rev_exact") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_exact").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier diversity per part group (TPC-H Q16 analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_part_supplier_stats",
+    oracle="""
+SELECT p.p_brand, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+       COUNT(*) AS n_lineitems
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < -500
+  )
+GROUP BY p.p_brand, p.p_size
+""",
+    tags=("join", "distinct", "anti", "subquery"),
+    doc="TPC-H Q16-style supplier diversity: distinct suppliers per "
+    "(brand, size), excluding blacklisted suppliers via NOT IN "
+    "(null-safe anti-join; lineitem is the part↔supplier bridge).",
+)
+def q16_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < -500).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — heavy suppliers via grouped-HAVING IN subquery (TPC-H Q20 analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_heavy_suppliers",
+    oracle=f"""
+SELECT s.s_suppkey, s.s_name,
+       CAST({sql_money('s.s_acctbal')} AS DOUBLE) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'SMALL'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey
+  HAVING SUM({sql_money('l.l_quantity')}) > CAST(300 AS DECIMAL(14,2))
+)
+""",
+    tags=("join", "semi", "subquery", "having"),
+    doc="TPC-H Q20-style: suppliers that shipped > 300 units of SMALL "
+    "parts in 1996 — grouped HAVING subquery driving a left-semi join "
+    "(the aggregate output is small → broadcast semi side).",
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(300).cast("decimal(14,2)"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", money("s_acctbal").cast("double").alias("s_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# q43 — conditional (FILTER-style) aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q43_conditional_agg",
+    oracle=f"""
+SELECT n.n_name,
+       COUNT(*) AS n_customers,
+       COUNT(*) FILTER (WHERE c.c_acctbal < 0) AS n_debtors,
+       CAST(COALESCE(SUM({sql_money('c.c_acctbal')}) FILTER (WHERE c.c_acctbal > 0),
+                     CAST(0 AS DECIMAL(14,2))) AS DOUBLE) AS pos_balance,
+       COUNT(DISTINCT c.c_mktsegment) AS n_segments
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("agg", "conditional", "distinct"),
+    doc="Conditional aggregation (SQL FILTER clause ≡ Spark "
+    "count/sum(CASE WHEN)): per-nation customer census with debtor "
+    "count and positive-balance total in one pass over the data.",
+)
+def q43_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    zero = F.lit(0).cast("decimal(14,2)")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count(F.when(F.col("c_acctbal") < 0, F.lit(1))).alias("n_debtors"),
+            F.coalesce(
+                F.sum(F.when(F.col("c_acctbal") > 0, money("c_acctbal"))), zero
+            )
+            .cast("double")
+            .alias("pos_balance"),
+            F.count_distinct(F.col("c_mktsegment")).alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — discrete percentiles via window row-selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q55_percentile_disc",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN o_totalprice END) AS p25,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+       MAX(n) AS n_orders
+FROM ranked
+GROUP BY o_orderstatus
+""",
+    tags=("window", "percentile", "agg"),
+    doc="Discrete percentiles (p25/p50/p90 of order price per status) "
+    "selected by window row-number — no interpolation, so the chosen "
+    "values are exact data points and engine-portable.  Scale path "
+    "for high-cardinality groups is approx_percentile (q45 pattern).",
+)
+def q55_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float, alias: str):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("o_totalprice"))).alias(alias)
+
+    return ranked.groupBy("o_orderstatus").agg(
+        pick(0.25, "p25"), pick(0.50, "p50"), pick(0.90, "p90"), F.max("n").alias("n_orders")
+    )

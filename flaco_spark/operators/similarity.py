@@ -219,3 +219,143 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM scored WHERE rn <= 3
 def e03_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < 25), k=3)
+
+
+# ---------------------------------------------------------------------------
+# e04 — IVF-style ANN (coarse quantizer + probed cells)
+# ---------------------------------------------------------------------------
+
+IVF_SEED_MOD = 97  # deterministic "training": seeds are vec_id % 97 == 3
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k.
+
+    Coarse quantizer: a deterministic seed subset (``vec_id % 97 == 3``
+    — at 100 TB this would be a KMeans fit, but the assign/probe
+    plumbing is identical) is broadcast; every vector is assigned to
+    the seed with the highest cosine (its *cell*).  Queries probe
+    their ``nprobe`` nearest cells; candidates are compared only
+    within probed cells.  Shuffle cost: one bucket-equi join on
+    cell id (the seed cross-product is map-side via broadcast).
+    """
+    seeds = candidates.filter((F.col(id_col) % IVF_SEED_MOD) == 3).select(
+        F.col(id_col).alias("seed_id"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("sn"),
+    )
+
+    def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
+        """Rank seeds per vector by cosine; keep the top ``keep`` cells."""
+        scored = (
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}v"),
+                norm(F.col(vec_col)).alias(f"{prefix}n"),
+            )
+            .crossJoin(F.broadcast(seeds))
+            .withColumn(
+                "seed_cos",
+                cosine(F.col(f"{prefix}v"), F.col("sv"), F.col(f"{prefix}n"), F.col("sn")),
+            )
+        )
+        w = W.partitionBy(f"{prefix}_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
+        return (
+            scored.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= keep)
+            .select(f"{prefix}_id", f"{prefix}v", f"{prefix}n", F.col("seed_id").alias("cell"))
+        )
+
+    cand = assign(candidates, "c", keep=1)
+    q = assign(queries, "q", keep=nprobe)
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
+_IVF_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL},
+seeds AS (
+  SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+),
+seed_cos AS (
+  SELECT p.vec_id, s.seed_id,
+         round(CAST(SUM(CAST(p.v[g.i] * s.sv[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8)
+           / (n.nrm * s.sn) AS seed_cos
+  FROM pts p
+  JOIN norms n ON p.vec_id = n.vec_id
+  CROSS JOIN seeds s, generate_series(1, 64) AS g(i)
+  GROUP BY p.vec_id, s.seed_id, n.nrm, s.sn
+),
+ranked_cells AS (
+  SELECT vec_id, seed_id AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY seed_cos DESC, seed_id) AS cell_rank
+  FROM seed_cos
+),
+cand AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE cell_rank = 1
+),
+probe AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE cell_rank <= {IVF_NPROBE} AND vec_id < 25
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(SUM(CAST(qp.v[g.i] * cp.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+  FROM probe q
+  JOIN cand c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+  JOIN pts qp ON q.vec_id = qp.vec_id
+  JOIN pts cp ON c.vec_id = cp.vec_id,
+       generate_series(1, 64) AS g(i)
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dotp / (nq.nrm * nc.nrm) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dotp / (nq.nrm * nc.nrm) DESC, d.neighbor_id) AS rn
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM scored WHERE rn <= 3
+"""
+
+
+@register(
+    "e04_ann_ivf",
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "embedding", "ivf", "topk"),
+    doc="IVF approximate nearest neighbors: vectors assigned to their "
+    "nearest coarse-quantizer cell, queries (vec_id < 25) probe their "
+    "2 nearest cells, top-3 within probed cells.",
+)
+def e04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 25), k=3)
