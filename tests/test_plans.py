@@ -51,6 +51,51 @@ def test_knn_is_map_side(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
 
 
+def test_q07_broadcasts_all_dims(spark, sf_dir):
+    """6-table join: every dim side broadcast; only lineitem ⋈ orders may
+    shuffle."""
+    df = REGISTRY["q07_nation_trade"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 4
+
+
+def test_q09_pushes_like_filter_and_broadcasts(spark, sf_dir):
+    df = REGISTRY["q09_product_profit"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3
+    cols = read_schema_columns(df)
+    # lineitem scan must not read l_tax/l_returnflag etc.
+    assert "l_tax" not in cols and "l_returnflag" not in cols
+
+
+def test_ivf_seed_join_is_broadcast(spark, sf_dir):
+    """IVF assign stage: seed table must broadcast (candidates never
+    shuffle for cell assignment)."""
+    df = REGISTRY["e04_ann_ivf"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_frame_sample_fanout_cardinality(spark, sf_dir):
+    """m02: output rows == sum over docs of ceil(n_frames / stride)."""
+    from flaco_spark.operators.multimodal import FRAME_STRIDE
+
+    from flaco_spark.tables import table as _table
+    docs = _table(spark, sf_dir, "documents")
+    expected = (
+        docs.select(
+            (
+                F.floor(
+                    (F.length(F.encode(F.col("text"), "UTF-8")) % 24)
+                    / F.lit(FRAME_STRIDE)
+                )
+                + 1
+            ).alias("k")
+        )
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    got = REGISTRY["m02_frame_sample"].builder(spark, sf_dir).count()
+    assert got == expected
+
+
 def test_streaming_batch_symmetry(spark, sf_dir):
     """Windowed streaming aggregation matches the batch equivalent."""
     from flaco_spark.streaming import windowed_event_counts
