@@ -52,6 +52,7 @@ def load_inventory() -> dict[str, QuerySpec]:
         relational,
         relational_ext,
         similarity,
+        skew,
         text,
         timeseries,
         udf_surface,

@@ -11,5 +11,14 @@ from flaco_spark.streaming.ingest import (
     stream_parquet_sink,
     windowed_event_counts,
 )
+from flaco_spark.streaming.stateful import (
+    user_profiles_batch,
+    user_profiles_stream,
+)
 
-__all__ = ["stream_parquet_sink", "windowed_event_counts"]
+__all__ = [
+    "stream_parquet_sink",
+    "windowed_event_counts",
+    "user_profiles_batch",
+    "user_profiles_stream",
+]

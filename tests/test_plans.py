@@ -115,6 +115,66 @@ def test_streaming_batch_symmetry(spark, sf_dir):
     assert got == want
 
 
+def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running profiles converge to the batch
+    aggregate when the stream is drained (availableNow)."""
+    import shutil
+
+    from flaco_spark.streaming import user_profiles_batch, user_profiles_stream
+    from flaco_spark.tables import convert_event_ts, table as _table
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    stream = spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    q = (
+        user_profiles_stream(convert_event_ts(stream))
+        .writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user wins (update mode may emit a row per batch)
+    got_df = spark.sql(
+        "SELECT user_id, n_events, total_value, last_seen_us FROM profiles"
+    ).toPandas()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2), r.last_seen_us)
+        for r in got_df.drop_duplicates("user_id", keep="last").itertuples()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 2), r.last_seen_us)
+        for r in user_profiles_batch(_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from flaco_spark.compat import money
+    from flaco_spark.operators.skew import salted_sum_count
+    from flaco_spark.tables import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    salted = {
+        r.o_custkey: (str(r.s), r.n)
+        for r in salted_sum_count(
+            o, ["o_custkey"], money("o_totalprice"), ["o_orderkey"]
+        ).collect()
+    }
+    plain = {
+        r.o_custkey: (str(r.s), r.n)
+        for r in o.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
 def test_streaming_parquet_sink(spark, sf_dir, tmp_path):
     from flaco_spark.streaming import stream_parquet_sink, windowed_event_counts
     from flaco_spark.tables import convert_event_ts
