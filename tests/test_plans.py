@@ -96,6 +96,31 @@ def test_frame_sample_fanout_cardinality(spark, sf_dir):
     assert got == expected
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join with ZERO exchanges,
+    and the result matches the plain (shuffled) join."""
+    from flaco_spark.operators.bucketing import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+    from flaco_spark.plans import exchange_count
+    from flaco_spark.tables import table as _table
+
+    l = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        write_bucketed(l, "bkt_lineitem", "l_orderkey", path=str(tmp_path / "l"))
+        write_bucketed(o, "bkt_orders", "o_orderkey", path=str(tmp_path / "o"))
+        bl, bo = read_bucketed(spark, "bkt_lineitem"), read_bucketed(spark, "bkt_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        assert exchange_count(joined) == 0, "bucketed join must not shuffle"
+        assert joined.count() == l.join(o, l.l_orderkey == o.o_orderkey).count()
+    finally:
+        drop_bucketed(spark, "bkt_lineitem")
+        drop_bucketed(spark, "bkt_orders")
+
+
 def test_streaming_batch_symmetry(spark, sf_dir):
     """Windowed streaming aggregation matches the batch equivalent."""
     from flaco_spark.streaming import windowed_event_counts
