@@ -184,3 +184,34 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring(F.md5("text"), 1, 16).alias("short_fp"),
     )
+
+
+@register(
+    "t05_word_frequencies",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM toks
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+    tags=("text", "tokens", "explode", "topk", "documents"),
+    doc="Corpus word frequencies: tokenize → explode (1→N array "
+    "unnest) → count → top-50.  The explode is map-side; the only "
+    "shuffle is the token group-by, with partial aggregation "
+    "upstream — the canonical wordcount shape at any scale.",
+)
+def t05_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
