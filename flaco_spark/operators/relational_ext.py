@@ -439,3 +439,74 @@ def q55_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("o_orderstatus").agg(
         pick(0.25, "p25"), pick(0.50, "p50"), pick(0.90, "p90"), F.max("n").alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — unpivot (wide → long)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q57_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT p_brand,
+         COUNT(*) FILTER (WHERE p_type = 'SMALL')    AS small_n,
+         COUNT(*) FILTER (WHERE p_type = 'MEDIUM')   AS medium_n,
+         COUNT(*) FILTER (WHERE p_type = 'LARGE')    AS large_n
+  FROM part
+  GROUP BY p_brand
+)
+SELECT p_brand, size_class, n FROM wide
+UNPIVOT (n FOR size_class IN (small_n, medium_n, large_n))
+""",
+    tags=("unpivot", "agg"),
+    doc="Unpivot (wide→long, the inverse of q41's pivot) via the "
+    "DataFrame unpivot API ≡ SQL stack(); map-side 1→3 fan-out.",
+)
+def q57_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        F.count(F.when(F.col("p_type") == "SMALL", 1)).alias("small_n"),
+        F.count(F.when(F.col("p_type") == "MEDIUM", 1)).alias("medium_n"),
+        F.count(F.when(F.col("p_type") == "LARGE", 1)).alias("large_n"),
+    )
+    return wide.unpivot(
+        ids=["p_brand"],
+        values=["small_n", "medium_n", "large_n"],
+        variableColumnName="size_class",
+        valueColumnName="n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — ordered collect_list surfaced as a string
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q58_ordered_list_agg",
+    oracle="""
+SELECT o_custkey,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey % 50 = 0
+GROUP BY o_custkey
+""",
+    tags=("agg", "listagg", "array"),
+    doc="Order-sensitive list aggregation (string_agg / collect_list): "
+    "statuses concatenated in o_orderkey order — deterministic because "
+    "the sort key is unique; array built from a struct sort then "
+    "joined, all JVM-side.",
+)
+def q58_ordered_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    pairs = F.collect_list(F.struct("o_orderkey", "o_orderstatus"))
+    ordered = F.transform(
+        F.array_sort(pairs), lambda s: s.getField("o_orderstatus")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.array_join(ordered, ",").alias("status_seq"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -215,3 +215,34 @@ def t05_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
+
+
+# BPE-style pre-tokenizer pattern (GPT-2-ish, ASCII subset): a leading
+# space glues to the following word/number/punct run.  The character
+# classes are portable between Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "t06_bpe_token_count",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens
+FROM documents
+""",
+    tags=("text", "tokens", "bpe", "documents"),
+    doc="Token counting with a BPE-style pre-tokenizer regex (word / "
+    "number / punctuation runs with leading-space gluing) next to the "
+    "plain whitespace count — the cost-estimation primitive for an "
+    "LLM data pipeline, pure JVM regexp (no Python).",
+)
+def t06_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
