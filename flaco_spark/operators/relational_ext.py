@@ -510,3 +510,49 @@ def q58_ordered_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(ordered, ",").alias("status_seq"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — RANGE-framed window (value-based frame, not row-based)
+# ---------------------------------------------------------------------------
+
+_30D_SECONDS = 30 * 24 * 3600
+
+
+@register(
+    "q59_range_frame",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER w AS n_last30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS spent_last30d
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders WHERE o_custkey % 100 = 0) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+             RANGE BETWEEN {_30D_SECONDS} PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "range", "frame"),
+    doc="Value-based (RANGE) window frame: per order, the customer's "
+    "order count and exact-decimal spend over the trailing 30 days — "
+    "frame bounds are values of the ordering key (epoch seconds), not "
+    "row offsets, so ties and gaps behave correctly.",
+)
+def q59_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    src = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-_30D_SECONDS, W.currentRow)
+    )
+    return src.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_last30d"),
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("spent_last30d"),
+    )

@@ -1,0 +1,113 @@
+"""Property-based differential testing (hypothesis): randomized
+filter + aggregation shapes over lineitem must agree between the
+Spark DataFrame API and DuckDB SQL.
+
+This generalizes the fixed-query oracle suite: instead of 80 hand
+written queries, hypothesis explores the predicate/grouping space and
+shrinks any disagreement to a minimal counterexample.  Aggregates are
+integer-exact (counts and cent-sums) so equality is exact, not
+approximate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+KEY_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+CAT_COLS = ("l_returnflag", "l_linestatus")
+OPS = ("<", "<=", ">", ">=", "=", "<>")
+
+# Constants chosen inside each column's live range so predicates are
+# neither vacuous nor empty most of the time.
+CONST = {
+    "l_quantity": st.integers(1, 50),
+    "l_extendedprice": st.integers(1000, 60000),
+    "l_discount": st.sampled_from([0.0, 0.02, 0.05, 0.07, 0.1]),
+    "l_tax": st.sampled_from([0.0, 0.02, 0.05, 0.08]),
+    "l_orderkey": st.integers(0, 6000),
+    "l_partkey": st.integers(0, 2000),
+    "l_suppkey": st.integers(0, 100),
+    "l_linenumber": st.integers(1, 7),
+}
+
+single_pred = st.sampled_from(NUM_COLS + KEY_COLS).flatmap(
+    lambda col: st.tuples(st.just(col), st.sampled_from(OPS), CONST[col])
+)
+predicates = st.lists(single_pred, min_size=1, max_size=3)
+
+
+@pytest.fixture(scope="module")
+def duck001():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _spark_pred(col, op, val):
+    c = F.col(col)
+    return {
+        "<": c < val,
+        "<=": c <= val,
+        ">": c > val,
+        ">=": c >= val,
+        "=": c == val,
+        "<>": c != val,
+    }[op]
+
+
+def _sql_pred(col, op, val):
+    return f"{col} {op} {val!r}" if isinstance(val, str) else f"{col} {op} {val}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(preds=predicates, group=st.sampled_from(CAT_COLS + (None,)))
+def test_random_filter_agg_matches_duckdb(spark, duck001, preds, group):
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    where_sql = " AND ".join(_sql_pred(*p) for p in preds)
+    cond = None
+    for p in preds:
+        c = _spark_pred(*p)
+        cond = c if cond is None else (cond & c)
+
+    # explicit round() before the int cast: Spark truncates double→bigint
+    # while DuckDB rounds, so the rounding must happen in the expression.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    filtered = l.filter(cond)
+    if group is None:
+        got = filtered.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        ).collect()
+        want = duck001.execute(
+            f"SELECT COUNT(*) AS n, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
+            f"FROM lineitem WHERE {where_sql}"
+        ).fetchall()
+        assert (got[0].n, got[0].cents) == want[0]
+    else:
+        got = {
+            r[0]: (r[1], r[2])
+            for r in filtered.groupBy(group)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+            .collect()
+        }
+        want = {
+            r[0]: (r[1], r[2])
+            for r in duck001.execute(
+                f"SELECT {group}, COUNT(*) AS n, "
+                f"SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
+                f"FROM lineitem WHERE {where_sql} GROUP BY {group}"
+            ).fetchall()
+        }
+        assert got == want
