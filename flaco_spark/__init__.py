@@ -30,7 +30,13 @@ Everything is built on the public PySpark 4.x API.
 
 from flaco_spark.errors import EngineError
 from flaco_spark.session import get_session
-from flaco_spark.core import FileFormat, read_sql, read_sql_to_file, read_sql_to_pyarrow
+from flaco_spark.core import (
+    FileFormat,
+    read_sql,
+    read_sql_to_file,
+    read_sql_to_pyarrow,
+    sql,
+)
 
 __version__ = "0.1.0"
 
@@ -41,5 +47,6 @@ __all__ = [
     "read_sql",
     "read_sql_to_file",
     "read_sql_to_pyarrow",
+    "sql",
     "__version__",
 ]

@@ -79,6 +79,32 @@ def read_sql(
         raise EngineError.wrap(exc, f"read_sql({stmt!r})") from exc
 
 
+def sql(
+    stmt: str,
+    sf_dir: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Native Spark-SQL entry point (SURVEY.md §7.1 M3).
+
+    The reference's contract is "any SQL the PostgreSQL server can
+    run" (src/lib.rs:189) — this is the same contract executed by
+    Catalyst instead of Postgres.  With ``sf_dir`` given, the test
+    catalog's tables are registered as temp views first, so the SQL
+    can reference ``lineitem``/``orders``/… directly.
+    """
+    spark = spark or get_session()
+    try:
+        if sf_dir is not None:
+            from flaco_spark.tables import register_views
+
+            register_views(spark, sf_dir)
+        return spark.sql(stmt)
+    except EngineError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise EngineError.wrap(exc, f"sql({stmt!r})") from exc
+
+
 def read_sql_to_pyarrow(uri: str, stmt: str, spark: SparkSession | None = None) -> "pa.Table":
     """SQL → in-memory ``pyarrow.Table`` (ref src/lib.rs:42-72).
 
@@ -143,6 +169,7 @@ def write_dataframe_to_file(
 
 __all__ = [
     "FileFormat",
+    "sql",
     "read_sql",
     "read_sql_to_pyarrow",
     "read_sql_to_file",

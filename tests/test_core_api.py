@@ -154,3 +154,33 @@ def test_empty_result_keeps_schema(spark, simple_table, tmp_path):
 def test_engine_error_on_bad_uri():
     with pytest.raises(EngineError):
         translate_postgres_uri("not-a-uri")
+
+
+def test_native_sql_entry_point(spark):
+    """engine.sql() runs arbitrary SQL over the registered catalog —
+    the Catalyst-executed version of the reference's 'any SQL the
+    server can run' contract."""
+    import flaco_spark
+
+    df = flaco_spark.sql(
+        """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+        sf_dir="/root/testdata/sf0.001",
+        spark=spark,
+    )
+    rows = df.collect()
+    assert [r.r_name for r in rows] == sorted(r.r_name for r in rows)
+    assert sum(r.n_nations for r in rows) == 25
+
+
+def test_native_sql_wraps_errors(spark):
+    import flaco_spark
+    from flaco_spark.errors import EngineError
+
+    import pytest as _pytest
+
+    with _pytest.raises(EngineError):
+        flaco_spark.sql("SELECT * FROM no_such_table_xyz", spark=spark).collect()
