@@ -614,24 +614,27 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    # Single-pass formulation: the per-order aggregate that drives the
+    # HAVING filter IS the total_qty the output needs — aggregate
+    # lineitem once, filter, and join the (tiny) surviving rows to
+    # orders.  One lineitem shuffle instead of two, and the final
+    # re-aggregation disappears (orders ⋈ big is 1:1 on o_orderkey).
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(money("l_quantity")).alias("q"))
         .filter(F.col("q") > F.lit(180).cast(DEC_MONEY))
-        .select("l_orderkey")
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
         )
-        .agg(dsum(money("l_quantity"), "total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
