@@ -556,3 +556,37 @@ def q59_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last30d"),
         F.sum(money("o_totalprice")).over(w).cast("double").alias("spent_last30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — JSON parse-to-struct (from_json), complementing q33's path extract
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q60_json_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) % 10 = 0
+""",
+    tags=("scalar", "json", "struct", "events"),
+    doc="JSON parsed to a typed struct (from_json with an explicit "
+    "schema — one parse, typed field access) rather than per-path "
+    "string extraction; the reference stores JSON as opaque strings "
+    "(src/lib.rs:226-234).",
+)
+def q60_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("p.k") % 10 == 0)
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+        )
+    )
