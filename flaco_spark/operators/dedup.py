@@ -71,30 +71,34 @@ def minhash_near_dup_pairs(
         F.col(key_col).alias("doc_id"),
         mk(F.col(text_col), shingle_k).alias("shingles"),
     )
-    # persist: both sides of the LSH self-join reuse this lineage; without
-    # it the (expensive) signature expression is evaluated twice.
+    # persist: the banded self-join and the verify re-join both reuse this
+    # lineage; without it the (expensive) signature expression re-evaluates.
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes)).persist()
+    # The LSH self-join carries ONLY (doc_id, band, band_key) — never the
+    # shingle arrays.  Co-bucketed pairs multiply row counts ×(bucket
+    # size), so wide rows through this join dominate the shuffle; ids
+    # keep it a few bytes per row.  Shingles re-attach afterwards, and
+    # only for the (small) candidate set.
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         "sig",
     ).withColumn("band_key", lsh_band_key(F.col("sig"), F.col("band"), rows_per_band))
 
-    left = banded.select(
-        F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"), "band", "band_key"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"), "band", "band_key"
-    )
-    cand = (
+    left = banded.select(F.col("doc_id").alias("doc1"), "band", "band_key")
+    right = banded.select(F.col("doc_id").alias("doc2"), "band", "band_key")
+    cand_ids = (
         left.join(right, ["band", "band_key"])
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2", "sh1", "sh2")
+        .select("doc1", "doc2")
         .dropDuplicates(["doc1", "doc2"])
     )
+    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        cand_ids.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
