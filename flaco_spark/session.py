@@ -48,7 +48,10 @@ def get_session(
         # natively; read as long and convert in the table loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode: the driver JVM IS the executor — size the heap for
+        # 32 concurrent task threads (box has 128 GiB; 48g leaves room
+        # for Python workers and the OS page cache).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
