@@ -1,0 +1,22 @@
+# Dev workflow, mirroring the reference's Makefile targets
+# (/root/reference/Makefile: test / bench / memory profiling).
+
+.PHONY: test test-fast bench bench-small smoke
+
+test:            ## full suite (oracle parity + API + plans + streaming)
+	python -m pytest tests/ -q
+
+test-fast:       ## everything except the slow differential suites
+	python -m pytest tests/ -q --ignore=tests/test_oracle_parity.py \
+	    --ignore=tests/test_property_differential.py
+
+bench:           ## headline queries + extraction legs at sf0.1 (one JSON line)
+	python bench.py
+
+bench-small:     ## same at sf0.01 for quick iteration
+	SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+
+smoke:           ## driver-contract smoke: entry() on sf0.001
+	python -c "import __spark_entry__ as m; \
+	from flaco_spark.session import get_session; \
+	print(m.entry(get_session()).count(), 'rows')"

@@ -236,18 +236,26 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_mod: int = IVF_SEED_MOD,
 ) -> DataFrame:
     """IVF approximate top-k.
 
-    Coarse quantizer: a deterministic seed subset (``vec_id % 97 == 3``
-    — at 100 TB this would be a KMeans fit, but the assign/probe
-    plumbing is identical) is broadcast; every vector is assigned to
-    the seed with the highest cosine (its *cell*).  Queries probe
-    their ``nprobe`` nearest cells; candidates are compared only
-    within probed cells.  Shuffle cost: one bucket-equi join on
-    cell id (the seed cross-product is map-side via broadcast).
+    Coarse quantizer: a deterministic seed subset
+    (``vec_id % seed_mod == 3`` — at 100 TB this would be a KMeans
+    fit, but the assign/probe plumbing is identical) is broadcast;
+    every vector is assigned to the seed with the highest cosine (its
+    *cell*).  Queries probe their ``nprobe`` nearest cells; candidates
+    are compared only within probed cells.  Shuffle cost: one
+    bucket-equi join on cell id (the seed cross-product is map-side
+    via broadcast).
+
+    ``seed_mod`` sets the cell count (~n/seed_mod).  Assignment cost
+    is n × cells, so pick seed_mod ≈ √n to keep both the assign stage
+    and the per-cell candidate lists balanced (nlist ≈ √n, the
+    standard IVF sizing); the default matches the registered
+    oracle-checked query at sf0.01.
     """
-    seeds = candidates.filter((F.col(id_col) % IVF_SEED_MOD) == 3).select(
+    seeds = candidates.filter((F.col(id_col) % seed_mod) == 3).select(
         F.col(id_col).alias("seed_id"),
         F.col(vec_col).alias("sv"),
         norm(F.col(vec_col)).alias("sn"),
