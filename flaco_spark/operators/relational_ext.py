@@ -559,6 +559,71 @@ def q59_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q61 — distribution window functions (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q61_distribution_windows",
+    oracle="""
+SELECT s_suppkey,
+       s_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+""",
+    tags=("window", "distribution"),
+    doc="Distribution window functions: percent_rank, cume_dist and "
+    "deciles over supplier balances (total ordering via the unique "
+    "key tie-break; both engines compute the same (rank-1)/(n-1) and "
+    "rank/n doubles).",
+)
+def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — quantile sketch (approximate; rows-only check like q45's HLL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q62_approx_quantiles",
+    oracle=None,  # sketch internals are engine-specific; rows-only check
+    tags=("agg", "approx", "sketch", "percentile"),
+    doc="Approximate quantiles per order status via Spark's "
+    "approx_percentile sketch — the constant-memory scale path where "
+    "the exact window form (q55) needs a per-group sort.  Accuracy "
+    "vs the exact values is asserted in tests/test_pipeline_ops.py.",
+)
+def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pcts = F.expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000)"
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pcts.alias("p"))
+        .select(
+            "o_orderstatus",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p90"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q60 — JSON parse-to-struct (from_json), complementing q33's path extract
 # ---------------------------------------------------------------------------
 

@@ -114,3 +114,52 @@ def test_approx_count_distinct_error(spark, sf_dir):
         F.countDistinct("l_orderkey").alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def test_approx_quantiles_near_exact(spark, sf_dir):
+    """q62's sketch quantiles must sit within 5% of q55's exact
+    discrete percentiles."""
+    from flaco_spark.inventory import load_inventory
+
+    reg = load_inventory()
+    approx = {
+        r.o_orderstatus: (r.p25, r.p50, r.p90)
+        for r in reg["q62_approx_quantiles"].builder(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.p25, r.p50, r.p90)
+        for r in reg["q55_percentile_disc"].builder(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for status, (a25, a50, a90) in approx.items():
+        e25, e50, e90 = exact[status]
+        for a, e in ((a25, e25), (a50, e50), (a90, e90)):
+            assert abs(a - e) <= 0.05 * abs(e), (status, a, e)
+
+
+def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
+    """Zero-row inputs: plans still run and schemas survive (the
+    reference loses schemas on empty results, src/lib.rs:203-206)."""
+    from flaco_spark.inventory import load_inventory
+    from flaco_spark.tables import TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        df.limit(0).write.parquet(str(empty_dir / f"{name}.parquet"))
+
+    reg = load_inventory()
+    for qname in (
+        "q01_pricing_summary",
+        "q07_nation_trade",
+        "q23_window_rank",
+        "q55_percentile_disc",
+        "d01_dedup_exact",
+        "t01_token_stats",
+        "s01_salted_agg",
+    ):
+        out = reg[qname].builder(spark, str(empty_dir))
+        assert out.count() == 0, qname
+        assert len(out.schema.fields) > 0, qname

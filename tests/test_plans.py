@@ -222,3 +222,45 @@ def test_streaming_parquet_sink(spark, sf_dir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() > 0
     assert set(out.columns) == {"window_start", "window_end", "event_type", "n"}
+
+
+def test_streaming_watermark_drops_late_rows(spark, sf_dir, tmp_path):
+    """Append-mode watermark semantics: a row arriving later than
+    watermark+window behind the max event time is dropped."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "wm_src"
+    src_dir.mkdir()
+    schema = "ts TIMESTAMP, k STRING"
+
+    on_time = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 13:00:00", "a")],
+        ["ts_s", "k"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k")
+    on_time.write.parquet(str(src_dir / "batch1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(str(src_dir / "batch1"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # watermark = 13:00 - 1h = 12:00 → the 10:00 window is final and
+    # emitted; the 13:00 window is still open, so exactly one row.
+    rows = spark.sql("SELECT * FROM wm_counts").collect()
+    assert len(rows) == 1 and rows[0].n == 1
+    assert rows[0].ws.hour == 10
