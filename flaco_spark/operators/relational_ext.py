@@ -624,6 +624,56 @@ def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q63 — higher-order array functions (transform / filter / aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q63_higher_order_arrays",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         list(CAST(round(l_quantity * 100) AS BIGINT) ORDER BY l_linenumber) AS q_cents
+  FROM lineitem
+  WHERE l_orderkey % 200 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(q_cents) AS INT) AS n_items,
+       CAST(list_aggregate(q_cents, 'sum') AS BIGINT) AS total_cents,
+       CAST(len(list_filter(q_cents, x -> x > 2500)) AS INT) AS n_large,
+       CAST(list_aggregate(list_transform(q_cents, x -> x * 2), 'max') AS BIGINT)
+         AS max_doubled
+FROM per_order
+""",
+    tags=("array", "higher-order", "agg"),
+    doc="Higher-order array expressions: per-order quantity vectors "
+    "built with an ORDER-BY list aggregate, then transform / filter / "
+    "aggregate lambdas — all inside whole-stage codegen, the "
+    "Spark-native way to compute over nested data without exploding.",
+)
+def q63_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    pairs = F.array_sort(F.collect_list(F.struct("l_linenumber", cents.alias("c"))))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.transform(pairs, lambda s: s.getField("c")).alias("q_cents")
+    )
+    zero = F.lit(0).cast("bigint")
+    return per_order.select(
+        "l_orderkey",
+        F.size("q_cents").alias("n_items"),
+        F.aggregate("q_cents", zero, lambda acc, x: acc + x).alias("total_cents"),
+        F.size(F.filter("q_cents", lambda x: x > 2500)).alias("n_large"),
+        F.aggregate(
+            F.transform("q_cents", lambda x: x * 2),
+            F.lit(None).cast("bigint"),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_doubled"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q60 — JSON parse-to-struct (from_json), complementing q33's path extract
 # ---------------------------------------------------------------------------
 

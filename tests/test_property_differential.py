@@ -111,3 +111,57 @@ def test_random_filter_agg_matches_duckdb(spark, duck001, preds, group):
             ).fetchall()
         }
         assert got == want
+
+
+JOIN_TYPES = ("inner", "left", "left_semi", "left_anti")
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(JOIN_TYPES),
+    cust_mod=st.integers(2, 9),
+    price_cut=st.integers(1000, 400000),
+)
+def test_random_join_shapes_match_duckdb(spark, duck001j, how, cust_mod, price_cut):
+    """Randomized join-type × filter combinations over orders ⋈ customer
+    must agree with DuckDB on count and key-sum."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet").filter(
+        (F.col("c_custkey") % cust_mod) == 0
+    )
+    of = o.filter(F.col("o_totalprice") < price_cut)
+    joined = of.join(c, of.o_custkey == c.c_custkey, how)
+    got = joined.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ks")
+    ).collect()[0]
+
+    sql_join = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "left_semi": "SEMI JOIN",
+        "left_anti": "ANTI JOIN",
+    }[how]
+    want = duck001j.execute(
+        f"""
+        SELECT COUNT(*) AS n, SUM(o.o_orderkey) AS ks
+        FROM (SELECT * FROM orders WHERE o_totalprice < {price_cut}) o
+        {sql_join} (SELECT * FROM customer WHERE c_custkey % {cust_mod} = 0) c
+          ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()[0]
+    assert (got.n, got.ks) == want
+
+
+@pytest.fixture(scope="module")
+def duck001j():
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
