@@ -624,6 +624,66 @@ def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q64 — generated calendar dimension + gap fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q64_calendar_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+calendar AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  FROM orders
+  WHERE o_custkey % 1000 = 7
+  GROUP BY 1
+)
+SELECT strftime(c.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.revenue, CAST(0 AS DOUBLE)) AS revenue
+FROM calendar c LEFT JOIN daily d ON c.day = d.day
+""",
+    tags=("calendar", "sequence", "outer", "temporal"),
+    doc="Generated calendar dimension (sequence → explode) left-joined "
+    "onto sparse daily aggregates so every day appears, zeros filled — "
+    "the gap-fill op every time-series rollup needs.  The calendar's "
+    "size is bounded by the DATE SPAN, not the data size, so the "
+    "generate+broadcast side stays tiny at any scale.",
+)
+def q64_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = (
+        o.filter(F.col("o_custkey") % 1000 == 7)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+    return calendar.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q63 — higher-order array functions (transform / filter / aggregate)
 # ---------------------------------------------------------------------------
 
