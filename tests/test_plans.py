@@ -264,3 +264,36 @@ def test_streaming_watermark_drops_late_rows(spark, sf_dir, tmp_path):
     rows = spark.sql("SELECT * FROM wm_counts").collect()
     assert len(rows) == 1 and rows[0].n == 1
     assert rows[0].ws.hour == 10
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must
+    prune at plan time (PartitionFilters), and per-partition file
+    count stays 1 (no small-file explosion)."""
+    import os
+
+    from flaco_spark.plans import formatted_plan
+    from flaco_spark.sources.partitioned import read_partitioned, write_partitioned
+    from flaco_spark.tables import table as _table
+
+    events = _table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(events, out, ["day"])
+
+    part_dirs = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert len(part_dirs) > 1
+    files_in_first = [
+        f
+        for f in os.listdir(os.path.join(out, part_dirs[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(files_in_first) == 1, "one file per partition per write"
+
+    some_day = sorted(part_dirs)[0].split("=", 1)[1]
+    filtered = read_partitioned(spark, out).filter(F.col("day") == some_day)
+    plan = formatted_plan(filtered)
+    assert "PartitionFilters: [" in plan and "day#" in plan.split("PartitionFilters:")[1][:200]
+    total = read_partitioned(spark, out).count()
+    assert total == events.count()
