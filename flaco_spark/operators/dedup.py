@@ -356,6 +356,95 @@ def d07_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via an inverted index on discriminative
+    n-grams (no hashing): docs become candidates iff they share a
+    shingle whose document frequency is in [2, max_df].
+
+    The ``max_df`` cap is the scale bound: a shingle shared by d docs
+    yields ≤ d(d-1)/2 candidate pairs, so capping d caps the join
+    fan-out per posting — the standard inverted-index candidate
+    pruning.  Stop-shingles (df > max_df) carry no dedup signal
+    anyway.  Exact Jaccard verifies candidates, as in d04.
+    """
+    sh = df.select(
+        F.col(key_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).persist()
+    sh.count()  # eager single-consumer cache fill (see minhash note)
+    postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("shingle")
+    )
+    keyed = postings.join(rare, "shingle")
+    a = keyed.select(F.col("shingle"), F.col("doc_id").alias("doc1"))
+    b = keyed.select(F.col("shingle"), F.col("doc_id").alias("doc2"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+@register(
+    "d08_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents
+),
+postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM postings GROUP BY shingle
+  HAVING COUNT(*) BETWEEN 2 AND 10
+),
+keyed AS (
+  SELECT p.shingle, p.doc_id FROM postings p JOIN rare r ON p.shingle = r.shingle
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+         / CAST(len(list_distinct(s1.shingles || s2.shingles)) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN sh s1 ON c.doc1 = s1.doc_id
+JOIN sh s2 ON c.doc2 = s2.doc_id
+WHERE CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+        / CAST(len(list_distinct(s1.shingles || s2.shingles)) AS DOUBLE) >= 0.5
+""",
+    tags=("dedup", "ngram", "jaccard", "documents"),
+    doc="n-gram Jaccard dedup via an inverted index on discriminative "
+    "shingles (df in [2,10]) — hash-free candidate generation whose "
+    "per-posting fan-out is capped by the df bound; exact Jaccard "
+    "verify at ≥ 0.5.",
+)
+def d08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
 @register(
     "d05_simhash_signature",
     oracle=r"""
