@@ -367,3 +367,50 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM scored WHERE rn <= 3
 def e04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < 25), k=3)
+
+
+# ---------------------------------------------------------------------------
+# e05 — per-label centroids (the reduce step of a KMeans-style fit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e05_label_centroids",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, g.i AS dim, CAST(v[g.i] AS DECIMAL(18,8)) AS x
+  FROM pts, generate_series(1, 64) AS g(i)
+)
+SELECT label,
+       CAST(dim AS INT) AS dim,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid_val
+FROM dims
+WHERE dim <= 8
+GROUP BY label, dim
+""",
+    tags=("similarity", "embedding", "centroid", "agg"),
+    doc="Per-label centroid coordinates (dims 1-8): posexplode the "
+    "vectors map-side, exact-decimal mean per (label, dim) — the "
+    "distributed reduce step of a KMeans-style fit, one shuffle of "
+    "|labels|x|dims| partial sums.",
+)
+def e05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dec = "decimal(18,8)"
+    dims = e.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "xf"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("xf").cast("double").cast(dec).alias("x"),
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias("centroid_val"),
+    )

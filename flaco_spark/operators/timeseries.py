@@ -168,6 +168,46 @@ def ts03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts05_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+register(
+    "ts05_retention_cohorts",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first_day f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    tags=("timeseries", "retention", "cohort", "events"),
+    doc="Cohort retention matrix: users bucketed by first-seen day, "
+    "distinct-active-user counts per (cohort, day offset) — two "
+    "shuffles on user_id (both partial-aggregated), the standard "
+    "product-analytics rollup.",
+)(ts05_retention_cohorts)
+
+
 @register(
     "ts04_rollup_hierarchy",
     oracle=f"""
