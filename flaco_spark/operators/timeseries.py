@@ -168,6 +168,61 @@ def ts03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts06_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_view = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("fv")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    converted = (
+        first_view.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") > F.col("fv"))
+            & (F.col("pts") <= F.col("fv") + F.expr("interval 24 hours")),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        first_view.join(converted, "user_id", "left")
+        .groupBy(F.date_format(F.date_trunc("day", "fv"), "yyyy-MM-dd").alias("view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.count("converted").alias("n_converted"),
+        )
+    )
+
+
+register(
+    "ts06_funnel_conversion",
+    oracle="""
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first_view f
+  JOIN events p ON p.user_id = f.user_id AND p.event_type = 'purchase'
+               AND p.ts > f.fv AND p.ts <= f.fv + INTERVAL 24 HOUR
+)
+SELECT strftime(date_trunc('day', f.fv), '%Y-%m-%d') AS view_day,
+       COUNT(*) AS n_viewers,
+       COUNT(c.user_id) AS n_converted
+FROM first_view f LEFT JOIN converted c ON f.user_id = c.user_id
+GROUP BY 1
+""",
+    tags=("timeseries", "funnel", "conversion", "events"),
+    doc="Funnel conversion: per first-view day, how many viewers "
+    "purchased within 24h of their first view — first-touch aggregate, "
+    "time-bounded semi-join, left join for the conversion flag; all "
+    "shuffles on user_id with partial aggregation.",
+)(ts06_funnel_conversion)
+
+
 def ts05_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     first_day = e.groupBy("user_id").agg(

@@ -46,6 +46,25 @@ def u01_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u05_arrow_python_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_partkey * l_partkey % 997 AS BIGINT) AS sq_mod
+FROM lineitem
+WHERE l_orderkey % 200 = 0
+""",
+    tags=("udf", "python", "arrow"),
+    doc="Arrow-optimized Python scalar UDF (useArrow=True): same "
+    "row-wise authoring model as u01 but Arrow-batched transfer — "
+    "the drop-in upgrade path for legacy Python UDFs.",
+)
+def u05_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sq_mod = F.udf(lambda k: (k * k) % 997, "bigint", useArrow=True)
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    return l.select("l_orderkey", "l_linenumber", sq_mod("l_partkey").alias("sq_mod"))
+
+
+@register(
     "u02_pandas_udf",
     oracle="""
 SELECT l_orderkey, l_linenumber,
