@@ -624,6 +624,51 @@ def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q65 — NOT IN with NULLs: three-valued logic edge case
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q65_not_in_null_semantics",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM supplier
+   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 3))
+    AS n_without_null,
+  (SELECT COUNT(*) FROM supplier
+   WHERE s_nationkey NOT IN (SELECT nullif(n_nationkey, 1) FROM nation WHERE n_nationkey < 3))
+    AS n_with_null,
+  (SELECT COUNT(*) FROM supplier
+   WHERE s_nationkey IN (SELECT nullif(n_nationkey, 1) FROM nation WHERE n_nationkey < 3))
+    AS n_in_with_null
+""",
+    tags=("subquery", "null", "3vl", "anti"),
+    doc="SQL three-valued-logic edge: NOT IN against a list containing "
+    "NULL selects NOTHING (x <> NULL is unknown), while IN still "
+    "matches non-NULL members — the classic anti-join trap, verified "
+    "to behave identically in both engines (null-aware anti join).",
+)
+def q65_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM supplier
+           WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 3))
+            AS n_without_null,
+          (SELECT COUNT(*) FROM supplier
+           WHERE s_nationkey NOT IN (SELECT nullif(n_nationkey, 1) FROM nation WHERE n_nationkey < 3))
+            AS n_with_null,
+          (SELECT COUNT(*) FROM supplier
+           WHERE s_nationkey IN (SELECT nullif(n_nationkey, 1) FROM nation WHERE n_nationkey < 3))
+            AS n_in_with_null
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q64 — generated calendar dimension + gap fill
 # ---------------------------------------------------------------------------
 
