@@ -44,8 +44,59 @@ def register(
     return deco
 
 
+# Queries whose plan or semantics changed since their last driver-green
+# CORRECTNESS row; treated as never-checked so they re-enter the
+# driver's sample window first.
+FORCE_RECHECK: frozenset[str] = frozenset(
+    {
+        "d04_minhash_lsh_pairs",  # unpersist lifecycle change
+        "d05_simhash_signature",  # map-side vote aggregation rewrite
+        "d06_embedding_dedup_pairs",  # non-vacuous threshold + planted dups
+        "d07_dedup_canonical",  # exact-collapse prepass
+        "d08_ngram_jaccard_pairs",  # exact-collapse prepass for mass dups
+    }
+)
+
+
+def _last_green_round() -> dict[str, int]:
+    """Per query, the latest driver round with a green CORRECTNESS row.
+
+    The driver checks a prefix of the registry each round (r1 sampled
+    the first 50 of 95), so ordering never-checked queries first is
+    what rotates the whole inventory through the driver's gate.  Green
+    = hash_match (or a rows-only row with no error for no-oracle ops).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    seen: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[1]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            ok = row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                seen[name] = max(seen.get(name, -1), rnd)
+    return seen
+
+
 def load_inventory() -> dict[str, QuerySpec]:
-    """Import every operator module (side effect: fills REGISTRY)."""
+    """Import every operator module (side effect: fills REGISTRY).
+
+    The returned dict is ordered so queries with no driver-green
+    CORRECTNESS row yet come first (then by staleness), because the
+    driver samples a prefix — this rotates coverage across rounds.
+    """
     from flaco_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
@@ -58,4 +109,10 @@ def load_inventory() -> dict[str, QuerySpec]:
         udf_surface,
     )
 
-    return REGISTRY
+    seen = _last_green_round()
+    order = list(REGISTRY)
+    idx = {name: i for i, name in enumerate(order)}
+    order.sort(
+        key=lambda n: (-1 if n in FORCE_RECHECK else seen.get(n, -1), idx[n])
+    )
+    return {name: REGISTRY[name] for name in order}

@@ -38,6 +38,37 @@ from flaco_spark.tables import table
 # Reusable API
 # ---------------------------------------------------------------------------
 
+# Caches created by the pair-finding builders below.  Builders are
+# invoked sequentially by the harness (each query's action completes
+# before the next builder runs), so each builder releases its
+# predecessors' caches on entry; callers composing builders manually
+# can call release_caches() after their terminal action.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every cache created by the dedup builders so far."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+
+def _persist_eager(df: DataFrame) -> DataFrame:
+    """Persist + eager count, releasing previously-live dedup caches.
+
+    The count() materializes the cache EAGERLY in a single-consumer
+    job: letting the final action populate it lazily puts several plan
+    branches in a race for the same cache-block locks, which
+    serializes the whole job (measured: 491 s vs 20 s at 50k docs).
+    """
+    release_caches()
+    df = df.persist()
+    df.count()
+    _LIVE_CACHES.append(df)
+    return df
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-key row per distinct text (hash-groupBy)."""
@@ -73,12 +104,9 @@ def minhash_near_dup_pairs(
     )
     # persist: the banded self-join and the verify re-join both reuse this
     # lineage; without it the (expensive) signature expression re-evaluates.
-    # The count() materializes the cache EAGERLY in a single-consumer job:
-    # letting the final action populate it lazily puts three plan branches
-    # in a race for the same cache-block locks, which serializes the whole
-    # job (measured: 491 s vs 20 s at 50k docs).
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes)).persist()
-    sig.count()
+    sig = _persist_eager(
+        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
     # The LSH self-join carries ONLY (doc_id, band, band_key) — never the
     # shingle arrays.  Co-bucketed pairs multiply row counts ×(bucket
     # size), so wide rows through this join dominate the shuffle; ids
@@ -118,6 +146,14 @@ def simhash_signature_df(
     arithmetic inside signed int64 even with the final shift).  Bit b
     votes +1/-1 by token-frequency weight; signature bit b is 1 iff
     the vote sum is positive.
+
+    Shuffle shape: one groupBy(doc_id) with ``bits`` SUM aggregates —
+    the per-bit votes are ``bits`` sibling columns, so Tungsten's
+    partial (map-side) aggregation collapses each input partition to
+    one 60-long row per doc BEFORE the shuffle.  The earlier
+    formulation exploded every token into 60 (doc, bit, vote) rows and
+    shuffled tokens×60 rows; this shuffles docs×60 longs — a ~token-
+    count× reduction at corpus scale.
     """
     toks = df.select(
         F.col(key_col).alias("doc_id"),
@@ -127,23 +163,21 @@ def simhash_signature_df(
     toks = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     )
-    votes = (
-        toks.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-            "h",
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .withColumn("vote", F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
-    )
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -371,14 +405,27 @@ def ngram_jaccard_pairs(
     The ``max_df`` cap is the scale bound: a shingle shared by d docs
     yields ≤ d(d-1)/2 candidate pairs, so capping d caps the join
     fan-out per posting — the standard inverted-index candidate
-    pruning.  Stop-shingles (df > max_df) carry no dedup signal
-    anyway.  Exact Jaccard verifies candidates, as in d04.
+    pruning.
+
+    Mass duplication would defeat a naive df cap: with d > max_df
+    IDENTICAL copies of a document, every one of its shingles has
+    df > max_df and would be pruned — exactly the heaviest duplicates
+    in a real corpus would go unreported.  So the index runs over
+    exact-duplicate CLASS REPRESENTATIVES (min doc_id per distinct
+    text, i.e. an exact-dedup pass first): d identical copies
+    contribute 1 to every df count, the cap measures genuinely
+    distinct near-neighbors, and within-class duplicates are the
+    exact-dedup pass's output (d01/d07), not pair fan-out here.
+    Output pairs are therefore between class representatives.
+    Exact Jaccard verifies candidates, as in d04.
     """
-    sh = df.select(
-        F.col(key_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).persist()
-    sh.count()  # eager single-consumer cache fill (see minhash note)
+    reps = df.groupBy(F.col(text_col)).agg(F.min(key_col).alias("doc_id"))
+    sh = _persist_eager(
+        reps.select(
+            "doc_id",
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+    )
     postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     rare = (
         postings.groupBy("shingle")
@@ -409,8 +456,11 @@ def ngram_jaccard_pairs(
 @register(
     "d08_ngram_jaccard_pairs",
     oracle=f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM reps
 ),
 postings AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
@@ -437,9 +487,11 @@ WHERE CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS 
 """,
     tags=("dedup", "ngram", "jaccard", "documents"),
     doc="n-gram Jaccard dedup via an inverted index on discriminative "
-    "shingles (df in [2,10]) — hash-free candidate generation whose "
-    "per-posting fan-out is capped by the df bound; exact Jaccard "
-    "verify at ≥ 0.5.",
+    "shingles (df in [2,10]) over exact-dup class representatives — "
+    "hash-free candidate generation whose per-posting fan-out is "
+    "capped by the df bound, immune to mass duplication (identical "
+    "copies collapse before df counting); exact Jaccard verify at "
+    "≥ 0.5.",
 )
 def d08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
@@ -479,9 +531,14 @@ def d05_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d06_embedding_dedup_pairs",
     oracle="""
-WITH pts AS (
+WITH base AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, embedding FROM embeddings WHERE vec_id < 10
+),
+pts AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM base
 ),
 bucketed AS (
   SELECT vec_id, label, v,
@@ -514,18 +571,28 @@ SELECT p.id1, p.id2,
 FROM pairs p
 JOIN norms n1 ON p.id1 = n1.vec_id
 JOIN norms n2 ON p.id2 = n2.vec_id
-WHERE p.dotp / (n1.nrm * n2.nrm) >= 0.5
+WHERE p.dotp / (n1.nrm * n2.nrm) >= 0.35
 """,
     tags=("dedup", "embedding", "lsh"),
     doc="Embedding near-dup pairs: sign-LSH bucket (8 sampled dims) "
-    "then exact cosine ≥ 0.5 within bucket.",
+    "then exact cosine ≥ 0.35 within bucket.  The corpus is the base "
+    "table plus planted exact copies (vec_id+100000 for vec_id < 10), "
+    "so the query provably recovers known duplicates (cos = 1.0) "
+    "alongside the natural near-pairs — a vacuous 0-row pass proves "
+    "nothing.  Identical copies land in the same sign-LSH bucket by "
+    "construction, so recall on the planted set is exactly 1.",
 )
 def d06_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flaco_spark.functions import cosine, norm
 
     e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding").unionAll(
+        e.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
     dims = (1, 9, 17, 25, 33, 41, 49, 57)
-    pts = e.select(
+    pts = base.select(
         "vec_id",
         F.col("embedding").alias("v"),
         sign_lsh_bucket(F.col("embedding"), dims).alias("bucket"),
@@ -543,6 +610,6 @@ def d06_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "bucket")
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")))
-        .filter(F.col("cos_sim") >= 0.5)
+        .filter(F.col("cos_sim") >= 0.35)
         .select("id1", "id2", "cos_sim")
     )

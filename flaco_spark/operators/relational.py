@@ -284,7 +284,10 @@ LIMIT 10
 """,
     tags=("join", "agg", "topk"),
     doc="TPC-H Q3-style 3-way join + grouped revenue + top-k "
-    "(broadcast customer dim; TakeOrderedAndProject for the top-10).",
+    "(customer is SF-proportional, so its join strategy is left to "
+    "autoBroadcastJoinThreshold/AQE — broadcast when the filtered side "
+    "is small, sort-merge otherwise; TakeOrderedAndProject for the "
+    "top-10).",
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -292,7 +295,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             l.l_orderkey.alias("o_orderkey"),
             F.date_format(o.o_orderdate, "yyyy-MM-dd").alias("orderdate"),
@@ -322,8 +325,10 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """,
     tags=("join", "agg"),
-    doc="TPC-H Q5-style 6-way star join; all dimensions broadcast, the "
-    "only shuffle is the final small group-by.",
+    doc="TPC-H Q5-style 6-way star join; fixed-cardinality dims "
+    "(nation, region) force-broadcast, SF-proportional dims "
+    "(customer, supplier) size-decided by AQE; the only guaranteed "
+    "shuffle is the final small group-by.",
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -336,9 +341,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -373,7 +378,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(money("l_extendedprice") * one_minus("l_discount"), "revenue"))
@@ -433,7 +438,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part")
     disc_price = money("l_extendedprice") * one_minus("l_discount")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(p, l.l_partkey == p.p_partkey)
     return joined.agg(
         (
             (F.lit(100.0) * F.sum(F.when(F.col("p_type").like("PROMO%"), disc_price)).cast("double"))
@@ -460,7 +465,7 @@ OR (p.p_brand = 'Brand#3'  AND p.p_type IN ('PROMO', 'ECONOMY') AND l.l_quantity
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
@@ -626,7 +631,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",

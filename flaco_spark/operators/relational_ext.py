@@ -9,9 +9,13 @@ window-based discrete percentiles.
 
 Scale notes (100 TB posture):
 
-- Every dim table (region/nation/supplier/part/customer) joined to a
-  fact table is explicitly ``F.broadcast`` — the fact side never
-  shuffles for these joins.
+- Fixed-cardinality dims (region = 5 rows, nation = 25 rows at EVERY
+  scale factor) are explicitly ``F.broadcast`` — the fact side never
+  shuffles for those joins.  SF-proportional tables (customer,
+  supplier, part — billions of rows at 100 TB) carry NO broadcast
+  hint: autoBroadcastJoinThreshold + AQE broadcast them when the
+  (filtered) side is actually below threshold and fall back to
+  sort-merge otherwise, so the same plan is safe at any scale.
 - The one fact-fact join (lineitem ⋈ orders) shuffles on the join key
   once; AQE coalesces post-shuffle partitions (session config).
 - Percentiles use a per-group window sort; the group count here is
@@ -72,8 +76,9 @@ GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INT)
 """,
     tags=("join", "agg", "multiway"),
     doc="TPC-H Q7-style 6-table join: bilateral trade volume between "
-    "two nations by ship year.  All dims broadcast; the only shuffle "
-    "is lineitem ⋈ orders on orderkey + the final small group-by.",
+    "two nations by ship year.  Nation dims force-broadcast; customer/"
+    "supplier size-decided by AQE; the only guaranteed shuffle is "
+    "lineitem ⋈ orders on orderkey + the final small group-by.",
 )
 def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
@@ -87,9 +92,9 @@ def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -150,11 +155,11 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     volume = _revenue().alias("volume")
     sales = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .select(F.year("o_orderdate").alias("o_year"), volume, "supp_nation")
     )
@@ -205,8 +210,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _revenue() - money("p_retailprice") * money("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .groupBy("nation", F.year("l_shipdate").alias("o_year"))
         .agg(dsum(profit, "sum_profit"), F.count(F.lit(1)).alias("n_items"))
@@ -251,7 +256,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(top), F.col("rev_exact") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("rev_exact").cast("double").alias("total_revenue"))
     )
 
@@ -292,10 +297,10 @@ def q16_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < -500).select("s_suppkey")
     l = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(
             F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"),
@@ -329,7 +334,8 @@ WHERE s.s_suppkey IN (
     tags=("join", "semi", "subquery", "having"),
     doc="TPC-H Q20-style: suppliers that shipped > 300 units of SMALL "
     "parts in 1996 — grouped HAVING subquery driving a left-semi join "
-    "(the aggregate output is small → broadcast semi side).",
+    "(semi side is keyed on suppkey, SF-proportional → AQE decides "
+    "broadcast vs shuffle from its post-aggregate size).",
 )
 def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
@@ -337,7 +343,7 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     heavy = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(money("l_quantity")).alias("qty"))
         .filter(F.col("qty") > F.lit(300).cast("decimal(14,2)"))
@@ -345,7 +351,7 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     return s.join(
-        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", money("s_acctbal").cast("double").alias("s_acctbal"))
 
 

@@ -4,9 +4,11 @@ Two strategies:
 
 - **Brute-force top-k** — the exactness baseline: broadcast the (small)
   query set against the candidate table, compute cosine map-side, then
-  per-query top-k.  At 100 TB the candidate side stays partitioned;
-  the only shuffle is the per-query top-k (k rows per partition per
-  query survive the partial TakeOrdered).
+  per-query top-k via :func:`topk_per_query` — a two-phase reduction
+  (local per-partition top-k, then global top-k over the ≤ k×partitions
+  survivors) so no single reducer ever holds a query's full candidate
+  set.  At 100 TB the candidate side stays partitioned; only k rows
+  per partition per query cross the second shuffle.
 - **Sign-LSH bucketed** — the scale path: both sides bucket by the
   signs of a fixed sample of coordinates; the join is bucket-equi so
   each candidate row is compared against queries in its bucket only.
@@ -26,6 +28,37 @@ from flaco_spark.inventory import register
 from flaco_spark.tables import table
 
 SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)
+
+
+def topk_per_query(
+    scored: DataFrame,
+    query_col: str,
+    order: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact per-query top-k as a two-phase reduction.
+
+    Phase 1 windows over (query, input-partition): each reducer owns
+    one partition's candidates for one query, so the first shuffle
+    spreads a query's rows over ALL reducers instead of funneling them
+    to one (the single ``partitionBy(query)`` window is the 100 TB
+    scale-killer this replaces).  Because any global top-k row is also
+    in its own partition's local top-k, pruning to k per (query,
+    partition) is lossless.  Phase 2 ranks the ≤ k×partitions
+    survivors per query — a shuffle of k×P rows, not |candidates|.
+    """
+    local_w = W.partitionBy(query_col, "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= k)
+        .drop("_pid", "_lrn")
+    )
+    final_w = W.partitionBy(query_col).orderBy(*order)
+    return pruned.withColumn(rank_col, F.row_number().over(final_w)).filter(
+        F.col(rank_col) <= k
+    )
 
 
 def brute_force_topk(
@@ -51,12 +84,9 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rn")
-    )
+    return topk_per_query(
+        scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cos_sim", "rn")
 
 
 def lsh_topk(
@@ -86,12 +116,9 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rn")
-    )
+    return topk_per_query(
+        scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cos_sim", "rn")
 
 
 _NORMS_SQL = """
@@ -289,16 +316,13 @@ def ivf_topk(
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cos_sim",
-            "rn",
-        )
+    return topk_per_query(
+        scored, "q_id", [F.desc("cos_sim"), F.asc("c_id")], k
+    ).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        "cos_sim",
+        "rn",
     )
 
 

@@ -32,14 +32,32 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def _node_count(df: DataFrame, *node_names: str) -> int:
+    """Count physical-plan NODES by name.
+
+    The formatted explain prints each node twice (tree overview +
+    numbered detail section), so a raw substring count double-counts;
+    only the ``(NN) NodeName`` detail headers are unique per node.
+    """
+    import re
+
+    plan = formatted_plan(df)
+    pat = re.compile(r"^\(\d+\)\s+(\w+)")
+    count = 0
+    for line in plan.splitlines():
+        m = pat.match(line.strip())
+        if m and any(m.group(1).startswith(n) for n in node_names):
+            count += 1
+    return count
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     """Broadcast joins of any flavor (hash or nested-loop)."""
-    plan = formatted_plan(df)
-    return plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    return _node_count(df, "BroadcastHashJoin", "BroadcastNestedLoopJoin")
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("SortMergeJoin")
+    return _node_count(df, "SortMergeJoin")
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -26,6 +26,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~40% of MemTotal) — enough heap for many concurrent
+    local task threads without swapping smaller hosts (the 128 GiB
+    harness box gets the full 48g).  Override: SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(48, int(total_gib * 0.4)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_session(
     app_name: str = "flaco_spark",
     master: str | None = None,
@@ -49,9 +64,10 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode: the driver JVM IS the executor — size the heap for
-        # 32 concurrent task threads (box has 128 GiB; 48g leaves room
-        # for Python workers and the OS page cache).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # the concurrent task threads.  NOTE: driver.memory only takes
+        # effect on the FIRST JVM launch in a process; later
+        # get_session() calls reuse the existing JVM heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -24,9 +24,14 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Small dimensions that should always be broadcast when joined against
-# a fact table; at 100 TB the facts grow but these stay tiny-to-small.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Fixed-cardinality dimensions (5 and 25 rows at EVERY scale factor)
+# that are always safe to force-broadcast.  customer/supplier/part are
+# deliberately NOT here: they scale linearly with SF (at 100 TB
+# customer is billions of rows), so their join strategy is left to
+# spark.sql.autoBroadcastJoinThreshold + AQE, which pick broadcast
+# when the (possibly filtered) side is actually small and fall back
+# to sort-merge/shuffled-hash when it is not.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

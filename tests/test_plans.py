@@ -39,6 +39,39 @@ def test_broadcast_joins_q05(spark, sf_dir):
     assert broadcast_join_count(df) >= 4, "dimension joins must be broadcast"
 
 
+def test_sf_scaled_dims_fall_back_to_smj(spark, sf_dir):
+    """customer/supplier/part carry NO forced broadcast hint: with the
+    size threshold disabled their joins degrade to sort-merge (the
+    100 TB-safe path), while fixed-cardinality nation/region keep
+    their explicit hints.  With the default threshold the small local
+    tables still auto-broadcast (next test)."""
+    from flaco_spark.plans import formatted_plan, sort_merge_join_count
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q03 = REGISTRY["q03_shipping_priority"].builder(spark, sf_dir)
+        assert broadcast_join_count(q03) == 0, "q03 has no fixed-cardinality dim"
+        assert sort_merge_join_count(q03) >= 2
+        q05 = REGISTRY["q05_local_supplier_volume"].builder(spark, sf_dir)
+        plan = formatted_plan(q05)
+        # nation + region stay broadcast by explicit hint; customer,
+        # supplier, and the fact-fact join all degrade to SMJ.
+        assert broadcast_join_count(q05) == 2
+        assert sort_merge_join_count(q05) >= 3
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_small_dims_auto_broadcast_at_default_threshold(spark, sf_dir):
+    """Same queries, default 64 MB threshold: the sub-threshold local
+    tables broadcast WITHOUT hints (so local plans are unchanged by
+    the hint removal)."""
+    q03 = REGISTRY["q03_shipping_priority"].builder(spark, sf_dir)
+    assert broadcast_join_count(q03) >= 1
+
+
 def test_topk_plan_q46(spark, sf_dir):
     df = REGISTRY["q46_topk"].builder(spark, sf_dir)
     assert uses_take_ordered(df), "ORDER BY + LIMIT must plan as TakeOrderedAndProject"
@@ -49,6 +82,39 @@ def test_knn_is_map_side(spark, sf_dir):
     before scoring."""
     df = REGISTRY["e01_knn_bruteforce"].builder(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
+
+
+def test_ann_topk_is_two_phase(spark, sf_dir):
+    """No ANN reducer may hold a query's full candidate set: the first
+    window must partition by (query, input-partition) — the plan's
+    first Window partition spec carries the _pid column — and only the
+    ≤ k×partitions survivors reach the per-query window."""
+    from flaco_spark.plans import formatted_plan
+
+    for name in ("e01_knn_bruteforce", "e03_ann_sign_lsh", "e04_ann_ivf"):
+        plan = formatted_plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "_pid" in plan, f"{name}: local top-k phase missing (_pid not in plan)"
+        assert plan.count("row_number()") >= 2, f"{name}: expected local+global rank windows"
+
+
+def test_topk_per_query_exactness(spark):
+    """Two-phase top-k equals the single-window top-k on a dataset
+    spread over many partitions (lossless pruning property)."""
+    from pyspark.sql import Window as W
+    from flaco_spark.operators.similarity import topk_per_query
+
+    rows = [(q, i, float((q * 7 + i * 13) % 101)) for q in range(4) for i in range(500)]
+    df = spark.createDataFrame(rows, ["qid", "nid", "score"]).repartition(16)
+    got = topk_per_query(df, "qid", [F.desc("score"), F.asc("nid")], 5).select(
+        "qid", "nid", "score", "rn"
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", "score", "rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_q07_broadcasts_all_dims(spark, sf_dir):
