@@ -42,6 +42,54 @@ HEADLINE = [
 ]
 
 
+def _peak_rss_mib() -> dict[str, float]:
+    """Peak RSS (VmHWM) of the bench driver process and its process
+    tree (the local-mode JVM + Python workers are children of this
+    process).  Mirrors the reference's headline memory evidence
+    (+2.4 MiB RSS for a 1M-row extract, /root/reference/README.md;
+    benchmarks/test_benchmarks.py:104-143) — ours reports the whole
+    tree because the executor work happens in the JVM child."""
+    import os
+
+    def hwm(pid: int) -> float:
+        try:
+            with open(f"/proc/{pid}/status") as fh:
+                for ln in fh:
+                    if ln.startswith("VmHWM:"):
+                        return int(ln.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return 0.0
+
+    def children(pid: int) -> list[int]:
+        out: list[int] = []
+        try:
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                with open(f"/proc/{pid}/task/{tid}/children") as fh:
+                    out += [int(x) for x in fh.read().split()]
+        except OSError:
+            pass
+        return out
+
+    me = os.getpid()
+    jvm_peak, worker_total, stack, seen = 0.0, 0.0, children(me), {me}
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        stack += children(pid)
+        r = hwm(pid)
+        if r > jvm_peak:
+            jvm_peak = r
+        worker_total += r
+    return {
+        "driver_python_peak_rss_mib": round(hwm(me), 1),
+        "jvm_peak_rss_mib": round(jvm_peak, 1),
+        "process_tree_peak_rss_sum_mib": round(worker_total, 1),
+    }
+
+
 def _extract_benchmarks(spark, sf_dir: str, timings: dict[str, float]) -> None:
     """Extraction legs — the reference's actual benchmark workload
     (BASELINE.md: N rows → columnar file; flaco does 600k rows in
@@ -86,6 +134,10 @@ def main() -> None:
     spark = get_session(app_name="flaco_spark_bench_extract")
     extract_timings: dict[str, float] = {}
     _extract_benchmarks(spark, sf_dir, extract_timings)
+    # Peak RSS while the extract JVM is still alive: the memory story
+    # of the x01/x02 legs (reference's +2.4 MiB claim analogue).
+    memory = _peak_rss_mib()
+    print(f"# memory: {memory}", file=sys.stderr)
     spark.stop()
 
     spark = get_session(app_name="flaco_spark_bench")
@@ -120,6 +172,10 @@ def main() -> None:
                 # Extraction legs (the BASELINE.md workload shape: ~600k
                 # lineitem rows → columnar file; flaco: 605.60 ms at 600k).
                 "extract": extract_timings,
+                # Peak RSS (MiB) of driver python / JVM / process tree
+                # during the extract legs (reference memory-claim
+                # analogue, BASELINE.md memory block).
+                "memory": memory,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -55,6 +55,21 @@ def release_caches() -> None:
             pass
 
 
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the session's cores before
+    CPU-heavy map stages (shingling, md5 signatures).
+
+    At 100 TB the file count gives natural parallelism and this is a
+    no-op; locally a single small parquet file arrives as ONE
+    partition, which would serialize the whole signature build on one
+    task.  Only repartitions UP (never adds a shuffle when the scan
+    is already parallel enough)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _persist_eager(df: DataFrame) -> DataFrame:
     """Persist + eager count, releasing previously-live dedup caches.
 
@@ -98,7 +113,7 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     mk = word_shingles if shingle_mode == "word" else char_shingles
-    sh = df.select(
+    sh = _parallelize_scan(df).select(
         F.col(key_col).alias("doc_id"),
         mk(F.col(text_col), shingle_k).alias("shingles"),
     )
@@ -418,28 +433,49 @@ def ngram_jaccard_pairs(
     exact-dedup pass's output (d01/d07), not pair fan-out here.
     Output pairs are therefore between class representatives.
     Exact Jaccard verifies candidates, as in d04.
+
+    Physical shape: ONE shuffle of (doc_id, 8-byte posting hash)
+    rows builds the capped posting lists; pairs expand map-side from
+    each ≤ max_df list — no df-count join-back, no posting self-join
+    (the naive index shuffles the posting set three more times).
     """
-    reps = df.groupBy(F.col(text_col)).agg(F.min(key_col).alias("doc_id"))
+    reps = _parallelize_scan(df).groupBy(F.col(text_col)).agg(F.min(key_col).alias("doc_id"))
     sh = _persist_eager(
         reps.select(
             "doc_id",
             word_shingles(F.col(text_col), shingle_n).alias("shingles"),
         )
     )
-    postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare = (
-        postings.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("shingle")
+    # Postings are keyed by a 60-bit md5 prefix instead of the raw
+    # shingle string: the one big shuffle (groupBy posting key) moves
+    # 8-byte keys, not n-gram text.  DuckDB computes the identical
+    # key ('0x'||substr(md5(s),1,15))::BIGINT, so any hash-merge of
+    # two distinct shingles prunes identically in both engines.
+    postings = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint").alias("shash"),
     )
-    keyed = postings.join(rare, "shingle")
-    a = keyed.select(F.col("shingle"), F.col("doc_id").alias("doc1"))
-    b = keyed.select(F.col("shingle"), F.col("doc_id").alias("doc2"))
+    # Single-shuffle candidate generation: per posting key, collect
+    # the (df-capped) doc list and expand its ≤ max_df(max_df-1)/2
+    # pairs MAP-SIDE with array expressions — replaces the
+    # df-count + join-back + self-join cascade (3 shuffles of the
+    # full posting set) of the naive inverted index.
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.lit(max_df)),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
+        postings.groupBy("shash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
     s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
@@ -463,18 +499,19 @@ sh AS (
   SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM reps
 ),
 postings AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shash
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
 ),
 rare AS (
-  SELECT shingle FROM postings GROUP BY shingle
+  SELECT shash FROM postings GROUP BY shash
   HAVING COUNT(*) BETWEEN 2 AND 10
 ),
 keyed AS (
-  SELECT p.shingle, p.doc_id FROM postings p JOIN rare r ON p.shingle = r.shingle
+  SELECT p.shash, p.doc_id FROM postings p JOIN rare r ON p.shash = r.shash
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM keyed a JOIN keyed b ON a.shash = b.shash AND a.doc_id < b.doc_id
 )
 SELECT c.doc1, c.doc2,
        CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)

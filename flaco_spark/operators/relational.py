@@ -1174,16 +1174,30 @@ def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_approx_distinct",
     oracle=None,  # HLL sketches differ between engines by design → rows-only check
     tags=("agg", "approx"),
-    doc="approx_count_distinct (HyperLogLog++). No oracle: sketch "
-    "estimates are engine-specific; validated by a relative-error "
-    "unit test instead.",
+    doc="approx_count_distinct (HyperLogLog++) with the error bound "
+    "machine-checked IN the result: the same single-pass aggregate "
+    "computes the exact distinct counts and emits rel_err_* plus a "
+    "within_bound flag (|approx-exact|/exact <= 0.15 = 3x the default "
+    "rsd of 0.05).  No oracle: sketch estimates are engine-specific; "
+    "tests/test_pipeline_ops.py asserts within_bound on this exact "
+    "registered query.",
 )
 def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    rel = lambda a, e: F.abs(F.col(a).cast("double") / F.col(e).cast("double") - 1.0)  # noqa: E731
+    return (
+        l.agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .withColumn("rel_err_orders", rel("approx_orders", "exact_orders"))
+        .withColumn("rel_err_parts", rel("approx_parts", "exact_parts"))
+        .withColumn(
+            "within_bound",
+            (F.col("rel_err_orders") <= 0.15) & (F.col("rel_err_parts") <= 0.15),
+        )
     )
 
 

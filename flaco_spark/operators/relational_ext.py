@@ -584,7 +584,11 @@ WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
     doc="Distribution window functions: percent_rank, cume_dist and "
     "deciles over supplier balances (total ordering via the unique "
     "key tie-break; both engines compute the same (rank-1)/(n-1) and "
-    "rank/n doubles).",
+    "rank/n doubles).  SCALE NOTE: an empty-partitionBy window plans "
+    "as a single-task global sort — fine for the surface-parity query "
+    "here, a funnel at 100 TB.  q66_distribution_windows_dist is the "
+    "scale path: the SAME semantics from a distributed range-sorted "
+    "rank, hash-matched against the same oracle.",
 )
 def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
@@ -595,6 +599,80 @@ def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None = None):
+    """Distributed global dense row rank under a total order.
+
+    Range-partition on the order columns (distributed sort), rank
+    locally per partition, then add per-partition cumulative offsets
+    (one tiny driver-side collect of ≤ num_partitions counts — the
+    same metadata-sized exchange AQE itself does).  No single task
+    ever holds more than one partition's rows, unlike an
+    empty-partitionBy window.  Rank values are independent of the
+    partitioning because offsets come from actual partition counts.
+
+    Returns (ranked_df with _rank column, total_row_count).
+    """
+    spark = df.sparkSession
+    npart = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = df.repartitionByRange(npart, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("_pid").orderBy(*order_cols)
+    local = rp.withColumn("_lrn", F.row_number().over(local_w))
+    counts = sorted(
+        (r["_pid"], r["_c"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    total, offsets = 0, {}
+    for pid, c in counts:
+        offsets[pid] = total
+        total += c
+    off_expr = F.lit(0).cast("bigint")
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("bigint")).otherwise(off_expr)
+    return local.withColumn("_rank", (off_expr + F.col("_lrn")).cast("bigint")).drop(
+        "_pid", "_lrn"
+    ), total
+
+
+@register(
+    "q66_distribution_windows_dist",
+    oracle="""
+SELECT s_suppkey,
+       s_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+""",
+    tags=("window", "distribution", "scale"),
+    doc="q61's distribution windows WITHOUT the single-task global "
+    "sort: distributed range-partitioned rank (global_rank) + "
+    "closed-form percent_rank=(r-1)/(n-1), cume_dist=r/n and the "
+    "exact SQL ntile tiling (first n%k tiles get one extra row) — "
+    "hash-matched against the same single-window oracle as q61, "
+    "proving the scale path bit-identical.",
+)
+def q66_distribution_windows_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ranked, n = global_rank(s, ["s_acctbal", "s_suppkey"])
+    k = 10
+    q, r = divmod(n, k)
+    big = r * (q + 1)  # rows in the first r (larger) tiles
+    rank = F.col("_rank")
+    decile = F.when(
+        rank <= big, F.ceil(rank / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rank - big) / F.lit(max(q, 1))))
+    return ranked.select(
+        "s_suppkey",
+        "s_acctbal",
+        ((rank - 1).cast("double") / F.lit(max(n - 1, 1)).cast("double")).alias("pct_rank"),
+        (rank.cast("double") / F.lit(n).cast("double")).alias("cume"),
+        decile.cast("int").alias("decile"),
     )
 
 
@@ -609,22 +687,39 @@ def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "approx", "sketch", "percentile"),
     doc="Approximate quantiles per order status via Spark's "
     "approx_percentile sketch — the constant-memory scale path where "
-    "the exact window form (q55) needs a per-group sort.  Accuracy "
-    "vs the exact values is asserted in tests/test_pipeline_ops.py.",
+    "the exact window form (q55) needs a per-group sort.  The sketch "
+    "guarantee (rank error <= 1/accuracy) is machine-checked IN the "
+    "result: each approx value must lie between the exact "
+    "interpolated percentile(p - eps) and percentile(p + eps), "
+    "computed in the same aggregate and surfaced as the within_bound "
+    "flag (asserted on this registered query by "
+    "tests/test_pipeline_ops.py).  eps = 0.01 quantile points: the "
+    "sketch eps (0.001) plus slack for the definitional gap between "
+    "the sketch's discrete target rank and percentile_cont's "
+    "interpolated one (~±2 ranks, which dominates at small N).",
 )
 def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    pcts = F.expr(
-        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000)"
-    )
+    acc = 1000
+    eps = 0.01
+    pcts = F.expr(f"approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), {acc})")
+    lo = F.expr(f"percentile(o_totalprice, array({0.25 - eps}, {0.5 - eps}, {0.9 - eps}))")
+    hi = F.expr(f"percentile(o_totalprice, array({0.25 + eps}, {0.5 + eps}, {0.9 + eps}))")
+    bound_ok = None
+    for i in range(3):
+        ok = (F.col("p")[i].cast("double") >= F.col("lo")[i]) & (
+            F.col("p")[i].cast("double") <= F.col("hi")[i]
+        )
+        bound_ok = ok if bound_ok is None else (bound_ok & ok)
     return (
         o.groupBy("o_orderstatus")
-        .agg(pcts.alias("p"))
+        .agg(pcts.alias("p"), lo.alias("lo"), hi.alias("hi"))
         .select(
             "o_orderstatus",
             F.col("p")[0].alias("p25"),
             F.col("p")[1].alias("p50"),
             F.col("p")[2].alias("p90"),
+            bound_ok.alias("within_bound"),
         )
     )
 

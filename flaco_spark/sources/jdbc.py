@@ -58,6 +58,50 @@ def translate_postgres_uri(uri: str) -> JdbcTarget:
     return JdbcTarget(url=f"jdbc:postgresql://{host}:{port}/{db}", properties=props)
 
 
+def jdbc_options(
+    uri: str,
+    stmt: str,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    fetchsize: int = 10_000,
+) -> dict[str, str]:
+    """Full JDBC reader option map — pure, unit-testable without a
+    live server (no PostgreSQL exists in the test environment, so the
+    partitioned-extract plumbing is asserted against this map;
+    mirrors the reference's option surface, ``src/lib.rs:77-85``).
+
+    Single-cursor extract: whole-query pushdown via the ``query``
+    option (the moral equivalent of ``src/lib.rs:189``).  Partitioned
+    extract: ``query`` and ``partitionColumn`` are mutually exclusive
+    in Spark's JDBC source, so the statement is wrapped as a
+    ``dbtable`` subquery and the bounds options open N parallel
+    cursors with disjoint predicates.
+    """
+    target = translate_postgres_uri(uri)
+    opts: dict[str, str] = {"url": target.url, "fetchsize": str(fetchsize)}
+    opts.update(target.properties)
+    if partition_column is None:
+        opts["query"] = stmt
+        return opts
+    if num_partitions is None or lower_bound is None or upper_bound is None:
+        raise EngineError(
+            "partitioned extract needs partition_column, num_partitions, "
+            "lower_bound and upper_bound together"
+        )
+    opts.update(
+        {
+            "dbtable": f"({stmt}) AS flaco_subq",
+            "partitionColumn": partition_column,
+            "numPartitions": str(num_partitions),
+            "lowerBound": str(lower_bound),
+            "upperBound": str(upper_bound),
+        }
+    )
+    return opts
+
+
 def jdbc_reader(
     spark: SparkSession,
     uri: str,
@@ -69,33 +113,16 @@ def jdbc_reader(
     fetchsize: int = 10_000,
 ) -> DataFrameReader:
     """Configured (not yet loaded) JDBC reader with whole-query pushdown."""
-    target = translate_postgres_uri(uri)
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", target.url)
-        .option("query", stmt)
-        .option("fetchsize", str(fetchsize))
+    opts = jdbc_options(
+        uri,
+        stmt,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        fetchsize=fetchsize,
     )
-    for k, v in target.properties.items():
+    reader = spark.read.format("jdbc")
+    for k, v in opts.items():
         reader = reader.option(k, v)
-    if partition_column is not None:
-        if num_partitions is None or lower_bound is None or upper_bound is None:
-            raise EngineError(
-                "partitioned extract needs partition_column, num_partitions, "
-                "lower_bound and upper_bound together"
-            )
-        # 'query' and 'partitionColumn' are mutually exclusive in the JDBC
-        # source: wrap the statement as a dbtable subquery instead.
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", target.url)
-            .option("dbtable", f"({stmt}) AS flaco_subq")
-            .option("fetchsize", str(fetchsize))
-            .option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-        )
-        for k, v in target.properties.items():
-            reader = reader.option(k, v)
     return reader

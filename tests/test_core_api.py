@@ -38,6 +38,56 @@ def test_uri_translation_rejects_other_schemes():
         translate_postgres_uri("mysql://localhost/db")
 
 
+# ---- partitioned-extract option plumbing (no live PG in the sandbox;
+# the generated reader options ARE the contract — VERDICT.md r1 item 7)
+
+
+def test_jdbc_options_whole_query_pushdown():
+    from flaco_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "postgresql://u:p@h:5432/db", "SELECT * FROM actor WHERE actor_id > 5"
+    )
+    assert opts["query"] == "SELECT * FROM actor WHERE actor_id > 5"
+    assert opts["url"] == "jdbc:postgresql://h:5432/db"
+    assert opts["fetchsize"] == "10000"  # streaming cursor, src/lib.rs:189-194 parity
+    assert "dbtable" not in opts and "partitionColumn" not in opts
+
+
+def test_jdbc_options_partitioned_extract_wraps_subquery():
+    from flaco_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "postgresql://u:p@h/db",
+        "SELECT * FROM payment",
+        partition_column="payment_id",
+        num_partitions=8,
+        lower_bound=1,
+        upper_bound=16049,
+    )
+    # 'query' and 'partitionColumn' are mutually exclusive in the JDBC
+    # source: the statement must arrive as a dbtable subquery wrap.
+    assert opts["dbtable"] == "(SELECT * FROM payment) AS flaco_subq"
+    assert "query" not in opts
+    assert opts["partitionColumn"] == "payment_id"
+    assert opts["numPartitions"] == "8"
+    assert opts["lowerBound"] == "1"
+    assert opts["upperBound"] == "16049"
+    assert opts["user"] == "u" and opts["password"] == "p"
+
+
+def test_jdbc_options_partitioned_extract_requires_all_bounds():
+    from flaco_spark.sources.jdbc import jdbc_options
+
+    with pytest.raises(EngineError):
+        jdbc_options(
+            "postgresql://u:p@h/db",
+            "SELECT 1",
+            partition_column="id",
+            num_partitions=4,  # bounds missing
+        )
+
+
 # ---- F1: groupby equivalence through sink round-trip --------------------
 
 

@@ -116,6 +116,25 @@ def test_approx_count_distinct_error(spark, sf_dir):
     assert abs(row.approx - row.exact) / row.exact < 0.1
 
 
+def test_q45_within_bound_self_check(spark, sf_dir):
+    """The REGISTERED q45 carries its own sketch-vs-exact bound: the
+    within_bound flag (rel err <= 3x rsd) must hold on the query the
+    driver records rows-only."""
+    from flaco_spark.inventory import load_inventory
+
+    row = load_inventory()["q45_approx_distinct"].builder(spark, sf_dir).first()
+    assert row.within_bound, (row.rel_err_orders, row.rel_err_parts)
+
+
+def test_q62_within_bound_self_check(spark, sf_dir):
+    """The REGISTERED q62 machine-checks the approx_percentile rank
+    guarantee in-row; every group must be within bound."""
+    from flaco_spark.inventory import load_inventory
+
+    rows = load_inventory()["q62_approx_quantiles"].builder(spark, sf_dir).collect()
+    assert rows and all(r.within_bound for r in rows), rows
+
+
 def test_approx_quantiles_near_exact(spark, sf_dir):
     """q62's sketch quantiles must sit within 5% of q55's exact
     discrete percentiles."""
