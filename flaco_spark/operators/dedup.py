@@ -405,6 +405,110 @@ def d07_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "doc1",
+    dst_col: str = "doc2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each node starts labeled with itself; every round each node takes
+    the minimum label among itself and its neighbors, until a round
+    changes nothing.  Converges in O(component diameter) rounds —
+    near-dup graphs are overwhelmingly small, dense clusters, so a
+    handful of rounds suffices at any corpus size.
+
+    Scale shape per round: one shuffle of the (node, label) table
+    keyed by node (the edge join + min-aggregate); edges carry only
+    two ids.  The convergence check is a count() per round (a
+    metadata-sized job).  This is the simple-propagation variant of
+    the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce"); at 100 TB you'd add the star rewrites
+    to cut round count, same per-round shuffle shape.
+
+    Returns (node_col, component_id) — component_id = min node id in
+    the component.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .persist()
+    )
+    sym.count()  # materialize once; every round re-reads the edge list
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            labels.join(sym, labels.node == sym.src)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    _LIVE_CACHES.append(sym)
+    out = labels.select(F.col("node").alias(node_col), F.col("label").alias("component_id"))
+    _LIVE_CACHES.append(labels)
+    return out
+
+
+@register(
+    "d09_dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_D04_PAIRS_CTE},
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT node AS doc_id,
+       MIN(label) AS component_id,
+       CAST(MIN(label) <> node AS BOOLEAN) AS is_duplicate
+FROM reach
+GROUP BY node
+""",
+    tags=("dedup", "minhash", "lsh", "components", "iterative", "documents"),
+    doc="TRANSITIVE near-dup clusters: connected components over the "
+    "verified MinHash-LSH pair graph (d04 edges) by iterative "
+    "min-label propagation — A~B~C all collapse to one canonical id "
+    "even when A and C never co-bucket (d07's one-hop canonical form "
+    "cannot see that).  The oracle computes the same fixpoint with a "
+    "recursive CTE; Spark iterates one (node,label)-shuffle per round "
+    "until a round changes nothing (O(cluster diameter) rounds).",
+)
+def d09_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("component_id") != F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -394,6 +394,97 @@ def e04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# e06 — LSH recall vs the exact baseline (self-measuring ANN quality)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e06_lsh_recall",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL},
+bucketed AS (
+  SELECT vec_id,
+         (CASE WHEN v[1]  > 0 THEN 1   ELSE 0 END
+        + CASE WHEN v[9]  > 0 THEN 2   ELSE 0 END
+        + CASE WHEN v[17] > 0 THEN 4   ELSE 0 END
+        + CASE WHEN v[25] > 0 THEN 8   ELSE 0 END
+        + CASE WHEN v[33] > 0 THEN 16  ELSE 0 END
+        + CASE WHEN v[41] > 0 THEN 32  ELSE 0 END
+        + CASE WHEN v[49] > 0 THEN 64  ELSE 0 END
+        + CASE WHEN v[57] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM pts
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+  FROM pts q
+  JOIN pts c ON q.vec_id < 25 AND c.vec_id <> q.vec_id,
+       generate_series(1, 64) AS g(i)
+  GROUP BY q.vec_id, c.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.neighbor_id, d.dotp / (nq.nrm * nc.nrm) AS cos_sim
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM cos) t WHERE rn <= 3
+),
+lsh3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY c.cos_sim DESC, c.neighbor_id) AS rn
+    FROM cos c
+    JOIN bucketed bq ON c.query_id = bq.vec_id
+    JOIN bucketed bc ON c.neighbor_id = bc.vec_id AND bq.bucket = bc.bucket) t
+  WHERE rn <= 3
+)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(l.neighbor_id) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact3 e
+LEFT JOIN lsh3 l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+""",
+    tags=("similarity", "embedding", "lsh", "recall", "evidence"),
+    doc="Self-measuring ANN quality: per-query recall@3 of the "
+    "sign-LSH index (e03) against the exact brute-force top-3 (e01 "
+    "machinery), computed as one query — the evidence an ANN "
+    "deployment needs before trusting the approximate path.  Both "
+    "rankings reuse the engine's own operators; the oracle recomputes "
+    "both from scratch in SQL.",
+)
+def e06_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 25)
+    exact = brute_force_topk(e, q, k=3).select("query_id", "neighbor_id")
+    approx = lsh_topk(e, q, k=3).select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # e05 — per-label centroids (the reduce step of a KMeans-style fit)
 # ---------------------------------------------------------------------------
 

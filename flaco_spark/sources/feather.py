@@ -116,4 +116,7 @@ def read_feather(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.feather as feather
 
     table = feather.read_table(path)
-    return spark.createDataFrame(table.to_pandas())
+    # Spark 4 accepts a pyarrow Table directly — no pandas round-trip,
+    # better type fidelity (e.g. int columns with NULLs stay ints
+    # instead of pandas' float64 coercion).
+    return spark.createDataFrame(table)
