@@ -152,7 +152,9 @@ def main() -> None:
     for name in HEADLINE:
         spec = registry[name]
         best, n = float("inf"), 0
-        for _ in range(2):  # best-of-2: single-run GC/IO outliers are common
+        # best-of-3: single-run GC/IO outliers are common, and queries
+        # with internal persist lifecycles (d04) add unpersist churn.
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             n = df.count()  # full execution; count() drains every operator

@@ -44,16 +44,23 @@ def register(
     return deco
 
 
-# Queries whose plan or semantics changed since their last driver-green
-# CORRECTNESS row; treated as never-checked so they re-enter the
-# driver's sample window first.
+# Queries whose SEMANTICS changed since their last driver-green
+# CORRECTNESS row (the old row no longer describes the query):
+# re-check right after the never-checked ones.
 FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        "d04_minhash_lsh_pairs",  # unpersist lifecycle change
-        "d05_simhash_signature",  # map-side vote aggregation rewrite
         "d06_embedding_dedup_pairs",  # non-vacuous threshold + planted dups
-        "d07_dedup_canonical",  # exact-collapse prepass
-        "d08_ngram_jaccard_pairs",  # exact-collapse prepass for mass dups
+        "d08_ngram_jaccard_pairs",  # exact-collapse prepass + hashed postings
+    }
+)
+
+# Plan-only rewrites (identical results, r1 rows remain valid
+# evidence): refresh after semantics changes, before stale greens.
+SOFT_RECHECK: frozenset[str] = frozenset(
+    {
+        "d04_minhash_lsh_pairs",  # cache lifecycle + scan parallelism
+        "d05_simhash_signature",  # map-side vote aggregation rewrite
+        "d07_dedup_canonical",  # inherits d04's plan changes
     }
 )
 
@@ -112,7 +119,17 @@ def load_inventory() -> dict[str, QuerySpec]:
     seen = _last_green_round()
     order = list(REGISTRY)
     idx = {name: i for i, name in enumerate(order)}
-    order.sort(
-        key=lambda n: (-1 if n in FORCE_RECHECK else seen.get(n, -1), idx[n])
-    )
+
+    def key(n: str) -> tuple[float, int]:
+        if n not in seen:
+            rank = -3.0  # never driver-checked: always first
+        elif n in FORCE_RECHECK:
+            rank = -2.0  # semantics changed since the green row
+        elif n in SOFT_RECHECK:
+            rank = -1.0  # plan-only rewrite; old row still valid
+        else:
+            rank = float(seen[n])  # stalest green first
+        return (rank, idx[n])
+
+    order.sort(key=key)
     return {name: REGISTRY[name] for name in order}
