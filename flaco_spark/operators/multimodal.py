@@ -192,6 +192,102 @@ def sample_frames(media_df: DataFrame) -> DataFrame:
     return src.mapInPandas(_fake_frame_batches, schema=FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# m03 — audio framing: PCM windows + integer energy (REAL byte decode)
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 64  # samples per analysis window
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def _pcm_window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """PCM16 framing — a REAL decode, not a stub: payload bytes are
+    interpreted as little-endian int16 samples (numpy ``frombuffer``,
+    zero-copy per batch), framed into ``AUDIO_WINDOW``-sample windows,
+    and each window reduced to an exact integer energy (sum of
+    squares — int64, so the gate hash-matches with no float
+    tolerance).  This is the vectorized shape real audio featurization
+    takes (RMS/VAD/spectral flux all start from exactly this framing);
+    swapping in a codec for compressed formats changes only the
+    bytes→samples line."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_idx, out_n, out_e = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            samples = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(
+                np.int64
+            )
+            for w in range(0, len(samples), AUDIO_WINDOW):
+                chunk = samples[w : w + AUDIO_WINDOW]
+                out_doc.append(doc_id)
+                out_idx.append(w // AUDIO_WINDOW)
+                out_n.append(len(chunk))
+                out_e.append(int((chunk * chunk).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "window_idx": pd.Series(out_idx, dtype="int32"),
+                "n_samples": pd.Series(out_n, dtype="int32"),
+                "energy": pd.Series(out_e, dtype="int64"),
+            }
+        )
+
+
+def audio_windows(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched PCM windowing (same partition-bounding contract
+    as the other media stages)."""
+    n = max(1, media_df.sparkSession.sparkContext.defaultParallelism)
+    src = media_df.select("doc_id", "payload").repartition(n)
+    return src.mapInPandas(_pcm_window_batches, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "m03_audio_energy_windows",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+),
+bytes AS (
+  SELECT doc_id, i, unicode(substr(text, i, 1)) AS b FROM pos
+),
+samples AS (
+  SELECT lo.doc_id,
+         CAST((lo.i - 1) / 2 AS BIGINT) AS k,
+         lo.b + 256 * hi.b - CASE WHEN hi.b >= 128 THEN 65536 ELSE 0 END AS s
+  FROM bytes lo
+  JOIN bytes hi ON lo.doc_id = hi.doc_id AND hi.i = lo.i + 1
+  WHERE lo.i % 2 = 1
+)
+SELECT doc_id,
+       CAST(k // {AUDIO_WINDOW} AS INT) AS window_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS energy
+FROM samples
+GROUP BY doc_id, k // {AUDIO_WINDOW}
+""",
+    tags=("multimodal", "audio", "udf", "fanout", "documents"),
+    doc="Audio framing over binary payloads: bytes → little-endian "
+    "int16 PCM samples (numpy frombuffer — a real decode, no codec "
+    "needed) → 64-sample windows → exact integer energy per window.  "
+    "The oracle re-derives the same samples byte-by-byte in SQL "
+    "(payloads are ASCII text bytes in the testdata), so the Arrow "
+    "batch plumbing is hash-verified end-to-end.",
+)
+def m03_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_payload(table(spark, sf_dir, "documents"))
+    return audio_windows(d)
+
+
 @register(
     "m02_frame_sample",
     oracle=f"""

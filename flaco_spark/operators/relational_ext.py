@@ -911,3 +911,71 @@ def q60_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — MERGE/upsert snapshot refresh (CDC pattern without a lakehouse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q67_upsert_snapshot",
+    oracle=f"""
+WITH updates AS (
+  -- CDC batch: doubled totalprice + status 'X' for every 97th order
+  -- (matched rows → UPDATE), plus the same rows re-keyed +100000000
+  -- (unmatched → INSERT)
+  SELECT o_orderkey, 'X' AS st,
+         CAST({sql_money('o_totalprice')} + {sql_money('o_totalprice')} AS DECIMAL(15,2)) AS tp
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N',
+         CAST({sql_money('o_totalprice')} AS DECIMAL(15,2))
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+merged AS (
+  SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+         COALESCE(u.st, b.o_orderstatus) AS o_orderstatus,
+         COALESCE(u.tp, CAST({sql_money('b.o_totalprice')} AS DECIMAL(15,2))) AS o_totalprice
+  FROM orders b
+  FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS total
+FROM merged
+GROUP BY o_orderstatus
+""",
+    tags=("join", "outer", "merge", "cdc"),
+    doc="MERGE-style snapshot refresh on plain Spark (no lakehouse "
+    "table format): a CDC batch full-outer-joins the base table on "
+    "the key; matched keys take the update's values, unmatched "
+    "updates insert, unmatched base rows carry over — then the new "
+    "snapshot is verified by a per-status exact-decimal rollup.  "
+    "Scale shape: one key shuffle of base + updates (broadcast when "
+    "the CDC batch is small; AQE decides), the exact pattern a "
+    "periodic 100 TB dataset refresh runs.",
+)
+def q67_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dec = "decimal(15,2)"
+    changed = o.filter(F.col("o_orderkey") % 97 == 0)
+    updates = changed.select(
+        "o_orderkey",
+        F.lit("X").alias("st"),
+        (money("o_totalprice") + money("o_totalprice")).cast(dec).alias("tp"),
+    ).unionAll(
+        changed.select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("st"),
+            money("o_totalprice").cast(dec).alias("tp"),
+        )
+    )
+    merged = o.join(updates, "o_orderkey", "full_outer").select(
+        F.coalesce(F.col("st"), F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.coalesce(F.col("tp"), money("o_totalprice").cast(dec)).alias("tp"),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("tp").cast("double").alias("total"),
+    )

@@ -246,3 +246,72 @@ def t06_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t07 — per-document top terms by df-normalized relevance (TF-IDF family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t07_top_terms_tfidf",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC,
+                                     t.term) AS rnk
+  FROM tf t JOIN df d ON t.term = d.term
+  WHERE t.doc_id < 100
+)
+SELECT doc_id, term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       score,
+       CAST(rnk AS INT) AS rnk
+FROM scored WHERE rnk <= 5
+""",
+    tags=("text", "tfidf", "topk", "documents"),
+    doc="Per-document top-5 terms by df-normalized relevance "
+    "(tf / corpus-df — the TF-IDF family with a rational weight "
+    "instead of a log idf: IEEE division is correctly rounded in "
+    "both engines, ln() is libm-dependent, so the score stays "
+    "hash-matchable).  Corpus df comes from ALL documents; scores "
+    "are ranked for the doc_id < 100 slice.  Scale shape: one "
+    "(doc,term) partial-agg shuffle + one term-keyed df join + a "
+    "per-doc window whose groups are vocab-of-doc sized.",
+)
+def t07_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        toks.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = (
+        toks.dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = F.col("tf").cast("double") / F.col("df").cast("double")
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
