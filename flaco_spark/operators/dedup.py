@@ -170,7 +170,7 @@ def simhash_signature_df(
     shuffled tokens×60 rows; this shuffles docs×60 longs — a ~token-
     count× reduction at corpus scale.
     """
-    toks = df.select(
+    toks = _parallelize_scan(df).select(
         F.col(key_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     )
@@ -438,7 +438,13 @@ def connected_components(
         .persist()
     )
     sym.count()  # materialize once; every round re-reads the edge list
-    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    # Propagate over the edge-touched subgraph only: isolated nodes
+    # (the overwhelming majority of a near-dup corpus) keep their own
+    # label by definition, so iterating them is pure waste — the
+    # per-round shuffle is |touched nodes| ≈ |edges|, not |corpus|.
+    # They rejoin as singletons after convergence.
+    touched = sym.select(F.col("src").alias("node")).dropDuplicates(["node"])
+    labels = touched.withColumn("label", F.col("node"))
     for _ in range(max_iterations):
         neighbor_min = (
             labels.join(sym, labels.node == sym.src)
@@ -464,9 +470,18 @@ def connected_components(
         if changed == 0:
             break
     _LIVE_CACHES.append(sym)
-    out = labels.select(F.col("node").alias(node_col), F.col("label").alias("component_id"))
     _LIVE_CACHES.append(labels)
-    return out
+    # Singletons (no edges) are their own component.
+    return nodes.select(F.col(node_col)).join(
+        labels.select(
+            F.col("node").alias(node_col), F.col("label").alias("_lbl")
+        ),
+        node_col,
+        "left",
+    ).select(
+        node_col,
+        F.coalesce("_lbl", F.col(node_col)).alias("component_id"),
+    )
 
 
 @register(
@@ -638,10 +653,8 @@ def d08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "d05_simhash_signature",
-    oracle=r"""
-WITH toks AS (
+_SIMHASH_SIG_CTE = r"""
+toks AS (
   SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
 ),
 hashed AS (
@@ -656,17 +669,108 @@ bits AS (
 ),
 votes AS (
   SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-FROM votes
-GROUP BY doc_id
-""",
+"""
+
+
+@register(
+    "d05_simhash_signature",
+    oracle=f"WITH {_SIMHASH_SIG_CTE} SELECT doc_id, simhash FROM sig",
     tags=("dedup", "simhash", "documents"),
     doc="60-bit SimHash signature per document (md5-derived bit votes).",
 )
 def d05_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signature_df(table(spark, sf_dir, "documents"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Banded exact-match candidate generation: the ``bits``-bit
+    signature splits into ``bands`` equal slices; two docs become
+    candidates iff at least one slice matches exactly (an equi-join
+    on (band, slice) — the only shuffle, and it moves two ints per
+    row).  Pigeonhole guarantee: ≤ max_hamming differing bits can
+    dirty at most max_hamming bands, so with bands > max_hamming
+    every true pair shares a clean band — recall 1.0 at the
+    threshold, no all-pairs comparison anywhere.  Candidates verify
+    with bit_count(xor) ≤ max_hamming.
+    """
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for exact recall")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = _persist_eager(simhash_signature_df(df, text_col=text_col, key_col=key_col))
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "simhash",
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}").alias("slice"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc1"), "band", "slice")
+    right = banded.select(F.col("doc_id").alias("doc2"), "band", "slice")
+    cand = (
+        left.join(right, ["band", "slice"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("hamming", F.bit_count(F.expr("h1 ^ h2")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+@register(
+    "d10_simhash_near_dup",
+    oracle=f"""
+WITH {_SIMHASH_SIG_CTE},
+banded AS (
+  SELECT doc_id, simhash, g.b AS band,
+         (simhash >> (g.b * 15)) & 32767 AS slice
+  FROM sig, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
+FROM cand c
+JOIN sig s1 ON c.doc1 = s1.doc_id
+JOIN sig s2 ON c.doc2 = s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+""",
+    tags=("dedup", "simhash", "lsh", "documents"),
+    doc="SimHash near-duplicate pairs: 4×15-bit banded candidate join "
+    "(pigeonhole: any pair within hamming 3 shares a clean band → "
+    "recall 1.0 at the threshold), verified by bit_count(xor) ≤ 3.  "
+    "Completes the signature query d05 into an actual dedup operator.",
+)
+def d10_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(table(spark, sf_dir, "documents"))
 
 
 @register(
