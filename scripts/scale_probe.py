@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""10× scale probe: materialize a key-shifted 10-copy union of sf0.1
+(≈ sf1: 6M lineitem rows, 50k docs — every document text appearing 10
+times, the mass-duplication regime real corpora have) and time a
+representative query slice against it.
+
+Usage:
+    python scripts/scale_probe.py [base_sf_dir] [out_json]
+
+Writes the scaled tables to a temp dir, runs each query once warm
+(best-of-2), prints one JSON line.  The 10 text copies per doc make
+this a REAL dedup stress: d01 collapses them, d08's representative
+collapse is what keeps its df-capped index from pruning everything
+(10 copies put every shingle's df at the cap), d09's components pull
+each 10-copy family into one cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from flaco_spark.inventory import load_inventory
+from flaco_spark.session import get_session
+
+COPIES = 10
+# (table, key columns to shift, shift step)
+SHIFTS = {
+    "lineitem": (("l_orderkey",), 100_000_000),
+    "orders": (("o_orderkey",), 100_000_000),
+    "documents": (("doc_id",), 10_000_000),
+    "embeddings": (("vec_id",), 10_000_000),
+    "events": (("event_id",), 100_000_000),
+}
+VERBATIM = ("region", "nation", "customer", "supplier", "part")
+
+PROBE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q07_nation_trade",
+    "q18_large_volume_customers",
+    "d01_dedup_exact",
+    "d04_minhash_lsh_pairs",
+    "d07_dedup_canonical",
+    "d08_ngram_jaccard_pairs",
+    "d09_dedup_components",
+    "d10_simhash_near_dup",
+    "t07_top_terms_tfidf",
+    "m03_audio_energy_windows",
+    "e01_knn_bruteforce",
+    "e03_ann_sign_lsh",
+]
+
+
+def materialize(spark, base: str, out: str) -> None:
+    for name in VERBATIM:
+        shutil.copy(f"{base}/{name}.parquet", f"{out}/{name}.parquet")
+    for name, (keys, step) in SHIFTS.items():
+        df = spark.read.parquet(f"{base}/{name}.parquet")
+        parts = []
+        for i in range(COPIES):
+            d = df
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(i * step))
+            parts.append(d)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionAll(p)
+        union.coalesce(8).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session(app_name="scale_probe")
+    registry = load_inventory()
+    out = tempfile.mkdtemp(prefix="flaco_scale10_")
+    try:
+        t0 = time.perf_counter()
+        materialize(spark, base, out)
+        build_s = round(time.perf_counter() - t0, 1)
+        print(f"# materialized 10x tables in {build_s}s -> {out}", file=sys.stderr)
+
+        results: dict[str, dict] = {}
+        for name in PROBE:
+            spec = registry[name]
+            spec.builder(spark, out).count()  # warm
+            best, rows = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = spec.builder(spark, out).count()
+                best = min(best, time.perf_counter() - t0)
+            results[name] = {"sec": round(best, 2), "rows": rows}
+            print(f"# {name}: {best:.2f}s ({rows} rows)", file=sys.stderr)
+        print(json.dumps({"scale": "10x_sf0.1", "build_sec": build_s, "queries": results}))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
