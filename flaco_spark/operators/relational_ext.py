@@ -979,3 +979,55 @@ def q67_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("tp").cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT nullif(CAST(json_extract_string(props, '$.k') AS INT) % 7, 3) AS nk,
+         COUNT(*) AS n_a
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT nullif(CAST(json_extract_string(props, '$.k') AS INT) % 7, 3) AS nk,
+         COUNT(*) AS n_b
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT
+  (SELECT COUNT(*) FROM a JOIN b ON a.nk = b.nk) AS n_plain_eq,
+  (SELECT COUNT(*) FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk) AS n_null_safe,
+  (SELECT CAST(SUM(a.n_a * b.n_b) AS BIGINT)
+   FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk AND a.nk IS NULL) AS null_bucket_product
+""",
+    tags=("join", "null", "3vl"),
+    doc="Null-safe equality join semantics: plain = drops the NULL "
+    "keys on both sides (NULL = NULL is unknown), Spark's <=> / "
+    "SQL's IS NOT DISTINCT FROM matches them — the q65 three-valued-"
+    "logic story for the JOIN operator, verified by comparing both "
+    "join cardinalities plus the NULL-bucket row product in one "
+    "result.  (At scale a null-safe join funnels every NULL key to "
+    "one reducer — the classic skew trap; prefilter or salt NULLs.)",
+)
+def q68_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    nk = F.nullif(F.get_json_object("props", "$.k").cast("int") % 7, F.lit(3)).alias("nk")
+    a = e.filter(F.col("event_type") == "click").select(nk).groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = e.filter(F.col("event_type") == "view").select(nk).groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    plain = a.join(b, a.nk == b.nk).agg(F.count(F.lit(1)).alias("n_plain_eq"))
+    safe_df = a.join(b, a.nk.eqNullSafe(b.nk))
+    safe = safe_df.agg(F.count(F.lit(1)).alias("n_null_safe"))
+    null_prod = safe_df.filter(a.nk.isNull()).agg(
+        F.sum(F.col("n_a") * F.col("n_b")).cast("bigint").alias("null_bucket_product")
+    )
+    # three 1-row aggregates cross-joined — fully lazy, no driver action
+    return plain.crossJoin(safe).crossJoin(null_prod)

@@ -297,3 +297,68 @@ def ts04_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "event_type", "n", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts07 — OHLC downsampling (per-entity time-bar aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts07_ohlc_bars",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hr,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS bar_start,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       {sql_dsum(sql_money('value'), 'volume')}
+FROM ranked
+GROUP BY user_id, hr
+""",
+    tags=("timeseries", "ohlc", "downsample", "events"),
+    doc="OHLC time-bar downsampling: per (user, hour) the first/last "
+    "values under a deterministic total order (ts, event_id) plus "
+    "high/low/count/exact-decimal volume — the classic tick→bar "
+    "compaction every metrics/market pipeline runs.  Scale shape: "
+    "window + aggregate share one (user, hour) shuffle; bar count is "
+    "entities × time-buckets regardless of event volume.",
+)
+def ts07_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").withColumn("hr", F.date_trunc("hour", "ts"))
+    w_a = W.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+    w_d = W.partitionBy("user_id", "hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = e.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return ranked.groupBy("user_id", "hr").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(money("value"), "volume"),
+    ).select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        "volume",
+    )

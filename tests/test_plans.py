@@ -64,6 +64,32 @@ def test_sf_scaled_dims_fall_back_to_smj(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_aqe_promotes_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """The other half of the size-aware story: with the STATIC
+    threshold disabled (plan compiles to SMJ, as it would against an
+    unknown-size 100 TB table) but the ADAPTIVE threshold on, AQE
+    re-plans the join as broadcast at runtime from the actual shuffle
+    sizes — so dropping the forced hints costs nothing when the dim
+    really is small."""
+    from flaco_spark.plans import formatted_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        df = REGISTRY["q03_shipping_priority"].builder(spark, sf_dir)
+        assert broadcast_join_count(df) == 0, "static plan must be SMJ"
+        df.collect()  # execute THIS plan (count() would build a new one)
+        final = formatted_plan(df)
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, "AQE must promote the small side"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_small_dims_auto_broadcast_at_default_threshold(spark, sf_dir):
     """Same queries, default 64 MB threshold: the sub-threshold local
     tables broadcast WITHOUT hints (so local plans are unchanged by
