@@ -142,3 +142,57 @@ def u04_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     return l.mapInArrow(transform, schema="l_orderkey bigint, double_key bigint")
+
+
+@register(
+    "u06_apply_in_arrow",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("udf", "arrow", "agg"),
+    doc="Grouped Arrow UDAF via applyInArrow (Spark 4): per-group "
+    "aggregation computed with pyarrow.compute on the raw Arrow "
+    "table — no pandas materialization at all, the cheapest grouped "
+    "Python escape hatch.  Integer-exact outputs so the oracle "
+    "hash-matches.",
+)
+def u06_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def agg(tbl: "pa.Table") -> "pa.Table":  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), pa.scalar(100.0))), pa.int64()
+        )
+        ks = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(tbl.column("props"), r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": [tbl.num_rows],
+                "value_cents": [pc.sum(cents).as_py()],
+                "max_k": [pc.max(ks).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("value_cents", pa.int64()),
+                    ("max_k", pa.int32()),
+                ]
+            ),
+        )
+
+    e = table(spark, sf_dir, "events").select("event_type", "value", "props")
+    return e.groupBy("event_type").applyInArrow(
+        agg, schema="event_type string, n bigint, value_cents bigint, max_k int"
+    )

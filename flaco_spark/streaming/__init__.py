@@ -8,6 +8,7 @@ columnar files out.
 """
 
 from flaco_spark.streaming.ingest import (
+    dedup_stream,
     stream_parquet_sink,
     windowed_event_counts,
 )
@@ -17,6 +18,7 @@ from flaco_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "dedup_stream",
     "stream_parquet_sink",
     "windowed_event_counts",
     "user_profiles_batch",

@@ -70,3 +70,29 @@ def stream_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until
+    the watermark passes it — the property that makes streaming dedup
+    viable at 100 TB/day (plain streaming ``dropDuplicates`` retains
+    every key ever seen; its state grows without bound, the classic
+    production failure).  Batch DataFrames take the plain
+    ``dropDuplicates`` path, giving batch/stream symmetry for tests:
+    the surviving KEY SET is identical, which row represents each key
+    is engine-chosen in both modes.
+    """
+    cols = list(key_cols)
+    if events.isStreaming:
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+        return src.dropDuplicatesWithinWatermark(cols)
+    return events.dropDuplicates(cols)

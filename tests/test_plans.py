@@ -316,6 +316,43 @@ def test_streaming_parquet_sink(spark, sf_dir, tmp_path):
     assert set(out.columns) == {"window_start", "window_end", "event_type", "n"}
 
 
+def test_streaming_dedup_bounded_state_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark (bounded state) drained over the
+    events table yields exactly the batch dedup's key set."""
+    import shutil
+
+    from flaco_spark.streaming import dedup_stream
+    from flaco_spark.tables import convert_event_ts, table as _table
+
+    src_dir = tmp_path / "dd_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    stream = spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    q = (
+        dedup_stream(convert_event_ts(stream))
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT user_id, event_type FROM dd_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in dedup_stream(_table(spark, sf_dir, "events"))
+        .select("user_id", "event_type")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_streaming_watermark_drops_late_rows(spark, sf_dir, tmp_path):
     """Append-mode watermark semantics: a row arriving later than
     watermark+window behind the max event time is dropped."""
