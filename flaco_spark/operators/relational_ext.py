@@ -1031,3 +1031,43 @@ def q68_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three 1-row aggregates cross-joined — fully lazy, no driver action
     return plain.crossJoin(safe).crossJoin(null_prod)
+
+
+# ---------------------------------------------------------------------------
+# q69 — latest-record compaction (CDC log → current-state snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q69_latest_record",
+    oracle="""
+SELECT user_id, event_type, value AS latest_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts
+FROM (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+    tags=("window", "dedup", "cdc", "events"),
+    doc="Latest-record compaction: the current state per entity from "
+    "an append-only event log (row_number over a deterministic "
+    "(ts, event_id) order, keep rank 1) — the other half of the CDC "
+    "story next to q67's MERGE.  One shuffle keyed by entity; at "
+    "100 TB this is the compaction job every log-structured dataset "
+    "runs nightly.",
+)
+def q69_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("latest_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+        )
+    )

@@ -529,3 +529,95 @@ def e05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias("centroid_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e07 — one Lloyd (KMeans) iteration: assign + centroid recompute
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e07_kmeans_iteration",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL},
+seeds AS (
+  SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+),
+seed_cos AS (
+  SELECT p.vec_id, s.seed_id,
+         round(CAST(SUM(CAST(p.v[g.i] * s.sv[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8)
+           / (n.nrm * s.sn) AS seed_cos
+  FROM pts p
+  JOIN norms n ON p.vec_id = n.vec_id
+  CROSS JOIN seeds s, generate_series(1, 64) AS g(i)
+  GROUP BY p.vec_id, s.seed_id, n.nrm, s.sn
+),
+assigned AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT vec_id, seed_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY seed_cos DESC, seed_id) AS rnk
+    FROM seed_cos) t WHERE rnk = 1
+),
+dims AS (
+  SELECT a.cell, g.i AS dim, CAST(p.v[g.i] AS DECIMAL(18,8)) AS x
+  FROM assigned a JOIN pts p ON a.vec_id = p.vec_id,
+       generate_series(1, 8) AS g(i)
+)
+SELECT cell,
+       CAST(dim AS INT) AS dim,
+       COUNT(*) AS n_members,
+       CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid_val
+FROM dims
+GROUP BY cell, dim
+""",
+    tags=("similarity", "embedding", "kmeans", "iterative", "agg"),
+    doc="One full Lloyd/KMeans iteration, distributed: every vector "
+    "assigns to its nearest seed by cosine (broadcast seeds, map-side "
+    "scoring, per-vector top-1), then centroids recompute as the "
+    "exact-decimal per-(cell, dim) mean — upgrading e04's 'seeds "
+    "stand in for a KMeans fit' into the actual fit step.  Iterating "
+    "this query IS distributed KMeans; each round costs one "
+    "|vectors|-row shuffle keyed by cell.  Centroid dims 1-8 "
+    "reported.",
+)
+def e07_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    seeds = e.filter((F.col("vec_id") % IVF_SEED_MOD) == 3).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("sv"),
+        norm(F.col("embedding")).alias("sn"),
+    )
+    scored = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            norm(F.col("embedding")).alias("vn"),
+        )
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("seed_cos", cosine(F.col("v"), F.col("sv"), F.col("vn"), F.col("sn")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"), "v")
+    )
+    dims = assigned.select(
+        "cell", F.posexplode(F.slice("v", 1, 8)).alias("pos", "xf")
+    ).select(
+        "cell",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("xf").cast("double").cast("decimal(18,8)").alias("x"),
+    )
+    return dims.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "centroid_val"
+        ),
+    )

@@ -165,3 +165,90 @@ def duck001j():
         )
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Iterative / two-phase primitives vs pure-Python references
+# ---------------------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must equal a driver-side
+    union-find on random graphs (hypothesis shrinks any mismatch)."""
+    from flaco_spark.operators.dedup import connected_components, release_caches
+
+    nodes = sorted({n for e in edges for n in e} | set(range(5)))
+    # union-find reference
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    edges_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], ["doc1", "doc2"]
+    )
+    if not edges:
+        edges_df = edges_df.filter("doc1 <> doc2")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    release_caches()
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99), st.integers(0, 20)),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    k=st.integers(1, 6),
+)
+def test_topk_per_query_matches_python(spark, rows, k):
+    """Two-phase top-k equals a python sort on random (query, id,
+    score) data under the deterministic tie-break order."""
+    from flaco_spark.operators.similarity import topk_per_query
+
+    df = spark.createDataFrame(rows, ["qid", "nid", "score"]).repartition(7)
+    got = sorted(
+        map(
+            tuple,
+            topk_per_query(df, "qid", [F.desc("score"), F.asc("nid")], k)
+            .select("qid", "nid", "score", "rn")
+            .collect(),
+        )
+    )
+    want = []
+    for q in {r[0] for r in rows}:
+        grp = sorted((r for r in rows if r[0] == q), key=lambda r: (-r[2], r[1]))
+        want += [(q, nid, s, i + 1) for i, (_, nid, s) in enumerate(grp[:k])]
+    assert got == sorted(want)
