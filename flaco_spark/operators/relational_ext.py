@@ -1071,3 +1071,194 @@ def q69_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — statistical moments (stddev / variance / covariance / correlation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q70_stats_moments",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,0))
+                * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,0))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qd,
+       (sxy - sx * sy / n)
+         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qd
+FROM m
+""",
+    tags=("agg", "stats", "lineitem"),
+    doc="Sample variance / stddev / covariance / correlation per group, "
+    "computed from exact-decimal moment sums (n, Σx, Σy, Σx², Σy², Σxy) "
+    "with the final arithmetic done once in IEEE doubles — the builtin "
+    "STDDEV/CORR aggregates are order-dependent over doubles and can't "
+    "hash-match across engines, but moment sums over decimals are exact "
+    "in both, and the identical double expression tree on exact operands "
+    "is bit-identical.  Scale shape: a single map-side partial aggregate "
+    "(6 moments per group), the same one-pass pattern the builtin "
+    "aggregates compile to; decimal scales chosen so unscaled sums stay "
+    "under 2^53 through sf100 (see compat.py).",
+)
+def q70_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(9,0)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(dd).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(dd * dd).cast("double").alias("syy"),
+        F.sum(qd * dd).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        ((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("std_qty"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_qd"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — interpolated percentiles (PERCENTILE_CONT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q71_percentile_cont",
+    oracle="""
+SELECT l_returnflag,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+       percentile_cont(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile", "lineitem"),
+    doc="Exact interpolated percentiles (PERCENTILE_CONT) per group — "
+    "the continuous complement of q55's PERCENTILE_DISC.  l_quantity "
+    "is integral and small, so every quartile interpolation lands on a "
+    "dyadic fraction (x.0 / x.25 / x.5 / x.75) that both engines "
+    "compute exactly.  Spark's exact percentile sorts each group's "
+    "values; groups here are few and bounded, and the high-cardinality "
+    "scale path is approx_percentile (q62's sketch pattern).",
+)
+def q71_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — deterministic hash sampling (engine-portable TABLESAMPLE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_deterministic_sample",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) * 8.0 AS est_total
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY o_orderpriority
+""",
+    tags=("sample", "filter", "orders"),
+    doc="Deterministic 1/8 systematic sample: keep rows whose md5(key) "
+    "first hex digit is in {0,1}, then estimate full-table aggregates "
+    "by inverse-probability scaling.  Unlike TABLESAMPLE/rand() this "
+    "is reproducible across engines, runs, and partitionings — the "
+    "property a 100 TB pipeline needs for auditable sampled QA jobs.  "
+    "Pure map-side filter + one partial-agg shuffle; the hash "
+    "predicate pushes to the scan boundary (no shuffle of unsampled "
+    "rows).",
+)
+def q72_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    sampled = o.filter(h.isin("0", "1"))
+    s = F.sum(money("o_totalprice")).cast("double")
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        s.alias("sum_sampled"),
+        (s * F.lit(8.0)).alias("est_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — running COUNT(DISTINCT) via the first-seen-flag decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q73_running_distinct",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+) t
+""",
+    tags=("window", "distinct", "events"),
+    doc="Running count-distinct per key — COUNT(DISTINCT) OVER a "
+    "running frame, which Spark's window engine rejects, decomposed "
+    "into the scalable first-seen-flag form: rank each (user, type) "
+    "occurrence, flag rank 1, running-SUM the flag.  Two window sorts "
+    "over the same key prefix (one shuffle — the second window reuses "
+    "the user_id partitioning), O(1) state per row; the naive "
+    "collect_set-over-frame alternative holds the whole frame per row "
+    "and dies at 100 TB.",
+)
+def q73_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+        )
+    )

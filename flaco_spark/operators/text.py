@@ -315,3 +315,93 @@ def t07_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t08 — edit-distance near-duplicate pairs (blocked levenshtein)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t08_edit_distance_pairs",
+    oracle="""
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       a.p_name AS name1, b.p_name AS name2,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+    tags=("text", "dedup", "similarity", "part"),
+    doc="Edit-distance (Levenshtein) near-duplicate detection with "
+    "attribute blocking: candidate pairs come only from a (brand, "
+    "size) equi-join — an O(sum of bucket^2) candidate set instead of "
+    "the O(n^2) all-pairs cross join — then the quadratic-cost "
+    "levenshtein runs on candidates alone.  The standard blocked "
+    "record-linkage shape: at 100 TB the blocking key bounds every "
+    "bucket, the equi-join shuffles on it, and no executor ever sees "
+    "the full table.  Threshold pairs with dist <= 4 (exact copies "
+    "score 0).",
+)
+def t08_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("id1"),
+        F.col("p_name").alias("name1"),
+        "p_brand",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id2"),
+        F.col("p_name").alias("name2"),
+        "p_brand",
+        "p_size",
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("edit_dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("id1", "id2", "name1", "name2", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t09 — dictionary/pattern redaction (PII-scrub shape)
+# ---------------------------------------------------------------------------
+
+REDACT_PATTERN = r"\b(customer|value|key)\b"
+
+
+@register(
+    "t09_term_redaction",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|value|key)\b', '<PII>', 'g')
+         AS redacted,
+       CAST(len(regexp_extract_all(text, '\b(customer|value|key)\b')) AS INT)
+         AS n_redactions
+FROM documents
+WHERE doc_id < 200
+""",
+    tags=("text", "redaction", "documents"),
+    doc="Regex-driven redaction over a document corpus — the "
+    "PII-scrub pass every training-data pipeline runs (emails, "
+    "phones, ids; here a term dictionary, since the synthetic corpus "
+    "has no digits).  Emits the scrubbed text plus a per-doc "
+    "redaction count for audit.  Pure map-side regexp_replace / "
+    "regexp_extract_all column expressions — scales linearly with "
+    "the scan, no shuffle at all.  The pattern subset (\\b word "
+    "alternation) is chosen portable between Java regex and RE2.",
+)
+def t09_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.regexp_replace("text", REDACT_PATTERN, "<PII>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(REDACT_PATTERN), 0))
+        .cast("int")
+        .alias("n_redactions"),
+    )

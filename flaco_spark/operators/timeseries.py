@@ -362,3 +362,104 @@ def ts07_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "volume",
     )
+
+
+# ---------------------------------------------------------------------------
+# ts08 — rolling median over an exact 3-row frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts08_rolling_median",
+    oracle="""
+SELECT user_id, event_id, med3 FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med3
+  FROM events
+) t WHERE rn >= 3
+""",
+    tags=("timeseries", "window", "median", "events"),
+    doc="Rolling median smoothing over each user's event stream — the "
+    "robust-denoising pass for sensor/metric streams.  The frame is "
+    "pinned to exactly 3 rows (rows with a shorter warm-up frame are "
+    "dropped), so the median is always the middle *data value*: no "
+    "interpolation, hence bit-identical across engines even over "
+    "arbitrary doubles.  Spark side sorts the 3-element frame list "
+    "(constant work per row); one shuffle keyed by user_id shared by "
+    "both windows.  For wide frames at 100 TB the scale path is an "
+    "approx-quantile sketch per frame, not a bigger sort.",
+)
+def ts08_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w3 = W.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    wn = W.partitionBy("user_id").orderBy(*order)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(wn).alias("rn"),
+            F.element_at(F.sort_array(F.collect_list("value").over(w3)), 2).alias(
+                "med3"
+            ),
+        )
+        .filter(F.col("rn") >= 3)
+        .select("user_id", "event_id", "med3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts09 — range (interval) join against bucket boundaries
+# ---------------------------------------------------------------------------
+
+VALUE_BUCKETS: tuple[tuple[str, float, float], ...] = (
+    ("p000_010", 0.0, 10.0),
+    ("p010_050", 10.0, 50.0),
+    ("p050_200", 50.0, 200.0),
+    ("p200_500", 200.0, 500.0),
+)
+
+
+@register(
+    "ts09_value_range_join",
+    oracle="""
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('p000_010', 0.0, 10.0),
+         ('p010_050', 10.0, 50.0),
+         ('p050_200', 50.0, 200.0),
+         ('p200_500', 200.0, 500.0)
+)
+SELECT b.bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.bucket
+""",
+    tags=("timeseries", "range-join", "events"),
+    doc="Range (interval) join: each event matches the bucket whose "
+    "[lo, hi) interval contains its value — the histogram/banding "
+    "join Spark has no first-class operator for.  The bucket side is "
+    "a tiny literal dimension, explicitly broadcast, so the non-equi "
+    "condition executes as a broadcast nested-loop over a "
+    "constant-size inner — a map-side pass over the fact table, no "
+    "fact shuffle before the final partial-aggregated groupBy.  The "
+    "same shape covers time-interval enrichment (maintenance windows, "
+    "calendars) at any scale; only the broadcast side must stay "
+    "small, which interval dimensions are.",
+)
+def ts09_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = spark.createDataFrame(
+        list(VALUE_BUCKETS), "bucket string, lo double, hi double"
+    )
+    joined = e.join(
+        F.broadcast(b),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

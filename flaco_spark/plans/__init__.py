@@ -61,9 +61,9 @@ def sort_merge_join_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
-    plan = formatted_plan(df)
-    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Broadcast" not in line)
+    """Number of shuffle-exchange NODES in the physical plan
+    (broadcast exchanges excluded — those move dim-sized data)."""
+    return _node_count(df, "Exchange")
 
 
 def uses_take_ordered(df: DataFrame) -> bool:

@@ -426,3 +426,46 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "day#" in plan.split("PartitionFilters:")[1][:200]
     total = read_partitioned(spark, out).count()
     assert total == events.count()
+
+
+def test_range_join_broadcasts_bucket_side(spark, sf_dir):
+    """ts09's non-equi interval join must execute as a broadcast
+    nested-loop over the 4-row bucket dim — never a cartesian shuffle
+    of the fact table."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["ts09_value_range_join"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_join_is_blocked_equi(spark, sf_dir):
+    """t08's candidate generation must be an equi-join on the
+    (brand, size) blocking key — the plan may choose SMJ or broadcast
+    by size, but never a cartesian/nested-loop all-pairs product."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["t08_edit_distance_pairs"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deterministic_sample_filter_is_scan_side(spark, sf_dir):
+    """q72's hash-sample predicate is a scan-side Filter before the
+    aggregate's exchange: unsampled rows never shuffle."""
+    from flaco_spark.plans import exchange_count
+
+    df = REGISTRY["q72_deterministic_sample"].builder(spark, sf_dir)
+    # one partial-agg exchange only (plus AQE result stage bookkeeping)
+    assert exchange_count(df) <= 1
+
+
+def test_running_distinct_reuses_user_sort(spark, sf_dir):
+    """q73 needs at most two exchanges: (user, type) rank then
+    user running-sum — never one per window function instance."""
+    from flaco_spark.plans import exchange_count
+
+    df = REGISTRY["q73_running_distinct"].builder(spark, sf_dir)
+    assert exchange_count(df) <= 2
