@@ -858,3 +858,51 @@ def d06_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .select("id1", "id2", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# d11 — deterministic content-hash train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d11_dataset_split",
+    oracle="""
+WITH bucketed AS (
+  SELECT lang, n_chars,
+         CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 204 THEN 'train'
+            WHEN b < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM bucketed
+GROUP BY 1, 2
+""",
+    tags=("dedup", "split", "documents"),
+    doc="Deterministic train/val/test split by CONTENT hash: md5(text) "
+    "first byte maps each doc to one of 256 buckets, cut 80/10/10.  "
+    "Hashing the content (not the id) sends byte-identical duplicates "
+    "to the same split — the split survives re-ingestion, re-sharding "
+    "and engine changes, and exact-dup leakage across train/test is "
+    "structurally impossible.  Pure map-side classify + one "
+    "partial-agg shuffle; at 100 TB the split column is computed at "
+    "ingest and becomes a partition key.",
+)
+def d11_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint")
+    split = (
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

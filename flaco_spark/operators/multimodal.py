@@ -312,3 +312,98 @@ FROM frames
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary_payload(table(spark, sf_dir, "documents"))
     return sample_frames(d)
+
+
+# ---------------------------------------------------------------------------
+# m04 — perceptual-hash near-duplicate image pairs (banded hamming join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m04_phash_near_dup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+),
+sig AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash
+  FROM corpus
+),
+banded AS (
+  SELECT doc_id, phash, g.b AS band,
+         (phash >> (g.b * 15)) & 32767 AS slice
+  FROM sig, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(bit_count(xor(s1.phash, s2.phash)) AS INT) AS hamming
+FROM cand c
+JOIN sig s1 ON c.doc1 = s1.doc_id
+JOIN sig s2 ON c.doc2 = s2.doc_id
+WHERE bit_count(xor(s1.phash, s2.phash)) <= 3
+""",
+    tags=("multimodal", "dedup", "phash", "lsh"),
+    doc="Image near-duplicate pairs by perceptual hash: a 60-bit "
+    "payload-derived signature joined band-wise (4×15 bits — "
+    "pigeonhole guarantees recall 1.0 at hamming ≤ 3), then exact "
+    "hamming verify on candidates only.  The signature here is the "
+    "md5-prefix STUB hash of the binary payload (no imaging libs in "
+    "this env, and md5 has no visual locality — a real pHash slots "
+    "into the same 60-bit column via mapInPandas, see decode_image); "
+    "the banded join IS the production plumbing: |docs|×4 narrow "
+    "rows shuffle once on (band, slice), candidates are bucket-"
+    "bounded, never all-pairs.  With the stub hash the pairs found "
+    "are exactly the byte-identical payloads (hamming 0).",
+)
+def m04_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "documents")
+    planted = base.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    d = attach_binary_payload(base.select("doc_id", "text").unionByName(
+        planted.select("doc_id", "text")
+    ))
+    sig = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("phash"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "slice", F.expr("shiftright(phash, band * 15) & 32767")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc1"), F.col("band").alias("band"), F.col("slice").alias("slice")
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc2"), F.col("band").alias("band"), F.col("slice").alias("slice")
+    )
+    cand = (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("phash").alias("ph1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("phash").alias("ph2"))
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc1", "doc2", "hamming")
+    )

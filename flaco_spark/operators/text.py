@@ -405,3 +405,119 @@ def t09_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_redactions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — document chunking (fixed-size token windows with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 30
+CHUNK_STRIDE = 20
+
+
+@register(
+    "t10_chunking",
+    oracle=r"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(string_split_regex(text, '\s+')), 1), 20)) AS i
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST((i - 1) // 20 AS INT) AS chunk_idx,
+       CAST(len(list_slice(string_split_regex(text, '\s+'), i, i + 29)) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(string_split_regex(text, '\s+'), i, i + 29), ' ')
+         AS chunk_text
+FROM starts
+""",
+    tags=("text", "chunking", "documents"),
+    doc="Document chunking for training-sequence preparation: each doc "
+    "explodes into overlapping fixed-size token windows (30 tokens, "
+    "stride 20 — the sliding-context pattern every LLM data pipeline "
+    "runs before packing).  Map-side only: tokenize once, generate "
+    "window starts with sequence(), slice per start, explode — a 1→N "
+    "fan-out with zero shuffle; at 100 TB this scales linearly with "
+    "the scan exactly like m02's frame sampling.",
+)
+def t10_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunked = d.select(
+        "doc_id",
+        F.col("text"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(tokens(F.col("text")), F.col("start"), CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t11 — greedy sequence packing (token-budget bin assignment)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+
+
+@register(
+    "t11_sequence_packing",
+    oracle=r"""
+WITH counted AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / 512.0) AS BIGINT) AS bin
+  FROM counted
+)
+SELECT source, bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM packed
+GROUP BY source, bin
+""",
+    tags=("text", "packing", "documents"),
+    doc="Greedy sequence packing: concatenate documents in a "
+    "deterministic order until a 512-token context budget fills, "
+    "assigning each doc the bin its START offset falls in (running "
+    "token cumsum over a per-source window).  Packing is inherently "
+    "sequential, so the scale-out axis is the PARTITION key: each "
+    "source packs independently — at 100 TB you shard by "
+    "(source, day, worker) so no single window partition is "
+    "unbounded, exactly as here.  One shuffle on source, then a "
+    "partial-agg rollup per bin.",
+)
+def t11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    counted = d.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = counted.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(float(PACK_BUDGET))
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
