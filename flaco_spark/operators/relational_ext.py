@@ -1262,3 +1262,118 @@ def q73_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — data-quality audit (constraint violations as one relation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_data_quality_audit",
+    oracle="""
+SELECT 'lineitem_orphan_orderkey' AS rule, (
+  SELECT COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+) AS n_violations
+UNION ALL
+SELECT 'lineitem_nonpositive_price', (
+  SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0
+)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range', (
+  SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+)
+UNION ALL
+SELECT 'lineitem_null_shipdate', (
+  SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL
+)
+UNION ALL
+SELECT 'orders_null_custkey', (
+  SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL
+)
+UNION ALL
+SELECT 'orders_dup_orderkey', (
+  SELECT COUNT(*) FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+  ) t
+)
+""",
+    tags=("quality", "audit", "lineitem", "orders"),
+    doc="Data-quality audit: referential integrity (orphan foreign "
+    "keys via anti-join), domain constraints (non-positive price, "
+    "rate out of [0,1]), null checks, and key-uniqueness — emitted as "
+    "one (rule, n_violations) relation, the contract a pipeline "
+    "quality gate consumes.  Each rule is a scan-parallel aggregate; "
+    "the anti-join is the only shuffle (keyed on orderkey) and the "
+    "dup-check a single groupBy — nothing materializes violating "
+    "rows, so the audit costs O(scan) at any scale.",
+)
+def q74_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    orphans = one(
+        "lineitem_orphan_orderkey",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    nonpos = one(
+        "lineitem_nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)
+    )
+    bad_rate = one(
+        "lineitem_discount_out_of_range",
+        li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+    )
+    null_ship = one("lineitem_null_shipdate", li.filter(F.col("l_shipdate").isNull()))
+    null_cust = one("orders_null_custkey", o.filter(F.col("o_custkey").isNull()))
+    dups = one(
+        "orders_dup_orderkey",
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+    )
+    return orphans.unionByName(nonpos).unionByName(bad_rate).unionByName(
+        null_ship
+    ).unionByName(null_cust).unionByName(dups)
+
+
+# ---------------------------------------------------------------------------
+# q75 — equal-width histogram profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q75_histogram",
+    oracle="""
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("profiling", "agg", "events"),
+    doc="Equal-width histogram profiling: bin = floor(value/width) — "
+    "the numeric-profile pass a data catalog runs per column.  A "
+    "single partial-aggregated groupBy on a derived key (bin count "
+    "is bounded by the value range, not the row count), exact-decimal "
+    "sums per bin; the complement of ts09's irregular buckets, with "
+    "no join at all.",
+)
+def q75_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (
+        e.groupBy(
+            bin_col.alias("bin"),
+            (bin_col * F.lit(25.0)).alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

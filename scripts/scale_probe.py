@@ -57,6 +57,14 @@ PROBE = [
     "m03_audio_energy_windows",
     "e01_knn_bruteforce",
     "e03_ann_sign_lsh",
+    "t10_chunking",
+    "t11_sequence_packing",
+    "d11_dataset_split",
+    "m04_phash_near_dup",
+    "t08_edit_distance_pairs",
+    "ts09_value_range_join",
+    "q70_stats_moments",
+    "q73_running_distinct",
 ]
 
 
