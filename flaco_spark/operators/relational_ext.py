@@ -1304,14 +1304,33 @@ SELECT 'orders_dup_orderkey', (
     "keys via anti-join), domain constraints (non-positive price, "
     "rate out of [0,1]), null checks, and key-uniqueness — emitted as "
     "one (rule, n_violations) relation, the contract a pipeline "
-    "quality gate consumes.  Each rule is a scan-parallel aggregate; "
-    "the anti-join is the only shuffle (keyed on orderkey) and the "
-    "dup-check a single groupBy — nothing materializes violating "
-    "rows, so the audit costs O(scan) at any scale.",
+    "quality gate consumes.  All three lineitem scan rules compute in "
+    "ONE pass as conditional sums then unpivot to rows (at 100 TB "
+    "every extra table pass is a full re-read; n rules must not cost "
+    "n scans); the orphan anti-join is the only shuffle (keyed on "
+    "orderkey) and the dup-check a single groupBy.  Nothing "
+    "materializes violating rows, so the audit costs 2 passes over "
+    "each table at any scale.",
 )
 def q74_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
+
+    def flag(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    # one scan, three rules (conditional partial aggregation) → unpivot
+    li_rules = li.agg(
+        flag(F.col("l_extendedprice") <= 0).alias("lineitem_nonpositive_price"),
+        flag((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "lineitem_discount_out_of_range"
+        ),
+        flag(F.col("l_shipdate").isNull()).alias("lineitem_null_shipdate"),
+    ).unpivot([], None, "rule", "n_violations")
+
+    o_rules = o.agg(
+        flag(F.col("o_custkey").isNull()).alias("orders_null_custkey")
+    ).unpivot([], None, "rule", "n_violations")
 
     def one(rule: str, df: DataFrame) -> DataFrame:
         return df.select(
@@ -1323,22 +1342,11 @@ def q74_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem_orphan_orderkey",
         li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
     )
-    nonpos = one(
-        "lineitem_nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)
-    )
-    bad_rate = one(
-        "lineitem_discount_out_of_range",
-        li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
-    )
-    null_ship = one("lineitem_null_shipdate", li.filter(F.col("l_shipdate").isNull()))
-    null_cust = one("orders_null_custkey", o.filter(F.col("o_custkey").isNull()))
     dups = one(
         "orders_dup_orderkey",
         o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
     )
-    return orphans.unionByName(nonpos).unionByName(bad_rate).unionByName(
-        null_ship
-    ).unionByName(null_cust).unionByName(dups)
+    return orphans.unionByName(li_rules).unionByName(o_rules).unionByName(dups)
 
 
 # ---------------------------------------------------------------------------

