@@ -906,3 +906,59 @@ def d11_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d12 — deterministic class rebalancing (stratified downsample)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d12_class_rebalance",
+    oracle="""
+WITH sized AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+floor_n AS (SELECT MIN(n) AS m FROM sized),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ranked, floor_n
+WHERE rk <= m
+GROUP BY lang
+""",
+    tags=("dedup", "sampling", "documents"),
+    doc="Class rebalancing: deterministically downsample every "
+    "language class to the smallest class's size by ranking docs "
+    "within each class on md5(text) (doc_id tie-break for identical "
+    "texts) and keeping the first floor-count — the reproducible "
+    "stratified sample a balanced training mix needs, with no rand() "
+    "anywhere.  One window sort per class partition + a broadcast "
+    "1-row floor count; per-class partitions are the scale-out axis, "
+    "and the md5 rank means re-runs, engine swaps, and re-shardings "
+    "all pick the SAME sample.",
+)
+def d12_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    floor_n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("m")
+    )
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("m"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -1385,3 +1385,93 @@ def q75_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — incremental aggregation (materialized snapshot + delta merge)
+# ---------------------------------------------------------------------------
+
+INCR_CUTOFF = "2000-01-01"
+
+
+@register(
+    "q76_incremental_agg",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "incremental", "orders"),
+    doc="Incremental aggregation: a 'materialized snapshot' (orders "
+    "before the cutoff, pre-aggregated) merges with the fresh delta "
+    "(orders after) by RE-AGGREGATING THE PARTIALS — count-of-counts "
+    "via sum, sum-of-sums — instead of rescanning history.  The "
+    "oracle is the direct full aggregation, so the hash-match "
+    "machine-proves the algebraic merge is lossless (decimal sums "
+    "are associative; this is why compat.py's exact-decimal rule "
+    "also guarantees AQE-replan stability).  At 100 TB this is THE "
+    "pattern: the nightly job aggregates yesterday's partials "
+    "(tiny) + today's partition (1 day of data), never the full "
+    "history.",
+)
+def q76_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp_ntz")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(money("o_totalprice")).alias("psum"),
+        )
+
+    snapshot = partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.sum("psum").cast("double").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — event-transition analysis (Markov first-order counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q77_event_transitions",
+    oracle="""
+SELECT from_type, to_type, COUNT(*) AS n FROM (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+) t
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+    tags=("window", "sequence", "events"),
+    doc="First-order behavioral transition matrix: per-user event "
+    "sequences (lead over the user's time order) rolled up to "
+    "(from, to) counts — the path-analysis primitive under funnels "
+    "(ts06) and session flows.  One shuffle keyed by user for the "
+    "window, then a partial-aggregated rollup whose cardinality is "
+    "|event types|² regardless of row count.",
+)
+def q77_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
