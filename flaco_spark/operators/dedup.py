@@ -939,23 +939,36 @@ GROUP BY lang
     "within each class on md5(text) (doc_id tie-break for identical "
     "texts) and keeping the first floor-count — the reproducible "
     "stratified sample a balanced training mix needs, with no rand() "
-    "anywhere.  One window sort per class partition + a broadcast "
-    "1-row floor count; per-class partitions are the scale-out axis, "
-    "and the md5 rank means re-runs, engine swaps, and re-shardings "
-    "all pick the SAME sample.",
+    "anywhere.  A naive partitionBy(lang) window would put each of a "
+    "handful of huge classes on ONE task at 100 TB; instead the rank "
+    "comes from global_rank's range-partitioned distributed sort over "
+    "(lang, md5, doc_id), converted to a per-class rank by "
+    "subtracting each class's broadcast start offset — no task ever "
+    "holds a whole class.  The oracle is the plain per-class window, "
+    "so the hash-match machine-proves the distributed form "
+    "equivalent (same device as q66 vs q61).",
 )
 def d12_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from flaco_spark.operators.relational_ext import global_rank
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
     floor_n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
         F.min("n").alias("m")
     )
-    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
-    ranked = d.withColumn("rk", F.row_number().over(w))
+    ranked, _ = global_rank(d, ["lang", "h", "doc_id"])
+    # class start offsets: cumulative counts over the tiny per-class
+    # aggregate (|classes| rows), broadcast back
+    from pyspark.sql import Window as W
+
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cn"))
+    w = W.orderBy("lang").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "lang", F.coalesce(F.sum("cn").over(w), F.lit(0)).alias("off")
+    )
     return (
-        ranked.crossJoin(F.broadcast(floor_n))
-        .filter(F.col("rk") <= F.col("m"))
+        ranked.join(F.broadcast(offsets), "lang")
+        .crossJoin(F.broadcast(floor_n))
+        .filter((F.col("_rank") - F.col("off")) <= F.col("m"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

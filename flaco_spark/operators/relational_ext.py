@@ -602,6 +602,18 @@ def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches() -> None:
+    """Unpersist pinned range-partitionings from earlier global_rank calls."""
+    while _RANK_CACHES:
+        try:
+            _RANK_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
 def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None = None):
     """Distributed global dense row rank under a total order.
 
@@ -620,6 +632,18 @@ def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None
     rp = df.repartitionByRange(npart, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # PIN the range partitioning: RangePartitioner samples boundaries per
+    # EXECUTION, so without a materialization the offsets collected below
+    # and the caller's final action could see different partitionings —
+    # harmless for unique sort keys in practice, silently corrupting for
+    # tied keys (observed: grouped rank off by hundreds with a 150-value
+    # key).  The eager persist makes both reads hit the same blocks; the
+    # previous call's cache is released on entry (builders run
+    # sequentially, same contract as operators/dedup._persist_eager).
+    release_rank_caches()
+    rp = rp.persist()
+    rp.count()
+    _RANK_CACHES.append(rp)
     local_w = W.partitionBy("_pid").orderBy(*order_cols)
     local = rp.withColumn("_lrn", F.row_number().over(local_w))
     counts = sorted(
@@ -1474,4 +1498,86 @@ def q77_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — PERCENTILE_CONT from a distributed rank (q71's scale twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q78_percentile_cont_dist",
+    oracle="""
+SELECT l_returnflag,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+       percentile_cont(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile", "scale", "lineitem"),
+    doc="q71's PERCENTILE_CONT semantics WITHOUT buffering any group "
+    "in one task: the values are first compressed to an exact "
+    "per-(group, value) HISTOGRAM (one partial-aggregated shuffle; "
+    "cardinality = groups x distinct values, independent of row "
+    "count), cumulative ranks come from a window over that tiny "
+    "histogram, and each percentile's two boundary ranks select "
+    "their values by a range condition on the cumulative span.  "
+    "Spark's exact percentile aggregate holds each group's full "
+    "value multiset in its aggregation buffer — fine for bounded "
+    "groups, an OOM at 100 TB; the histogram form touches O(rows) "
+    "once and everything downstream is distinct-value-sized (the "
+    "same compression that makes OHLC/low-cardinality rollups "
+    "scale).  Hash-matched against the SAME oracle as q71 (the "
+    "q61→q66 device), machine-proving the scale path equivalent.",
+)
+def q78_percentile_cont_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    # exact value histogram: groups × ≤50 distinct quantities
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    spans = hist.withColumn("cum_hi", F.sum("cnt").over(w)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("cnt")
+    )  # value covers ranks (cum_lo, cum_hi]
+
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cn"))
+    pcts = F.array(*[F.lit(p) for p in (0.25, 0.50, 0.75)])
+    targets = (
+        counts.select("l_returnflag", "cn", F.explode(pcts).alias("p"))
+        .withColumn("x", (F.col("cn") - 1) * F.col("p") + 1)
+        .withColumn("lo", F.floor("x").cast("bigint"))
+        .withColumn("hi", F.ceil("x").cast("bigint"))
+        .withColumn("frac", F.col("x") - F.col("lo"))
+    )
+    bounds = targets.select(
+        "l_returnflag", "p", "frac",
+        F.explode(F.array(
+            F.struct(F.col("lo").alias("pos"), F.lit("lo").alias("role")),
+            F.struct(F.col("hi").alias("pos"), F.lit("hi").alias("role")),
+        )).alias("b"),
+    ).select(
+        "l_returnflag", "p", "frac",
+        F.col("b.pos").alias("pos"), F.col("b.role").alias("role"),
+    )
+    picked = spans.join(F.broadcast(bounds), "l_returnflag").filter(
+        (F.col("pos") > F.col("cum_lo")) & (F.col("pos") <= F.col("cum_hi"))
+    )
+    per_p = picked.groupBy("l_returnflag", "p", "frac").agg(
+        F.max(F.when(F.col("role") == "lo", F.col("l_quantity"))).alias("vlo"),
+        F.max(F.when(F.col("role") == "hi", F.col("l_quantity"))).alias("vhi"),
+    ).withColumn("v", F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo")))
+    return per_p.groupBy("l_returnflag").pivot("p", ["0.25", "0.5", "0.75"]).agg(
+        F.first("v")
+    ).select(
+        "l_returnflag",
+        F.col("`0.25`").alias("p25"),
+        F.col("`0.5`").alias("p50"),
+        F.col("`0.75`").alias("p75"),
     )
