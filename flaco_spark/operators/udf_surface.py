@@ -196,3 +196,73 @@ def u06_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInArrow(
         agg, schema="event_type string, n bigint, value_cents bigint, max_k int"
     )
+
+
+@register(
+    "u07_cogrouped_pandas",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       COUNT(l.l_orderkey) AS n_lineitems
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_custkey < 50
+GROUP BY c.c_custkey
+""",
+    tags=("udf", "cogroup", "pandas"),
+    doc="Cogrouped applyInPandas: orders and lineitem co-partition on "
+    "the join key and each (orders-group, lineitem-group) pair lands "
+    "in ONE Python call as two pandas frames — Spark's escape hatch "
+    "for per-key merge logic no SQL join expresses (per-key "
+    "sequence alignment, custom matching).  The function here does a "
+    "pandas merge + count so the DuckDB join oracle can hash-check "
+    "the plumbing end-to-end.  Scale: both sides shuffle once on the "
+    "key (same cost as the equivalent join), Python sees one key "
+    "group at a time, Arrow-batched.",
+)
+def u07_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+
+    # restrict lineitem to the relevant orders first (semi-join) so the
+    # cogroup key can be the CUSTOMER: one python call per customer.
+    # (aliased copy of the order keys — avoids self-join ambiguity)
+    o_keys = o.select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok")
+    )
+    li_k = li.join(o_keys, li.l_orderkey == o_keys.ok, "inner").select(
+        F.col("ck").alias("o_custkey"), "l_orderkey", "l_linenumber"
+    )
+
+    def merge(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "n_lineitems"]
+            ).astype({"c_custkey": "int64", "n_orders": "int64", "n_lineitems": "int64"})
+        merged = orders_pdf.merge(
+            lines_pdf, left_on="o_orderkey", right_on="l_orderkey", how="inner"
+        )
+        if merged.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "n_lineitems"]
+            ).astype({"c_custkey": "int64", "n_orders": "int64", "n_lineitems": "int64"})
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(orders_pdf["o_custkey"].iloc[0])],
+                "n_orders": [int(merged["o_orderkey"].nunique())],
+                "n_lineitems": [int(len(merged))],
+            }
+        )
+
+    return (
+        o.groupby("o_custkey")
+        .cogroup(li_k.groupby("o_custkey"))
+        .applyInPandas(merge, schema="c_custkey bigint, n_orders bigint, n_lineitems bigint")
+    )
