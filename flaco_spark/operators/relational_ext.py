@@ -1506,6 +1506,63 @@ def q77_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def histogram_percentile_cont(
+    df: DataFrame, group_col: str, value_col: str, pcts: list[float]
+) -> DataFrame:
+    """Exact PERCENTILE_CONT per group from a value histogram.
+
+    Returns (group, p, v) — long form; callers pivot as needed.  The
+    only row-count-sized work is the histogram aggregate; everything
+    after is distinct-value-sized.  See q78's doc for the scale
+    rationale.
+    """
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    spans = hist.withColumn("cum_hi", F.sum("cnt").over(w)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("cnt")
+    )  # value covers ranks (cum_lo, cum_hi]
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cn"))
+    pct_arr = F.array(*[F.lit(p) for p in pcts])
+    targets = (
+        counts.select(group_col, "cn", F.explode(pct_arr).alias("p"))
+        .withColumn("x", (F.col("cn") - 1) * F.col("p") + 1)
+        .withColumn("lo", F.floor("x").cast("bigint"))
+        .withColumn("hi", F.ceil("x").cast("bigint"))
+        .withColumn("frac", F.col("x") - F.col("lo"))
+    )
+    bounds = targets.select(
+        group_col, "p", "frac",
+        F.explode(F.array(
+            F.struct(F.col("lo").alias("pos"), F.lit("lo").alias("role")),
+            F.struct(F.col("hi").alias("pos"), F.lit("hi").alias("role")),
+        )).alias("b"),
+    ).select(
+        group_col, "p", "frac",
+        F.col("b.pos").alias("pos"), F.col("b.role").alias("role"),
+    )
+    picked = spans.join(F.broadcast(bounds), group_col).filter(
+        (F.col("pos") > F.col("cum_lo")) & (F.col("pos") <= F.col("cum_hi"))
+    )
+    return (
+        picked.groupBy(group_col, "p", "frac")
+        .agg(
+            F.max(F.when(F.col("role") == "lo", F.col(value_col))).alias("vlo"),
+            F.max(F.when(F.col("role") == "hi", F.col(value_col))).alias("vhi"),
+        )
+        .select(
+            group_col,
+            "p",
+            (F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))).alias("v"),
+        )
+    )
+
+
+
 @register(
     "q78_percentile_cont_dist",
     oracle="""
@@ -1533,46 +1590,7 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q78_percentile_cont_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-
-    # exact value histogram: groups × ≤50 distinct quantities
-    hist = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = (
-        W.partitionBy("l_returnflag")
-        .orderBy("l_quantity")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    spans = hist.withColumn("cum_hi", F.sum("cnt").over(w)).withColumn(
-        "cum_lo", F.col("cum_hi") - F.col("cnt")
-    )  # value covers ranks (cum_lo, cum_hi]
-
-    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cn"))
-    pcts = F.array(*[F.lit(p) for p in (0.25, 0.50, 0.75)])
-    targets = (
-        counts.select("l_returnflag", "cn", F.explode(pcts).alias("p"))
-        .withColumn("x", (F.col("cn") - 1) * F.col("p") + 1)
-        .withColumn("lo", F.floor("x").cast("bigint"))
-        .withColumn("hi", F.ceil("x").cast("bigint"))
-        .withColumn("frac", F.col("x") - F.col("lo"))
-    )
-    bounds = targets.select(
-        "l_returnflag", "p", "frac",
-        F.explode(F.array(
-            F.struct(F.col("lo").alias("pos"), F.lit("lo").alias("role")),
-            F.struct(F.col("hi").alias("pos"), F.lit("hi").alias("role")),
-        )).alias("b"),
-    ).select(
-        "l_returnflag", "p", "frac",
-        F.col("b.pos").alias("pos"), F.col("b.role").alias("role"),
-    )
-    picked = spans.join(F.broadcast(bounds), "l_returnflag").filter(
-        (F.col("pos") > F.col("cum_lo")) & (F.col("pos") <= F.col("cum_hi"))
-    )
-    per_p = picked.groupBy("l_returnflag", "p", "frac").agg(
-        F.max(F.when(F.col("role") == "lo", F.col("l_quantity"))).alias("vlo"),
-        F.max(F.when(F.col("role") == "hi", F.col("l_quantity"))).alias("vhi"),
-    ).withColumn("v", F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo")))
+    per_p = histogram_percentile_cont(li, "l_returnflag", "l_quantity", [0.25, 0.50, 0.75])
     return per_p.groupBy("l_returnflag").pivot("p", ["0.25", "0.5", "0.75"]).agg(
         F.first("v")
     ).select(

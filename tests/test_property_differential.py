@@ -252,3 +252,35 @@ def test_topk_per_query_matches_python(spark, rows, k):
         grp = sorted((r for r in rows if r[0] == q), key=lambda r: (-r[2], r[1]))
         want += [(q, nid, s, i + 1) for i, (_, nid, s) in enumerate(grp[:k])]
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1,
+        max_size=120,
+    ),
+    pct=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+def test_histogram_percentile_matches_numpy(spark, rows, pct):
+    """histogram_percentile_cont equals numpy's linear-interpolation
+    percentile on random grouped integer data (integers keep the
+    comparison exact)."""
+    import numpy as np
+
+    from flaco_spark.operators.relational_ext import histogram_percentile_cont
+
+    df = spark.createDataFrame(rows, ["g", "x"]).repartition(5)
+    got = {
+        (r.g, r.p): r.v
+        for r in histogram_percentile_cont(df, "g", "x", [pct]).collect()
+    }
+    for g in {r[0] for r in rows}:
+        vals = [x for gg, x in rows if gg == g]
+        want = float(np.percentile(vals, pct * 100, method="linear"))
+        assert abs(got[(g, pct)] - want) < 1e-12, (g, pct, got[(g, pct)], want)
