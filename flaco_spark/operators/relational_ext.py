@@ -1599,3 +1599,47 @@ def q78_percentile_cont_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`0.5`").alias("p50"),
         F.col("`0.75`").alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — SCD2 validity intervals from an event log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q79_scd2_intervals",
+    oracle="""
+SELECT user_id,
+       event_id,
+       value AS attr_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'signup'
+""",
+    tags=("window", "scd2", "cdc", "events"),
+    doc="Slowly-changing-dimension type-2 reconstruction: each change "
+    "event becomes a validity interval [ts, next_ts), the last one "
+    "open-ended and flagged current — the standard warehouse "
+    "history-table build, the interval-producing complement of q69's "
+    "latest-record compaction.  One shuffle keyed by entity, one "
+    "window sort, both lead() calls share the same window spec (one "
+    "Window node in the plan).  At 100 TB this runs per entity "
+    "partition with O(1) state per row.",
+)
+def q79_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
