@@ -178,6 +178,13 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "d01_dedup_exact",
         "t01_token_stats",
         "s01_salted_agg",
+        "q73_running_distinct",
+        "q75_histogram",
+        "q77_event_transitions",
+        "t10_chunking",
+        "t11_sequence_packing",
+        "d11_dataset_split",
+        "q79_scd2_intervals",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname

@@ -512,3 +512,77 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         (r.purchase_id, r.view_id) for r in attribution_join(bv, bp).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_foreachbatch_upsert_converges(spark, sf_dir, tmp_path):
+    """foreachBatch exactly-once MERGE sink: streaming micro-batches
+    upsert a keyed snapshot (latest record per user wins within and
+    across batches); after the stream drains, the snapshot equals the
+    batch latest-record query (q69 semantics).  Completes the CDC
+    lane: q67 MERGE (batch) + q69 compaction + this streaming apply."""
+    import shutil
+
+    from flaco_spark.inventory import load_inventory
+    from flaco_spark.tables import convert_event_ts, table as _table
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    snap_dir = str(tmp_path / "snapshot")
+
+    from pyspark.sql import Window as W
+
+    def upsert(batch_df, batch_id):
+        latest_w = W.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        incoming = (
+            batch_df.withColumn("rn", F.row_number().over(latest_w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "value")
+        )
+        try:
+            current = batch_df.sparkSession.read.parquet(snap_dir)
+            merged = (
+                current.unionByName(incoming)
+                .withColumn("rn", F.row_number().over(latest_w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        except Exception:
+            merged = incoming
+        # rewrite-snapshot MERGE (what Delta/Iceberg do per-file); local
+        # parquet has no txn log, so write to a temp dir then swap
+        tmp_out = snap_dir + f".b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        import shutil as sh
+
+        sh.rmtree(snap_dir, ignore_errors=True)
+        sh.move(tmp_out, snap_dir)
+
+    stream = convert_event_ts(
+        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+    ).select("user_id", "event_id", "ts", "value")
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(snap_dir).select("user_id", "event_id").collect()
+    }
+    e = _table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        (r.user_id, r.event_id)
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
