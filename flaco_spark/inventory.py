@@ -51,6 +51,7 @@ FORCE_RECHECK: frozenset[str] = frozenset(
     {
         "d06_embedding_dedup_pairs",  # non-vacuous threshold + planted dups
         "d08_ngram_jaccard_pairs",  # exact-collapse prepass + hashed postings
+        "q22_idle_rich_customers",  # date-bounded anti join (non-vacuous)
     }
 )
 

@@ -679,11 +679,16 @@ WHERE c.c_acctbal > (
   SELECT CAST(SUM({sql_money('c_acctbal')}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
   FROM customer WHERE c_acctbal > 0
 )
-AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 """,
     tags=("subquery", "anti"),
-    doc="TPC-H Q22-style: above-average balances with no orders "
-    "(scalar subquery + anti join).",
+    doc="TPC-H Q22-style: above-average balances with no RECENT orders "
+    "(scalar subquery + filtered anti join).  'Recent' = since "
+    "2001-01-01: with the plain no-orders-ever predicate every sf has "
+    "zero qualifying rows (all customers order), making the check "
+    "vacuous — the date-bounded form returns real rows at every sf, "
+    "and pushes the date filter into the anti-join's build side.",
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -694,7 +699,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(avg_df))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")),
+            F.col("c_custkey") == o.o_custkey,
+            "left_anti",
+        )
         .select("c_custkey", "c_acctbal")
     )
 

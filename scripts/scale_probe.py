@@ -65,6 +65,13 @@ PROBE = [
     "ts09_value_range_join",
     "q70_stats_moments",
     "q73_running_distinct",
+    "q74_data_quality_audit",
+    "q76_incremental_agg",
+    "q77_event_transitions",
+    "q78_percentile_cont_dist",
+    "q79_scd2_intervals",
+    "d12_class_rebalance",
+    "u07_cogrouped_pandas",
 ]
 
 
