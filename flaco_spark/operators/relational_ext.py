@@ -1643,3 +1643,80 @@ def q79_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, fmt).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — LATERAL correlated subquery (top-N per group via lateral)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q80_lateral_topn",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+""",
+    tags=("subquery", "lateral", "sql"),
+    doc="Correlated LATERAL subquery — top-2 customers per nation, "
+    "written as SQL LATERAL (the per-row subquery surface a Postgres "
+    "user of the reference would push through flaco verbatim, "
+    "src/lib.rs:189).  Catalyst decorrelates the lateral limit into "
+    "the same ranked-window plan the DataFrame formulation (q23) "
+    "produces — asserted here by matching the DuckDB LATERAL oracle; "
+    "no per-row re-execution survives optimization, so the plan "
+    "scales like any window top-k.",
+)
+def q80_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM v_nation n,
+             LATERAL (SELECT c_custkey, c_acctbal FROM v_customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — explode vs explode_outer NULL semantics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q81_explode_outer",
+    oracle=r"""
+WITH arr AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN []
+              ELSE string_split(o_orderpriority, '-') END AS parts
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT a.o_orderkey, u.part
+FROM arr a LEFT JOIN
+     (SELECT o_orderkey, unnest(parts) AS part FROM arr) u
+  ON a.o_orderkey = u.o_orderkey
+""",
+    tags=("explode", "null", "arrays"),
+    doc="explode_outer: rows whose array is empty/NULL survive the "
+    "unnest with a NULL element instead of vanishing — the LEFT JOIN "
+    "UNNEST semantics (DuckDB's unnest drops empties, so the oracle "
+    "reconstructs outer behavior with an explicit left join).  The "
+    "inner-vs-outer distinction decides whether a 100 TB fan-out "
+    "stage silently loses parentless rows; this query pins the "
+    "contract.",
+)
+def q81_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    arr = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("o_orderpriority", "-"))
+        .alias("parts"),
+    )
+    return arr.select("o_orderkey", F.explode_outer("parts").alias("part"))
