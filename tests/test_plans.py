@@ -586,3 +586,14 @@ def test_streaming_foreachbatch_upsert_converges(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_lateral_topn_decorrelates(spark, sf_dir):
+    """q80's LATERAL LIMIT subquery must decorrelate to a ranked
+    window (WindowGroupLimit pushes the limit map-side) — never a
+    per-outer-row re-execution."""
+    from flaco_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q80_lateral_topn"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
