@@ -463,3 +463,56 @@ def ts09_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts10 — gap detection (missing-heartbeat analysis)
+# ---------------------------------------------------------------------------
+
+GAP_MINUTES = 360  # 6h
+
+
+@register(
+    "ts10_gap_detection",
+    oracle="""
+SELECT user_id,
+       strftime(prev_ts, '%Y-%m-%d %H:%M:%S.%f') AS gap_start,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS gap_end,
+       CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+FROM (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) t
+WHERE prev_ts IS NOT NULL
+  AND date_diff('second', prev_ts, ts) > 360 * 60
+""",
+    tags=("timeseries", "window", "gap", "events"),
+    doc="Gap detection: flag every pair of consecutive events (per "
+    "entity, time order) separated by more than the expected "
+    "heartbeat interval — the monitoring/sensor-health primitive "
+    "dual to ts03's session windows (a session BREAK is exactly a "
+    "gap).  One shuffle keyed by entity, one lag() window, O(1) "
+    "state per row; output is gaps only, so cardinality is "
+    "anomaly-sized, not row-sized.",
+)
+def ts10_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    gap_s = (
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+        - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
+    )
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .withColumn("gap_seconds", gap_s)
+        .filter(F.col("gap_seconds") > GAP_MINUTES * 60)
+        .select(
+            "user_id",
+            F.date_format("prev_ts", fmt).alias("gap_start"),
+            F.date_format("ts", fmt).alias("gap_end"),
+            F.col("gap_seconds").cast("bigint").alias("gap_seconds"),
+        )
+    )
