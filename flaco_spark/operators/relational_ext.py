@@ -1720,3 +1720,44 @@ def q81_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parts"),
     )
     return arr.select("o_orderkey", F.explode_outer("parts").alias("part"))
+
+
+# ---------------------------------------------------------------------------
+# q82 — recursive CTE: depth-bounded reachability (graph BFS in SQL)
+# ---------------------------------------------------------------------------
+
+_BFS_SQL_BODY = """
+WITH RECURSIVE edges AS (
+  SELECT n_nationkey AS src,
+         CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst
+  FROM {nation}
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+  UNION ALL
+  SELECT e.dst AS id, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 8
+)
+SELECT id, CAST(MIN(depth) AS INT) AS min_depth, COUNT(*) AS n_paths
+FROM reach GROUP BY id
+"""
+
+
+@register(
+    "q82_recursive_bfs",
+    oracle=_BFS_SQL_BODY.format(nation="nation"),
+    tags=("recursive", "cte", "graph", "sql"),
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE): depth-bounded BFS "
+    "over a functional graph derived from nation keys — min hop "
+    "distance and path count per reached node.  The SAME SQL text "
+    "runs on both engines (the oracle IS the query, modulo the view "
+    "name), exercising the iterative-execution surface that d09's "
+    "driver-loop label propagation emulates for engines without "
+    "recursion.  Each recursion step is one self-contained join "
+    "stage; the depth bound caps total work — the planner unrolls "
+    "to depth x join cost, never materializing unbounded state.",
+)
+def q82_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation_bfs")
+    return spark.sql(_BFS_SQL_BODY.format(nation="v_nation_bfs"))

@@ -516,3 +516,44 @@ def ts10_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gap_seconds").cast("bigint").alias("gap_seconds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts11 — time-interval RANGE frame (trailing 6h sum per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts11_interval_range_frame",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_6h
+FROM events
+WHERE user_id < 100
+""",
+    tags=("timeseries", "window", "range-frame", "events"),
+    doc="Time-based RANGE frame: each event's trailing-6-hour value "
+    "sum — the moving-metric primitive where the frame is defined by "
+    "the TIMESTAMP DELTA, not a row count (q59's RANGE frame is "
+    "numeric; this is its temporal sibling, and the batch mirror of "
+    "the streaming sliding window ts02).  Events landing at the same "
+    "ts share a frame (RANGE ties), so the sum uses the exact-decimal "
+    "discipline to stay order-independent.  One shuffle keyed by "
+    "user, frame state bounded by the interval's event density.",
+)
+def ts11_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    e.createOrReplaceTempView("v_events_range")
+    return e.sparkSession.sql(
+        """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_6h
+        FROM v_events_range
+        """
+    )
