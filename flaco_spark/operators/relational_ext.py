@@ -1761,3 +1761,48 @@ FROM reach GROUP BY id
 def q82_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation_bfs")
     return spark.sql(_BFS_SQL_BODY.format(nation="v_nation_bfs"))
+
+
+# ---------------------------------------------------------------------------
+# q83 — calendar arithmetic (month/quarter boundaries, ISO weeks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q83_calendar_math",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy
+FROM orders WHERE o_orderkey < 1000
+""",
+    tags=("temporal", "calendar", "orders"),
+    doc="Calendar arithmetic beyond q32's extract functions: "
+    "end-of-month clamping (add_months / + INTERVAL both clamp "
+    "Jan 31 + 3m → Apr 30), last_day, month/quarter boundary "
+    "truncation, ISO week numbers, day-of-year — the fiscal-calendar "
+    "tool set every reporting rollup leans on, pinned portable "
+    "across engines (dates emitted as formatted strings so DATE vs "
+    "TIMESTAMP representation differences can't leak into the "
+    "hash).  Pure map-side expressions.",
+)
+def q83_calendar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = "yyyy-MM-dd"
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", d).alias("order_day"),
+        F.date_format(F.add_months("o_orderdate", 3), d).alias("plus_3m"),
+        F.date_format(F.last_day("o_orderdate"), d).alias("month_end"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), d).alias("month_start"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), d).alias("quarter_start"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+    )
