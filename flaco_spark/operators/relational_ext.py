@@ -1806,3 +1806,47 @@ def q83_calendar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
         F.dayofyear("o_orderdate").cast("int").alias("doy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — MapType column construction and lookup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q84_map_functions",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+       NULLIF(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS views,
+       NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchases
+FROM events
+WHERE user_id < 200
+GROUP BY user_id
+""",
+    tags=("map", "collection", "events"),
+    doc="MapType surface: per-user (event_type → count) built with "
+    "map_from_entries over an aggregated struct list, then consumed "
+    "via size() and element_at() lookups (absent key → NULL — the "
+    "map contract).  The oracle states the same semantics relationally "
+    "(FILTER counts, NULLIF for the absent-key NULL), so the "
+    "hash-match verifies the map round-trip end-to-end without "
+    "relying on cross-engine map representation.  One partial-agg "
+    "shuffle; map cardinality is bounded by |event types|.",
+)
+def q84_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").cast("int").alias("n_types"),
+        F.element_at("m", "view").alias("views"),
+        F.element_at("m", "purchase").alias("purchases"),
+    )
