@@ -643,8 +643,11 @@ def kmeans_fit(
     → centroids recompute as per-(cell, dim) means in one shuffle
     keyed by cell.  The iteration count is a small driver-side loop —
     the same driver-coordinated pattern as d09's label propagation;
-    each round is one job and centroids stay centroid-count-sized
-    (driver/broadcast-safe: k ≪ n by construction, independent of SF).
+    each round is one job and centroids stay centroid-count-sized.
+    k must be BOUNDED for the broadcast to be valid: a production fit
+    fixes k ≤ ~10^5 regardless of table size.  The k_seed_mod rule
+    used in tests grows |seeds| with the table — a deterministic
+    test-data convenience only, not the scale contract.
 
     Returns (assignments DataFrame, per-iteration mean distances).
     The mean assign-distance sequence is the convergence evidence:
