@@ -975,3 +975,45 @@ def d12_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d13 — canonicalized exact dedup (normalize, then hash-group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d13_normalized_dedup",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT h AS norm_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_variants
+FROM norm GROUP BY h
+""",
+    tags=("dedup", "normalize", "documents"),
+    doc="Canonicalized exact dedup: documents hash-group on "
+    "md5(normalize(text)) instead of the raw bytes, so case/"
+    "punctuation/whitespace variants of the same content collapse "
+    "into one class — the cheap recall win that runs BEFORE the "
+    "expensive fuzzy passes (d01 raw-hash ⊂ this ⊂ d04 MinHash in "
+    "recall order).  Same cost shape as d01: map-side normalize + "
+    "one shuffle on a short hash key.",
+)
+def d13_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.operators.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -1850,3 +1850,54 @@ def q84_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "view").alias("views"),
         F.element_at("m", "purchase").alias("purchases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — schema-evolution union (unionByName with missing columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q85_schema_evolution_union",
+    oracle="""
+SELECT source, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+       CAST(COUNT(priority_class) AS BIGINT) AS n_with_class
+FROM (
+  SELECT 'v1' AS source, o_orderkey, o_totalprice,
+         CAST(NULL AS VARCHAR) AS priority_class
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT 'v2' AS source, o_orderkey, o_totalprice,
+         substr(o_orderpriority, 1, 1) AS priority_class
+  FROM orders WHERE o_orderkey % 2 = 1
+) t
+GROUP BY source
+""",
+    tags=("union", "schema-evolution", "orders"),
+    doc="Schema-evolution union: a v1 feed without the new column "
+    "unions with a v2 feed that has it, via unionByName("
+    "allowMissingColumns=True) — absent columns null-fill instead of "
+    "erroring, the append path every long-lived dataset needs when "
+    "producers upgrade at different times (DuckDB's UNION ALL BY "
+    "NAME is the same contract).  Position-based UNION would "
+    "silently mis-align here; name-based resolution is the "
+    "correctness point being pinned.",
+)
+def q85_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit("v1").alias("source"), "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.lit("v2").alias("source"),
+        "o_orderkey",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).alias("priority_class"),
+    )
+    both = v1.unionByName(v2, allowMissingColumns=True)
+    return both.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+        F.count("priority_class").alias("n_with_class"),
+    )

@@ -521,3 +521,45 @@ def t11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t12 — text canonicalization (normalize before dedup/analysis)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """lower → strip non-alphanumerics to spaces → collapse runs →
+    trim: the canonical form under which case/punctuation variants of
+    the same content compare equal.  Pure JVM regexp expressions."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(stripped, r" +", " ")
+    return F.trim(collapsed)
+
+
+@register(
+    "t12_text_normalize",
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents WHERE doc_id < 200
+""",
+    tags=("text", "normalize", "documents"),
+    doc="Text canonicalization: lowercase, strip punctuation to "
+    "spaces, collapse whitespace — the normalization pass that runs "
+    "before dedup/fingerprinting so trivial formatting variants "
+    "collapse (d13 builds on it).  Map-side regexp only; the regex "
+    "subset is Java/RE2-portable.",
+)
+def t12_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
