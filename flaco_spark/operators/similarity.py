@@ -702,3 +702,74 @@ def kmeans_fit(
             ).alias("cv"),
         ).withColumn("cn", norm(F.col("cv")))
     return assigned, history
+
+
+# ---------------------------------------------------------------------------
+# e08 — int8 scalar quantization of embeddings (storage compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e08_scalar_quantization",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM pts
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv,
+         v
+  FROM scaled
+)
+SELECT vec_id,
+       scale,
+       CAST(qv[1] AS INT) AS q0,
+       CAST(qv[2] AS INT) AS q1,
+       CAST(qv[64] AS INT) AS q63,
+       CAST(list_aggregate(list_transform(qv, x -> CAST(abs(x) <= 127 AS INT)),
+                           'sum') AS INT) AS n_in_range
+FROM q
+""",
+    tags=("similarity", "embedding", "quantization"),
+    doc="Scalar int8 quantization of embeddings: per-vector scale = "
+    "max|x|/127, elements map to round(x/scale) ∈ [-127, 127] — 4× "
+    "storage compression (float32 → int8), the first thing a 100 TB "
+    "embedding corpus does before indexing.  Rounding is the "
+    "portable floor(x+0.5) form (engine round() half-mode differs "
+    "between IEEE half-even and half-away; floor is floor "
+    "everywhere).  Emits the scale, probe elements, and an in-range "
+    "audit count.  Pure map-side lambda expressions, no shuffle.",
+)
+def e08_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    pts = e.select("vec_id", v.alias("v"), scale.alias("scale"))
+    qv = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("bigint")
+    )
+    out = pts.select("vec_id", "scale", qv.alias("qv"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.element_at("qv", 1).cast("int").alias("q0"),
+        F.element_at("qv", 2).cast("int").alias("q1"),
+        F.element_at("qv", 64).cast("int").alias("q63"),
+        F.aggregate(
+            F.transform(
+                F.col("qv"), lambda x: F.when(F.abs(x) <= 127, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("int")
+        .alias("n_in_range"),
+    )
