@@ -72,6 +72,14 @@ PROBE = [
     "q79_scd2_intervals",
     "d12_class_rebalance",
     "u07_cogrouped_pandas",
+    "d13_normalized_dedup",
+    "t12_text_normalize",
+    "ts10_gap_detection",
+    "ts11_interval_range_frame",
+    "q82_recursive_bfs",
+    "q84_map_functions",
+    "q85_schema_evolution_union",
+    "e08_scalar_quantization",
 ]
 
 
