@@ -1901,3 +1901,94 @@ def q85_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
         F.count("priority_class").alias("n_with_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — nth_value / first_value with IGNORE NULLS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q86_nth_value_windows",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS biggest,
+       nth_value(o_totalprice, 2) OVER w AS second_biggest,
+       last_value(o_clerk IGNORE NULLS) OVER w AS last_known_clerk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE 'clerk_' || CAST(o_orderkey % 7 AS VARCHAR) END AS o_clerk
+  FROM orders WHERE o_custkey < 200
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "analytic", "orders"),
+    doc="Positional window analytics: first_value, nth_value(2), and "
+    "last_value(... IGNORE NULLS) — the carry-forward idiom "
+    "(last-known-good attribute over a running frame) plus "
+    "fixed-position frame probes, completing q24's lag/lead family.  "
+    "All three share one window spec: one shuffle, one sort, one "
+    "Window node.",
+)
+def q86_nth_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    derived = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("clerk_"), (F.col("o_orderkey") % 7).cast("string")))
+        .alias("o_clerk"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return derived.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("biggest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_biggest"),
+        F.last("o_clerk", ignorenulls=True).over(w).alias("last_known_clerk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — ratio-to-report (share of partition total)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_ratio_to_report",
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
+         / CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share
+FROM orders
+WHERE o_orderkey < 2000
+""",
+    tags=("window", "ratio", "orders"),
+    doc="Ratio-to-report: each row's share of its partition total via "
+    "an unbounded window sum — the reporting idiom behind market-"
+    "share and contribution tables.  The denominator is an exact-"
+    "decimal window sum (order-independent), the share one IEEE "
+    "division of exact operands — bit-stable under any partitioning.  "
+    "One shuffle on the report key; no ORDER BY in the window, so no "
+    "sort at all.",
+)
+def q87_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (
+            money("o_totalprice").cast("double")
+            / F.sum(money("o_totalprice")).over(w).cast("double")
+        ).alias("share"),
+    )

@@ -557,3 +557,46 @@ def ts11_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_events_range
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# ts12 — VWAP time bars (volume-weighted average price)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts12_vwap_bars",
+    oracle="""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(event_id % 100 + 1 AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(event_id % 100 + 1 AS BIGINT)) AS DOUBLE) AS vwap
+FROM events
+WHERE user_id < 50
+GROUP BY 1, 2
+""",
+    tags=("timeseries", "vwap", "agg", "events"),
+    doc="Volume-weighted average price per hourly bar — the "
+    "downsampling companion to ts07's OHLC, with value as price and "
+    "a deterministic derived volume (event_id%100+1).  VWAP = "
+    "Σ(p·v)/Σv where both sums are exact (decimal price × integer "
+    "volume), then ONE division — the only formulation that "
+    "hash-matches across engines AND re-aggregates incrementally "
+    "(store the two sums, not the ratio, in the hourly layer; q76's "
+    "partial-merge pattern).  Single partial-aggregated shuffle.",
+)
+def ts12_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    vol = (F.col("event_id") % 100 + 1).cast("bigint")
+    pv = F.col("value").cast("decimal(18,6)") * vol
+    return (
+        e.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bar"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            (F.sum(pv).cast("double") / F.sum(vol).cast("double")).alias("vwap"),
+        )
+    )
