@@ -1992,3 +1992,54 @@ def q87_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(money("o_totalprice")).over(w).cast("double")
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — gaps and islands (consecutive-run grouping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q88_gaps_and_islands",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+  WHERE user_id < 100
+)
+SELECT user_id, event_type,
+       rn - rn_type AS island_key,
+       COUNT(*) AS run_length,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM seq
+GROUP BY user_id, event_type, rn - rn_type
+""",
+    tags=("window", "islands", "sequence", "events"),
+    doc="Gaps-and-islands: group CONSECUTIVE runs of the same event "
+    "type per user with the classic rank-difference trick (global "
+    "seq rank minus per-type rank is constant within a run) — the "
+    "run-length-encoding primitive behind streak analytics, "
+    "compression, and bot detection (a 500-long 'click' run is a "
+    "signature).  Two windows over the same user key (one shuffle, "
+    "the second window reuses the partitioning) + a partial-agg "
+    "rollup.",
+)
+def q88_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island_key"),
+    )
+    return seq.groupBy("user_id", "event_type", "island_key").agg(
+        F.count(F.lit(1)).alias("run_length"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )

@@ -600,3 +600,55 @@ def ts12_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(pv).cast("double") / F.sum(vol).cast("double")).alias("vwap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts13 — z-score anomaly detection from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts13_zscore_anomalies",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.value,
+       (e.value - m.sx / m.n)
+         / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)) AS zscore
+FROM events e JOIN m ON e.user_id = m.user_id
+WHERE abs((e.value - m.sx / m.n)
+          / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1))) > 3.0
+""",
+    tags=("timeseries", "anomaly", "stats", "events"),
+    doc="Z-score anomaly detection: flag events more than 3 sample "
+    "standard deviations from their user's mean, with mean/std "
+    "derived from exact-decimal moment sums (q70's technique) so the "
+    "flagged set is bit-identical across engines and partitionings — "
+    "an anomaly detector whose OUTPUT flaps between runs is worse "
+    "than none.  One moments aggregate (tiny) broadcast-joined back "
+    "to the stream; output is anomaly-sized.  The same two-pass "
+    "shape at 100 TB: moments from the hourly rollup layer, join "
+    "pushed to the scan.",
+)
+def ts13_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vd).cast("double").alias("sx"),
+        F.sum(vd * vd).cast("double").alias("sxx"),
+    )
+    joined = e.join(F.broadcast(m), "user_id")
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - F.lit(1.0)))
+    z = (F.col("value") - mean) / std
+    return (
+        joined.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .select("user_id", "event_id", "value", "zscore")
+    )
