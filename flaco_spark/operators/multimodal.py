@@ -407,3 +407,65 @@ def m04_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc1", "doc2", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# m05 — modality router (type-dispatched feature extraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m05_modality_router",
+    oracle="""
+WITH typed AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image'
+                         WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS mime_class,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+)
+SELECT mime_class,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE mime_class WHEN 'image' THEN (n_bytes % 640 + 1)
+                                WHEN 'audio' THEN (n_bytes // 2)
+                                ELSE (n_bytes % 24 + 1) END) AS BIGINT)
+         AS sum_primary_feature
+FROM typed
+GROUP BY mime_class
+""",
+    tags=("multimodal", "router", "documents"),
+    doc="Modality router: a mixed media table dispatches per-row to "
+    "the modality-appropriate feature path (image → width, audio → "
+    "sample count, video → frame count; all deterministic stub "
+    "features of the payload bytes, same contract as m01-m03) and "
+    "the per-modality features union back into one relation.  In "
+    "production each CASE arm is a separate mapInPandas decode "
+    "stage over a modality-partitioned slice — partitioning by "
+    "mime_class first means each decode task loads ONE codec, the "
+    "shape that keeps a 100 TB mixed-media scan cache-friendly.  "
+    "Here the dispatch itself (the router) is the tested surface.",
+)
+def m05_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_payload(table(spark, sf_dir, "documents"))
+    typed = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("mime_class"),
+        F.length("payload").alias("n_bytes"),
+    )
+    feature = (
+        F.when(F.col("mime_class") == "image", F.col("n_bytes") % 640 + 1)
+        .when(F.col("mime_class") == "audio", (F.col("n_bytes") / 2).cast("bigint"))
+        .otherwise(F.col("n_bytes") % 24 + 1)
+    )
+    return (
+        typed.withColumn("primary_feature", feature)
+        .groupBy("mime_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("primary_feature").cast("bigint").alias("sum_primary_feature"),
+        )
+    )
