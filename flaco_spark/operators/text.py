@@ -563,3 +563,81 @@ def t12_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t13 — bigram domain-fit scoring (corpus-top-bigram coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t13_bigram_coverage",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i + 1]) AS bg
+  FROM toks
+),
+corpus_top AS (
+  SELECT b AS bigram FROM (
+    SELECT unnest(bg) AS b FROM bigrams
+  ) GROUP BY b ORDER BY COUNT(*) DESC, b LIMIT 20
+),
+top_list AS (
+  SELECT list(bigram) AS tl FROM corpus_top
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(len(g.bg) AS BIGINT) AS n_bigrams,
+         CAST(len(list_filter(g.bg, x -> list_contains(t.tl, x)))
+              AS BIGINT) AS n_top_hits
+  FROM bigrams g CROSS JOIN top_list t
+)
+SELECT doc_id, n_bigrams, n_top_hits,
+       CAST(n_top_hits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS coverage
+FROM scored WHERE doc_id < 200
+""",
+    tags=("text", "bigram", "scoring", "documents"),
+    doc="Domain-fit scoring by corpus-top-bigram coverage: the 20 "
+    "most frequent bigrams ARE the corpus's domain signature; each "
+    "document scores by the fraction of its bigrams in that set — a "
+    "log-free (hence hash-matchable) proxy for in-domain perplexity, "
+    "used to filter off-domain text from a training mix.  Two "
+    "passes: a bigram wordcount (partial-agg shuffle + top-20), "
+    "then a map-side rescan against the broadcast top set — the "
+    "same broadcast-the-model shape t03's lexicons use.",
+)
+def t13_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = d.select("doc_id", bigrams.alias("bg"))
+    top = (
+        bg.select(F.explode("bg").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("b"))
+        .limit(20)
+        .agg(F.collect_set("b").alias("top_set"))
+    )
+    scored = bg.filter(F.col("doc_id") < 200).crossJoin(F.broadcast(top)).select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("n_bigrams"),
+        F.size(
+            F.filter(F.col("bg"), lambda x: F.array_contains(F.col("top_set"), x))
+        )
+        .cast("bigint")
+        .alias("n_top_hits"),
+    )
+    return scored.withColumn(
+        "coverage",
+        F.col("n_top_hits").cast("double") / F.col("n_bigrams").cast("double"),
+    )
