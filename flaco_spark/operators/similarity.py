@@ -773,3 +773,73 @@ def e08_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_in_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e09 — IVF recall vs the exact baseline (completes e06's evidence pair)
+# ---------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = (
+    _IVF_ORACLE.rsplit("SELECT query_id,", 1)[0]
+    + """, ivf3 AS (
+  SELECT query_id, neighbor_id FROM scored WHERE rn <= 3
+),
+ed AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+  FROM pts q
+  JOIN pts c ON q.vec_id < 25 AND c.vec_id <> q.vec_id,
+       generate_series(1, 64) AS g(i)
+  GROUP BY q.vec_id, c.vec_id
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY d.dotp / (nq.nrm * nc.nrm) DESC, d.neighbor_id) AS rn
+    FROM ed d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.neighbor_id = nc.vec_id) t
+  WHERE rn <= 3
+)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(i.neighbor_id) AS n_hits,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact3 e
+LEFT JOIN ivf3 i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
+)
+
+
+@register(
+    "e09_ivf_recall",
+    oracle=_IVF_RECALL_ORACLE,
+    tags=("similarity", "embedding", "ivf", "recall", "evidence"),
+    doc="Self-measuring IVF quality: per-query recall@3 of the IVF "
+    "index (e04, nprobe=2) against the exact brute-force top-3 — "
+    "the same in-engine evidence e06 provides for the sign-LSH "
+    "index, so BOTH approximate paths carry a machine-checked "
+    "quality row.  Lost neighbors are exactly those whose cell the "
+    "probe set missed; tuning nprobe moves this number, and this "
+    "query is how you watch it.",
+)
+def e09_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 25)
+    exact = brute_force_topk(e, q, k=3).select("query_id", "neighbor_id")
+    approx = ivf_topk(e, q, k=3).select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
