@@ -1017,3 +1017,58 @@ def d13_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d14 — train/test near-duplicate leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d14_split_leakage",
+    oracle=f"""
+WITH {_D04_PAIRS_CTE},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) < 204 THEN 'train'
+              WHEN CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(s1.split, s2.split) AS split_a,
+       greatest(s1.split, s2.split) AS split_b,
+       COUNT(*) AS n_near_dup_pairs
+FROM pairs p
+JOIN splits s1 ON p.doc1 = s1.doc_id
+JOIN splits s2 ON p.doc2 = s2.doc_id
+GROUP BY 1, 2
+""",
+    tags=("dedup", "split", "leakage", "audit", "documents"),
+    doc="Train/test leakage audit: count verified near-duplicate "
+    "pairs (d04's MinHash-LSH edges) that CROSS d11's content-hash "
+    "split boundaries — exact duplicates can't leak (identical text "
+    "hashes to the same split by construction) but near-duplicates "
+    "can, and rows where split_a <> split_b are exactly the "
+    "contaminated eval pairs a model audit must catch before "
+    "training.  Reuses the engine's own dedup operators; cost = "
+    "d04's pair mining + two broadcast-sized split joins.",
+)
+def d14_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d)
+    b = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint")
+    splits = d.select(
+        "doc_id",
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test").alias("split"),
+    )
+    s1 = splits.select(F.col("doc_id").alias("doc1"), F.col("split").alias("sp1"))
+    s2 = splits.select(F.col("doc_id").alias("doc2"), F.col("split").alias("sp2"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .groupBy(
+            F.least("sp1", "sp2").alias("split_a"),
+            F.greatest("sp1", "sp2").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    )

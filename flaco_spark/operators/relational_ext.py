@@ -2043,3 +2043,38 @@ def q88_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — string padding / formatting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q89_string_formatting",
+    oracle="""
+SELECT o_orderkey,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+       rpad(o_orderpriority, 20, '.') AS padded_priority,
+       printf('%s#%06d', substr(o_orderpriority, 1, 1), o_orderkey) AS label,
+       repeat('*', CAST(o_orderkey % 5 AS INT)) AS stars
+FROM orders WHERE o_orderkey < 500
+""",
+    tags=("string", "formatting", "orders"),
+    doc="String formatting surface: lpad/rpad (fixed-width keys for "
+    "external systems), printf-style composition, repeat — the "
+    "export-formatting idioms q30's transforms don't cover.  Pure "
+    "map-side; format_string's %06d zero-padding semantics pinned "
+    "identical to DuckDB's printf.",
+)
+def q89_string_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("o_orderpriority", 20, ".").alias("padded_priority"),
+        F.format_string(
+            "%s#%06d", F.substring("o_orderpriority", 1, 1), F.col("o_orderkey")
+        ).alias("label"),
+        F.repeat(F.lit("*"), (F.col("o_orderkey") % 5).cast("int")).alias("stars"),
+    )

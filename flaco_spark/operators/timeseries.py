@@ -652,3 +652,51 @@ def ts13_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 3.0)
         .select("user_id", "event_id", "value", "zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts14 — period-over-period comparison (MoM growth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts14_mom_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT event_type,
+         strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, month, total,
+       LAG(total) OVER w AS prev_total,
+       total - LAG(total) OVER w AS delta,
+       (total - LAG(total) OVER w) / LAG(total) OVER w AS growth
+FROM monthly
+WINDOW w AS (PARTITION BY event_type ORDER BY month)
+""",
+    tags=("timeseries", "window", "reporting", "events"),
+    doc="Period-over-period reporting: monthly exact-decimal totals "
+    "per series, then lag() for the previous period, absolute delta, "
+    "and relative growth — the MoM/YoY table every dashboard ships.  "
+    "The rollup compresses rows to |series|x|months| BEFORE the "
+    "window, so the lag sort runs on the aggregate (tiny at any "
+    "scale), not the raw stream; deltas are IEEE ops on exact "
+    "operands, first period's growth NULL by lag semantics.",
+)
+def ts14_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    monthly = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"))
+    w = W.partitionBy("event_type").orderBy("month")
+    prev = F.lag("total").over(w)
+    return monthly.select(
+        "event_type",
+        "month",
+        "total",
+        prev.alias("prev_total"),
+        (F.col("total") - prev).alias("delta"),
+        ((F.col("total") - prev) / prev).alias("growth"),
+    )
