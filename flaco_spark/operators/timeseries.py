@@ -700,3 +700,84 @@ def ts14_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total") - prev).alias("delta"),
         ((F.col("total") - prev) / prev).alias("growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts15 — resample to a regular grid with forward fill (LOCF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts15_resample_ffill",
+    oracle="""
+WITH grid AS (
+  SELECT u.user_id, g.h AS slot
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
+       generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-03 23:00:00',
+                       INTERVAL 1 HOUR) AS g(h)
+),
+hourly AS (
+  SELECT user_id, slot, lv FROM (
+    SELECT user_id, date_trunc('hour', ts) AS slot,
+           CAST(value AS DOUBLE) AS lv,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id < 20) t
+  WHERE rn = 1
+),
+joined AS (
+  SELECT g.user_id, g.slot, h.lv
+  FROM grid g LEFT JOIN hourly h
+    ON g.user_id = h.user_id AND g.slot = h.slot
+)
+SELECT user_id,
+       strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot,
+       lv AS observed,
+       last_value(lv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+                                         ROWS UNBOUNDED PRECEDING) AS filled
+FROM joined
+""",
+    tags=("timeseries", "resample", "ffill", "events"),
+    doc="Resample to a regular hourly grid with forward fill (LOCF): "
+    "per user, every grid slot gets the hour's last observation "
+    "(arg_max under the deterministic (ts, event_id) order) or the "
+    "most recent prior value carried forward — pandas' "
+    "resample().ffill() as a distributed plan: calendar-generated "
+    "grid (q64's device) × users, one left join on (user, slot), one "
+    "last(ignorenulls) running window.  Three days of grid keeps the "
+    "fan-out bounded; at scale the grid is a generated dimension, "
+    "never materialized storage.",
+)
+def ts15_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    users = e.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("slot"),
+    )
+    w_last = W.partitionBy("user_id", "slot_h").orderBy(F.desc("ts"), F.desc("event_id"))
+    hourly = (
+        e.withColumn("slot_h", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("slot_h").alias("slot"), F.col("value").alias("last_value"))
+    )
+    joined = grid.join(hourly, ["user_id", "slot"], "left")
+    w_fill = (
+        W.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot"),
+        F.col("last_value").alias("observed"),
+        F.last("last_value", ignorenulls=True).over(w_fill).alias("filled"),
+    )
