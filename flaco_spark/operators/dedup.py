@@ -469,6 +469,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting the round budget without a zero-change round means
+        # some component's diameter exceeds max_iterations and the
+        # labels are NOT a fixpoint — returning them silently would
+        # hand wrong component_ids downstream.  Fail loudly instead.
+        sym.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing); raise "
+            "max_iterations (rounds needed ~ component diameter)"
+        )
     _LIVE_CACHES.append(sym)
     _LIVE_CACHES.append(labels)
     # Singletons (no edges) are their own component.
@@ -595,6 +607,13 @@ def ngram_jaccard_pairs(
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        # Belt-and-braces: if one doc's distinct shingles collide in
+        # the 60-bit posting hash, its id appears 2+ times in one
+        # posting list and the sorted-slice expansion would emit a
+        # (doc, doc) self-pair (Jaccard 1.0, absent from the oracle's
+        # a.doc_id < b.doc_id output).  Astronomically rare; the
+        # filter is free.
+        .filter(F.col("doc1") != F.col("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
     s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))

@@ -30,6 +30,23 @@ from flaco_spark.tables import table
 SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)
 
 
+def _spread(candidates: DataFrame) -> DataFrame:
+    """Ensure the candidate side has at least core-count partitions.
+
+    The score step amplifies work per candidate row (|queries| cosine
+    evaluations each), so a candidate table that arrives in fewer
+    partitions than the cluster has cores serializes that compute —
+    locally a single small parquet file lands in ONE task and the
+    whole O(n·q) scoring runs serially.  A table already at or above
+    core parallelism (the 100 TB case) is left untouched: no shuffle
+    is added where the scan is wide enough.
+    """
+    sc = candidates.sparkSession.sparkContext
+    if candidates.rdd.getNumPartitions() < sc.defaultParallelism:
+        return candidates.repartition(sc.defaultParallelism)
+    return candidates
+
+
 def topk_per_query(
     scored: DataFrame,
     query_col: str,
@@ -69,7 +86,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every query vector."""
-    cand = candidates.select(
+    cand = _spread(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -99,7 +116,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates compared only within the query's
     sign-LSH bucket."""
-    cand = candidates.select(
+    cand = _spread(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -309,7 +326,7 @@ def ivf_topk(
             .select(f"{prefix}_id", f"{prefix}v", f"{prefix}n", F.col("seed_id").alias("cell"))
         )
 
-    cand = assign(candidates, "c", keep=1)
+    cand = assign(_spread(candidates), "c", keep=1)
     q = assign(queries, "q", keep=nprobe)
     scored = (
         cand.join(F.broadcast(q), "cell")
