@@ -687,8 +687,15 @@ def kmeans_fit(
             F.col("vn").alias("cn"),
         )
     )
+    spark = vectors.sparkSession
+    # pts is scanned once per Lloyd round — cache it so rounds 2..N
+    # read executor memory, not parquet.  Probe the dimensionality
+    # ONCE (it cannot change between rounds).
+    pts = pts.persist()
+    dim = len(pts.select("v").first()[0])
     history: list[float] = []
     assigned = None
+    prev_assigned = None
     for _ in range(max_iters):
         scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
             "sim", cosine(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
@@ -698,13 +705,16 @@ def kmeans_fit(
             scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") == 1)
             .select("vec_id", "cell", "v", "sim")
-        )
-        # mean cosine similarity of assignments (monotone non-decreasing)
+        ).persist()
+        # mean cosine similarity of assignments (monotone non-decreasing);
+        # this action also materializes the cache.
         history.append(
             assigned.agg(F.avg("sim")).collect()[0][0]
         )
-        # centroid update: elementwise mean per cell (one shuffle on cell)
-        dim = len(pts.select("v").first()[0])
+        if prev_assigned is not None:
+            prev_assigned.unpersist()
+        prev_assigned = assigned
+        # centroid update: elementwise mean per cell (one shuffle on cell).
         sums = assigned.groupBy("cell").agg(
             *[
                 F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
@@ -712,12 +722,25 @@ def kmeans_fit(
             ],
             F.count(F.lit(1)).alias("n"),
         )
-        centroids = sums.select(
+        # Collect the (bounded-k, see contract above) centroid table to
+        # the driver and rebuild it as a literal DataFrame: this CUTS
+        # the lineage each round, so round N's plan does not nest
+        # rounds 1..N-1 (the superlinear-recompute trap of iterative
+        # dataflows), mirroring connected_components' label handling.
+        rows = sums.select(
             "cell",
-            F.array(
-                *[F.col(f"s{i}") / F.col("n") for i in range(dim)]
-            ).alias("cv"),
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]).alias("cv"),
+        ).collect()
+        centroids = spark.createDataFrame(
+            [(r["cell"], r["cv"]) for r in rows], "cell bigint, cv array<double>"
         ).withColumn("cn", norm(F.col("cv")))
+    pts.unpersist()
+    # The final assignment stays cached for the caller's terminal
+    # action; register it with the shared release pool so the next
+    # builder (or an explicit release_caches()) reclaims it.
+    from flaco_spark.operators.dedup import _LIVE_CACHES
+
+    _LIVE_CACHES.append(assigned)
     return assigned, history
 
 

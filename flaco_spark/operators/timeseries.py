@@ -500,9 +500,15 @@ def ts10_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    gap_s = (
-        F.unix_timestamp(F.col("ts").cast("timestamp"))
-        - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
+    # timestampdiff on the ntz values stays timezone-independent;
+    # unix_timestamp(cast(... as timestamp)) would route through the
+    # session timezone and drift ±3600s across a DST transition in a
+    # non-UTC session tz, flipping rows near the threshold vs the
+    # oracle's naive date_diff.  date_trunc to whole seconds first:
+    # date_diff('second', ...) counts SECOND-BOUNDARY CROSSINGS
+    # (0.9s → 1.1s is 1), not elapsed full seconds (0).
+    gap_s = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', prev_ts), date_trunc('second', ts))"
     )
     return (
         e.withColumn("prev_ts", F.lag("ts").over(w))
