@@ -818,17 +818,18 @@ bucketed AS (
 ),
 norms AS (
   SELECT vec_id,
-         round(sqrt(CAST(SUM(CAST(v[g.i] * v[g.i] AS DECIMAL(28,14))) AS DOUBLE)), 6) AS nrm
-  FROM pts, generate_series(1, 64) AS g(i)
-  GROUP BY vec_id
+         round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                             list_transform(v, x -> x * x)),
+                                (acc, x) -> acc + x)), 6) AS nrm
+  FROM pts
 ),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
-         round(CAST(SUM(CAST(a.v[g.i] * b.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x), 8) AS dotp
   FROM bucketed a
-  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
-       generate_series(1, 64) AS g(i)
-  GROUP BY a.vec_id, b.vec_id
+  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT p.id1, p.id2,
        p.dotp / (n1.nrm * n2.nrm) AS cos_sim

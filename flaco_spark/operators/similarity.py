@@ -138,12 +138,27 @@ def lsh_topk(
     ).select("query_id", "neighbor_id", "cos_sim", "rn")
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB SQL for a dot product as an IEEE-double LEFT-FOLD over
+    element order — the exact operation sequence of
+    ``flaco_spark.functions.dot`` (``F.aggregate`` with 0.0 init), so
+    the two engines produce bit-identical doubles (IEEE 754 semantics
+    are sequence-deterministic; verified over the full embeddings
+    fixture)."""
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
 _NORMS_SQL = """
 norms AS (
   SELECT vec_id,
-         round(sqrt(CAST(SUM(CAST(v[g.i] * v[g.i] AS DECIMAL(28,14))) AS DOUBLE)), 6) AS nrm
-  FROM pts, generate_series(1, 64) AS g(i)
-  GROUP BY vec_id
+         round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                             list_transform(v, x -> x * x)),
+                                (acc, x) -> acc + x)), 6) AS nrm
+  FROM pts
 )
 """
 
@@ -157,11 +172,9 @@ WITH pts AS (
 {_NORMS_SQL},
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+         round({_dot_sql('q.v', 'c.v')}, 8) AS dotp
   FROM pts q
-  JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id,
-       generate_series(1, 64) AS g(i)
-  GROUP BY q.vec_id, c.vec_id
+  JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
 ),
 scored AS (
   SELECT d.query_id, d.neighbor_id,
@@ -239,11 +252,9 @@ bucketed AS (
 {_NORMS_SQL},
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+         round({_dot_sql('q.v', 'c.v')}, 8) AS dotp
   FROM bucketed q
-  JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id < 25 AND c.vec_id <> q.vec_id,
-       generate_series(1, 64) AS g(i)
-  GROUP BY q.vec_id, c.vec_id
+  JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id < 25 AND c.vec_id <> q.vec_id
 ),
 scored AS (
   SELECT d.query_id, d.neighbor_id,
@@ -355,12 +366,11 @@ seeds AS (
 ),
 seed_cos AS (
   SELECT p.vec_id, s.seed_id,
-         round(CAST(SUM(CAST(p.v[g.i] * s.sv[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8)
+         round({_dot_sql('p.v', 's.sv')}, 8)
            / (n.nrm * s.sn) AS seed_cos
   FROM pts p
   JOIN norms n ON p.vec_id = n.vec_id
-  CROSS JOIN seeds s, generate_series(1, 64) AS g(i)
-  GROUP BY p.vec_id, s.seed_id, n.nrm, s.sn
+  CROSS JOIN seeds s
 ),
 ranked_cells AS (
   SELECT vec_id, seed_id AS cell,
@@ -376,13 +386,11 @@ probe AS (
 ),
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CAST(SUM(CAST(qp.v[g.i] * cp.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+         round({_dot_sql('qp.v', 'cp.v')}, 8) AS dotp
   FROM probe q
   JOIN cand c ON q.cell = c.cell AND c.vec_id <> q.vec_id
   JOIN pts qp ON q.vec_id = qp.vec_id
-  JOIN pts cp ON c.vec_id = cp.vec_id,
-       generate_series(1, 64) AS g(i)
-  GROUP BY q.vec_id, c.vec_id
+  JOIN pts cp ON c.vec_id = cp.vec_id
 ),
 scored AS (
   SELECT d.query_id, d.neighbor_id,
@@ -436,11 +444,9 @@ bucketed AS (
 ),
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+         round({_dot_sql('q.v', 'c.v')}, 8) AS dotp
   FROM pts q
-  JOIN pts c ON q.vec_id < 25 AND c.vec_id <> q.vec_id,
-       generate_series(1, 64) AS g(i)
-  GROUP BY q.vec_id, c.vec_id
+  JOIN pts c ON q.vec_id < 25 AND c.vec_id <> q.vec_id
 ),
 cos AS (
   SELECT d.query_id, d.neighbor_id, d.dotp / (nq.nrm * nc.nrm) AS cos_sim
@@ -567,12 +573,11 @@ seeds AS (
 ),
 seed_cos AS (
   SELECT p.vec_id, s.seed_id,
-         round(CAST(SUM(CAST(p.v[g.i] * s.sv[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8)
+         round({_dot_sql('p.v', 's.sv')}, 8)
            / (n.nrm * s.sn) AS seed_cos
   FROM pts p
   JOIN norms n ON p.vec_id = n.vec_id
-  CROSS JOIN seeds s, generate_series(1, 64) AS g(i)
-  GROUP BY p.vec_id, s.seed_id, n.nrm, s.sn
+  CROSS JOIN seeds s
 ),
 assigned AS (
   SELECT vec_id, seed_id AS cell FROM (
@@ -826,11 +831,11 @@ _IVF_RECALL_ORACLE = (
 ),
 ed AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CAST(SUM(CAST(q.v[g.i] * c.v[g.i] AS DECIMAL(28,14))) AS DOUBLE), 8) AS dotp
+         round("""
+    + _dot_sql("q.v", "c.v")
+    + """, 8) AS dotp
   FROM pts q
-  JOIN pts c ON q.vec_id < 25 AND c.vec_id <> q.vec_id,
-       generate_series(1, 64) AS g(i)
-  GROUP BY q.vec_id, c.vec_id
+  JOIN pts c ON q.vec_id < 25 AND c.vec_id <> q.vec_id
 ),
 exact3 AS (
   SELECT query_id, neighbor_id FROM (
