@@ -55,6 +55,33 @@ FORCE_RECHECK: frozenset[str] = frozenset(
     }
 )
 
+# Names that entered round 3 with no driver row yet (r1+r2 sampled the
+# other 100 of 150).  They have waited longest, so they outrank queries
+# REGISTERED after round 2 in the never-checked tier — otherwise a
+# round that adds new queries starves the old tail (u04–u07 would slip
+# a third round).
+WAITING_SINCE_R2: frozenset[str] = frozenset(
+    {
+        "q86_nth_value_windows", "q87_ratio_to_report", "q88_gaps_and_islands",
+        "q89_string_formatting", "e01_knn_bruteforce", "e02_embedding_stats",
+        "e03_ann_sign_lsh", "e04_ann_ivf", "e05_label_centroids",
+        "e06_lsh_recall", "e07_kmeans_iteration", "e08_scalar_quantization",
+        "e09_ivf_recall", "s01_salted_agg", "s02_salted_join",
+        "t01_token_stats", "t02_quality_score", "t03_lang_id",
+        "t04_fingerprint", "t05_word_frequencies", "t06_bpe_token_count",
+        "t07_top_terms_tfidf", "t08_edit_distance_pairs", "t09_term_redaction",
+        "t10_chunking", "t11_sequence_packing", "t12_text_normalize",
+        "t13_bigram_coverage", "ts01_asof_join", "ts02_sliding_window",
+        "ts03_session_window", "ts04_rollup_hierarchy", "ts05_retention_cohorts",
+        "ts06_funnel_conversion", "ts07_ohlc_bars", "ts08_rolling_median",
+        "ts09_value_range_join", "ts10_gap_detection", "ts11_interval_range_frame",
+        "ts12_vwap_bars", "ts13_zscore_anomalies", "ts14_mom_growth",
+        "ts15_resample_ffill", "u01_python_udf", "u02_pandas_udf",
+        "u03_grouped_pandas_udaf", "u04_map_in_arrow", "u05_arrow_python_udf",
+        "u06_apply_in_arrow", "u07_cogrouped_pandas",
+    }
+)
+
 # Plan-only rewrites (identical results, r1 rows remain valid
 # evidence): refresh after semantics changes, before stale greens.
 SOFT_RECHECK: frozenset[str] = frozenset(
@@ -123,7 +150,8 @@ def load_inventory() -> dict[str, QuerySpec]:
 
     def key(n: str) -> tuple[float, int]:
         if n not in seen:
-            rank = -3.0  # never driver-checked: always first
+            # longest-waiting never-checked first, then newly added
+            rank = -4.0 if n in WAITING_SINCE_R2 else -3.0
         elif n in FORCE_RECHECK:
             rank = -2.0  # semantics changed since the green row
         elif n in SOFT_RECHECK:

@@ -29,6 +29,7 @@ from flaco_spark.functions import (
     lsh_band_key,
     minhash_signature,
     sign_lsh_bucket,
+    tokens,
     word_shingles,
 )
 from flaco_spark.inventory import register
@@ -1091,4 +1092,143 @@ def d14_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("sp1", "sp2").alias("split_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# d15 — deterministic stratified sampling (per-language rates)
+# ---------------------------------------------------------------------------
+
+# Target per-mille keep rates per language: downsample the dominant
+# language, keep the rest whole — the standard training-mix rebalance.
+D15_RATES = {"en": 400, "de": 1000, "es": 1000, "fr": 1000, "zh": 700}
+D15_DEFAULT_RATE = 1000
+
+
+@register(
+    "d15_stratified_sample",
+    oracle=f"""
+WITH rates(lang, keep_permille) AS (
+  VALUES {", ".join(f"('{lang}', {r})" for lang, r in sorted(D15_RATES.items()))}
+),
+keyed AS (
+  SELECT d.doc_id, d.lang, d.source,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1000 AS bucket,
+         COALESCE(r.keep_permille, {D15_DEFAULT_RATE}) AS keep_permille
+  FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE bucket < keep_permille) AS BIGINT) AS n_kept
+FROM keyed
+GROUP BY lang
+""",
+    tags=("dedup", "sampling", "stratified", "documents"),
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "applied by hashing the STABLE key (md5(doc_id) mod 1000 < "
+    "rate), never rand() — reruns, retries, and incremental "
+    "ingestion all select the same rows, which is what makes a "
+    "sampled training mix reproducible.  Pure map-side expression + "
+    "one partial-aggregated groupBy(lang) for the audit counts; the "
+    "sample itself never materializes on the driver.  The rate map "
+    "is a broadcast-joined literal dimension (COALESCE default for "
+    "unseen strata).",
+)
+def d15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        sorted(D15_RATES.items()), "lang string, keep_permille int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    keyed = (
+        d.join(F.broadcast(rates), "lang", "left")
+        .withColumn("keep_permille", F.coalesce("keep_permille", F.lit(D15_DEFAULT_RATE)))
+        .withColumn("bucket", bucket)
+    )
+    return keyed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count(F.when(F.col("bucket") < F.col("keep_permille"), 1))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d16 — benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+D16_NGRAM = 4
+D16_BENCH_MOD = 101  # doc_id % 101 == 7 plays the held-out benchmark set
+
+
+@register(
+    "d16_decontamination",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {D16_NGRAM - 1}, 0)),
+           i -> md5(array_to_string(list_slice(t, i, i + {D16_NGRAM - 1}), ' '))
+         )) AS gs
+  FROM toks
+),
+bench AS (
+  SELECT doc_id AS bench_id, unnest(gs) AS g FROM grams
+  WHERE doc_id % {D16_BENCH_MOD} = 7
+),
+train AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+  WHERE doc_id % {D16_BENCH_MOD} <> 7
+)
+SELECT t.doc_id,
+       CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared_ngrams,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM train t JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id
+""",
+    tags=("dedup", "decontamination", "ngram", "documents"),
+    doc="Train/eval decontamination (the GPT-3/PaLM 13-gram rule, "
+    "here 4-gram): any training document sharing an n-gram with the "
+    "held-out benchmark set is contaminated and must be dropped "
+    "before training.  N-grams are hashed to fixed-width md5 keys "
+    "map-side and de-duplicated per document, so the join carries "
+    "(doc_id, hash) pairs — never text.  The benchmark side is "
+    "eval-set-sized (tiny vs the corpus), so at 100 TB the equi-join "
+    "broadcasts the benchmark grams and the whole check is one "
+    "map-side pass over the training scan plus a partial-aggregated "
+    "groupBy(doc_id); output is contaminated-docs-only sized.",
+)
+def d16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.greatest(F.size(toks) - (D16_NGRAM - 1), F.lit(0))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, F.lit(D16_NGRAM)))
+            ),
+        )
+    )
+    base = _parallelize_scan(d).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    is_bench = (F.col("doc_id") % D16_BENCH_MOD) == 7
+    bench = base.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "g")
+    train = base.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("bigint").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs"),
+        )
     )

@@ -2078,3 +2078,115 @@ def q89_string_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label"),
         F.repeat(F.lit("*"), (F.col("o_orderkey") % 5).cast("int")).alias("stars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — PIVOT (long → wide with explicit value list)
+# ---------------------------------------------------------------------------
+
+Q90_YEARS = (1995, 1996, 1997, 1998)
+
+
+@register(
+    "q90_pivot_revenue",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       {", ".join(
+           f'''CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = {y}
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) END),
+               0) AS DOUBLE) AS rev_{y}''' for y in Q90_YEARS)}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXTRACT(year FROM o.o_orderdate) BETWEEN {Q90_YEARS[0]} AND {Q90_YEARS[-1]}
+GROUP BY n.n_name
+""",
+    tags=("pivot", "aggregation", "multiway"),
+    doc="PIVOT long→wide: per-nation revenue with one column per "
+    "order year.  Uses ``groupBy().pivot(col, values)`` with the "
+    "EXPLICIT value list — without it Spark runs a blocking "
+    "distinct-collect pass over the fact table just to discover the "
+    "column set, a full extra scan at 100 TB (and a nondeterministic "
+    "schema besides).  With values pinned, the pivot compiles to the "
+    "same partial-aggregated single shuffle as a CASE-WHEN "
+    "conditional aggregate.",
+)
+def q90_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    year = F.year("o_orderdate")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(year.between(Q90_YEARS[0], Q90_YEARS[-1]))
+        .select(
+            F.col("n_name").alias("nation"),
+            year.alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("rev"),
+        )
+    )
+    wide = joined.groupBy("nation").pivot("yr", list(Q90_YEARS)).sum("rev")
+    out = wide.select(
+        "nation",
+        *[
+            F.coalesce(F.col(str(y)), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias(f"rev_{y}")
+            for y in Q90_YEARS
+        ],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q91 — UNPIVOT (wide → long)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q91_unpivot_revenue",
+    oracle=f"""
+WITH wide AS (
+  SELECT n.n_name AS nation,
+         {", ".join(
+             f'''CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o.o_orderdate) = {y}
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) END),
+                 0) AS DOUBLE) AS rev_{y}''' for y in Q90_YEARS)}
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE EXTRACT(year FROM o.o_orderdate) BETWEEN {Q90_YEARS[0]} AND {Q90_YEARS[-1]}
+  GROUP BY n.n_name
+)
+{" UNION ALL ".join(
+    f"SELECT nation, {y} AS yr, CAST(rev_{y} AS DOUBLE) AS revenue FROM wide" for y in Q90_YEARS)}
+""",
+    tags=("unpivot", "reshape", "multiway"),
+    doc="UNPIVOT wide→long (the inverse of q90): melts the per-year "
+    "revenue columns back to (nation, yr, revenue) rows via "
+    "``DataFrame.unpivot`` — Spark compiles it to a map-side Expand "
+    "(one input row → N output rows, no shuffle, no N-way self-"
+    "union re-scan, which is what the naive UNION ALL rewrite "
+    "costs).  Round-tripping q90's pivot also pins the two "
+    "operators as exact inverses.",
+)
+def q91_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q90_pivot_revenue(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["nation"],
+        values=[f"rev_{y}" for y in Q90_YEARS],
+        variableColumnName="yr_col",
+        valueColumnName="revenue",
+    )
+    return long.select(
+        "nation",
+        F.regexp_replace("yr_col", "^rev_", "").cast("int").alias("yr"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )

@@ -641,3 +641,140 @@ def t13_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coverage",
         F.col("n_top_hits").cast("double") / F.col("n_bigrams").cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t14 — repetition-ratio filter (duplicate n-gram fraction, Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t14_repetition_ratio",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+tris AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tg
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(tg) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct,
+       CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+         / CAST(len(tg) AS DOUBLE) AS dup_fraction,
+       CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+         / CAST(len(tg) AS DOUBLE) > 0.5 AS flagged
+FROM tris
+WHERE len(tg) > 0
+""",
+    tags=("text", "repetition", "quality", "documents"),
+    doc="Repetition filter (the Gopher/MassiveText duplicate-n-gram "
+    "rule): a document whose trigrams are mostly repeats of each "
+    "other is boilerplate or spam, not prose — score = 1 - "
+    "distinct/total trigrams, flag above 0.5.  Pure map-side array "
+    "expressions (split → slide → array_distinct), no shuffle at "
+    "all: at 100 TB this runs at scan speed with column pruning to "
+    "(doc_id, text).",
+)
+def t14_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    trigrams = F.zip_with(
+        F.slice(toks, 1, n),
+        F.zip_with(
+            F.slice(toks, 2, n), F.slice(toks, 3, n),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    scored = (
+        d.select("doc_id", trigrams.alias("tg"))
+        .filter(F.size("tg") > 0)
+        .select(
+            "doc_id",
+            F.size("tg").cast("bigint").alias("n_trigrams"),
+            F.size(F.array_distinct("tg")).cast("bigint").alias("n_distinct"),
+        )
+    )
+    dup = (
+        (F.col("n_trigrams") - F.col("n_distinct")).cast("double")
+        / F.col("n_trigrams").cast("double")
+    )
+    return scored.withColumn("dup_fraction", dup).withColumn(
+        "flagged", dup > 0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# t15 — composite quality gate (Gopher-style document rules)
+# ---------------------------------------------------------------------------
+
+T15_MIN_WORDS = 20
+T15_MAX_WORDS = 100_000
+T15_MIN_MWL = 3.0
+T15_MAX_MWL = 10.0
+T15_MIN_STOP_HITS = 2
+
+
+@register(
+    "t15_gopher_rules",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)),
+                             'sum') AS DOUBLE)
+           / CAST(len(t) AS DOUBLE) AS mean_word_len,
+         CAST(len(list_filter(t, x -> list_contains(
+             ['the', 'a', 'of', 'and', 'to', 'is', 'in', 'that', 'it', 'for'],
+             x))) AS BIGINT) AS stop_hits
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, n_words, mean_word_len, stop_hits,
+       (n_words BETWEEN {T15_MIN_WORDS} AND {T15_MAX_WORDS})
+         AND (mean_word_len BETWEEN {T15_MIN_MWL} AND {T15_MAX_MWL})
+         AND stop_hits >= {T15_MIN_STOP_HITS} AS keep
+FROM m
+""",
+    tags=("text", "quality", "filter", "documents"),
+    doc="Composite quality gate in the Gopher/MassiveText style: word "
+    "count within bounds, mean word length within bounds, and a "
+    "minimum stopword count (real prose contains function words; "
+    "keyword-stuffed or non-linguistic content does not).  Each rule "
+    "is a map-side array expression over the same tokenization — one "
+    "scan, no shuffle, trivially scan-parallel at 100 TB; the boolean "
+    "conjunction is emitted (not filtered) so downstream consumers "
+    "can audit per-rule pass rates.",
+)
+def t15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    m = base.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(F.col("t"), lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("t").cast("double")
+        ).alias("mean_word_len"),
+        F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(T15_MIN_WORDS, T15_MAX_WORDS)
+        & F.col("mean_word_len").between(T15_MIN_MWL, T15_MAX_MWL)
+        & (F.col("stop_hits") >= T15_MIN_STOP_HITS)
+    )
+    return m.withColumn("keep", keep)
