@@ -571,6 +571,29 @@ def ngram_jaccard_pairs(
     each ≤ max_df list — no df-count join-back, no posting self-join
     (the naive index shuffles the posting set three more times).
     """
+    cand, sh = _ngram_candidate_pairs(df, text_col, key_col, shingle_n, max_df)
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def _ngram_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate generation for the inverted-index dedup family
+    (d08 Jaccard, d17 containment): returns (candidate id pairs,
+    persisted per-representative shingle table).  See
+    :func:`ngram_jaccard_pairs` for the df-cap scale argument."""
     reps = _parallelize_scan(df).groupBy(F.col(text_col)).agg(F.min(key_col).alias("doc_id"))
     sh = _persist_eager(
         reps.select(
@@ -617,15 +640,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("doc1") != F.col("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
-    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
-    return (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
-    )
+    return cand, sh
 
 
 @register(
@@ -1232,3 +1247,89 @@ def d16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d17 — containment near-dup (catches subset duplicates Jaccard misses)
+# ---------------------------------------------------------------------------
+
+D17_THRESHOLD = 0.9
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 10,
+    threshold: float = D17_THRESHOLD,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle CONTAINMENT: |A∩B| / min(|A|,|B|).
+
+    Jaccard punishes length asymmetry — a document fully embedded in
+    one 3× its size scores J = 1/3 and slips under any Jaccard
+    threshold, yet for training-data dedup the smaller doc is pure
+    redundancy.  Containment normalizes by the smaller shingle set,
+    so truncations, quote-wrapping, and boilerplate-padding score
+    ~1.0 regardless of length ratio (Broder's resemblance vs
+    containment distinction).  Candidate generation and physical
+    shape are shared with d08 (:func:`_ngram_candidate_pairs`).
+    """
+    cand, sh = _ngram_candidate_pairs(df, text_col, key_col, shingle_n, max_df)
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    containment = (
+        F.size(F.array_intersect(F.col("sh1"), F.col("sh2"))).cast("double")
+        / F.least(F.size("sh1"), F.size("sh2")).cast("double")
+    )
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("doc1", "doc2", "containment")
+    )
+
+
+@register(
+    "d17_containment_pairs",
+    oracle=f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM reps
+),
+postings AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shash
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+),
+rare AS (
+  SELECT shash FROM postings GROUP BY shash
+  HAVING COUNT(*) BETWEEN 2 AND 10
+),
+keyed AS (
+  SELECT p.shash, p.doc_id FROM postings p JOIN rare r ON p.shash = r.shash
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM keyed a JOIN keyed b ON a.shash = b.shash AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+         / CAST(least(len(s1.shingles), len(s2.shingles)) AS DOUBLE) AS containment
+FROM cand c
+JOIN sh s1 ON c.doc1 = s1.doc_id
+JOIN sh s2 ON c.doc2 = s2.doc_id
+WHERE CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+        / CAST(least(len(s1.shingles), len(s2.shingles)) AS DOUBLE) >= {D17_THRESHOLD}
+""",
+    tags=("dedup", "ngram", "containment", "documents"),
+    doc="Containment dedup (|A∩B|/min|A|,|B| ≥ 0.9 over 3-token "
+    "shingles): flags truncation/subset duplicates that Jaccard "
+    "structurally misses (full embedding in a 3× doc ⇒ J = 1/3).  "
+    "Same df-capped inverted index and single-shuffle physical plan "
+    "as d08 — only the verify formula differs.",
+)
+def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(table(spark, sf_dir, "documents"))

@@ -888,3 +888,146 @@ def e09_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — kmeans_fit made oracle-checkable: 3 Lloyd iterations, unrolled
+# ---------------------------------------------------------------------------
+
+E10_ITERS = 3
+
+
+def _e10_oracle() -> str:
+    """Unroll E10_ITERS Lloyd iterations as DuckDB CTEs.
+
+    Mirrors the Spark loop step-for-step: assignment by rounded cosine
+    (dot rounded 8 dp, norms 6 dp — identical fold order both
+    engines), centroid recompute as EXACT decimal(18,8) per-(cell,
+    dim) means surfaced as double.  Because every intermediate is
+    deterministic, the iteration composition is too — this is how an
+    iterative algorithm becomes hash-matchable.
+    """
+    parts = [
+        """
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),""",
+        """
+norms AS (
+  SELECT vec_id,
+         round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                             list_transform(v, x -> x * x)),
+                                (acc, x) -> acc + x)), 6) AS nrm
+  FROM pts
+),""",
+        f"""
+c0 AS (
+  SELECT p.vec_id AS cell, p.v AS cv, n.nrm AS cn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+),""",
+    ]
+    for it in range(E10_ITERS):
+        dotp = _dot_sql("p.v", "c.cv")
+        parts.append(f"""
+s{it} AS (
+  SELECT p.vec_id, c.cell,
+         round({dotp}, 8) / (n.nrm * c.cn) AS sim
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id CROSS JOIN c{it} c
+),
+a{it} AS (
+  SELECT vec_id, cell, sim FROM (
+    SELECT vec_id, cell, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rnk
+    FROM s{it}) t WHERE rnk = 1
+),""")
+        if it < E10_ITERS - 1:
+            parts.append(f"""
+m{it} AS (
+  SELECT a.cell, g.i AS dim,
+         CAST(SUM(CAST(p.v[g.i] AS DECIMAL(18,8))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS cval
+  FROM a{it} a JOIN pts p ON a.vec_id = p.vec_id,
+       generate_series(1, 64) AS g(i)
+  GROUP BY a.cell, g.i
+),
+c{it + 1} AS (
+  SELECT cell,
+         list(cval ORDER BY dim) AS cv,
+         round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list(cval ORDER BY dim), x -> x * x)),
+               (acc, x) -> acc + x)), 6) AS cn
+  FROM m{it}
+  GROUP BY cell
+),""")
+    last = E10_ITERS - 1
+    parts.append(f"""
+final AS (SELECT vec_id, cell, sim FROM a{last})
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, sim AS cos_sim FROM final""")
+    return "".join(parts)
+
+
+@register(
+    "e10_kmeans_unrolled",
+    oracle=_e10_oracle(),
+    tags=("similarity", "embedding", "kmeans", "iterative"),
+    doc=f"Distributed KMeans, {E10_ITERS} Lloyd iterations, "
+    "ORACLE-CHECKED end to end (the iterative complement of e07's "
+    "single step and the evidence query for ``kmeans_fit``): each "
+    "round broadcasts the current centroids, assigns every vector "
+    "map-side by rounded cosine, and recomputes centroids as "
+    "exact-decimal per-(cell, dim) means — so every intermediate is "
+    "engine-portable and the composition hash-matches a DuckDB "
+    "unroll of the same three rounds.  Per round: one broadcast + "
+    "one |vectors|-row shuffle keyed by cell; centroid state stays "
+    "k-sized.  At 100 TB, k is bounded (≤ ~10^5) and rounds are "
+    "driver-coordinated jobs, exactly like ``kmeans_fit``.",
+)
+def e10_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    centroids = pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+    )
+    assigned = None
+    for it in range(E10_ITERS):
+        scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
+            "sim", cosine(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cell", "sim", "v")
+        )
+        if it < E10_ITERS - 1:
+            dims = assigned.select(
+                "cell", F.posexplode("v").alias("pos", "xf")
+            ).select(
+                "cell",
+                (F.col("pos") + 1).cast("int").alias("dim"),
+                F.col("xf").cast("decimal(18,8)").alias("x"),
+            )
+            means = dims.groupBy("cell", "dim").agg(
+                (
+                    F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+                ).alias("cval")
+            )
+            centroids = (
+                means.groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                        lambda s: s["cval"],
+                    ).alias("cv")
+                )
+                .withColumn("cn", norm(F.col("cv")))
+            )
+    return assigned.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"), F.col("sim").alias("cos_sim")
+    )

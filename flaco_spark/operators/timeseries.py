@@ -787,3 +787,94 @@ def ts15_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_value").alias("observed"),
         F.last("last_value", ignorenulls=True).over(w_fill).alias("filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts16 — as-of join directions: backward, forward, nearest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts16_asof_directions",
+    oracle="""
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER wb AS prior_id,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER wb AS prior_ts,
+         first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER wf AS next_id,
+         first_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER wf AS next_ts
+  FROM events
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       prior_id, next_id,
+       CASE
+         WHEN prior_id IS NULL THEN next_id
+         WHEN next_id IS NULL THEN prior_id
+         WHEN date_diff('microsecond', prior_ts, ts)
+              <= date_diff('microsecond', ts, next_ts) THEN prior_id
+         ELSE next_id
+       END AS nearest_id
+FROM marked
+WHERE event_type = 'purchase'
+""",
+    tags=("timeseries", "asof", "window", "events"),
+    doc="As-of join in all three directions (the pandas "
+    "``merge_asof`` / kdb ``aj`` direction surface): for each "
+    "purchase, the user's latest PRIOR view (backward — ts01's "
+    "semantics), earliest NEXT view (forward), and NEAREST view "
+    "(tie prefers prior, matching merge_asof).  Both directions are "
+    "carried-value windows over ONE shuffle keyed by user — no "
+    "range-join explosion, O(1) state per row either direction; "
+    "'nearest' is a pure map-side arbitration of the two carried "
+    "candidates by microsecond gap.",
+)
+def ts16_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(view_id, ignorenulls=True).over(wb).alias("prior_id"),
+        F.last(view_ts, ignorenulls=True).over(wb).alias("prior_ts"),
+        F.first(view_id, ignorenulls=True).over(wf).alias("next_id"),
+        F.first(view_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    gap_prior = F.expr("timestampdiff(MICROSECOND, prior_ts, ts)")
+    gap_next = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    nearest = (
+        F.when(F.col("prior_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prior_id"))
+        .when(gap_prior <= gap_next, F.col("prior_id"))
+        .otherwise(F.col("next_id"))
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "prior_id",
+            "next_id",
+            nearest.alias("nearest_id"),
+        )
+    )
