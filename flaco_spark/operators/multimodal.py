@@ -469,3 +469,82 @@ def m05_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("primary_feature").cast("bigint").alias("sum_primary_feature"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m06 — byte-level format sniffing (magic numbers)
+# ---------------------------------------------------------------------------
+
+_MAGIC = {
+    0: ("png", "89504E470D0A1A0A"),
+    1: ("jpeg", "FFD8FFE0"),
+    2: ("riff", "52494646"),
+    # doc_id % 4 == 3 → no magic prefix (unknown format)
+}
+
+
+@register(
+    "m06_format_sniffing",
+    oracle="""
+WITH payloads AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || CAST(text AS BLOB)
+           WHEN 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB || CAST(text AS BLOB)
+           WHEN 2 THEN 'RIFF'::BLOB || CAST(text AS BLOB)
+           ELSE CAST(text AS BLOB)
+         END AS payload
+  FROM documents
+),
+sniffed AS (
+  SELECT doc_id, payload,
+         CASE
+           WHEN substr(hex(payload), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+           WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+           WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+           ELSE 'unknown'
+         END AS sniffed_format
+  FROM payloads
+)
+SELECT sniffed_format,
+       COUNT(*) AS n_docs,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+FROM sniffed
+GROUP BY sniffed_format
+""",
+    tags=("multimodal", "sniffing", "documents"),
+    doc="Magic-number format sniffing: media format is decided from "
+    "the payload's LEADING BYTES (PNG/JPEG/RIFF signatures), never "
+    "from metadata — ingestion cannot trust extensions or "
+    "upstream-supplied MIME at 100 TB (mislabeled media crashes "
+    "codec stages).  The sniff is a fixed-prefix hex compare, pure "
+    "map-side on the first 8 bytes of each binary cell (a format-"
+    "dispatch prepass feeding m05's router); one partial-aggregated "
+    "groupBy emits the per-format census.  Payloads carry synthetic "
+    "magic headers (doc_id-derived) since real media bytes aren't in "
+    "the fixture — the sniffing logic is byte-for-byte real.",
+)
+def m06_format_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.unhex(F.lit(_MAGIC[0][1])), body))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.unhex(F.lit(_MAGIC[1][1])), body))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.unhex(F.lit(_MAGIC[2][1])), body))
+        .otherwise(body)
+    )
+    sniffed = (
+        F.when(F.hex(F.substring(F.col("payload"), 1, 8)) == _MAGIC[0][1], "png")
+        .when(F.hex(F.substring(F.col("payload"), 1, 3)) == _MAGIC[1][1][:6], "jpeg")
+        .when(F.hex(F.substring(F.col("payload"), 1, 4)) == _MAGIC[2][1], "riff")
+        .otherwise("unknown")
+    )
+    return (
+        d.select("doc_id", payload.alias("payload"))
+        .withColumn("sniffed_format", sniffed)
+        .groupBy("sniffed_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        )
+    )

@@ -7,7 +7,7 @@ linearly with the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flaco_spark.functions import tokens
@@ -778,3 +778,71 @@ def t15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_hits") >= T15_MIN_STOP_HITS)
     )
     return m.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# t16 — data mixture card (per-source token accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t16_mixture_card",
+    oracle=r"""
+WITH per_doc AS (
+  SELECT source, len(string_split_regex(text, '\s+')) AS n_toks FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM per_source)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CAST(s.n_tokens AS DOUBLE) / CAST(t.t AS DOUBLE) AS token_share,
+       CAST(SUM(s.n_tokens) OVER (ORDER BY s.n_tokens DESC, s.source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / CAST(t.t AS DOUBLE) AS cum_share
+FROM per_source s CROSS JOIN tot t
+""",
+    tags=("text", "mixture", "accounting", "documents"),
+    doc="Data mixture card: per-source document and token totals with "
+    "each source's token share and the cumulative share in "
+    "descending-size order — the accounting table every training-mix "
+    "decision (upsampling weights, source caps, epoch math) reads "
+    "first.  One partial-aggregated groupBy(source) collapses the "
+    "corpus to |sources| rows; the share/cumulative window then runs "
+    "over that tiny aggregate (global window is safe BECAUSE the "
+    "input is sources-sized, not corpus-sized — same bounded-input "
+    "argument as d12's class offsets).  Token counts are exact "
+    "integers, shares are single IEEE divisions of identical "
+    "operands — hash-stable.",
+)
+def t16_mixture_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_toks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("t"))
+    w = (
+        W.orderBy(F.desc("n_tokens"), F.asc("source"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias(
+                "token_share"
+            ),
+            (
+                F.sum("n_tokens").over(w).cast("double")
+                / F.col("t").cast("double")
+            ).alias("cum_share"),
+        )
+    )
