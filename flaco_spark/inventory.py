@@ -143,6 +143,7 @@ def load_inventory() -> dict[str, QuerySpec]:
         timeseries,
         udf_surface,
     )
+    from flaco_spark.streaming import queries  # noqa: F401
 
     seen = _last_green_round()
     order = list(REGISTRY)

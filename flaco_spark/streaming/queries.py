@@ -1,0 +1,118 @@
+"""Structured Streaming executions registered as oracle-checked queries.
+
+Every other streaming surface in this repo is exercised by pytest
+(batch/stream symmetry tests); these two entries go further and put a
+REAL streaming execution behind the driver's DuckDB correctness gate:
+the builder runs an actual ``readStream`` job (file source →
+``availableNow`` trigger → memory sink, exactly-once checkpointing),
+then returns the drained sink table, whose contents must hash-match
+the batch-SQL oracle.  This is the replayed-bounded-stream equivalence
+that makes Structured Streaming's semantics testable at all: for a
+finite input with no late data, a streaming aggregation in complete
+mode and its batch counterpart are THE SAME RELATION.
+
+Scale notes: the file source lists and checkpoints file batches, so at
+100 TB the same topology is an incremental backfill (availableNow
+drains the backlog in bounded batches and exits); the memory sink is
+test-only — production writes parquet/Kafka (see
+:func:`flaco_spark.streaming.ingest.stream_parquet_sink`).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flaco_spark.inventory import register
+from flaco_spark.streaming.ingest import dedup_stream, windowed_event_counts
+from flaco_spark.tables import convert_event_ts
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """Bounded events stream: copy the fixture into a private source
+    dir (the file source tracks directories) and open a readStream
+    over it.  Returns (stream, scratch_dir)."""
+    scratch = tempfile.mkdtemp(prefix="flaco_stream_")
+    src_dir = f"{scratch}/src"
+    shutil.os.mkdir(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    return convert_event_ts(stream), scratch
+
+
+def _drain(stream_df: DataFrame, scratch: str, mode: str, prefix: str) -> DataFrame:
+    """Run the streaming query to completion (availableNow) into a
+    memory sink and return the sink table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "st01_stream_windowed_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("streaming", "window", "events"),
+    doc="REAL Structured Streaming execution behind the correctness "
+    "gate: a readStream file source drains the events fixture through "
+    "a watermarked tumbling-window count (availableNow trigger, "
+    "exactly-once checkpoint, memory sink in complete mode) and the "
+    "drained sink must hash-match the batch SQL — the bounded-replay "
+    "equivalence that lets a pipeline promote q40's batch window to "
+    "a stream by swapping read → readStream with NO semantic change.  "
+    "Complete mode sidesteps append mode's last-window retention "
+    "(windows past the final watermark never emit in append — the "
+    "classic bounded-replay pitfall).",
+)
+def st01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _events_stream(spark, sf_dir)
+    counts = windowed_event_counts(stream)
+    sink = _drain(counts, scratch, "complete", "st01")
+    return sink.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "st02_stream_dedup_keys",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    tags=("streaming", "dedup", "events"),
+    doc="Streaming deduplication with BOUNDED state "
+    "(dropDuplicatesWithinWatermark) behind the correctness gate: "
+    "the emitted key set must equal the batch DISTINCT — which row "
+    "represents a key is engine-chosen (append mode emits first "
+    "arrival), so the checked relation is the key set itself.  "
+    "Bounded state is what makes streaming dedup survive at "
+    "100 TB/day: a key leaves state when the watermark passes it, "
+    "where plain streaming dropDuplicates retains every key forever "
+    "(the classic unbounded-state production failure).",
+)
+def st02_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _events_stream(spark, sf_dir)
+    deduped = dedup_stream(stream).select("user_id", "event_type")
+    sink = _drain(deduped, scratch, "append", "st02")
+    return sink.select("user_id", "event_type").distinct()
