@@ -266,3 +266,66 @@ def u07_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(li_k.groupby("o_custkey"))
         .applyInPandas(merge, schema="c_custkey bigint, n_orders bigint, n_lineitems bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# u08 — Python user-defined TABLE function (UDTF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u08_python_udtf",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
+         CAST(o_orderkey % 3 + 1 AS BIGINT) AS n_parts,
+         generate_series(0, CAST(o_orderkey % 3 AS BIGINT)) AS idxs
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT o_orderkey,
+       unnest(idxs) AS installment_idx,
+       CAST(total_cents // n_parts
+            + CASE WHEN unnest(idxs) = 0 THEN total_cents % n_parts ELSE 0 END
+            AS BIGINT) AS installment_cents
+FROM base
+""",
+    tags=("udf", "udtf", "orders"),
+    doc="Python UDTF (Spark 4 user-defined TABLE function): one input "
+    "row fans out to a variable number of output rows from imperative "
+    "Python — the 1→N escape hatch when explode over a computed array "
+    "won\'t do (stateful row generation, external lookups).  Each "
+    "order yields its installment schedule: total split into "
+    "orderkey%3+1 parts in EXACT INTEGER CENTS (floor division, "
+    "remainder on the first installment — the only engine-portable "
+    "AND financially correct way to split money; per-part float "
+    "rounding both drifts between engines and loses cents).  The "
+    "UDTF runs inside LATERAL, streaming rows through Arrow without "
+    "materializing the fan-out; map-side only, no shuffle.",
+)
+def u08_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, installment_idx bigint, installment_cents bigint")
+    class InstallmentSplit:
+        def eval(self, orderkey: int, total_cents: int):
+            n = orderkey % 3 + 1
+            base, rem = divmod(total_cents, n)
+            for i in range(n):
+                yield (orderkey, i, base + (rem if i == 0 else 0))
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    spark.udtf.register("installment_split", InstallmentSplit)
+    o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+    ).createOrReplaceTempView("u08_orders")
+    return spark.sql(
+        """
+        SELECT s.o_orderkey, s.installment_idx, s.installment_cents
+        FROM u08_orders o,
+             LATERAL installment_split(o.o_orderkey, o.total_cents) s
+        """
+    )
