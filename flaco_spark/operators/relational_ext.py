@@ -2190,3 +2190,91 @@ def q91_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("yr_col", "^rev_", "").cast("int").alias("yr"),
         F.col("revenue").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q92/q93 — CSV and JSON-lines source/sink round-trips
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_cents,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _roundtrip_aggregate(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("qty_cents"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+_RT_COLS = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+_RT_SCHEMA = (
+    "l_returnflag string, l_linestatus string, "
+    "l_quantity decimal(18,2), l_extendedprice decimal(18,2)"
+)
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write lineitem's money columns through a text format and read
+    them back with an EXPLICIT schema, then aggregate — the value-
+    fidelity contract (decimal → text → decimal must be lossless)
+    that makes a text interchange format safe for money columns."""
+    import tempfile
+
+    src = table(spark, sf_dir, "lineitem").select(*_RT_COLS)
+    out = tempfile.mkdtemp(prefix=f"flaco_rt_{fmt}_")
+    path = f"{out}/lineitem_{fmt}"
+    writer = src.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+        back = spark.read.schema(_RT_SCHEMA).option("header", True).csv(path)
+    else:
+        writer.json(path)
+        back = spark.read.schema(_RT_SCHEMA).json(path)
+    return _roundtrip_aggregate(back)
+
+
+@register(
+    "q92_csv_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "csv", "roundtrip", "lineitem"),
+    doc="CSV sink + source round-trip under the correctness gate: "
+    "lineitem's money columns go parquet → distributed CSV write → "
+    "schema-explicit CSV read → exact-decimal aggregate, which must "
+    "hash-match the same aggregate over the original parquet — "
+    "proving decimal→text→decimal losslessness end to end.  The "
+    "read uses an EXPLICIT schema: inferSchema costs a full extra "
+    "pass at 100 TB and can demote decimals to doubles (silent cent "
+    "loss).  Both legs are distributed (per-partition files, no "
+    "driver funnel).",
+)
+def q92_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "q93_jsonl_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "json", "roundtrip", "lineitem"),
+    doc="JSON-lines sink + source round-trip under the correctness "
+    "gate (same contract as q92 over the other ubiquitous text "
+    "interchange format).  JSON Lines is the de-facto LLM-corpus "
+    "container, so lossless money/decimal transit matters for any "
+    "pipeline that mixes metering with document payloads; "
+    "schema-explicit read again avoids the inference pass and the "
+    "decimal→double demotion.",
+)
+def q93_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")

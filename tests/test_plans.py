@@ -597,3 +597,41 @@ def test_lateral_topn_decorrelates(spark, sf_dir):
     plan = formatted_plan(REGISTRY["q80_lateral_topn"].builder(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_single_scan_q90(spark, sf_dir):
+    """Pivot with a PINNED value list must not add a values-discovery
+    pass: exactly one lineitem scan in the plan."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["q90_pivot_revenue"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, "pivot added an extra fact scan"
+
+
+def test_unpivot_is_expand_q91(spark, sf_dir):
+    """unpivot compiles to a map-side Expand, not an N-way self-union
+    (which would re-scan the input once per melted column)."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["q91_unpivot_revenue"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, "unpivot should plan as Expand"
+    assert plan.count("lineitem.parquet") == 1, "unpivot re-scanned the fact table"
+
+
+def test_repetition_filter_is_shuffle_free_t14(spark, sf_dir):
+    """t14 is pure map-side: no Exchange anywhere in the plan."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["t14_repetition_ratio"].builder(spark, sf_dir)
+    assert "Exchange" not in formatted_plan(df), "t14 must not shuffle"
+
+
+def test_decontamination_broadcasts_bench_side_d16(spark, sf_dir):
+    """The eval-set side of the contamination join is benchmark-sized;
+    it must broadcast so the training scan stays map-side."""
+    from flaco_spark.plans import broadcast_join_count
+
+    df = REGISTRY["d16_decontamination"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, "bench n-gram side must broadcast"
