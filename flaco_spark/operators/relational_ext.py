@@ -2278,3 +2278,98 @@ def q92_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q93_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
+
+
+# ---------------------------------------------------------------------------
+# q94 — error-safe (try_*) arithmetic and casts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q94_try_functions",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS pri_num,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+       CASE WHEN (o_orderkey % 5) = 0 THEN NULL
+            ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 / (o_orderkey % 5) END AS per_unit_cents
+FROM orders WHERE o_orderkey < 300
+""",
+    tags=("scalar", "try", "null-safety", "orders"),
+    doc="Error-safe scalar surface: try_cast (malformed input → NULL, "
+    "never a task failure) and try_divide (÷0 → NULL) — the ANSI-mode "
+    "survival kit.  With spark.sql.ansi.enabled on (Spark 4's "
+    "default) a single malformed row KILLS the whole 100 TB job "
+    "unless the cast is try_; these are the idioms that make "
+    "ANSI-strict pipelines ingest dirty data deterministically.  "
+    "'1-URGENT' → NULL (whole-string cast fails), its first digit "
+    "→ 1; division result stays integer-free via cents.",
+)
+def q94_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("pri_num"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_digit"),
+        F.try_divide(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
+            F.col("o_orderkey") % 5,
+        ).alias("per_unit_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — map higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q95_map_higher_order",
+    oracle="""
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events WHERE user_id < 100
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE cnt >= 3) AS INT) AS n_heavy_types,
+       CAST(SUM(cnt * 2) AS BIGINT) AS doubled_total,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN cnt * 10 ELSE cnt END)
+            AS BIGINT) AS reweighted_total
+FROM per_type
+GROUP BY user_id
+""",
+    tags=("map", "higher-order", "events"),
+    doc="Map higher-order functions: map_filter (keep entries with "
+    "count ≥ 3), transform_values (double every count; key-aware "
+    "reweighting boosts 'view' 10×), consumed via aggregate over "
+    "map_values.  The oracle restates the same semantics "
+    "relationally, so the hash-match pins Spark's map-lambda "
+    "behavior without cross-engine map literals.  All map ops are "
+    "per-row expressions over an |event-types|-bounded map — "
+    "map-side after the one counting shuffle.",
+)
+def q95_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    heavy = F.map_filter(F.col("m"), lambda k, v: v >= 3)
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    reweighted = F.transform_values(
+        F.col("m"), lambda k, v: F.when(k == "view", v * 10).otherwise(v)
+    )
+    def _sum_vals(m):
+        return F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+    return mapped.select(
+        "user_id",
+        F.size(heavy).cast("int").alias("n_heavy_types"),
+        _sum_vals(doubled).alias("doubled_total"),
+        _sum_vals(reweighted).alias("reweighted_total"),
+    )
