@@ -80,6 +80,16 @@ PROBE = [
     "q84_map_functions",
     "q85_schema_evolution_union",
     "e08_scalar_quantization",
+    # round-3 additions: dedup/containment share d08's index; d16's
+    # bench side grows with the corpus here (worst case — in prod the
+    # eval set is fixed); e10 iterates 3 broadcast rounds.
+    "t14_repetition_ratio",
+    "d15_stratified_sample",
+    "d16_decontamination",
+    "d17_containment_pairs",
+    "e10_kmeans_unrolled",
+    "q90_pivot_revenue",
+    "st01_stream_windowed_counts",
 ]
 
 

@@ -185,6 +185,23 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "t11_sequence_packing",
         "d11_dataset_split",
         "q79_scd2_intervals",
+        # round-3 additions
+        "t14_repetition_ratio",
+        "t15_gopher_rules",
+        "t16_mixture_card",
+        "d15_stratified_sample",
+        "d16_decontamination",
+        "d17_containment_pairs",
+        "q90_pivot_revenue",
+        "q91_unpivot_revenue",
+        "q92_csv_roundtrip",
+        "q93_jsonl_roundtrip",
+        "q94_try_functions",
+        "q95_map_higher_order",
+        "e10_kmeans_unrolled",
+        "ts16_asof_directions",
+        "m06_format_sniffing",
+        "u08_python_udtf",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
