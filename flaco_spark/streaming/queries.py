@@ -38,8 +38,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     over it.  Returns (stream, scratch_dir)."""
     scratch = tempfile.mkdtemp(prefix="flaco_stream_")
     src_dir = f"{scratch}/src"
-    shutil.os.mkdir(src_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    # the fixture is a single file at the driver's SF dirs but a
+    # Spark-written DIRECTORY in scaled probes — mirror either shape
+    if shutil.os.path.isdir(src):
+        shutil.copytree(src, src_dir)
+    else:
+        shutil.os.mkdir(src_dir)
+        shutil.copy(src, f"{src_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
     return convert_event_ts(stream), scratch
