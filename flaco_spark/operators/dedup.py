@@ -1333,3 +1333,94 @@ WHERE CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS 
 )
 def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# d18 — end-to-end dedup pass: cluster → keep the best-quality doc
+# ---------------------------------------------------------------------------
+
+
+_D18_STOPWORDS = (
+    "the", "a", "of", "and", "to", "is", "in", "that", "it", "for",
+)  # mirrors flaco_spark.operators.text.STOPWORDS (kept literal to avoid an import cycle risk)
+_D18_STOP_SQL = "', '".join(_D18_STOPWORDS)
+
+
+@register(
+    "d18_canonical_by_quality",
+    oracle=rf"""
+WITH RECURSIVE {_D04_PAIRS_CTE},
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
+),
+quality AS (
+  SELECT doc_id,
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+           * (1.0 - CAST(len(list_filter(toks, t -> t IN ('{_D18_STOP_SQL}'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) AS q
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.q,
+         COUNT(*) OVER (PARTITION BY c.component_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.q DESC, c.doc_id) AS rnk
+  FROM comp c JOIN quality q ON c.doc_id = q.doc_id
+)
+SELECT component_id,
+       doc_id AS kept_doc,
+       CAST(n_members AS BIGINT) AS n_members,
+       q AS best_quality
+FROM ranked WHERE rnk = 1 AND n_members >= 2
+""",
+    tags=("dedup", "minhash", "components", "quality", "pipeline", "documents"),
+    doc="The END-TO-END dedup pass a production corpus actually runs, "
+    "as one oracle-checked query: MinHash-LSH pairs (d04) → "
+    "transitive clusters (d09's min-label propagation) → per-cluster "
+    "CANONICAL SELECTION by quality score (t02's formula; ties break "
+    "on doc_id) — keep the best-written copy, not the lowest id.  "
+    "Clusters are near-dup-sized, so the per-cluster window is "
+    "bounded; every stage reuses the already-verified building "
+    "blocks, and the oracle recomputes the same fixpoint + argmax "
+    "relationally (recursive CTE + window).",
+)
+def d18_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_D18_STOPWORDS)))
+    quality = docs.select(
+        "doc_id",
+        (
+            (F.size(F.array_distinct(toks)).cast("double") / n_tokens)
+            * (F.lit(1.0) - stop_hits.cast("double") / n_tokens)
+        ).alias("q"),
+    )
+    joined = comp.select("doc_id", "component_id").join(quality, "doc_id")
+    w_cnt = W.partitionBy("component_id")
+    w_rnk = W.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rnk", F.row_number().over(w_rnk))
+        .filter((F.col("rnk") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "component_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("q").alias("best_quality"),
+        )
+    )
