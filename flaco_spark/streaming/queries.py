@@ -64,6 +64,10 @@ def _drain(stream_df: DataFrame, scratch: str, mode: str, prefix: str) -> DataFr
         .start()
     )
     q.awaitTermination()
+    # The memory sink owns the rows now; the staged source copy and
+    # checkpoint are dead weight — reclaim them (the returned
+    # DataFrame reads the in-memory table, not the files).
+    shutil.rmtree(scratch, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
@@ -153,7 +157,7 @@ def st03_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views, scratch = _events_stream(spark, sf_dir)
     # second, independent stream over the same fixture (own source dir
     # + checkpoint, as two real feeds would be)
-    purchases, _ = _events_stream(spark, sf_dir)
+    purchases, scratch2 = _events_stream(spark, sf_dir)
     from flaco_spark.streaming.ingest import attribution_join
 
     joined = attribution_join(
@@ -161,6 +165,7 @@ def st03_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.filter(F.col("event_type") == "purchase"),
     )
     sink = _drain(joined, scratch, "append", "st03")
+    shutil.rmtree(scratch2, ignore_errors=True)
     return sink.select(
         "user_id",
         "purchase_id",
