@@ -39,21 +39,9 @@ from flaco_spark.tables import table
 # Reusable API
 # ---------------------------------------------------------------------------
 
-# Caches created by the pair-finding builders below.  Builders are
-# invoked sequentially by the harness (each query's action completes
-# before the next builder runs), so each builder releases its
-# predecessors' caches on entry; callers composing builders manually
-# can call release_caches() after their terminal action.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    """Unpersist every cache created by the dedup builders so far."""
-    while _LIVE_CACHES:
-        try:
-            _LIVE_CACHES.pop().unpersist()
-        except Exception:  # session already stopped — nothing to release
-            pass
+# Live-cache bookkeeping is shared across operator modules (similarity
+# registers its kmeans assignment here too) — see flaco_spark.cachepool.
+from flaco_spark.cachepool import _LIVE_CACHES, register_cache, release_caches  # noqa: F401
 
 
 def _parallelize_scan(df: DataFrame) -> DataFrame:
@@ -82,7 +70,7 @@ def _persist_eager(df: DataFrame) -> DataFrame:
     release_caches()
     df = df.persist()
     df.count()
-    _LIVE_CACHES.append(df)
+    register_cache(df)
     return df
 
 
@@ -482,8 +470,8 @@ def connected_components(
             f"rounds ({changed} labels still changing); raise "
             "max_iterations (rounds needed ~ component diameter)"
         )
-    _LIVE_CACHES.append(sym)
-    _LIVE_CACHES.append(labels)
+    register_cache(sym)
+    register_cache(labels)
     # Singletons (no edges) are their own component.
     return nodes.select(F.col(node_col)).join(
         labels.select(
@@ -1224,15 +1212,22 @@ GROUP BY t.doc_id
 def d16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n = F.greatest(F.size(toks) - (D16_NGRAM - 1), F.lit(0))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i, F.lit(D16_NGRAM)))
-            ),
-        )
-    )
+    n = F.size(toks) - (D16_NGRAM - 1)
+    # Guard the short-doc case explicitly: F.sequence(1, 0) yields the
+    # DESCENDING [1, 0] (not an empty array), and slice(..., 0, k)
+    # throws — a doc with fewer than D16_NGRAM tokens must contribute
+    # no grams, matching the oracle's empty generate_series(1, 0).
+    grams = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i, F.lit(D16_NGRAM)))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     base = _parallelize_scan(d).select(
         "doc_id", F.explode(grams).alias("g")
     )
@@ -1340,9 +1335,8 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_D18_STOPWORDS = (
-    "the", "a", "of", "and", "to", "is", "in", "that", "it", "for",
-)  # mirrors flaco_spark.operators.text.STOPWORDS (kept literal to avoid an import cycle risk)
+from flaco_spark.operators.text import STOPWORDS as _D18_STOPWORDS
+
 _D18_STOP_SQL = "', '".join(_D18_STOPWORDS)
 
 

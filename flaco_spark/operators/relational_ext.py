@@ -2230,20 +2230,32 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Write lineitem's money columns through a text format and read
     them back with an EXPLICIT schema, then aggregate — the value-
     fidelity contract (decimal → text → decimal must be lossless)
-    that makes a text interchange format safe for money columns."""
+    that makes a text interchange format safe for money columns.
+
+    The |groups|-row aggregate is materialized EAGERLY so the scratch
+    text copy can be deleted before returning (a lazy return would pin
+    tens of MB of /tmp per invocation for the lifetime of the
+    caller's plan — the scratch-leak class the streaming queries also
+    guard against)."""
+    import shutil
     import tempfile
 
     src = table(spark, sf_dir, "lineitem").select(*_RT_COLS)
     out = tempfile.mkdtemp(prefix=f"flaco_rt_{fmt}_")
     path = f"{out}/lineitem_{fmt}"
-    writer = src.write.mode("overwrite")
-    if fmt == "csv":
-        writer.option("header", True).csv(path)
-        back = spark.read.schema(_RT_SCHEMA).option("header", True).csv(path)
-    else:
-        writer.json(path)
-        back = spark.read.schema(_RT_SCHEMA).json(path)
-    return _roundtrip_aggregate(back)
+    try:
+        writer = src.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(path)
+            back = spark.read.schema(_RT_SCHEMA).option("header", True).csv(path)
+        else:
+            writer.json(path)
+            back = spark.read.schema(_RT_SCHEMA).json(path)
+        agg = _roundtrip_aggregate(back)
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @register(

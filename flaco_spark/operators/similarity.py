@@ -743,9 +743,9 @@ def kmeans_fit(
     # The final assignment stays cached for the caller's terminal
     # action; register it with the shared release pool so the next
     # builder (or an explicit release_caches()) reclaims it.
-    from flaco_spark.operators.dedup import _LIVE_CACHES
+    from flaco_spark.cachepool import register_cache
 
-    _LIVE_CACHES.append(assigned)
+    register_cache(assigned)
     return assigned, history
 
 
@@ -985,10 +985,20 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell, sim AS cos_sim FROM final""")
     "driver-coordinated jobs, exactly like ``kmeans_fit``.",
 )
 def e10_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.cachepool import register_cache
+
     e = table(spark, sf_dir, "embeddings")
-    pts = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    # Every Lloyd round's crossJoin references pts: without a cache the
+    # single terminal action re-scans the parquet and re-evaluates the
+    # norm fold once per iteration.  Registered with the shared pool so
+    # the next builder reclaims it after the caller's action.
+    pts = register_cache(
+        e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("vn", norm(F.col("v")))
+        .persist()
+    )
     centroids = pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3).select(
         F.col("vec_id").alias("cell"),
         F.col("v").alias("cv"),

@@ -20,6 +20,7 @@ test-only — production writes parquet/Kafka (see
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -41,10 +42,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     src = f"{sf_dir}/events.parquet"
     # the fixture is a single file at the driver's SF dirs but a
     # Spark-written DIRECTORY in scaled probes — mirror either shape
-    if shutil.os.path.isdir(src):
+    if os.path.isdir(src):
         shutil.copytree(src, src_dir)
     else:
-        shutil.os.mkdir(src_dir)
+        os.mkdir(src_dir)
         shutil.copy(src, f"{src_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
@@ -55,19 +56,21 @@ def _drain(stream_df: DataFrame, scratch: str, mode: str, prefix: str) -> DataFr
     """Run the streaming query to completion (availableNow) into a
     memory sink and return the sink table."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # The memory sink owns the rows now; the staged source copy and
-    # checkpoint are dead weight — reclaim them (the returned
-    # DataFrame reads the in-memory table, not the files).
-    shutil.rmtree(scratch, ignore_errors=True)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # The memory sink owns the rows (on success); the staged source
+        # copy and checkpoint are dead weight either way — reclaim them
+        # even when the query fails.
+        shutil.rmtree(scratch, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
@@ -164,8 +167,10 @@ def st03_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         views.filter(F.col("event_type") == "view"),
         purchases.filter(F.col("event_type") == "purchase"),
     )
-    sink = _drain(joined, scratch, "append", "st03")
-    shutil.rmtree(scratch2, ignore_errors=True)
+    try:
+        sink = _drain(joined, scratch, "append", "st03")
+    finally:
+        shutil.rmtree(scratch2, ignore_errors=True)
     return sink.select(
         "user_id",
         "purchase_id",
