@@ -1418,3 +1418,113 @@ def d18_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("best_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d20 — MinHash estimator calibration (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d20_minhash_calibration",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents
+),
+hx AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {{'a': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 576460752303423433,
+                                        'b': CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % 576460752303423433}}) AS hp
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(generate_series(0, 7),
+           j -> list_min(list_transform(hp, p -> (p.a + j * p.b) % 576460752303423433))) AS sig
+  FROM hx
+),
+bands AS (
+  SELECT doc_id, g.b AS band,
+         md5(array_to_string(list_transform(list_slice(sig, g.b * 2 + 1, g.b * 2 + 2), x -> CAST(x AS VARCHAR)), '|')) AS band_key
+  FROM sig, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(len(list_filter(generate_series(1, 8), i -> g1.sig[i] = g2.sig[i])) AS DOUBLE)
+         / 8.0 AS est_jaccard,
+       CAST(len(list_filter(g1.shingles, x -> list_contains(g2.shingles, x))) AS DOUBLE)
+         / CAST(len(list_distinct(g1.shingles || g2.shingles)) AS DOUBLE) AS exact_jaccard,
+       abs(CAST(len(list_filter(generate_series(1, 8), i -> g1.sig[i] = g2.sig[i])) AS DOUBLE) / 8.0
+           - CAST(len(list_filter(g1.shingles, x -> list_contains(g2.shingles, x))) AS DOUBLE)
+             / CAST(len(list_distinct(g1.shingles || g2.shingles)) AS DOUBLE)) <= 0.5 AS within_half
+FROM cand c
+JOIN sig g1 ON c.doc1 = g1.doc_id
+JOIN sig g2 ON c.doc2 = g2.doc_id
+""",
+    tags=("dedup", "minhash", "calibration", "evidence", "documents"),
+    doc="MinHash estimator calibration: for every LSH candidate pair, "
+    "the signature-agreement fraction (matching coordinates / 8 — "
+    "the unbiased Jaccard estimator, E[est] = J by the min-hash "
+    "property) side-by-side with the EXACT shingle Jaccard, plus a "
+    "|est − J| ≤ 0.5 audit flag (the 8-hash estimator's std-err is "
+    "√(J(1−J)/8) ≈ 0.18 worst-case).  This is the evidence query "
+    "that justifies d04's banding parameters the way e06/e09 justify "
+    "the ANN indexes — parameter tuning reads THIS table, not luck.  "
+    "Cost: the same banded shuffle as d04 plus an 8-term map-side "
+    "comparison per candidate.",
+)
+def d20_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sig = _persist_eager(
+        _parallelize_scan(d).select(
+            "doc_id",
+            word_shingles(F.col("text"), 3).alias("shingles"),
+        ).withColumn("sig", minhash_signature(F.col("shingles"), 8))
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        "sig",
+    ).withColumn("band_key", lsh_band_key(F.col("sig"), F.col("band"), 2))
+    left = banded.select(F.col("doc_id").alias("doc1"), "band", "band_key")
+    right = banded.select(F.col("doc_id").alias("doc2"), "band", "band_key")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("shingles").alias("sh1"),
+        F.col("sig").alias("sig1"),
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("shingles").alias("sh2"),
+        F.col("sig").alias("sig2"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.element_at("sig1", i) == F.element_at("sig2", i),
+            )
+        ).cast("double")
+        / F.lit(8.0)
+    )
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("est_jaccard", est)
+        .withColumn("exact_jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        .withColumn(
+            "within_half",
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) <= 0.5,
+        )
+        .select("doc1", "doc2", "est_jaccard", "exact_jaccard", "within_half")
+    )

@@ -548,3 +548,60 @@ def m06_format_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m07 — reverse image search (exact hamming top-k over pHash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m07_phash_search",
+    oracle="""
+WITH sig AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash
+  FROM documents
+),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         CAST(bit_count(xor(q.phash, c.phash)) AS INT) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.doc_id
+                            ORDER BY bit_count(xor(q.phash, c.phash)), c.doc_id) AS rn
+  FROM sig q JOIN sig c ON q.doc_id < 5 AND c.doc_id <> q.doc_id
+)
+SELECT query_id, neighbor_id, hamming, rn FROM scored WHERE rn <= 5
+""",
+    tags=("multimodal", "phash", "search", "topk"),
+    doc="Reverse image search: exact hamming-distance top-5 over the "
+    "60-bit perceptual-hash column for each query image (doc_id < 5) "
+    "— the 'find my image' complement to m04's pairwise dedup.  "
+    "Broadcast the query signatures, score map-side with "
+    "bit_count(xor) (one popcount per candidate — integer SIMD, no "
+    "vector math at all), reduce with the same two-phase per-query "
+    "top-k the ANN family uses (no single reducer holds a query's "
+    "full candidate set).  The signature is m04's md5-prefix stub; a "
+    "real pHash drops into the same column.",
+)
+def m07_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.operators.similarity import _spread, topk_per_query
+
+    d = attach_binary_payload(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sig = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("phash"),
+    )
+    q = sig.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("phash").alias("qh")
+    )
+    scored = (
+        _spread(sig)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("hamming", F.expr("bit_count(phash ^ qh)").cast("int"))
+    )
+    return topk_per_query(
+        scored, "query_id", [F.asc("hamming"), F.asc("doc_id")], 5
+    ).select("query_id", F.col("doc_id").alias("neighbor_id"), "hamming", "rn")

@@ -2385,3 +2385,44 @@ def q95_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sum_vals(doubled).alias("doubled_total"),
         _sum_vals(reweighted).alias("reweighted_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — VARIANT semi-structured ingestion (Spark 4 native JSON type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q96_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50)
+            AS BIGINT) AS n_big_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("variant", "json", "semi-structured", "events"),
+    doc="VARIANT ingestion (Spark 4's native semi-structured type): "
+    "props parses ONCE into the binary variant encoding "
+    "(parse_json), then typed paths extract via variant_get — the "
+    "modern replacement for q33's per-path get_json_object string "
+    "re-parsing (N extractions = N parses; variant = one parse, N "
+    "O(1) binary lookups, the difference between re-tokenizing JSON "
+    "text per column and a columnar-shredded read at 100 TB).  The "
+    "oracle states the same typed extraction relationally.",
+)
+def q96_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = e.withColumn("pv", F.parse_json("props"))
+    k = F.expr("variant_get(pv, '$.k', 'int')")
+    return (
+        v.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.when(F.col("k") >= 50, 1)).cast("bigint").alias("n_big_k"),
+        )
+    )
