@@ -284,3 +284,70 @@ def test_histogram_percentile_matches_numpy(spark, rows, pct):
         vals = [x for gg, x in rows if gg == g]
         want = float(np.percentile(vals, pct * 100, method="linear"))
         assert abs(got[(g, pct)] - want) < 1e-12, (g, pct, got[(g, pct)], want)
+
+
+# ---------------------------------------------------------------------------
+# random window specs vs DuckDB
+# ---------------------------------------------------------------------------
+
+WIN_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead", "running_sum")
+ORDER_COLS = ("l_quantity", "l_extendedprice", "l_shipdate")
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(WIN_FUNCS),
+    part=st.sampled_from(CAT_COLS),
+    order_col=st.sampled_from(ORDER_COLS),
+    desc=st.booleans(),
+)
+def test_random_window_specs_match_duckdb(spark, duck001, fn, part, order_col, desc):
+    """Random (function, partition, order, direction) window specs over
+    lineitem must match DuckDB row-for-row.  The order key is extended
+    to a TOTAL order — this fixture's (l_orderkey, l_linenumber) is
+    NOT unique (rank/lag over a partially-ordered window is
+    engine-nondeterministic by definition, not a defect), but
+    appending (l_extendedprice, l_quantity, l_shipdate) is: the
+    5-tuple also keys the row-for-row comparison."""
+    from pyspark.sql import Window as W
+
+    KEY = ("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate")
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").filter("l_orderkey < 500")
+    direction = F.desc(order_col) if desc else F.asc(order_col)
+    w = W.partitionBy(part).orderBy(direction, *[F.asc(k) for k in KEY])
+    dir_sql = "DESC" if desc else "ASC"
+    over = (
+        f"PARTITION BY {part} ORDER BY {order_col} {dir_sql}, "
+        + ", ".join(KEY)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cents_sql = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    if fn == "running_sum":
+        expr = F.sum(cents).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        sql_fn = (
+            f"SUM({cents_sql}) OVER ({over} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    elif fn in ("lag", "lead"):
+        expr = getattr(F, fn)(cents, 1).over(w)
+        sql_fn = f"{fn}({cents_sql}, 1) OVER ({over})"
+    else:
+        expr = getattr(F, fn)().over(w)
+        sql_fn = f"{fn}() OVER ({over})"
+    got = {
+        tuple(r[:-1]): r[-1]
+        for r in l.select(*KEY, expr.alias("v")).collect()
+    }
+    want = {
+        tuple(r[:-1]): r[-1]
+        for r in duck001.execute(
+            f"SELECT {', '.join(KEY)}, {sql_fn} AS v "
+            "FROM lineitem WHERE l_orderkey < 500"
+        ).fetchall()
+    }
+    assert len(got) == len(want)
+    assert got == want
