@@ -1041,3 +1041,105 @@ def e10_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", F.col("cell").cast("bigint").alias("cell"), F.col("sim").alias("cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# e11 — product quantization encode (PQ: per-subspace codebook assignment)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces (64 dims → 8 × 8-dim subvectors)
+PQ_SUBDIM = 8
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    """Squared L2 between two 8-dim sublists as the same IEEE-double
+    left-fold the Spark side uses (see _dot_sql for the determinism
+    argument)."""
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "e11_pq_encode",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, g.m AS m, list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS sv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+seeds AS (
+  SELECT vec_id AS seed_id, g.m AS m,
+         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id % {IVF_SEED_MOD} = 3
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.seed_id,
+         round({_pq_d2_sql('s.sv', 'c.ssv')}, 8) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8), c.seed_id) AS rnk
+  FROM subs s JOIN seeds c ON s.m = c.m
+)
+SELECT vec_id, CAST(m AS INT) AS m, seed_id AS code, d2 AS sub_error
+FROM scored WHERE rnk = 1
+""",
+    tags=("similarity", "embedding", "quantization", "pq"),
+    doc="Product quantization encode (the FAISS IVFPQ building "
+    "block): each vector splits into 8 contiguous 8-dim "
+    "subvectors and each subvector independently assigns to its "
+    "nearest codebook entry by squared L2 — compressing 64 floats "
+    "to 8 small codes (32× at 256-entry codebooks) while distances "
+    "remain approximable per-subspace (ADC lookup tables).  "
+    "Codebooks here are the deterministic seed subvectors (the same "
+    "vec_id % mod rule as e04/e07/e10 — a kmeans_fit per subspace "
+    "is the production path, with the same BOUNDED-k broadcast "
+    "contract).  Shape: subvector expansion is map-side (1→8 "
+    "narrow rows), codebooks broadcast, argmin is a per-(vector, "
+    "subspace) window over codebook-sized groups — no shuffle "
+    "touches the full vector set beyond the expansion.  Emitting "
+    "per-subspace rows (not a cross-row error sum) keeps every "
+    "value a fixed-order fold — hash-stable.",
+)
+def e11_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = pts.select("vec_id", ms, "v").select(
+        "vec_id", "m", F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv")
+    )
+    seeds = (
+        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3)
+        .select(F.col("vec_id").alias("seed_id"), ms, "v")
+        .select(
+            "seed_id",
+            "m",
+            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("ssv"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "ssv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        8,
+    )
+    w = W.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("seed_id"))
+    return (
+        subs.join(F.broadcast(seeds), "m")
+        .withColumn("d2", d2)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("m").cast("int").alias("m"),
+            F.col("seed_id").alias("code"),
+            F.col("d2").alias("sub_error"),
+        )
+    )
