@@ -1143,3 +1143,119 @@ def e11_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("sub_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e12 — ADC search over PQ codes (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e12_pq_adc_search",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, g.m AS m, list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS sv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+seeds AS (
+  SELECT vec_id AS seed_id, g.m AS m,
+         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id % {IVF_SEED_MOD} = 3
+),
+codes AS (
+  SELECT vec_id, m, seed_id AS code FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8), c.seed_id) AS rnk
+    FROM subs s JOIN seeds c ON s.m = c.m) t
+  WHERE rnk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.seed_id AS code,
+         round({_pq_d2_sql('q.sv', 'c.ssv')}, 8) AS d2
+  FROM subs q JOIN seeds c ON q.m = c.m
+  WHERE q.vec_id < 5
+),
+approx AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(l.d2 ORDER BY l.m)), (acc, x) -> acc + x), 8) AS adc_d2
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+FROM approx
+QUALIFY rn <= 5
+""",
+    tags=("similarity", "embedding", "pq", "adc", "topk"),
+    doc="ADC search over PQ codes (how an IVFPQ index actually "
+    "answers queries): per query, build the 8×|codebook| lookup "
+    "table of squared L2s between the query's subvectors and every "
+    "codebook entry (tiny — codebook-sized, broadcast), then score "
+    "every database vector WITHOUT touching its floats: its approx "
+    "distance is the sum of 8 LUT entries addressed by its stored "
+    "codes.  The sum folds the per-subspace terms in fixed m-order "
+    "(array_sort → fold) so it is hash-stable; top-5 per query uses "
+    "the same two-phase reduction as e01.  At 100 TB the codes "
+    "table is the ONLY per-vector data read — 8 bytes a vector vs "
+    "256 — which is the entire point of PQ.",
+)
+def e12_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = e11_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    qsubs = (
+        pts.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), ms, "v")
+        .select(
+            "query_id",
+            "m",
+            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qsv"),
+        )
+    )
+    seeds = (
+        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3)
+        .select(F.col("vec_id").alias("code"), ms, "v")
+        .select(
+            "code",
+            "m",
+            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("ssv"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("qsv", "ssv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        8,
+    )
+    lut = qsubs.join(seeds, "m").withColumn("d2", d2).select("query_id", "m", "code", "d2")
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "d2"))),
+                        lambda s: s["d2"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                8,
+            ).alias("adc_d2")
+        )
+    )
+    return topk_per_query(
+        scored, "query_id", [F.asc("adc_d2"), F.asc("neighbor_id")], 5
+    ).select("query_id", "neighbor_id", "adc_d2", "rn")
