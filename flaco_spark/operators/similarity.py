@@ -1259,3 +1259,123 @@ def e12_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         scored, "query_id", [F.asc("adc_d2"), F.asc("neighbor_id")], 5
     ).select("query_id", "neighbor_id", "adc_d2", "rn")
+
+
+# ---------------------------------------------------------------------------
+# e13 — PQ recall evidence (ADC top-5 vs exact L2 top-5)
+# ---------------------------------------------------------------------------
+
+
+def _full_d2_sql(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, 64), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "e13_pq_recall",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, g.m AS m, list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS sv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+seeds AS (
+  SELECT vec_id AS seed_id, g.m AS m,
+         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id % {IVF_SEED_MOD} = 3
+),
+codes AS (
+  SELECT vec_id, m, seed_id AS code FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8), c.seed_id) AS rnk
+    FROM subs s JOIN seeds c ON s.m = c.m) t
+  WHERE rnk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.seed_id AS code,
+         round({_pq_d2_sql('q.sv', 'c.ssv')}, 8) AS d2
+  FROM subs q JOIN seeds c ON q.m = c.m
+  WHERE q.vec_id < 5
+),
+adc5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT l.query_id, co.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY l.query_id
+                              ORDER BY round(list_reduce(list_prepend(0.0::DOUBLE,
+                                        list(l.d2 ORDER BY l.m)), (acc, x) -> acc + x), 8),
+                                       co.vec_id) AS rn
+    FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id) t
+  WHERE rn <= 5
+),
+exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_full_d2_sql('q.v', 'c.v')}, 8), c.vec_id) AS rn
+    FROM pts q JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+  WHERE rn <= 5
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact5 e
+LEFT JOIN adc5 a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+    tags=("similarity", "embedding", "pq", "recall", "evidence"),
+    doc="Self-measuring PQ quality: per-query recall@5 of the ADC "
+    "search (e12) against the exact L2 top-5 — completing the "
+    "evidence triple (e06 sign-LSH, e09 IVF, e13 PQ) so every "
+    "approximate index in the engine carries a machine-checked "
+    "quality row.  Recall lost here is quantization error; growing "
+    "the codebook (or a kmeans_fit codebook instead of seeds) moves "
+    "this number, and this query is how you watch it.",
+)
+def e13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = pts.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    full_d2 = F.round(
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        8,
+    )
+    scored = (
+        _spread(pts)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("d2", full_d2)
+    )
+    exact = topk_per_query(
+        scored, "query_id", [F.asc("d2"), F.asc("neighbor_id")], 5
+    ).select("query_id", "neighbor_id")
+    approx = (
+        e12_pq_adc_search(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
+        )
+    )
