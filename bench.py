@@ -41,6 +41,17 @@ HEADLINE = [
     "t02_quality_score",
 ]
 
+# Timed and reported separately (not part of the headline total, which
+# must stay round-over-round comparable).
+EXTENDED = [
+    "st01_stream_windowed_counts",
+    "d16_decontamination",
+    "d18_canonical_by_quality",
+    "e10_kmeans_unrolled",
+    "e12_pq_adc_search",
+    "q92_csv_roundtrip",
+]
+
 
 def _peak_rss_mib() -> dict[str, float]:
     """Peak RSS (VmHWM) of the bench driver process and its process
@@ -162,6 +173,21 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Extended legs: round-3 operator families (streaming-through-the-
+    # gate, decontamination, iterative kmeans, text-format roundtrip).
+    # Timed identically but kept OUT of `value`/`queries` so the
+    # headline total stays comparable across rounds.
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        spec = registry[name]
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = spec.builder(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        extended[name] = round(best, 4)
+        print(f"# {name}: {extended[name]:.3f}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -174,6 +200,7 @@ def main() -> None:
                 # Extraction legs (the BASELINE.md workload shape: ~600k
                 # lineitem rows → columnar file; flaco: 605.60 ms at 600k).
                 "extract": extract_timings,
+                "extended": extended,
                 # Peak RSS (MiB) of driver python / JVM / process tree
                 # during the extract legs (reference memory-claim
                 # analogue, BASELINE.md memory block).
