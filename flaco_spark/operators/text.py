@@ -846,3 +846,52 @@ def t16_mixture_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t17 — vocabulary growth curve (Heaps-law corpus profile)
+# ---------------------------------------------------------------------------
+
+T17_CHECKPOINTS = (50, 100, 200, 500)
+
+
+@register(
+    "t17_vocab_growth",
+    oracle=rf"""
+WITH firsts AS (
+  SELECT tok, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  GROUP BY tok
+),
+cp(n_docs) AS (VALUES {", ".join(f"({n})" for n in T17_CHECKPOINTS)})
+SELECT cp.n_docs,
+       CAST(COUNT(f.tok) AS BIGINT) AS vocab_size
+FROM cp LEFT JOIN firsts f ON f.first_doc < cp.n_docs
+GROUP BY cp.n_docs
+""",
+    tags=("text", "vocabulary", "profile", "documents"),
+    doc="Vocabulary growth curve (the Heaps-law profile): distinct "
+    "vocabulary size after the first N documents, for a ladder of "
+    "checkpoints — how corpus builders detect saturation (new data "
+    "stops adding vocabulary) vs drift (sudden growth = new domain "
+    "or language entered the feed).  First-seen decomposition keeps "
+    "it one shuffle: token → MIN(doc_id) (partial-aggregated "
+    "wordcount shape), then each token counts toward every "
+    "checkpoint after its first appearance via a tiny broadcast "
+    "checkpoint dimension — no per-checkpoint rescans, no "
+    "running-distinct state (q73's trick applied corpus-wide).",
+)
+def t17_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    firsts = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cp = spark.createDataFrame([(n,) for n in T17_CHECKPOINTS], "n_docs bigint")
+    return (
+        F.broadcast(cp)
+        .join(firsts, firsts.first_doc < cp.n_docs, "left")
+        .groupBy("n_docs")
+        .agg(F.count("tok").cast("bigint").alias("vocab_size"))
+    )

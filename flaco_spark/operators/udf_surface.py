@@ -329,3 +329,40 @@ def u08_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL installment_split(o.o_orderkey, o.total_cents) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# u09 — iterator-form pandas UDF (amortized per-task initialization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u09_iterator_pandas_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST((l_partkey * 17 + 3) % 999983 AS BIGINT) AS scored
+FROM lineitem
+WHERE l_orderkey % 100 = 1
+""",
+    tags=("udf", "pandas", "arrow", "iterator"),
+    doc="Iterator-form pandas UDF (Iterator[pd.Series] → "
+    "Iterator[pd.Series]): the variant that matters for ML scoring — "
+    "per-task state (a model, a tokenizer, a compiled regex) "
+    "initializes ONCE before the batch loop instead of per Arrow "
+    "batch, which is the difference between loading a model per 10k "
+    "rows and per task at 100 TB.  The 'model' here is a trivial "
+    "affine hash so the DuckDB oracle can verify the plumbing; the "
+    "init-once-then-stream structure is the real surface.",
+)
+def u09_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator  # typing form: required by the UDF type-hint inference
+
+    @F.pandas_udf("bigint")
+    def scored(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive one-time init would go here (runs once per task)
+        a, b, mod = 17, 3, 999983
+        for k in batches:
+            yield (k * a + b) % mod
+
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 1)
+    return l.select("l_orderkey", "l_linenumber", scored("l_partkey").alias("scored"))
