@@ -90,6 +90,11 @@ PROBE = [
     "e10_kmeans_unrolled",
     "q90_pivot_revenue",
     "st01_stream_windowed_counts",
+    "d18_canonical_by_quality",
+    "e11_pq_encode",
+    "e12_pq_adc_search",
+    "m07_phash_search",
+    "t17_vocab_growth",
 ]
 
 
