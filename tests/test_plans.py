@@ -635,3 +635,79 @@ def test_decontamination_broadcasts_bench_side_d16(spark, sf_dir):
 
     df = REGISTRY["d16_decontamination"].builder(spark, sf_dir)
     assert broadcast_join_count(df) >= 1, "bench n-gram side must broadcast"
+
+
+def test_streaming_watermark_drops_late_batch(spark, tmp_path):
+    """REAL late-data semantics: batch 1 advances the watermark past a
+    window; batch 2 delivers an event for that already-closed window;
+    the event must be DROPPED (append-mode aggregation never revises
+    an emitted window).  maxFilesPerTrigger=1 forces the two files
+    into separate micro-batches in filename order."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _write(path, rows):
+        # FLAT files: the streaming file source does not recurse into
+        # Spark-written output directories
+        ids, tss = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(
+                        [_dt.datetime.fromisoformat(t) for t in tss],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    _write(str(src / "a_batch1.parquet"),
+           [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 13:30:00")])
+    _time.sleep(1.1)  # distinct mtimes: the file source orders batches by timestamp
+    # watermark COMMITS one batch behind its source data (batch N runs
+    # under the watermark derived from batch N-1's commit), so an
+    # intermediate batch lets 13:30 - 2h = 11:30 take effect before
+    # the late row arrives
+    _write(str(src / "b_batch2.parquet"), [(4, "2024-01-01 13:31:00")])
+    _time.sleep(1.1)
+    _write(str(src / "c_batch3.parquet"), [(3, "2024-01-01 10:30:00")])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        r["w"]["start"].hour: r["n"] for r in spark.table("late_test").collect()
+    }
+    # the 10:00 window emitted with ONLY event 1 — event 3 arrived after
+    # the watermark passed 11:30 and was dropped, not merged
+    assert emitted.get(10) == 1, emitted
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, "the late row must be dropped by the watermark"
