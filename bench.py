@@ -175,13 +175,16 @@ def main() -> None:
 
     # Extended legs: round-3 operator families (streaming-through-the-
     # gate, decontamination, iterative kmeans, text-format roundtrip).
-    # Timed identically but kept OUT of `value`/`queries` so the
+    # Same methodology as the headline legs (untimed warm-up pass,
+    # then best-of-3) but kept OUT of `value`/`queries` so the
     # headline total stays comparable across rounds.
+    for name in EXTENDED:
+        registry[name].builder(spark, sf_dir).count()
     extended: dict[str, float] = {}
     for name in EXTENDED:
         spec = registry[name]
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = spec.builder(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

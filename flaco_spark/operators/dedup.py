@@ -100,6 +100,34 @@ def minhash_near_dup_pairs(
     and blow up the LSH bucket join (observed: >10 min at 5k docs vs
     seconds with word shingles).
     """
+    cand_ids, sig = _minhash_candidates(
+        df, text_col, key_col, shingle_mode, shingle_k, num_hashes, bands
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    return (
+        cand_ids.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def _minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_mode: str = "word",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash-LSH candidate generation (d04 pairs, d20
+    calibration): returns (candidate id pairs, persisted signature
+    table with shingles + sig columns), so the calibration query
+    audits EXACTLY the parameterization the dedup pass runs.
+    """
     rows_per_band = num_hashes // bands
     mk = word_shingles if shingle_mode == "word" else char_shingles
     sh = _parallelize_scan(df).select(
@@ -130,15 +158,7 @@ def minhash_near_dup_pairs(
         .select("doc1", "doc2")
         .dropDuplicates(["doc1", "doc2"])
     )
-    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
-    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
-    return (
-        cand_ids.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
-    )
+    return cand_ids, sig
 
 
 def simhash_signature_df(
@@ -1479,25 +1499,7 @@ JOIN sig g2 ON c.doc2 = g2.doc_id
 )
 def d20_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sig = _persist_eager(
-        _parallelize_scan(d).select(
-            "doc_id",
-            word_shingles(F.col("text"), 3).alias("shingles"),
-        ).withColumn("sig", minhash_signature(F.col("shingles"), 8))
-    )
-    banded = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-        "sig",
-    ).withColumn("band_key", lsh_band_key(F.col("sig"), F.col("band"), 2))
-    left = banded.select(F.col("doc_id").alias("doc1"), "band", "band_key")
-    right = banded.select(F.col("doc_id").alias("doc2"), "band", "band_key")
-    cand = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .dropDuplicates(["doc1", "doc2"])
-    )
+    cand, sig = _minhash_candidates(d)
     s1 = sig.select(
         F.col("doc_id").alias("doc1"),
         F.col("shingles").alias("sh1"),

@@ -584,7 +584,7 @@ SELECT query_id, neighbor_id, hamming, rn FROM scored WHERE rn <= 5
     "real pHash drops into the same column.",
 )
 def m07_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flaco_spark.operators.similarity import _spread, topk_per_query
+    from flaco_spark.operators.similarity import spread_to_cores, topk_per_query
 
     d = attach_binary_payload(table(spark, sf_dir, "documents").select("doc_id", "text"))
     sig = d.select(
@@ -597,7 +597,7 @@ def m07_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("phash").alias("qh")
     )
     scored = (
-        _spread(sig)
+        spread_to_cores(sig)
         .crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
         .withColumn("hamming", F.expr("bit_count(phash ^ qh)").cast("int"))

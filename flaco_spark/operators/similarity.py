@@ -30,7 +30,7 @@ from flaco_spark.tables import table
 SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)
 
 
-def _spread(candidates: DataFrame) -> DataFrame:
+def spread_to_cores(candidates: DataFrame) -> DataFrame:
     """Ensure the candidate side has at least core-count partitions.
 
     The score step amplifies work per candidate row (|queries| cosine
@@ -86,7 +86,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every query vector."""
-    cand = _spread(candidates).select(
+    cand = spread_to_cores(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -116,7 +116,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates compared only within the query's
     sign-LSH bucket."""
-    cand = _spread(candidates).select(
+    cand = spread_to_cores(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -337,7 +337,7 @@ def ivf_topk(
             .select(f"{prefix}_id", f"{prefix}v", f"{prefix}n", F.col("seed_id").alias("cell"))
         )
 
-    cand = assign(_spread(candidates), "c", keep=1)
+    cand = assign(spread_to_cores(candidates), "c", keep=1)
     q = assign(queries, "q", keep=nprobe)
     scored = (
         cand.join(F.broadcast(q), "cell")
@@ -984,7 +984,9 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell, sim AS cos_sim FROM final""")
     "k-sized.  At 100 TB, k is bounded (≤ ~10^5) and rounds are "
     "driver-coordinated jobs, exactly like ``kmeans_fit``.",
 )
-def e10_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e10_kmeans_unrolled(
+    spark: SparkSession, sf_dir: str, iters: int = E10_ITERS
+) -> DataFrame:
     from flaco_spark.cachepool import register_cache
 
     e = table(spark, sf_dir, "embeddings")
@@ -1005,7 +1007,7 @@ def e10_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vn").alias("cn"),
     )
     assigned = None
-    for it in range(E10_ITERS):
+    for it in range(iters):
         scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
             "sim", cosine(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
         )
@@ -1015,7 +1017,7 @@ def e10_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") == 1)
             .select("vec_id", "cell", "sim", "v")
         )
-        if it < E10_ITERS - 1:
+        if it < iters - 1:
             dims = assigned.select(
                 "cell", F.posexplode("v").alias("pos", "xf")
             ).select(
@@ -1063,10 +1065,23 @@ def _pq_d2_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "e11_pq_encode",
-    oracle=f"""
-WITH pts AS (
+def _pq_split(pts: DataFrame, id_in: str, id_out: str, vec_out: str) -> DataFrame:
+    """Explode a vector table into its PQ subvectors: one row per
+    (id, subspace m) with the contiguous 8-dim slice.  Shared by the
+    e11/e12 builders so the expansion cannot drift between encode and
+    search."""
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    return pts.select(F.col(id_in).alias(id_out), ms, "v").select(
+        id_out,
+        "m",
+        F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(vec_out),
+    )
+
+
+# Shared oracle CTE fragments for the PQ family (e11 encode, e12 ADC
+# search, e13 recall) — one definition so a fold/bounds fix cannot
+# desynchronize an oracle from the operator it checks.
+_PQ_BASE_CTES = f"""WITH pts AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ),
 subs AS (
@@ -1078,7 +1093,29 @@ seeds AS (
          list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
   FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
   WHERE vec_id % {IVF_SEED_MOD} = 3
-),
+)"""
+
+_PQ_CODES_CTE = f"""codes AS (
+  SELECT vec_id, m, seed_id AS code FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8), c.seed_id) AS rnk
+    FROM subs s JOIN seeds c ON s.m = c.m) t
+  WHERE rnk = 1
+)"""
+
+_PQ_LUT_CTE = f"""lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.seed_id AS code,
+         round({_pq_d2_sql('q.sv', 'c.ssv')}, 8) AS d2
+  FROM subs q JOIN seeds c ON q.m = c.m
+  WHERE q.vec_id < 5
+)"""
+
+
+@register(
+    "e11_pq_encode",
+    oracle=f"""
+{_PQ_BASE_CTES},
 scored AS (
   SELECT s.vec_id, s.m, c.seed_id,
          round({_pq_d2_sql('s.sv', 'c.ssv')}, 8) AS d2,
@@ -1109,18 +1146,9 @@ FROM scored WHERE rnk = 1
 def e11_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
-    subs = pts.select("vec_id", ms, "v").select(
-        "vec_id", "m", F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv")
-    )
-    seeds = (
-        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3)
-        .select(F.col("vec_id").alias("seed_id"), ms, "v")
-        .select(
-            "seed_id",
-            "m",
-            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("ssv"),
-        )
+    subs = _pq_split(pts, "vec_id", "vec_id", "sv")
+    seeds = _pq_split(
+        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3), "vec_id", "seed_id", "ssv"
     )
     d2 = F.round(
         F.aggregate(
@@ -1153,33 +1181,9 @@ def e11_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e12_pq_adc_search",
     oracle=f"""
-WITH pts AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-),
-subs AS (
-  SELECT vec_id, g.m AS m, list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS sv
-  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
-),
-seeds AS (
-  SELECT vec_id AS seed_id, g.m AS m,
-         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
-  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
-  WHERE vec_id % {IVF_SEED_MOD} = 3
-),
-codes AS (
-  SELECT vec_id, m, seed_id AS code FROM (
-    SELECT s.vec_id, s.m, c.seed_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                              ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8), c.seed_id) AS rnk
-    FROM subs s JOIN seeds c ON s.m = c.m) t
-  WHERE rnk = 1
-),
-lut AS (
-  SELECT q.vec_id AS query_id, c.m, c.seed_id AS code,
-         round({_pq_d2_sql('q.sv', 'c.ssv')}, 8) AS d2
-  FROM subs q JOIN seeds c ON q.m = c.m
-  WHERE q.vec_id < 5
-),
+{_PQ_BASE_CTES},
+{_PQ_CODES_CTE},
+{_PQ_LUT_CTE},
 approx AS (
   SELECT l.query_id, co.vec_id AS neighbor_id,
          round(list_reduce(list_prepend(0.0::DOUBLE,
@@ -1210,24 +1214,9 @@ def e12_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = e11_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
-    qsubs = (
-        pts.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), ms, "v")
-        .select(
-            "query_id",
-            "m",
-            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qsv"),
-        )
-    )
-    seeds = (
-        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3)
-        .select(F.col("vec_id").alias("code"), ms, "v")
-        .select(
-            "code",
-            "m",
-            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("ssv"),
-        )
+    qsubs = _pq_split(pts.filter(F.col("vec_id") < 5), "vec_id", "query_id", "qsv")
+    seeds = _pq_split(
+        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3), "vec_id", "code", "ssv"
     )
     d2 = F.round(
         F.aggregate(
@@ -1277,33 +1266,9 @@ def _full_d2_sql(a: str, b: str) -> str:
 @register(
     "e13_pq_recall",
     oracle=f"""
-WITH pts AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-),
-subs AS (
-  SELECT vec_id, g.m AS m, list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS sv
-  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
-),
-seeds AS (
-  SELECT vec_id AS seed_id, g.m AS m,
-         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
-  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
-  WHERE vec_id % {IVF_SEED_MOD} = 3
-),
-codes AS (
-  SELECT vec_id, m, seed_id AS code FROM (
-    SELECT s.vec_id, s.m, c.seed_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                              ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8), c.seed_id) AS rnk
-    FROM subs s JOIN seeds c ON s.m = c.m) t
-  WHERE rnk = 1
-),
-lut AS (
-  SELECT q.vec_id AS query_id, c.m, c.seed_id AS code,
-         round({_pq_d2_sql('q.sv', 'c.ssv')}, 8) AS d2
-  FROM subs q JOIN seeds c ON q.m = c.m
-  WHERE q.vec_id < 5
-),
+{_PQ_BASE_CTES},
+{_PQ_CODES_CTE},
+{_PQ_LUT_CTE},
 adc5 AS (
   SELECT query_id, neighbor_id FROM (
     SELECT l.query_id, co.vec_id AS neighbor_id,
@@ -1356,7 +1321,7 @@ def e13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     scored = (
-        _spread(pts)
+        spread_to_cores(pts)
         .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -355,8 +355,6 @@ WHERE l_orderkey % 100 = 1
     "init-once-then-stream structure is the real surface.",
 )
 def u09_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from typing import Iterator  # typing form: required by the UDF type-hint inference
-
     @F.pandas_udf("bigint")
     def scored(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # expensive one-time init would go here (runs once per task)

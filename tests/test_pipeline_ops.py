@@ -320,20 +320,23 @@ def test_minhash_calibration_within_bound(spark, sf_dir):
     assert all(r.within_half for r in rows)
 
 
-def test_e10_first_iteration_matches_e07_assignment(spark, sf_dir):
-    """e10's round-0 assignment is e07's single Lloyd step: the same
-    seeds, the same rounded-cosine argmax.  Run e10 with one
-    iteration (via the module constant's contract) by comparing e07's
-    assigned cells against e10's final cells restricted to... — the
-    cheap equivalent: every (vec, cell) pair e07 emits per-cell means
-    for must use cells from the same seed set e10 starts from."""
-    from flaco_spark.inventory import load_inventory
-    from flaco_spark.operators.similarity import IVF_SEED_MOD
+def test_e10_first_iteration_matches_kmeans_fit(spark, sf_dir):
+    """Cross-implementation equivalence: e10's round-0 assignment must
+    equal kmeans_fit's first Lloyd step row-for-row (same seed rule,
+    same rounded-cosine argmax, same tie-break) — two independently
+    written loops over the same spec."""
+    from flaco_spark.operators.similarity import (
+        e10_kmeans_unrolled,
+        kmeans_fit,
+    )
+    from flaco_spark.cachepool import release_caches
 
-    reg = load_inventory()
-    e10_cells = {
-        r.cell for r in reg["e10_kmeans_unrolled"].builder(spark, sf_dir).collect()
+    unrolled = {
+        (r.vec_id, r.cell)
+        for r in e10_kmeans_unrolled(spark, sf_dir, iters=1).collect()
     }
-    # every final cell id must be a seed id (labels never leave the
-    # initial codebook in Lloyd iterations)
-    assert all(c % IVF_SEED_MOD == 3 for c in e10_cells), sorted(e10_cells)[:5]
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fit_assigned, _ = kmeans_fit(vecs, max_iters=1)
+    fitted = {(r.vec_id, r.cell) for r in fit_assigned.collect()}
+    release_caches()
+    assert unrolled == fitted and len(unrolled) > 0
