@@ -98,21 +98,6 @@ def jaccard(a: Column, b: Column) -> Column:
 # Vectors (array<float|double> embeddings)
 # ---------------------------------------------------------------------------
 
-# Exact-decimal accumulator for order-independent float reductions
-# (see flaco_spark.compat for the rationale).  The decimal quantization
-# of each product can differ from another engine's by one unit in the
-# last place (DuckDB converts double→decimal through an FP multiply),
-# so reduction results carry ~1e-13 engine jitter; the final round()
-# at a much coarser scale (8/6 dp) absorbs it and makes every
-# downstream FP operation bit-identical across engines.
-_VEC_DEC = "decimal(28,14)"
-
-
-def _dec_sum(products: Column) -> Column:
-    zero = F.lit(0).cast(_VEC_DEC)
-    return F.aggregate(products, zero, lambda acc, x: (acc + x).cast(_VEC_DEC))
-
-
 def _dbl_fold(products: Column) -> Column:
     """Left-fold sum in IEEE double.
 

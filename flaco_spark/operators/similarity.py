@@ -14,8 +14,10 @@ Two strategies:
   each candidate row is compared against queries in its bucket only.
 
 All vector math is JVM-side (``zip_with`` / ``aggregate`` higher-order
-expressions), with the exact-decimal accumulator discipline from
-:mod:`flaco_spark.functions` so cosine values are bit-reproducible.
+expressions) as deterministic IEEE-double LEFT-FOLDS (fixed
+within-array evaluation order — see ``flaco_spark.functions.dot``),
+so cosine values are bit-reproducible under any partitioning and the
+DuckDB oracles mirror the identical operation sequence.
 """
 
 from __future__ import annotations
