@@ -878,3 +878,70 @@ def ts16_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
             nearest.alias("nearest_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts17 — sweep-line concurrency (max simultaneous sessions)
+# ---------------------------------------------------------------------------
+
+TS17_SESSION_MINUTES = 30
+
+
+@register(
+    "ts17_concurrency_sweep",
+    oracle=f"""
+WITH sessions AS (
+  SELECT user_id, ts AS s_start, ts + INTERVAL {TS17_SESSION_MINUTES} MINUTE AS s_end
+  FROM events WHERE event_type = 'signup'
+),
+deltas AS (
+  SELECT s_start AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT s_end AS t, -1 AS d FROM sessions
+),
+swept AS (
+  SELECT t, d,
+         SUM(d) OVER (ORDER BY t, d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+  FROM deltas
+)
+SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+FROM swept
+GROUP BY 1
+""",
+    tags=("timeseries", "sweepline", "intervals", "events"),
+    doc="Interval-overlap concurrency by SWEEP LINE: each signup opens "
+    "a 30-minute session; sessions become +1/-1 boundary events, a "
+    "running sum over the merged boundary stream IS the concurrency "
+    "curve, and per-hour MAX gives the peak-load profile (capacity "
+    "planning's first query).  The sweep needs a single total order "
+    "over boundaries — at 100 TB that is q66's range-partitioned "
+    "global sort, not a one-task window; here the surface-parity "
+    "form uses the ordered window with starts-before-ends tie-break "
+    "(+1 sorts first at equal t, the closed-interval convention both "
+    "engines pin identically).  Cardinality: 2 boundary rows per "
+    "session, output is hours-sized.",
+)
+def ts17_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    sessions = e.select(
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {TS17_SESSION_MINUTES} MINUTES")).alias("s_end"),
+    )
+    deltas = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionAll(
+        sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        W.orderBy("t", F.desc("d"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = deltas.withColumn("concurrent", F.sum("d").over(w))
+    return (
+        swept.groupBy(
+            F.date_format(F.date_trunc("hour", "t"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            )
+        )
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+    )
