@@ -1530,3 +1530,64 @@ def d20_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc1", "doc2", "est_jaccard", "exact_jaccard", "within_half")
     )
+
+
+# ---------------------------------------------------------------------------
+# d21 — duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d21_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_D04_PAIRS_CTE},
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size FROM comp GROUP BY component_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY cluster_size
+""",
+    tags=("dedup", "components", "histogram", "reporting", "documents"),
+    doc="Duplicate-cluster size distribution: d09's transitive "
+    "clusters rolled up to (cluster_size → n_clusters, docs held, "
+    "docs removable) — the first table of any dedup report (real "
+    "corpora are power-law: a few huge boilerplate clusters hold "
+    "most of the removable mass, and THIS table is how you see "
+    "them).  n_removable sums to the corpus-wide dedup yield.  Two "
+    "tiny aggregations after the components fixpoint; output is "
+    "distinct-sizes-sized.",
+)
+def d21_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+    )
