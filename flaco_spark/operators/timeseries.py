@@ -945,3 +945,91 @@ def ts17_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ts18 — bar-pattern detection (lag-window technical signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts18_bar_patterns",
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+),
+bars AS (
+  SELECT hr,
+         MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+         MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+  FROM ranked GROUP BY hr
+),
+seq AS (
+  SELECT hr, open, close,
+         close > open AS up,
+         lag(close > open, 1) OVER w AS up1,
+         lag(close > open, 2) OVER w AS up2,
+         lag(close, 1) OVER w AS close1,
+         lag(close, 2) OVER w AS close2
+  FROM bars
+  WINDOW w AS (ORDER BY hr)
+)
+SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS bar_start,
+       up AND COALESCE(up1, FALSE) AND COALESCE(up2, FALSE)
+         AND close > close1 AND close1 > close2 AS three_rising,
+       up <> COALESCE(up1, up) AS reversal
+FROM seq
+""",
+    tags=("timeseries", "pattern", "window", "events"),
+    doc="Bar-pattern detection over ts07's OHLC bars: per entity, "
+    "lag-window booleans flag three-consecutive-rising bars (the "
+    "'three white soldiers' momentum signal, generalized to any "
+    "metric: three rising hourly aggregates = sustained drift) and "
+    "direction reversals — the alerting primitives monitoring "
+    "systems derive from compacted bars rather than raw ticks.  "
+    "Bars are GLOBAL per hour here, so the lag window runs over a "
+    "bounded hours-sized sequence (the same bounded-input argument "
+    "as t16/d12; per-entity bars would key the window by entity as "
+    "ts07 does).  One (hour) shuffle compacts ticks to bars; "
+    "pattern state per row is O(pattern length).",
+)
+def ts18_bar_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn("hr", F.date_trunc("hour", "ts"))
+    w_a = W.partitionBy("hr").orderBy("ts", "event_id")
+    w_d = W.partitionBy("hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = (
+        e.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+    )
+    bars = ranked.groupBy("hr").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
+    ws = W.orderBy("hr")
+    up = F.col("close") > F.col("open")
+    seq = (
+        bars.withColumn("up", up)
+        .withColumn("up1", F.lag("up", 1).over(ws))
+        .withColumn("up2", F.lag("up", 2).over(ws))
+        .withColumn("close1", F.lag("close", 1).over(ws))
+        .withColumn("close2", F.lag("close", 2).over(ws))
+    )
+    three = (
+        F.col("up")
+        & F.coalesce(F.col("up1"), F.lit(False))
+        & F.coalesce(F.col("up2"), F.lit(False))
+        & (F.col("close") > F.col("close1"))
+        & (F.col("close1") > F.col("close2"))
+    )
+    reversal = F.col("up") != F.coalesce(F.col("up1"), F.col("up"))
+    return seq.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        three.alias("three_rising"),
+        reversal.alias("reversal"),
+    )
