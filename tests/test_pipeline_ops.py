@@ -200,8 +200,18 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "q95_map_higher_order",
         "e10_kmeans_unrolled",
         "ts16_asof_directions",
+        "ts17_concurrency_sweep",
+        "ts18_bar_patterns",
         "m06_format_sniffing",
         "u08_python_udtf",
+        "u09_iterator_pandas_udf",
+        "d20_minhash_calibration",
+        "d21_cluster_size_histogram",
+        "e11_pq_encode",
+        # (t17 excluded: its checkpoint dimension is literal, so an
+        # empty corpus correctly yields checkpoint rows with vocab 0)
+        "q96_variant_extract",
+        "m07_phash_search",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
