@@ -68,7 +68,11 @@ def _persist_eager(df: DataFrame) -> DataFrame:
     serializes the whole job (measured: 491 s vs 20 s at 50k docs).
     """
     release_caches()
-    df = df.persist()
+    # Idempotent: a composed pipeline (e.g. d18 reusing d03's candidate
+    # builder) may hand back an already-persisted frame — re-persisting
+    # it only emits "Asked to cache already cached data" churn.
+    if not df.is_cached:
+        df = df.persist()
     df.count()
     register_cache(df)
     return df

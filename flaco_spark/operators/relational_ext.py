@@ -2303,6 +2303,8 @@ def q93_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey,
        TRY_CAST(o_orderpriority AS INTEGER) AS pri_num,
        TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+       CAST(TRY_CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS price_reparsed,
        CASE WHEN (o_orderkey % 5) = 0 THEN NULL
             ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                  / (o_orderkey % 5) END AS per_unit_cents
@@ -2316,14 +2318,24 @@ FROM orders WHERE o_orderkey < 300
     "unless the cast is try_; these are the idioms that make "
     "ANSI-strict pipelines ingest dirty data deterministically.  "
     "'1-URGENT' → NULL (whole-string cast fails), its first digit "
-    "→ 1; division result stays integer-free via cents.",
+    "→ 1; try_to_number is demonstrated on a column its format "
+    "genuinely matches (the decimal price string — same NULL "
+    "behavior as the oracle's TRY_CAST for ALL inputs, not just the "
+    "fixture's); division result stays integer-free via cents.",
 )
 def q94_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     return o.select(
         "o_orderkey",
-        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("pri_num"),
+        F.col("o_orderpriority").try_cast("int").alias("pri_num"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_digit"),
+        F.try_to_number(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.lit("999999999999999.99"),
+        )
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("price_reparsed"),
         F.try_divide(
             (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
             F.col("o_orderkey") % 5,

@@ -681,6 +681,12 @@ def kmeans_fit(
     Initial seeds mirror e04/e07's deterministic ``vec_id % mod == 3``
     rule so the first iteration equals e07 exactly.
     """
+    from flaco_spark.cachepool import release_caches
+
+    # Release-on-entry (cachepool protocol): drain predecessors' live
+    # caches so back-to-back invocations (bench best-of-N loops,
+    # scale_probe sequences) don't accumulate executor-memory pins.
+    release_caches()
     pts = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -989,8 +995,10 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell, sim AS cos_sim FROM final""")
 def e10_kmeans_unrolled(
     spark: SparkSession, sf_dir: str, iters: int = E10_ITERS
 ) -> DataFrame:
-    from flaco_spark.cachepool import register_cache
+    from flaco_spark.cachepool import register_cache, release_caches
 
+    # Release-on-entry (cachepool protocol) — see kmeans_fit.
+    release_caches()
     e = table(spark, sf_dir, "embeddings")
     # Every Lloyd round's crossJoin references pts: without a cache the
     # single terminal action re-scans the parquet and re-evaluates the

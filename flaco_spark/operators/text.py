@@ -876,10 +876,12 @@ GROUP BY cp.n_docs
     "stops adding vocabulary) vs drift (sudden growth = new domain "
     "or language entered the feed).  First-seen decomposition keeps "
     "it one shuffle: token → MIN(doc_id) (partial-aggregated "
-    "wordcount shape), then each token counts toward every "
-    "checkpoint after its first appearance via a tiny broadcast "
-    "checkpoint dimension — no per-checkpoint rescans, no "
-    "running-distinct state (q73's trick applied corpus-wide).",
+    "wordcount shape); each token is then assigned map-side to the "
+    "FIRST checkpoint it counts toward (a literal CASE ladder — no "
+    "non-equi join, nothing corpus-sized ever broadcast), and the "
+    "per-checkpoint counts cumulate over a |checkpoints|-row window "
+    "— no per-checkpoint rescans, no running-distinct state (q73's "
+    "trick applied corpus-wide).",
 )
 def t17_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -888,10 +890,27 @@ def t17_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.min("doc_id").alias("first_doc"))
     )
+    # Map-side: the smallest checkpoint this token's first appearance
+    # precedes.  A token counts toward that checkpoint and every later
+    # one, so per-bucket counts cumulated in checkpoint order give the
+    # vocabulary size at each checkpoint.  Tokens first seen at or
+    # after the last checkpoint fall out (NULL bucket).
+    bucket = F.lit(None).cast("bigint")
+    for n in sorted(T17_CHECKPOINTS, reverse=True):
+        bucket = F.when(F.col("first_doc") < F.lit(n), F.lit(n)).otherwise(bucket)
+    per_cp = (
+        firsts.select(bucket.alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
     cp = spark.createDataFrame([(n,) for n in T17_CHECKPOINTS], "n_docs bigint")
+    w = W.orderBy("n_docs").rowsBetween(W.unboundedPreceding, 0)
     return (
-        F.broadcast(cp)
-        .join(firsts, firsts.first_doc < cp.n_docs, "left")
-        .groupBy("n_docs")
-        .agg(F.count("tok").cast("bigint").alias("vocab_size"))
+        cp.join(F.broadcast(per_cp), cp.n_docs == per_cp.bucket, "left")
+        .select("n_docs", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "n_docs",
+            F.sum("n_new").over(w).cast("bigint").alias("vocab_size"),
+        )
     )

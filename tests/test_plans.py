@@ -628,6 +628,18 @@ def test_repetition_filter_is_shuffle_free_t14(spark, sf_dir):
     assert "Exchange" not in formatted_plan(df), "t14 must not shuffle"
 
 
+def test_vocab_growth_no_nested_loop_t17(spark, sf_dir):
+    """t17 assigns checkpoints map-side (CASE ladder), so the plan must
+    contain NO BroadcastNestedLoopJoin — the failure mode is a non-equi
+    join that broadcasts the corpus-sized first-seen table."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["t17_vocab_growth"].builder(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(df), (
+        "t17 must not plan a nested-loop join"
+    )
+
+
 def test_decontamination_broadcasts_bench_side_d16(spark, sf_dir):
     """The eval-set side of the contamination join is benchmark-sized;
     it must broadcast so the training scan stays map-side."""
