@@ -426,21 +426,33 @@ def connected_components(
     dst_col: str = "doc2",
     max_iterations: int = 20,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by min-label propagation + pointer jumping.
 
-    Each node starts labeled with itself; every round each node takes
-    the minimum label among itself and its neighbors, until a round
-    changes nothing.  Converges in O(component diameter) rounds —
-    near-dup graphs are overwhelmingly small, dense clusters, so a
-    handful of rounds suffices at any corpus size.
+    Each node starts labeled with itself; every round each node (a)
+    takes the minimum label among itself and its neighbors, then (b)
+    POINTER-JUMPS: replaces its label with its label's label
+    (path-halving — the round-bounding rewrite of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", in the
+    Shiloach–Vishkin shortcut form).  Propagation alone needs
+    O(component diameter) rounds — fine for the small dense clusters
+    near-dup graphs mostly produce, but a 100 TB corpus WILL contain
+    a few chain-shaped components (serial near-copies A≈B≈C≈…)
+    whose diameter is unbounded.  The jump contracts label chains
+    geometrically, so convergence is O(log diameter) rounds: a
+    1M-hop chain converges inside the default 20-round budget.
 
     Scale shape per round: one shuffle of the (node, label) table
-    keyed by node (the edge join + min-aggregate); edges carry only
-    two ids.  The convergence check is a count() per round (a
-    metadata-sized job).  This is the simple-propagation variant of
-    the large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce"); at 100 TB you'd add the star rewrites
-    to cut round count, same per-round shuffle shape.
+    keyed by node (the edge join + min-aggregate) plus one label-table
+    self-join keyed by label (the jump — label-table-sized, ≤ |edges|,
+    never corpus-sized).  The convergence check is a count() per round
+    (a metadata-sized job).
+
+    Invariant (why the jump is sound): label(v) is always the id of a
+    node in v's own component and only ever decreases, so
+    label(label(v)) is also in the component and ≤ label(v); the
+    fixpoint argument is unchanged — at a zero-change round every
+    edge has equal labels on both ends, and the component-min node
+    still holds its own id.
 
     Returns (node_col, component_id) — component_id = min node id in
     the component.
@@ -464,13 +476,43 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
             )
-        ).persist()
+            # Lineage MUST be truncated each round: the jump self-join
+            # below references this frame twice, so without truncation
+            # the logical plan doubles per round and Catalyst analysis
+            # goes exponential.  localCheckpoint materializes to
+            # executor storage with no checkpoint dir; on a real
+            # cluster swap for reliable checkpoint() if executor loss
+            # mid-algorithm must be survivable.
+            .localCheckpoint(eager=True)
+        )
+        # Pointer jump: label(v) := label(label(v)).  Labels are node
+        # ids inside the touched set, so the self-join keyed by label
+        # always resolves; left+coalesce guards the identity rows.
+        new_labels = (
+            propagated.alias("a")
+            .join(
+                propagated.select(
+                    F.col("node").alias("_jn"), F.col("label").alias("_jl")
+                ),
+                F.col("a.label") == F.col("_jn"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.label"), F.coalesce("_jl", F.col("a.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -220,6 +220,34 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 @settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(24, 80))
+def test_connected_components_long_chain_bounded_rounds(spark, n):
+    """A chain-shaped component (diameter n-1 > 20 hops) must converge
+    WITHIN a round budget far below its diameter: pointer jumping
+    contracts label chains geometrically, so 10 rounds cover any
+    diameter up to ~2^10.  Plain propagation would need n-1 rounds and
+    trip the loud non-convergence failure this asserts against."""
+    from flaco_spark.operators.dedup import connected_components, release_caches
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc1", "doc2"]
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(
+            nodes_df, edges_df, max_iterations=10
+        ).collect()
+    }
+    release_caches()
+    assert got == {i: 0 for i in range(n)}
+
+
+@settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
