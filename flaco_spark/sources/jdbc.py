@@ -14,8 +14,14 @@ three structural upgrades:
 - ``fetchsize`` keeps the cursor streaming (same memory posture as
   the reference's row-at-a-time loop, src/lib.rs:189-194).
 
-No live PostgreSQL exists in the test environment, so everything
-except URI translation is exercised only through its option plumbing.
+No live PostgreSQL exists in the test environment, so the
+PG-specific arms (URI translation, OID typemap) are exercised through
+their option plumbing — but the READER ITSELF is exercised end-to-end
+against the embedded Apache Derby engine bundled with Spark (raw
+``jdbc:`` URLs pass through untranslated): a real ``load()`` over a
+real JDBC cursor, mirroring what the reference's test suite does
+against live PostgreSQL (``/root/reference/tests/test_general.py:10-46``
+— CI boots postgres:12 and round-trips every query through it).
 """
 
 from __future__ import annotations
@@ -58,6 +64,15 @@ def translate_postgres_uri(uri: str) -> JdbcTarget:
     return JdbcTarget(url=f"jdbc:postgresql://{host}:{port}/{db}", properties=props)
 
 
+def resolve_target(uri: str) -> JdbcTarget:
+    """libpq-style ``postgresql://`` URIs translate; raw ``jdbc:`` URLs
+    pass through untouched (any engine whose driver is on the
+    classpath — the embedded-Derby end-to-end tests use this arm)."""
+    if uri.startswith("jdbc:"):
+        return JdbcTarget(url=uri, properties={})
+    return translate_postgres_uri(uri)
+
+
 def jdbc_options(
     uri: str,
     stmt: str,
@@ -79,7 +94,7 @@ def jdbc_options(
     ``dbtable`` subquery and the bounds options open N parallel
     cursors with disjoint predicates.
     """
-    target = translate_postgres_uri(uri)
+    target = resolve_target(uri)
     opts: dict[str, str] = {"url": target.url, "fetchsize": str(fetchsize)}
     opts.update(target.properties)
     if partition_column is None:

@@ -63,9 +63,13 @@ PG_TO_SPARK: dict[str, T.DataType] = {
     "timestamptz": T.TimestampType(),
     "timestamp with time zone": T.TimestampType(),
     "date": T.DateType(),
-    # TIME has no Spark type ≤3.x: µs since midnight (src/lib.rs:350-366)
-    "time": T.LongType(),
-    "timetz": T.LongType(),
+    # TIME (src/lib.rs:350-366): Spark ≥4.1 has a native TimeType —
+    # mapped at µs precision, matching PG's; on older runtimes the
+    # documented fallback is µs since midnight as LongType.  TIMETZ
+    # loses its offset either way (JDBC's java.sql.Time carries none);
+    # the value is normalized by the server to session time zone.
+    "time": T.TimeType(6) if hasattr(T, "TimeType") else T.LongType(),
+    "timetz": T.TimeType(6) if hasattr(T, "TimeType") else T.LongType(),
     # INTERVAL decoded properly (reference keeps raw 16 bytes,
     # src/lib.rs:367-374)
     "interval": T.DayTimeIntervalType(),

@@ -88,6 +88,103 @@ def test_jdbc_options_partitioned_extract_requires_all_bounds():
         )
 
 
+# ---- End-to-end JDBC against embedded Derby (live-server parity) --------
+#
+# The reference's entire suite runs against live PostgreSQL
+# (/root/reference/tests/test_general.py:10-46 — CI boots postgres:12
+# and round-trips every query through a real server connection).  No
+# PostgreSQL exists here, but Spark bundles Apache Derby, a complete
+# in-process JDBC engine — so the reader path (DriverManager →
+# metadata schema probe → cursor streaming → partitioned extract) is
+# exercised END-TO-END, not just through its option map.
+
+
+@pytest.fixture(scope="module")
+def derby_db(spark):
+    """In-memory Derby database with a small typed table."""
+    url = "jdbc:derby:memory:flaco_e2e;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE items (id INT NOT NULL, name VARCHAR(20), "
+        "price DECIMAL(10,2), ts TIMESTAMP)"
+    )
+    st.executeUpdate(
+        "INSERT INTO items VALUES "
+        "(1,'alpha',1.50,TIMESTAMP('2024-01-01 00:00:00')),"
+        "(2,'beta',2.75,TIMESTAMP('2024-02-01 12:30:00')),"
+        "(3,'gamma',10.00,TIMESTAMP('2024-03-01 06:15:00'))"
+    )
+    st.close()
+    yield "jdbc:derby:memory:flaco_e2e"
+    conn.close()
+
+
+def test_jdbc_end_to_end_query_pushdown(spark, derby_db):
+    """A real JDBC load(): the WHERE executes server-side (whole-query
+    pushdown, the reference's src/lib.rs:189 semantics) and values,
+    types and row order survive the cursor."""
+    from flaco_spark.sources.jdbc import jdbc_reader
+
+    df = jdbc_reader(
+        spark, derby_db, "SELECT id, name, price FROM items WHERE id >= 2"
+    ).load()
+    assert df.schema.simpleString() == (
+        "struct<ID:int,NAME:string,PRICE:decimal(10,2)>"
+    )
+    rows = sorted((r.ID, r.NAME, str(r.PRICE)) for r in df.collect())
+    assert rows == [(2, "beta", "2.75"), (3, "gamma", "10.00")]
+
+
+def test_jdbc_end_to_end_zero_rows_keeps_schema(spark, derby_db):
+    """Schema comes from server metadata even for 0-row results — the
+    structural upgrade over the reference, which loses the schema on
+    empty extracts (src/lib.rs:203-206)."""
+    from flaco_spark.sources.jdbc import jdbc_reader
+
+    z = jdbc_reader(
+        spark, derby_db, "SELECT id, name FROM items WHERE id < 0"
+    ).load()
+    assert z.count() == 0
+    assert [f.name for f in z.schema.fields] == ["ID", "NAME"]
+    assert z.schema.fields[0].dataType.typeName() == "integer"
+
+
+def test_jdbc_end_to_end_custom_schema_casts(spark, derby_db):
+    """customSchema overrides the server-probed types at read time —
+    the mechanism the PG typemap (flaco_spark/typemap.py) feeds; here
+    proven against a live cursor."""
+    from flaco_spark.sources.jdbc import jdbc_reader
+
+    df = (
+        jdbc_reader(spark, derby_db, "SELECT id, price FROM items")
+        .option("customSchema", "ID BIGINT, PRICE DECIMAL(14,2)")
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<ID:bigint,PRICE:decimal(14,2)>"
+    assert df.count() == 3
+
+
+def test_jdbc_end_to_end_partitioned_extract(spark, derby_db):
+    """partitionColumn/bounds open N parallel cursors with disjoint
+    predicates (the reference is one connection, one thread) — every
+    row arrives exactly once across the partitions."""
+    from flaco_spark.sources.jdbc import jdbc_reader
+
+    p = jdbc_reader(
+        spark,
+        derby_db,
+        "SELECT id, name FROM items",
+        partition_column="id",
+        num_partitions=2,
+        lower_bound=1,
+        upper_bound=3,
+    ).load()
+    assert p.rdd.getNumPartitions() == 2
+    assert sorted(r.ID for r in p.collect()) == [1, 2, 3]
+
+
 # ---- F1: groupby equivalence through sink round-trip --------------------
 
 

@@ -32,12 +32,23 @@ def test_golden_mapping():
         "timestamp": T.TimestampNTZType(),
         "timestamptz": T.TimestampType(),
         "date": T.DateType(),
-        "time": T.LongType(),
         "interval": T.DayTimeIntervalType(),
         "numeric": T.DecimalType(38, 18),
     }
     for pg, expected in golden.items():
         assert spark_type_for(pg) == expected, pg
+
+
+def test_time_maps_to_native_timetype_on_spark_41():
+    """Spark ≥4.1 has a native TIME type; PG TIME/TIMETZ map to it at
+    µs precision (PG's own).  On older runtimes the documented
+    fallback is µs-since-midnight as LongType."""
+    if hasattr(T, "TimeType"):
+        assert spark_type_for("time") == T.TimeType(6)
+        assert spark_type_for("timetz") == T.TimeType(6)
+    else:
+        assert spark_type_for("time") == T.LongType()
+        assert spark_type_for("timetz") == T.LongType()
 
 
 def test_fallbacks_and_arrays():
