@@ -52,6 +52,7 @@ FORCE_RECHECK: frozenset[str] = frozenset(
         "d06_embedding_dedup_pairs",  # non-vacuous threshold + planted dups
         "d08_ngram_jaccard_pairs",  # exact-collapse prepass + hashed postings
         "q22_idle_rich_customers",  # date-bounded anti join (non-vacuous)
+        "d09_dedup_components",  # r4: pointer-jump CC rewrite (green row is r2)
     }
 )
 

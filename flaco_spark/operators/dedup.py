@@ -1637,3 +1637,141 @@ def d21_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removable"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d22 — semantic dedup: cluster-then-pair (SemDeDup-shaped)
+# ---------------------------------------------------------------------------
+
+D22_THRESHOLD = 0.35
+
+
+@register(
+    "d22_semantic_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+),
+pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+),
+norms AS (
+  SELECT vec_id,
+         round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                             list_transform(v, x -> x * x)),
+                                (acc, x) -> acc + x)), 6) AS nrm
+  FROM pts
+),
+seeds AS (
+  SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % 97 = 3 AND p.vec_id < 100000
+),
+assigned AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT p.vec_id, s.seed_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY round(list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(generate_series(1, 64),
+                                       i -> p.v[i] * s.sv[i])),
+                      (acc, x) -> acc + x), 8) / (n.nrm * s.sn) DESC,
+                      s.seed_id) AS rnk
+    FROM pts p JOIN norms n ON p.vec_id = n.vec_id CROSS JOIN seeds s) t
+  WHERE rnk = 1
+),
+pairs AS (
+  SELECT a1.cell, a1.vec_id AS id1, a2.vec_id AS id2,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, 64), i -> p1.v[i] * p2.v[i])),
+               (acc, x) -> acc + x), 8) / (n1.nrm * n2.nrm) AS cos_sim
+  FROM assigned a1
+  JOIN assigned a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+  JOIN pts p1 ON a1.vec_id = p1.vec_id
+  JOIN pts p2 ON a2.vec_id = p2.vec_id
+  JOIN norms n1 ON a1.vec_id = n1.vec_id
+  JOIN norms n2 ON a2.vec_id = n2.vec_id
+)
+SELECT cell, id2 AS removed_id,
+       MIN(id1) AS kept_id,
+       MAX(cos_sim) AS max_sim
+FROM pairs WHERE cos_sim >= {D22_THRESHOLD}
+GROUP BY cell, id2
+""",
+    tags=("dedup", "embedding", "semantic", "kmeans"),
+    doc="Semantic dedup, cluster-then-pair (the SemDeDup recipe, "
+    "Abbas et al. 2023, arXiv:2303.09540): assign every embedding to "
+    "its nearest seed centroid (broadcast seeds, map-side cosine — "
+    "e07's assignment step), then compare pairs ONLY within a cell "
+    "and drop the higher id of any pair above the similarity "
+    "threshold (kept_id = lowest partner).  The corpus carries "
+    "planted exact copies (vec_id+100000 for vec_id < 10) which land "
+    "in their original's cell by construction, so recall on known "
+    "duplicates is provably 1 — never a vacuous pass.  Scale shape: "
+    "the only |corpus|-sized work is the broadcast assignment scan; "
+    "pairing is per-cell, and with k grown proportionally to N "
+    "(SemDeDup's operating point) cells stay O(1)-sized, so the "
+    "within-cell join is linear in the corpus, never all-pairs.",
+)
+def d22_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flaco_spark.functions import cosine, norm
+    from flaco_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding").unionAll(
+        e.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    pts = base.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    seeds = pts.filter(
+        ((F.col("vec_id") % 97) == 3) & (F.col("vec_id") < 100000)
+    ).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("sn"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc("seed_cos"), F.asc("seed_id")
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "seed_cos", cosine(F.col("v"), F.col("sv"), F.col("nrm"), F.col("sn"))
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"), "v", "nrm")
+    )
+    a1 = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("nrm").alias("n1"),
+    )
+    a2 = assigned.select(
+        F.col("cell").alias("cell2"),
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
+    pairs = a1.join(
+        a2, (a1.cell == a2.cell2) & (a1.id1 < a2.id2)
+    ).withColumn(
+        "cos_sim", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
+    )
+    return (
+        pairs.filter(F.col("cos_sim") >= F.lit(D22_THRESHOLD))
+        .groupBy("cell", F.col("id2").alias("removed_id"))
+        .agg(
+            F.min("id1").alias("kept_id"),
+            F.max("cos_sim").alias("max_sim"),
+        )
+    )

@@ -605,3 +605,80 @@ def m07_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         scored, "query_id", [F.asc("hamming"), F.asc("doc_id")], 5
     ).select("query_id", F.col("doc_id").alias("neighbor_id"), "hamming", "rn")
+
+
+# ---------------------------------------------------------------------------
+# m08 — VAD segments: energy gating + islands over PCM windows
+# ---------------------------------------------------------------------------
+
+VAD_THRESHOLD = 30_000_000_000  # ~30th percentile of window energies
+
+
+@register(
+    "m08_vad_segments",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+),
+bytes AS (
+  SELECT doc_id, i, unicode(substr(text, i, 1)) AS b FROM pos
+),
+samples AS (
+  SELECT lo.doc_id,
+         CAST((lo.i - 1) / 2 AS BIGINT) AS k,
+         lo.b + 256 * hi.b - CASE WHEN hi.b >= 128 THEN 65536 ELSE 0 END AS s
+  FROM bytes lo
+  JOIN bytes hi ON lo.doc_id = hi.doc_id AND hi.i = lo.i + 1
+  WHERE lo.i % 2 = 1
+),
+windows AS (
+  SELECT doc_id,
+         CAST(k // {AUDIO_WINDOW} AS INT) AS window_idx,
+         CAST(SUM(s * s) AS BIGINT) AS energy
+  FROM samples GROUP BY doc_id, k // {AUDIO_WINDOW}
+),
+voiced AS (
+  SELECT doc_id, window_idx, energy,
+         window_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY window_idx) AS grp
+  FROM windows WHERE energy >= {VAD_THRESHOLD}
+)
+SELECT doc_id,
+       CAST(MIN(window_idx) AS INT) AS start_window,
+       CAST(MAX(window_idx) AS INT) AS end_window,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(energy) AS BIGINT) AS total_energy
+FROM voiced
+GROUP BY doc_id, grp
+""",
+    tags=("multimodal", "audio", "vad", "islands", "documents"),
+    doc="Voice-activity segments: m03's PCM windows (real byte→int16 "
+    "decode via Arrow-batched mapInPandas) gated on integer energy, "
+    "then consecutive voiced windows merged into segments with the "
+    "gaps-and-islands trick (window_idx - row_number is constant "
+    "within a run) — the speech-segmentation shape every audio "
+    "pipeline runs before transcription; swapping the energy gate "
+    "for a model score changes one predicate.  All integer "
+    "arithmetic → hash-exact.  Scale: the decode is map-side; the "
+    "only shuffles are the per-doc window aggregation and the "
+    "per-doc island window, both keyed by doc_id.",
+)
+def m08_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = attach_binary_payload(table(spark, sf_dir, "documents"))
+    w = audio_windows(d).filter(F.col("energy") >= VAD_THRESHOLD)
+    iw = W.partitionBy("doc_id").orderBy("window_idx")
+    voiced = w.withColumn(
+        "grp", F.col("window_idx") - F.row_number().over(iw)
+    )
+    return (
+        voiced.groupBy("doc_id", "grp")
+        .agg(
+            F.min("window_idx").cast("int").alias("start_window"),
+            F.max("window_idx").cast("int").alias("end_window"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("energy").cast("bigint").alias("total_energy"),
+        )
+        .drop("grp")
+    )

@@ -2438,3 +2438,128 @@ def q96_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") >= 50, 1)).cast("bigint").alias("n_big_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — quantified comparisons (> ALL / >= ANY) via aggregate rewrite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q97_quantified_comparisons",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+       s.s_acctbal > ALL (SELECT s2.s_acctbal FROM supplier s2
+                          WHERE s2.s_nationkey = s.s_nationkey
+                            AND s2.s_suppkey <> s.s_suppkey) AS beats_all_in_nation,
+       s.s_acctbal >= ANY (SELECT s3.s_acctbal FROM supplier s3
+                           WHERE s3.s_nationkey <> s.s_nationkey) AS beats_any_abroad
+FROM supplier s
+""",
+    tags=("subquery", "quantified", "rewrite", "supplier"),
+    doc="Quantified comparisons — x > ALL(sub) and x >= ANY(sub) — "
+    "which Spark SQL does not parse directly, rewritten as "
+    "dimension-sized aggregate rollups joined back (no correlated "
+    "rescan per row) with FULL 3VL: > ALL is TRUE on an empty set, "
+    "FALSE when some non-NULL element refutes it, NULL when only "
+    "NULLs stand in the way; >= ANY is FALSE on empty, TRUE when a "
+    "non-NULL element witnesses it, NULL when only NULLs could.  "
+    "Self-exclusion ('others in my nation') is handled without a "
+    "per-row rescan via (max, count-at-max, second-max) bookkeeping; "
+    "'abroad' via (global-min-of-nation-mins, count-at-min, "
+    "second-min).  The oracle runs DuckDB's NATIVE quantified forms, "
+    "machine-checking the rewrite.  (s_acctbal has no NULLs in the "
+    "fixture, but every CASE arm implements the NULL path, so the "
+    "rewrite is not fixture-pinned.)  Scale: one fact scan + two "
+    "|nations|-sized broadcast joins.",
+)
+def q97_quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    x = F.col("s_acctbal")
+
+    pn = s.groupBy("s_nationkey").agg(
+        F.max("s_acctbal").alias("nat_max"),
+        F.min("s_acctbal").alias("nat_min"),
+        F.count(F.lit(1)).alias("nat_n"),
+        F.count("s_acctbal").alias("nat_nonnull"),
+    )
+    # second-level per-nation stats: how many rows sit AT the max, and
+    # the max among strictly-smaller values (for self-exclusion).
+    pn2 = (
+        s.join(F.broadcast(pn.select("s_nationkey", "nat_max")), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.when(F.col("s_acctbal") == F.col("nat_max"), 1)).alias(
+                "cnt_at_max"
+            ),
+            F.max(
+                F.when(F.col("s_acctbal") < F.col("nat_max"), F.col("s_acctbal"))
+            ).alias("nat_max2"),
+        )
+    )
+    # global stats over the nation mins (for 'abroad': min of other
+    # nations' mins, again with count-at-min / second-min bookkeeping).
+    g1 = pn.agg(
+        F.min("nat_min").alias("glob_min"),
+        F.sum("nat_n").alias("total_n"),
+        F.sum("nat_nonnull").alias("total_nonnull"),
+    )
+    g2 = (
+        pn.crossJoin(F.broadcast(g1))
+        .agg(
+            F.count(F.when(F.col("nat_min") == F.col("glob_min"), 1)).alias(
+                "nations_at_min"
+            ),
+            F.min(
+                F.when(F.col("nat_min") > F.col("glob_min"), F.col("nat_min"))
+            ).alias("glob_min2"),
+        )
+    )
+
+    enriched = (
+        s.join(F.broadcast(pn), "s_nationkey")
+        .join(F.broadcast(pn2), "s_nationkey")
+        .crossJoin(F.broadcast(g1))
+        .crossJoin(F.broadcast(g2))
+    )
+
+    others_n = F.col("nat_n") - 1
+    others_nonnull = F.col("nat_nonnull") - F.when(x.isNotNull(), 1).otherwise(0)
+    others_has_null = others_n > others_nonnull
+    # max of my nation's OTHER suppliers: drop my own contribution.
+    others_max = F.when(
+        x.isNotNull() & (x == F.col("nat_max")) & (F.col("cnt_at_max") == 1),
+        F.col("nat_max2"),
+    ).otherwise(F.col("nat_max"))
+    beats_all = (
+        F.when(others_n == 0, F.lit(True))
+        .when(x.isNull(), F.lit(None).cast("boolean"))
+        .when((others_nonnull > 0) & (x <= others_max), F.lit(False))
+        .when(others_has_null, F.lit(None).cast("boolean"))
+        .otherwise(F.lit(True))
+    )
+
+    abroad_n = F.col("total_n") - F.col("nat_n")
+    abroad_nonnull = F.col("total_nonnull") - F.col("nat_nonnull")
+    abroad_has_null = abroad_n > abroad_nonnull
+    abroad_min = F.when(
+        (F.col("nat_min") == F.col("glob_min")) & (F.col("nations_at_min") == 1),
+        F.col("glob_min2"),
+    ).otherwise(F.col("glob_min"))
+    beats_any = (
+        F.when(abroad_n == 0, F.lit(False))
+        .when(
+            x.isNotNull() & (abroad_nonnull > 0) & (x >= abroad_min),
+            F.lit(True),
+        )
+        .when(abroad_has_null | x.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.lit(False))
+    )
+
+    return enriched.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        beats_all.alias("beats_all_in_nation"),
+        beats_any.alias("beats_any_abroad"),
+    )

@@ -1354,3 +1354,91 @@ def e13_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e14 — embedding drift: per-label centroid shift between cohorts
+# ---------------------------------------------------------------------------
+
+E14_DIMS = 8
+
+
+@register(
+    "e14_embedding_drift",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, label, vec_id % 2 AS cohort,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, cohort, g.i AS dim, CAST(v[g.i] AS DECIMAL(18,8)) AS x
+  FROM pts, generate_series(1, {E14_DIMS}) AS g(i)
+),
+means AS (
+  SELECT label, cohort, dim,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+  FROM dims GROUP BY label, cohort, dim
+)
+SELECT a.label, CAST(a.dim AS INT) AS dim,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       a.mean_val AS mean_a, b.mean_val AS mean_b,
+       a.mean_val - b.mean_val AS shift
+FROM means a JOIN means b
+  ON a.label = b.label AND a.dim = b.dim AND a.cohort = 0 AND b.cohort = 1
+""",
+    tags=("similarity", "embedding", "drift", "monitoring"),
+    doc="Embedding drift monitor: per-(label, dim) centroid shift "
+    "between two interleaved cohorts (vec_id parity stands in for "
+    "'last week vs this week') — the standing health check of any "
+    "embedding pipeline: a nonzero shift on a dimension means the "
+    "encoder, the upstream data mix, or the label semantics moved.  "
+    "Exactness: per-cell means are exact-decimal sums with one double "
+    "division, and the shift is a single IEEE subtraction — no "
+    "cross-dim float accumulation to disagree on.  Scale: one "
+    "|vectors|x{E14_DIMS}-row shuffle keyed by (label, cohort, dim) "
+    "with map-side partial aggregation; output is "
+    "|labels|x{E14_DIMS}-sized.",
+)
+def e14_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, E14_DIMS)
+        ).alias("pos", "xf"),
+    ).select(
+        "label",
+        "cohort",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("xf").cast("decimal(18,8)").alias("x"),
+    )
+    means = dims.groupBy("label", "cohort", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_val"
+        ),
+    )
+    a = means.filter(F.col("cohort") == 0).select(
+        "label", "dim", F.col("n").alias("n_a"), F.col("mean_val").alias("mean_a")
+    )
+    b = means.filter(F.col("cohort") == 1).select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean_val").alias("mean_b"),
+    )
+    return (
+        a.join(b, (a.label == b.label_b) & (a.dim == b.dim_b))
+        .select(
+            "label",
+            "dim",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "mean_a",
+            "mean_b",
+            (F.col("mean_a") - F.col("mean_b")).alias("shift"),
+        )
+    )

@@ -914,3 +914,159 @@ def t17_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new").over(w).cast("bigint").alias("vocab_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t18 — char-bigram familiarity (self-trained LM quality score)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t18_char_bigram_lm",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 2
+),
+grams AS (
+  SELECT doc_id, substr(text, i, 2) AS bg
+  FROM docs, LATERAL unnest(generate_series(1, length(text) - 1)) AS g(i)
+),
+model AS (
+  SELECT bg, COUNT(*) AS cnt FROM grams GROUP BY bg
+),
+tot AS (SELECT SUM(cnt) AS t FROM model)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(MIN(m.cnt) AS BIGINT) AS rarest_count,
+       CAST(SUM(m.cnt) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT t FROM tot) AS DOUBLE))
+         AS familiarity
+FROM grams d JOIN model m ON d.bg = m.bg
+GROUP BY d.doc_id
+""",
+    tags=("text", "quality", "language-model", "documents"),
+    doc="Character-bigram familiarity: a self-trained corpus LM scores "
+    "each document by the mean corpus probability of its char bigrams "
+    "(the CCNet/Gopher perplexity-filter shape, with the n-gram model "
+    "trained on the corpus itself).  Unfamiliar character patterns — "
+    "wrong language, mojibake, binary spill — score low; rarest_count "
+    "pinpoints the most alien bigram.  All arithmetic is integer sums "
+    "until ONE final double division, so both engines produce "
+    "bit-identical scores (log-prob variants differ in the last ulp "
+    "between libm implementations — deliberately avoided).  Scale "
+    "shape: one shuffle to train (bigram → count, charset²-bounded "
+    "output), model re-joined map-side via broadcast; the per-doc "
+    "aggregate is the only corpus-sized shuffle.",
+)
+def t18_char_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select("doc_id", "text")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = model.agg(F.sum("cnt").alias("t"))
+    return (
+        grams.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.min("cnt").cast("bigint").alias("rarest_count"),
+            F.sum("cnt").alias("_sum_cnt"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "rarest_count",
+            (
+                F.col("_sum_cnt").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.col("t").cast("double"))
+            ).alias("familiarity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t19 — incremental novelty: share of never-before-seen shingles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t19_novelty_curve",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 5
+),
+shingles AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+  FROM docs, LATERAL unnest(generate_series(1, length(text) - 4)) AS g(i)
+),
+firsts AS (
+  SELECT sh, MIN(doc_id) AS first_doc FROM shingles GROUP BY sh
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM shingles s JOIN firsts f ON s.sh = f.sh
+GROUP BY s.doc_id
+""",
+    tags=("text", "novelty", "dedup", "profile", "documents"),
+    doc="Incremental novelty: for each document (in doc_id ingestion "
+    "order), the share of its distinct 5-char shingles never seen in "
+    "any earlier document — the memorization/contribution profile "
+    "corpus builders use to decide when a feed stops adding "
+    "information (novelty → 0 means the source is exhausted; a "
+    "boilerplate-heavy doc scores near 0 against its antecedents).  "
+    "First-seen decomposition (t17's trick at shingle granularity) "
+    "keeps it two shuffles: shingle → MIN(doc_id), then re-join to "
+    "per-doc aggregate — no per-prefix rescans.  The DISTINCT is "
+    "per-doc (map-side dedupable); integer counts + one final double "
+    "division for bit-identical scores.",
+)
+def t19_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 5)
+        .select("doc_id", "text")
+    )
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"
+                )
+            )
+        ).alias("sh"),
+    )
+    firsts = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        shingles.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -1033,3 +1033,162 @@ def ts18_bar_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         three.alias("three_rising"),
         reversal.alias("reversal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts19 — EWMA smoothing over the hourly grid (integer-weight form)
+# ---------------------------------------------------------------------------
+
+EWMA_TAPS = 8  # alpha = 1/2, truncated at 8 taps; weights 2^7 .. 2^0
+
+
+def _ewma_terms(col: str, alias_prefix: str = "") -> tuple[str, str]:
+    """SQL fragments (numerator, denominator) for the integer-weighted
+    EWMA: weight of lag j is 2^(7-j), so everything stays integer
+    until one final double division — bit-identical across engines."""
+    num = " + ".join(
+        f"COALESCE(LAG({col}, {j}) OVER w, 0) * {1 << (EWMA_TAPS - 1 - j)}"
+        for j in range(EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG({col}, {j}) OVER w IS NULL THEN 0 ELSE {1 << (EWMA_TAPS - 1 - j)} END"
+        for j in range(EWMA_TAPS)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms("cnt")
+
+
+@register(
+    "ts19_ewma_smoothing",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+       CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+       CAST({_EWMA_DEN} AS BIGINT) AS ewma_den,
+       CAST({_EWMA_NUM} AS DOUBLE) / CAST({_EWMA_DEN} AS DOUBLE) AS ewma
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+""",
+    tags=("timeseries", "window", "smoothing", "events"),
+    doc="Exponentially-weighted moving average (alpha=1/2, 8 taps) "
+    "over per-series hourly counts — the smoothing primitive behind "
+    "alerting baselines and trend displays.  The geometric weights "
+    "are powers of two, so numerator and normalizer are pure INTEGER "
+    "lag-chains (weight of lag j = 2^(7-j)) with ONE final double "
+    "division — bit-identical across engines, no float accumulation "
+    "order to disagree on.  The hourly rollup compresses the stream "
+    "to |series|x|hours| before the window, so the lag sort is "
+    "aggregate-sized; truncating at 8 taps is what makes EWMA "
+    "window-expressible at all (the infinite-memory recurrence "
+    "would need a sequential scan).",
+)
+def ts19_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    num = None
+    den = None
+    for j in range(EWMA_TAPS):
+        wt = 1 << (EWMA_TAPS - 1 - j)
+        lagged = F.lag("cnt", j).over(w) if j else F.col("cnt")
+        term = F.coalesce(lagged, F.lit(0)) * wt
+        present = F.when(lagged.isNull(), 0).otherwise(wt)
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return hourly.select(
+        "event_type",
+        "hour",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts20 — seasonal decomposition lite: trend + hour-of-day profile
+# ---------------------------------------------------------------------------
+
+TS20_HALF = 12  # centered moving average: 12 before + self + 12 after
+
+
+@register(
+    "ts20_seasonal_profile",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, hour, cnt,
+         SUM(cnt) OVER w AS trend_sum,
+         COUNT(*) OVER w AS trend_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {TS20_HALF} PRECEDING AND {TS20_HALF} FOLLOWING)
+),
+resid AS (
+  SELECT event_type,
+         CAST(extract(hour FROM hour) AS INT) AS hod,
+         {2 * TS20_HALF + 1} * cnt - trend_sum AS residual_x25
+  FROM trended WHERE trend_n = {2 * TS20_HALF + 1}
+)
+SELECT event_type, hod,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(residual_x25) AS BIGINT) AS residual_sum_x25,
+       CAST(SUM(residual_x25) AS DOUBLE)
+         / ({2 * TS20_HALF + 1}.0 * CAST(COUNT(*) AS DOUBLE)) AS seasonal
+FROM resid
+GROUP BY event_type, hod
+""",
+    tags=("timeseries", "window", "seasonality", "events"),
+    doc="Seasonal decomposition (STL-lite): per-series hourly counts, "
+    "trend as a centered 25-hour moving average (full windows only — "
+    "edge hours excluded, not padded), and the hour-of-day seasonal "
+    "index as the mean detrended residual — how load dashboards "
+    "separate 'today is big' from 'it is 3pm'.  Exactness: residuals "
+    "are kept as 25*cnt - trend_sum (pure integers — the x25 scaling "
+    "clears the /25), summed exactly, with ONE final double division, "
+    "so engines cannot disagree on float accumulation order.  Two "
+    "window passes over the aggregate-sized hourly table, then a "
+    "|series|x24 rollup — nothing corpus-sized past the first "
+    "group-by.",
+)
+def ts20_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    span = 2 * TS20_HALF + 1
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-TS20_HALF, TS20_HALF)
+    )
+    trended = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.sum("cnt").over(w).alias("trend_sum"),
+        F.count(F.lit(1)).over(w).alias("trend_n"),
+    )
+    resid = trended.filter(F.col("trend_n") == span).select(
+        "event_type",
+        F.hour("hour").cast("int").alias("hod"),
+        (F.lit(span) * F.col("cnt") - F.col("trend_sum")).alias("residual_x25"),
+    )
+    return resid.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("residual_x25").cast("bigint").alias("residual_sum_x25"),
+        (
+            F.sum("residual_x25").cast("double")
+            / (F.lit(float(span)) * F.count(F.lit(1)).cast("double"))
+        ).alias("seasonal"),
+    )
