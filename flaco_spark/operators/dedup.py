@@ -1741,7 +1741,10 @@ def d22_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("vec_id").orderBy(
         F.desc("seed_cos"), F.asc("seed_id")
     )
-    assigned = (
+    # Materialized once: both sides of the within-cell self-join read
+    # the cached assignment instead of re-running the broadcast
+    # scoring scan (the most expensive stage) twice.
+    assigned = _persist_eager(
         pts.crossJoin(F.broadcast(seeds))
         .withColumn(
             "seed_cos", cosine(F.col("v"), F.col("sv"), F.col("nrm"), F.col("sn"))

@@ -146,3 +146,99 @@ def attribution_join(
         F.col("p_ts"),
         F.col("v_ts"),
     )
+
+
+SESSION_GAP_MIN = 30
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp_ntz, session_end timestamp_ntz, "
+    "n_events bigint"
+)
+# state carried per user: the open session (epoch-µs bounds + count)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _sessionize_fn(key, pdfs, state):
+    """Custom stateful operator body (applyInPandasWithState): replay a
+    user's events in timestamp order against the open-session state;
+    whenever the gap to the previous event exceeds the threshold, EMIT
+    the closed session and open a new one.
+
+    Emission happens ONLY on closure-by-next-event, never on timeout —
+    that makes the emitted relation a pure function of the input (each
+    user's non-final sessions), independent of micro-batch boundaries
+    and watermark timing, which is what lets a real streaming run sit
+    behind a batch-SQL correctness gate.  Production would ALSO set
+    GroupStateTimeout.EventTimeTimeout to flush a final session once
+    the watermark passes last_ts + gap (any later event necessarily
+    opens a new session, so the flush is safe) and thereby bound state
+    churn; state size is O(1) per user either way.
+    """
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            t_us = ts.value // 1_000  # pandas ns → µs
+            if start_us is None:
+                start_us, last_us, n = t_us, t_us, 1
+            elif t_us - last_us > gap_us:
+                out.append((key[0], start_us, last_us, n))
+                start_us, last_us, n = t_us, t_us, 1
+            else:
+                last_us, n = t_us, n + 1
+    state.update((start_us, last_us, n))
+    if not out:
+        return iter(())
+    df = pd.DataFrame(
+        out, columns=["user_id", "start_us", "last_us", "n_events"]
+    )
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "session_start": pd.to_datetime(df["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(df["last_us"], unit="us"),
+                    "n_events": df["n_events"].astype("int64"),
+                }
+            )
+        ]
+    )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``) — the semantics ``session_window``
+    cannot express when the per-session reduction needs imperative
+    logic (here a faithful sequential replay; in production, e.g.
+    per-session feature vectors or fraud scores).
+
+    Scale shape: state is one open-session record per active user
+    (O(|active users|) total, independent of history length); each
+    micro-batch shuffles only its own rows by user_id.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        # watermarks require TIMESTAMP (not NTZ); session tz is pinned
+        # UTC engine-wide, so the cast preserves the wall clock.
+        events.select(
+            "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

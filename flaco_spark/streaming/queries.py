@@ -177,3 +177,63 @@ def st03_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.col("purchase_value").cast("double").alias("purchase_value"),
     )
+
+
+@register(
+    "st04_stateful_sessionization",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+agg AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events,
+         MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(n_events AS BIGINT) AS n_events
+FROM agg WHERE sid < last_sid
+""",
+    tags=("streaming", "stateful", "session", "events"),
+    doc="CUSTOM STATEFUL streaming operator behind the correctness "
+    "gate: gap-based sessionization via applyInPandasWithState (one "
+    "open-session record per user as explicit state, sequential "
+    "replay per micro-batch) run as a REAL readStream job and "
+    "hash-matched against batch-SQL sessionization.  Emission is "
+    "closure-by-next-event only, so the emitted relation — every "
+    "user's non-final sessions — is a pure function of the input, "
+    "independent of micro-batch boundaries and watermark timing "
+    "(final sessions are exactly the ones a production deployment "
+    "flushes by EventTimeTimeout; the gate pins the part that is "
+    "deterministic under bounded replay).  This is the surface "
+    "session_window cannot express once the per-session logic is "
+    "imperative — the 'custom stateful operator' lane of Structured "
+    "Streaming.",
+)
+def st04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.streaming.ingest import sessionize_stream
+
+    stream, scratch = _events_stream(spark, sf_dir)
+    sessions = sessionize_stream(stream)
+    sink = _drain(sessions, scratch, "append", "st04")
+    return sink.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
