@@ -1778,3 +1778,61 @@ def d22_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos_sim").alias("max_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d23 — blocklist filtering: approximate-membership prefilter + exact verify
+# ---------------------------------------------------------------------------
+
+D23_BUCKETS = 1 << 16
+
+
+@register(
+    "d23_blocklist_filter",
+    oracle="""
+WITH blocklist AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 31 = 0
+)
+SELECT d.doc_id, md5(d.text) AS text_hash
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM blocklist b WHERE b.text = d.text)
+""",
+    tags=("dedup", "blocklist", "bloom", "semi-join", "documents"),
+    doc="Blocklist removal with the Bloom-filter production shape: "
+    "the blocklist (every 31st doc stands in for a takedown/opt-out "
+    "list) is compressed to a broadcast set of 16-bit hash buckets; "
+    "the corpus pre-filters map-side against that set (most rows "
+    "exit after one hash — no shuffle), and ONLY bucket-hits proceed "
+    "to the exact hash semi-join.  False positives cost one extra "
+    "join row; false negatives are impossible (same-text ⇒ same "
+    "bucket), so the emitted relation is EXACTLY the plain semi-join "
+    "the oracle runs — approximation in the plan, none in the "
+    "result, the same machine-checked-semantics contract as s01/s02.  "
+    "At 100 TB the bucket set is KB-sized regardless of corpus size "
+    "and the verify join touches only the hit fraction.",
+)
+def d23_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bl = (
+        d.filter(F.col("doc_id") % 31 == 0)
+        .select(F.md5(F.col("text")).alias("bh"))
+        .distinct()
+    )
+    buckets = bl.select(
+        (F.crc32(F.col("bh")) % D23_BUCKETS).cast("int").alias("bucket")
+    ).distinct()
+    candidates = (
+        d.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .withColumn(
+            "bucket", (F.crc32(F.col("text_hash")) % D23_BUCKETS).cast("int")
+        )
+        .join(F.broadcast(buckets), "bucket")
+    )
+    return (
+        candidates.join(
+            F.broadcast(bl),
+            candidates.text_hash == bl.bh,
+            "left_semi",
+        )
+        .select("doc_id", "text_hash")
+    )

@@ -2248,6 +2248,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         if fmt == "csv":
             writer.option("header", True).csv(path)
             back = spark.read.schema(_RT_SCHEMA).option("header", True).csv(path)
+        elif fmt == "orc":
+            writer.orc(path)
+            back = spark.read.orc(path)
         else:
             writer.json(path)
             back = spark.read.schema(_RT_SCHEMA).json(path)
@@ -2563,3 +2566,84 @@ def q97_quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
         beats_all.alias("beats_all_in_nation"),
         beats_any.alias("beats_any_abroad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — cumulative distinct users per day (first-seen decomposition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q98_cumulative_unique_users",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+),
+all_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+              OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM all_days d LEFT JOIN daily n ON d.day = n.day
+""",
+    tags=("window", "distinct", "rewrite", "events"),
+    doc="Cumulative distinct users per day — the growth-dashboard "
+    "number SQL cannot express directly (COUNT(DISTINCT) OVER a "
+    "running frame is unsupported in both engines, and a naive "
+    "per-day rescan is quadratic).  First-seen decomposition makes "
+    "it linear: user → MIN(day) (one shuffle), new-users per day, "
+    "cumulative sum over the |days|-sized rollup — each user counted "
+    "on exactly the day they first appear, which IS the running "
+    "distinct count.  Same trick as t17/t19 at user granularity; at "
+    "100 TB the only corpus-sized work is the per-user min.",
+)
+def q98_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    all_days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        all_days.join(F.broadcast(daily), "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — ORC sink + source round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_orc_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "orc", "roundtrip", "lineitem"),
+    doc="ORC sink + source round-trip under the correctness gate "
+    "(q92/q93's contract over the third columnar container Spark "
+    "ships natively): lineitem's money columns go parquet → "
+    "distributed ORC write → ORC read → exact-decimal aggregate, "
+    "hash-matched against the same aggregate over the original "
+    "parquet.  ORC carries decimals natively (no text transit), so "
+    "this also pins schema fidelity: the read-back types must be the "
+    "written decimals, no inference involved.  Both legs distributed "
+    "(per-partition files, predicate-pushdown-capable container).",
+)
+def q99_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")

@@ -1070,3 +1070,158 @@ def t19_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — typed PII detection + redaction audit (planted fixtures)
+# ---------------------------------------------------------------------------
+
+# Portable regex subset (identical semantics in Java regex and RE2):
+# character classes, +, bounded repetition — no lookaround/backrefs.
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "t20_pii_scan",
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or +1-555-'
+                           || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                                  '{PII_PHONE_RE}', '[PHONE]', 'g')) AS INT)
+         AS redacted_len
+FROM aug
+""",
+    tags=("text", "pii", "redaction", "compliance", "documents"),
+    doc="Typed PII detection and redaction audit — the compliance "
+    "pass every training corpus runs before release: per-document "
+    "email and phone counts (regexp_extract_all over a portable "
+    "Java-regex/RE2 pattern subset — no lookaround, no backrefs) and "
+    "the post-redaction length as the audit trail.  The synthetic "
+    "corpus carries no PII, so deterministic fixtures are PLANTED "
+    "(every 7th doc gains a derived email + phone) — the detector is "
+    "provably non-vacuous, same policy as d06's planted duplicates.  "
+    "Pure map-side: scales with the scan, no shuffle at all.",
+)
+def t20_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1-555-"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{PII_EMAIL_RE}', 0)")
+        ).alias("n_emails"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, r'{PII_PHONE_RE}', 0)")
+        ).alias("n_phones"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t21 — paragraph-level exact dedup (chunk fingerprints across docs)
+# ---------------------------------------------------------------------------
+
+T21_CHUNK = 10  # tokens per pseudo-paragraph
+
+
+@register(
+    "t21_paragraph_dedup",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i, i + {T21_CHUNK - 1}), ' ')) AS h
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {T21_CHUNK - 1},
+                                            {T21_CHUNK})) AS g(i)
+),
+spread AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS shared_fraction
+FROM chunks c JOIN spread s ON c.h = s.h
+GROUP BY c.doc_id
+""",
+    tags=("text", "dedup", "paragraph", "documents"),
+    doc="Paragraph-level exact dedup (the Dolma/CCNet sub-document "
+    "pass): documents are chunked into fixed 10-token "
+    "pseudo-paragraphs, each fingerprinted (md5), and a chunk is "
+    "'shared' when its fingerprint appears in more than one distinct "
+    "document — catching boilerplate blocks inside otherwise-unique "
+    "pages, which document-level dedup (d01) structurally misses.  "
+    "Per-doc output: chunk count, shared count, shared fraction "
+    "(integer counts + one double division).  Scale shape: chunking "
+    "is map-side; the fingerprint spread is one wordcount-shaped "
+    "shuffle with map-side partials; shared flags re-join by "
+    "fingerprint.  Naturally non-vacuous: the fixture corpus shares "
+    "~5% of chunks across docs.",
+)
+def t21_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, '\\\\s+')) - {T21_CHUNK - 1}, "
+                f"{T21_CHUNK}), i -> md5(array_join(slice(split(text, '\\\\s+'), i, "
+                f"{T21_CHUNK}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    spread = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(spread, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.col("n_chunks").cast("double")
+            ).alias("shared_fraction"),
+        )
+    )

@@ -1192,3 +1192,102 @@ def ts20_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(span)) * F.count(F.lit(1)).cast("double"))
         ).alias("seasonal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts21 — robust anomalies: median absolute deviation (MAD) gating
+# ---------------------------------------------------------------------------
+
+TS21_K = 3.0  # flag when |value - median| > K * MAD
+
+
+@register(
+    "ts21_mad_anomalies",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS median_val
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_id, r.event_type, r.value, m.median_val,
+         abs(r.value - m.median_val) AS deviation,
+         ROW_NUMBER() OVER (PARTITION BY r.event_type
+                            ORDER BY abs(r.value - m.median_val), r.event_id) AS drn,
+         COUNT(*) OVER (PARTITION BY r.event_type) AS dn
+  FROM ranked r JOIN med m ON r.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN drn = CAST(ceil(0.5 * dn) AS BIGINT) THEN deviation END) AS mad_val
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.median_val, m.mad_val, d.deviation
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.deviation > {TS21_K} * m.mad_val
+""",
+    tags=("timeseries", "anomaly", "robust-stats", "events"),
+    doc="Robust anomaly gate: per-series median and median absolute "
+    "deviation (both via the q55 row-number pick — exact data points, "
+    "no interpolation, engine-portable), flagging events whose "
+    "deviation exceeds K*MAD.  MAD is the robust replacement for "
+    "ts13's z-score: one fat outlier inflates a stddev enough to "
+    "hide its siblings, while the median/MAD pair is immune to 50% "
+    "contamination — the difference between an alert channel that "
+    "works during an incident and one that goes quiet.  Scale "
+    "shape: two window passes partitioned by series + two "
+    "|series|-sized broadcast joins; deviations are IEEE ops on "
+    "identical operands so both engines agree bit-for-bit.",
+)
+def ts21_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wv = W.partitionBy("event_type").orderBy(F.col("value").cast("double"), "event_id")
+    wn = W.partitionBy("event_type")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("median_val")
+    )
+    dev_base = ranked.join(F.broadcast(med), "event_type").withColumn(
+        "deviation", F.abs(F.col("value") - F.col("median_val"))
+    )
+    wd = W.partitionBy("event_type").orderBy("deviation", "event_id")
+    dev = dev_base.select(
+        "event_id",
+        "event_type",
+        "value",
+        "median_val",
+        "deviation",
+        F.row_number().over(wd).alias("drn"),
+        F.count(F.lit(1)).over(wn).alias("dn"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("drn") == F.ceil(F.lit(0.5) * F.col("dn")).cast("bigint"),
+                F.col("deviation"),
+            )
+        ).alias("mad_val")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("deviation") > F.lit(TS21_K) * F.col("mad_val"))
+        .select("event_id", "event_type", "value", "median_val", "mad_val", "deviation")
+    )
