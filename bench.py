@@ -45,10 +45,12 @@ HEADLINE = [
 # must stay round-over-round comparable).
 EXTENDED = [
     "st01_stream_windowed_counts",
+    "st04_stateful_sessionization",
     "d16_decontamination",
     "d18_canonical_by_quality",
+    "d22_semantic_dedup",
     "e10_kmeans_unrolled",
-    "e12_pq_adc_search",
+    "e15_ivfpq_search",
     "q92_csv_roundtrip",
 ]
 

@@ -2647,3 +2647,54 @@ def q98_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q99_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
+
+
+# ---------------------------------------------------------------------------
+# q100 — grouping() / grouping_id() disambiguation over ROLLUP
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q100_grouping_id",
+    oracle="""
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+         AS level_id,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup", "grouping", "lineitem"),
+    doc="grouping() / grouping_id() over ROLLUP — the disambiguation "
+    "q28's plain rollup cannot provide: a NULL grouping key is "
+    "indistinguishable from a rollup subtotal without the grouping "
+    "bitmask, so any consumer of a rollup feed NEEDS these columns "
+    "(the classic silent-corruption bug when a real NULL category "
+    "appears).  level_id is the standard bit-packed grouping_id "
+    "(flag bit << 1 | status bit), computed identically on both "
+    "engines.  Same single-pass partial-aggregated Expand as q28.",
+)
+def q100_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("level_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "level_id",
+            "n_rows",
+        )
+    )

@@ -1442,3 +1442,147 @@ def e14_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_a") - F.col("mean_b")).alias("shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e15 — IVFPQ: coarse-cell probing + ADC scoring (the full FAISS path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e15_ivfpq_search",
+    oracle=f"""
+{_PQ_BASE_CTES},
+{_PQ_CODES_CTE},
+{_PQ_LUT_CTE},
+{_NORMS_SQL},
+coarse AS (
+  SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+),
+coarse_cos AS (
+  SELECT p.vec_id, s.seed_id,
+         round({_dot_sql('p.v', 's.sv')}, 8) / (n.nrm * s.sn) AS seed_cos
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id CROSS JOIN coarse s
+),
+ranked_cells AS (
+  SELECT vec_id, seed_id AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY seed_cos DESC, seed_id) AS cell_rank
+  FROM coarse_cos
+),
+cand_cells AS (SELECT vec_id, cell FROM ranked_cells WHERE cell_rank = 1),
+probe_cells AS (
+  SELECT vec_id, cell FROM ranked_cells
+  WHERE cell_rank <= {IVF_NPROBE} AND vec_id < 5
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probe_cells q
+  JOIN cand_cells c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+),
+approx AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list(l.d2 ORDER BY l.m)), (acc, x) -> acc + x), 8) AS adc_d2
+  FROM codes co
+  JOIN lut l ON co.m = l.m AND co.code = l.code
+  JOIN pairs pr ON pr.query_id = l.query_id AND pr.neighbor_id = co.vec_id
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+FROM approx
+QUALIFY rn <= 5
+""",
+    tags=("similarity", "embedding", "ivf", "pq", "adc", "topk"),
+    doc="IVFPQ — the composition that IS a production vector index "
+    "(FAISS IndexIVFPQ): the coarse quantizer (e04's cell assignment) "
+    "prunes the CANDIDATE SET to the query's probed cells, and PQ/ADC "
+    "(e12's lookup tables) prunes the BYTES PER CANDIDATE to an "
+    "8-byte code — multiplicative savings, which is why the "
+    "combination and not either half is the 100 TB operating point.  "
+    "Per query: nprobe cell-restricted pairs (bucket-equi join on "
+    "cell), then 8 LUT lookups per surviving candidate, never the "
+    "raw floats.  All distances fold in fixed m-order → hash-stable; "
+    "the oracle unrolls the identical composition in SQL.",
+)
+def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = e11_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    coarse = pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("v").alias("sv"),
+        norm(F.col("v")).alias("sn"),
+    )
+
+    def cells(df: DataFrame, keep: int) -> DataFrame:
+        scored = (
+            df.select("vec_id", "v", norm(F.col("v")).alias("vn"))
+            .crossJoin(F.broadcast(coarse))
+            .withColumn(
+                "seed_cos",
+                cosine(F.col("v"), F.col("sv"), F.col("vn"), F.col("sn")),
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
+        return (
+            scored.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= keep)
+            .select("vec_id", F.col("seed_id").alias("cell"))
+        )
+
+    cand_cells = cells(pts, keep=1)
+    probe_cells = cells(pts.filter(F.col("vec_id") < 5), keep=IVF_NPROBE)
+    pairs = (
+        cand_cells.join(
+            F.broadcast(
+                probe_cells.select(
+                    F.col("vec_id").alias("query_id"), "cell"
+                )
+            ),
+            "cell",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qsubs = _pq_split(pts.filter(F.col("vec_id") < 5), "vec_id", "query_id", "qsv")
+    pqseeds = _pq_split(
+        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3), "vec_id", "code", "ssv"
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("qsv", "ssv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        8,
+    )
+    lut = qsubs.join(pqseeds, "m").withColumn("d2", d2).select(
+        "query_id", "m", "code", "d2"
+    )
+    scored = (
+        codes.join(
+            F.broadcast(pairs), codes.vec_id == pairs.neighbor_id
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "d2"))),
+                        lambda s: s["d2"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                8,
+            ).alias("adc_d2")
+        )
+    )
+    return topk_per_query(
+        scored, "query_id", [F.asc("adc_d2"), F.asc("neighbor_id")], 5
+    ).select("query_id", "neighbor_id", "adc_d2", "rn")

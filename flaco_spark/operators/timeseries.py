@@ -1291,3 +1291,94 @@ def ts21_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("deviation") > F.lit(TS21_K) * F.col("mad_val"))
         .select("event_id", "event_type", "value", "median_val", "mad_val", "deviation")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts22 — lead-lag cross-correlation between two series
+# ---------------------------------------------------------------------------
+
+TS22_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@register(
+    "ts22_cross_correlation",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         COUNT(*) FILTER (event_type = 'view') AS views,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchases
+  FROM events GROUP BY 1
+),
+lags(lag_h) AS (VALUES {", ".join(f"({lag})" for lag in TS22_LAGS)}),
+pairs AS (
+  SELECT g.lag_h, v.views AS x, p.purchases AS y
+  FROM lags g
+  JOIN hourly v ON TRUE
+  JOIN hourly p ON p.hour = v.hour + g.lag_h * INTERVAL 1 HOUR
+),
+moments AS (
+  SELECT lag_h,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY lag_h
+)
+SELECT CAST(lag_h AS INT) AS lag_h,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr
+FROM moments
+""",
+    tags=("timeseries", "correlation", "lead-lag", "events"),
+    doc="Lead-lag cross-correlation: Pearson correlation between the "
+    "view and purchase hourly series at offsets of -3..+3 hours — "
+    "how analysts find the conversion delay ('purchases track views "
+    "with a 2-hour lag') and pipeline engineers find causal ordering "
+    "between feeds.  Hourly counts are INTEGERS, so every moment sum "
+    "(sx, sxx, sxy, ...) is exact integer arithmetic — the "
+    "correlation materializes as one double expression per lag at "
+    "the very end (the q70 exact-moments discipline; builtin CORR "
+    "accumulates doubles in partition order and is not "
+    "reproducible).  Scale shape: the stream compresses to |hours| "
+    "rows before the 7-lag self-join; everything after is "
+    "|lags|-sized.",
+)
+def ts22_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    lags = e.sparkSession.createDataFrame(
+        [(lag,) for lag in TS22_LAGS], "lag_h int"
+    )
+    v = hourly.select(F.col("hour").alias("v_hour"), F.col("views").alias("x"))
+    p = hourly.select(F.col("hour").alias("p_hour"), F.col("purchases").alias("y"))
+    pairs = (
+        v.crossJoin(F.broadcast(lags))
+        .join(
+            p,
+            F.col("p_hour")
+            == F.col("v_hour") + F.make_dt_interval(hours=F.col("lag_h")),
+        )
+    )
+    m = pairs.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("lag_h").cast("int").alias("lag_h"),
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("xcorr"),
+    )

@@ -1,0 +1,87 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+``feather_dir`` is a first-class, partition-parallel READER for
+directories of Arrow IPC (Feather) files — the same container the
+engine's Feather sink writes (``flaco_spark/sources/feather.py``, the
+reference's ``FileFormat.Feather`` analogue, ``/root/reference/
+src/lib.rs:150-168``).  Where :func:`read_feather` reconstructs rows
+through a binary-wrapping ``mapInArrow`` round-trip, this source plugs
+into Spark's source API properly:
+
+- one :class:`InputPartition` per ``.arrow`` file → each file is read
+  by its own task, scaling with the directory, not the driver;
+- ``read`` yields **pyarrow RecordBatches** — the Arrow-native fast
+  path of the Python DataSource API (no per-row Python objects);
+- the schema is probed from file metadata on the driver (no data
+  read at planning time).
+
+Scale posture: listing happens once at planning; each task opens
+exactly one file with memory-mapped IPC reads.  This is the idiomatic
+Spark-4 answer to "my corpus lives in a format Spark has no built-in
+reader for" — ~60 lines of Python, full parallelism, no JVM code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _FeatherFilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class FeatherDirReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def partitions(self) -> list[InputPartition]:
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".arrow") or f.endswith(".feather")
+        )
+        return [_FeatherFilePartition(f) for f in files]
+
+    def read(self, partition: _FeatherFilePartition):
+        import pyarrow as pa
+
+        with pa.memory_map(partition.path, "r") as source:
+            reader = pa.ipc.open_file(source)
+            for i in range(reader.num_record_batches):
+                yield reader.get_batch(i)
+
+
+class FeatherDirDataSource(DataSource):
+    """``spark.read.format("feather_dir").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "feather_dir"
+
+    def schema(self):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options["path"]
+        first = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".arrow") or f.endswith(".feather")
+        )[0]
+        with pa.memory_map(os.path.join(path, first), "r") as source:
+            arrow_schema = pa.ipc.open_file(source).schema
+        return from_arrow_schema(arrow_schema)
+
+    def reader(self, schema) -> DataSourceReader:
+        return FeatherDirReader(self.options)
+
+
+def register_feather_source(spark) -> None:
+    """Idempotently register the feather_dir source on a session."""
+    try:
+        spark.dataSource.register(FeatherDirDataSource)
+    except Exception:
+        pass  # already registered on this session

@@ -723,3 +723,36 @@ def test_streaming_watermark_drops_late_batch(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1, "the late row must be dropped by the watermark"
+
+
+def test_blocklist_prefilter_broadcasts_d23(spark, sf_dir):
+    """d23's bucket set and exact blocklist must both broadcast: the
+    corpus side stays map-side (no shuffle of document rows), which is
+    the whole point of the Bloom-shaped prefilter."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["d23_blocklist_filter"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, "prefilter + verify must broadcast"
+    assert "SortMergeJoin" not in plan, "corpus must not shuffle for the blocklist"
+
+
+def test_ivfpq_no_unbucketed_pairing_e15(spark, sf_dir):
+    """e15 must pair candidates through cell-restricted joins: no
+    CartesianProduct, and the only nested-loop joins are broadcast
+    (1-row / k-row sides)."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["e15_ivfpq_search"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, "IVFPQ must never plan all-pairs"
+
+
+def test_cumulative_unique_single_pass_q98(spark, sf_dir):
+    """q98's first-seen decomposition is linear: no per-day rescan
+    loop means at most two events scans in the plan (firsts + day
+    dimension), not |days| of them."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["q98_cumulative_unique_users"].builder(spark, sf_dir)
+    assert formatted_plan(df).count("events.parquet") <= 2
