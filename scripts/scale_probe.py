@@ -95,6 +95,21 @@ PROBE = [
     "e12_pq_adc_search",
     "m07_phash_search",
     "t17_vocab_growth",
+    # round-4 additions: d22's within-cell pairing meets the 10-copy
+    # regime (each copy family lands in one cell); t21's chunk spread
+    # sees every chunk at df=10; d23's blocklist grows 10×; st04
+    # replays 10× the per-user event history through explicit state;
+    # e15 composes the IVF prune with ADC scoring at 20k vectors.
+    "d22_semantic_dedup",
+    "d23_blocklist_filter",
+    "t18_char_bigram_lm",
+    "t19_novelty_curve",
+    "t21_paragraph_dedup",
+    "ts21_mad_anomalies",
+    "ts22_cross_correlation",
+    "q98_cumulative_unique_users",
+    "e15_ivfpq_search",
+    "st04_stateful_sessionization",
 ]
 
 
