@@ -271,6 +271,70 @@ def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_sessionization_batch_boundary_independent(spark, sf_dir, tmp_path):
+    """st04's claim, proven: the emitted session set is IDENTICAL
+    whether the stream arrives as one micro-batch or two (time-split
+    files, maxFilesPerTrigger=1) — open sessions crossing the batch
+    boundary carry through explicit state, closed ones emit exactly
+    once.  This is the property that makes a custom stateful operator
+    oracle-checkable at all."""
+    import time as _time
+
+    import duckdb as _duck
+
+    from flaco_spark.streaming.ingest import sessionize_stream
+
+    src1 = tmp_path / "one"
+    src2 = tmp_path / "two"
+    src1.mkdir()
+    src2.mkdir()
+    sf_events = f"{sf_dir}/events.parquet"
+    # single file vs two time-split halves (ascending: nothing late)
+    _duck.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_events}') ORDER BY ts, event_id) "
+        f"TO '{src1}/all.parquet' (FORMAT PARQUET)"
+    )
+    _duck.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_events}') "
+        f"WHERE ts < (SELECT median(ts) FROM read_parquet('{sf_events}')) "
+        f"ORDER BY ts, event_id) TO '{src2}/a_first.parquet' (FORMAT PARQUET)"
+    )
+    _time.sleep(1.1)  # distinct mtimes order the two micro-batches
+    _duck.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_events}') "
+        f"WHERE ts >= (SELECT median(ts) FROM read_parquet('{sf_events}')) "
+        f"ORDER BY ts, event_id) TO '{src2}/b_second.parquet' (FORMAT PARQUET)"
+    )
+
+    from flaco_spark.tables import convert_event_ts
+
+    raw_schema = spark.read.parquet(sf_events).schema
+
+    def run(src, name, one_file_per_batch):
+        stream = spark.readStream.schema(raw_schema)
+        if one_file_per_batch:
+            stream = stream.option("maxFilesPerTrigger", 1)
+        sessions = sessionize_stream(convert_event_ts(stream.parquet(str(src))))
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.table(name).collect()
+        )
+
+    single = run(src1, "sess_single", False)
+    split = run(src2, "sess_split", True)
+    assert single == split
+    assert len(single) > 0  # non-vacuous: sessions actually closed
+
+
 def test_salted_agg_equals_plain(spark, sf_dir):
     from flaco_spark.compat import money
     from flaco_spark.operators.skew import salted_sum_count
