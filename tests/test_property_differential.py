@@ -379,3 +379,64 @@ def test_random_window_specs_match_duckdb(spark, duck001, fn, part, order_col, d
     }
     assert len(got) == len(want)
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # series id
+            st.integers(-1000, 1000),  # value (as integer tenths)
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_mad_median_picks_match_python(spark, values):
+    """ts21's row-number median/MAD picks must equal a pure-Python
+    reference using the same convention (element at ceil(n/2) of the
+    sorted values) — including ties, even counts, and per-series
+    variation (hypothesis shrinks any mismatch)."""
+    rows = [
+        (i, f"s{s}", v / 10.0) for i, (s, v) in enumerate(values)
+    ]
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    ranked = df.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    got = {
+        r.event_type: r.med
+        for r in ranked.groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias("med")
+        )
+        .collect()
+    }
+
+    import math
+    from collections import defaultdict
+
+    by_series = defaultdict(list)
+    for _, (s, v) in enumerate(values):
+        by_series[f"s{s}"].append(v / 10.0)
+    want = {
+        s: sorted(vals)[math.ceil(0.5 * len(vals)) - 1]
+        for s, vals in by_series.items()
+    }
+    assert got == want
