@@ -56,30 +56,26 @@ FORCE_RECHECK: frozenset[str] = frozenset(
     }
 )
 
-# Names that entered round 3 with no driver row yet (r1+r2 sampled the
-# other 100 of 150).  They have waited longest, so they outrank queries
-# REGISTERED after round 2 in the never-checked tier — otherwise a
-# round that adds new queries starves the old tail (u04–u07 would slip
-# a third round).
-WAITING_SINCE_R2: frozenset[str] = frozenset(
+# Names that entered round 3 with no driver row yet (round 3 sampled
+# the WAITING_SINCE_R2 backlog instead).  They have waited longest, so
+# they outrank queries REGISTERED in round 4 in the never-checked tier
+# — otherwise a round that adds new queries starves the old tail.
+# (The round-2 backlog this set replaces is fully green in
+# CORRECTNESS_r03.)
+WAITING_SINCE_R3: frozenset[str] = frozenset(
     {
-        "q86_nth_value_windows", "q87_ratio_to_report", "q88_gaps_and_islands",
-        "q89_string_formatting", "e01_knn_bruteforce", "e02_embedding_stats",
-        "e03_ann_sign_lsh", "e04_ann_ivf", "e05_label_centroids",
-        "e06_lsh_recall", "e07_kmeans_iteration", "e08_scalar_quantization",
-        "e09_ivf_recall", "s01_salted_agg", "s02_salted_join",
-        "t01_token_stats", "t02_quality_score", "t03_lang_id",
-        "t04_fingerprint", "t05_word_frequencies", "t06_bpe_token_count",
-        "t07_top_terms_tfidf", "t08_edit_distance_pairs", "t09_term_redaction",
-        "t10_chunking", "t11_sequence_packing", "t12_text_normalize",
-        "t13_bigram_coverage", "ts01_asof_join", "ts02_sliding_window",
-        "ts03_session_window", "ts04_rollup_hierarchy", "ts05_retention_cohorts",
-        "ts06_funnel_conversion", "ts07_ohlc_bars", "ts08_rolling_median",
-        "ts09_value_range_join", "ts10_gap_detection", "ts11_interval_range_frame",
-        "ts12_vwap_bars", "ts13_zscore_anomalies", "ts14_mom_growth",
-        "ts15_resample_ffill", "u01_python_udf", "u02_pandas_udf",
-        "u03_grouped_pandas_udaf", "u04_map_in_arrow", "u05_arrow_python_udf",
-        "u06_apply_in_arrow", "u07_cogrouped_pandas",
+        "d15_stratified_sample", "d16_decontamination", "d17_containment_pairs",
+        "d18_canonical_by_quality", "d20_minhash_calibration",
+        "d21_cluster_size_histogram", "e10_kmeans_unrolled", "e11_pq_encode",
+        "e12_pq_adc_search", "e13_pq_recall", "m06_format_sniffing",
+        "m07_phash_search", "q90_pivot_revenue", "q91_unpivot_revenue",
+        "q92_csv_roundtrip", "q93_jsonl_roundtrip", "q94_try_functions",
+        "q95_map_higher_order", "q96_variant_extract",
+        "st01_stream_windowed_counts", "st02_stream_dedup_keys",
+        "st03_stream_attribution_join", "t14_repetition_ratio",
+        "t15_gopher_rules", "t16_mixture_card", "t17_vocab_growth",
+        "ts16_asof_directions", "ts17_concurrency_sweep", "ts18_bar_patterns",
+        "u08_python_udtf", "u09_iterator_pandas_udf",
     }
 )
 
@@ -151,11 +147,18 @@ def load_inventory() -> dict[str, QuerySpec]:
     idx = {name: i for i, name in enumerate(order)}
 
     def key(n: str) -> tuple[float, int]:
-        if n not in seen:
-            # longest-waiting never-checked first, then newly added
-            rank = -4.0 if n in WAITING_SINCE_R2 else -3.0
+        if n not in seen and n in WAITING_SINCE_R3:
+            rank = -4.0  # longest-waiting never-checked first
+        elif n in FORCE_RECHECK and n not in seen:
+            rank = -3.5
         elif n in FORCE_RECHECK:
-            rank = -2.0  # semantics changed since the green row
+            # semantics changed since the green row: a STALE-WRONG row
+            # is worse than a new query having no row yet (new queries
+            # are locally parity-tested from day one), so these outrank
+            # this round's additions.
+            rank = -3.0
+        elif n not in seen:
+            rank = -2.0  # this round's additions
         elif n in SOFT_RECHECK:
             rank = -1.0  # plan-only rewrite; old row still valid
         else:
