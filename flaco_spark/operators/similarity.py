@@ -283,6 +283,14 @@ def e03_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 IVF_SEED_MOD = 97  # deterministic "training": seeds are vec_id % 97 == 3
+# Bounded-codebook cap: only the FIRST 256 seed ids are ever selected
+# (vec_id < 97*256+3), so the coarse-quantizer cell count and the PQ
+# codebook stay k<=256 at ANY corpus size — the PQ contract (8-bit
+# codes) and the broadcast-validity contract for IVF.  At every test
+# scale (max vec_id 19 999) the cap never bites, so oracle hashes are
+# unchanged; at 10x-shifted probe scale it is what keeps the encode
+# join linear instead of n x (n/97).
+SEED_ID_CAP = IVF_SEED_MOD * 256 + 3
 IVF_NPROBE = 2
 
 
@@ -312,7 +320,10 @@ def ivf_topk(
     standard IVF sizing); the default matches the registered
     oracle-checked query at sf0.01.
     """
-    seeds = candidates.filter((F.col(id_col) % seed_mod) == 3).select(
+    seeds = candidates.filter(
+        ((F.col(id_col) % seed_mod) == 3)
+        & (F.col(id_col) < seed_mod * 256 + 3)
+    ).select(
         F.col(id_col).alias("seed_id"),
         F.col(vec_col).alias("sv"),
         norm(F.col(vec_col)).alias("sn"),
@@ -364,7 +375,7 @@ WITH pts AS (
 seeds AS (
   SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
   FROM pts p JOIN norms n ON p.vec_id = n.vec_id
-  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3 AND p.vec_id < {SEED_ID_CAP}
 ),
 seed_cos AS (
   SELECT p.vec_id, s.seed_id,
@@ -571,7 +582,7 @@ WITH pts AS (
 seeds AS (
   SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
   FROM pts p JOIN norms n ON p.vec_id = n.vec_id
-  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3 AND p.vec_id < {SEED_ID_CAP}
 ),
 seed_cos AS (
   SELECT p.vec_id, s.seed_id,
@@ -612,7 +623,9 @@ GROUP BY cell, dim
 )
 def e07_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    seeds = e.filter((F.col("vec_id") % IVF_SEED_MOD) == 3).select(
+    seeds = e.filter(
+        ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
+    ).select(
         F.col("vec_id").alias("seed_id"),
         F.col("embedding").alias("sv"),
         norm(F.col("embedding")).alias("sn"),
@@ -693,7 +706,10 @@ def kmeans_fit(
     )
     pts = pts.withColumn("vn", norm(F.col("v")))
     centroids = (
-        pts.filter((F.col("vec_id") % k_seed_mod) == 3)
+        pts.filter(
+            ((F.col("vec_id") % k_seed_mod) == 3)
+            & (F.col("vec_id") < k_seed_mod * 256 + 3)
+        )
         .select(
             F.col("vec_id").alias("cell"),
             F.col("v").alias("cv"),
@@ -932,7 +948,7 @@ norms AS (
 c0 AS (
   SELECT p.vec_id AS cell, p.v AS cv, n.nrm AS cn
   FROM pts p JOIN norms n ON p.vec_id = n.vec_id
-  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3 AND p.vec_id < {SEED_ID_CAP}
 ),""",
     ]
     for it in range(E10_ITERS):
@@ -1011,7 +1027,9 @@ def e10_kmeans_unrolled(
         .withColumn("vn", norm(F.col("v")))
         .persist()
     )
-    centroids = pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3).select(
+    centroids = pts.filter(
+        ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
+    ).select(
         F.col("vec_id").alias("cell"),
         F.col("v").alias("cv"),
         F.col("vn").alias("cn"),
@@ -1102,7 +1120,7 @@ seeds AS (
   SELECT vec_id AS seed_id, g.m AS m,
          list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
   FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
-  WHERE vec_id % {IVF_SEED_MOD} = 3
+  WHERE vec_id % {IVF_SEED_MOD} = 3 AND vec_id < {SEED_ID_CAP}
 )"""
 
 _PQ_CODES_CTE = f"""codes AS (
@@ -1158,7 +1176,10 @@ def e11_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     subs = _pq_split(pts, "vec_id", "vec_id", "sv")
     seeds = _pq_split(
-        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3), "vec_id", "seed_id", "ssv"
+        pts.filter(
+            ((F.col("vec_id") % IVF_SEED_MOD) == 3)
+            & (F.col("vec_id") < SEED_ID_CAP)
+        ), "vec_id", "seed_id", "ssv"
     )
     d2 = F.round(
         F.aggregate(
@@ -1226,7 +1247,10 @@ def e12_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     qsubs = _pq_split(pts.filter(F.col("vec_id") < 5), "vec_id", "query_id", "qsv")
     seeds = _pq_split(
-        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3), "vec_id", "code", "ssv"
+        pts.filter(
+            ((F.col("vec_id") % IVF_SEED_MOD) == 3)
+            & (F.col("vec_id") < SEED_ID_CAP)
+        ), "vec_id", "code", "ssv"
     )
     d2 = F.round(
         F.aggregate(
@@ -1459,7 +1483,7 @@ def e14_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 coarse AS (
   SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
   FROM pts p JOIN norms n ON p.vec_id = n.vec_id
-  WHERE p.vec_id % {IVF_SEED_MOD} = 3
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3 AND p.vec_id < {SEED_ID_CAP}
 ),
 coarse_cos AS (
   SELECT p.vec_id, s.seed_id,
@@ -1512,7 +1536,9 @@ def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = e11_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    coarse = pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3).select(
+    coarse = pts.filter(
+        ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
+    ).select(
         F.col("vec_id").alias("seed_id"),
         F.col("v").alias("sv"),
         norm(F.col("v")).alias("sn"),
@@ -1550,7 +1576,10 @@ def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qsubs = _pq_split(pts.filter(F.col("vec_id") < 5), "vec_id", "query_id", "qsv")
     pqseeds = _pq_split(
-        pts.filter((F.col("vec_id") % IVF_SEED_MOD) == 3), "vec_id", "code", "ssv"
+        pts.filter(
+            ((F.col("vec_id") % IVF_SEED_MOD) == 3)
+            & (F.col("vec_id") < SEED_ID_CAP)
+        ), "vec_id", "code", "ssv"
     )
     d2 = F.round(
         F.aggregate(
