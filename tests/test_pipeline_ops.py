@@ -350,3 +350,26 @@ def test_e10_first_iteration_matches_kmeans_fit(spark, sf_dir):
     fitted = {(r.vec_id, r.cell) for r in fit_assigned.collect()}
     release_caches()
     assert unrolled == fitted and len(unrolled) > 0
+
+
+def test_pq_codebook_bounded_at_any_scale(spark):
+    """The PQ/IVF seed rule must yield a BOUNDED codebook: with vec_ids
+    far beyond the cap, at most 256 seeds are ever selected (the
+    8-bit-code PQ contract; also what keeps the seed broadcast valid
+    at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from flaco_spark.operators.similarity import IVF_SEED_MOD, SEED_ID_CAP, _pq_split
+
+    big = spark.range(0, 1_000_000, 1).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(0.5), 64).alias("v"),
+    )
+    seeds = big.filter(
+        ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
+    )
+    n = seeds.count()
+    assert n == 256, n
+    # the subspace explosion keeps the same bound per subspace
+    sub = _pq_split(seeds, "vec_id", "code", "ssv")
+    assert sub.groupBy("m").count().agg(F.max("count")).collect()[0][0] == 256
