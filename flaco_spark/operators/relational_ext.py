@@ -2477,7 +2477,15 @@ FROM supplier s
     "|nations|-sized broadcast joins.",
 )
 def q97_quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = table(spark, sf_dir, "supplier")
+    return quantified_comparison_flags(table(spark, sf_dir, "supplier"))
+
+
+def quantified_comparison_flags(s: DataFrame) -> DataFrame:
+    """The q97 rewrite over any supplier-shaped frame (s_suppkey,
+    s_name, s_nationkey, s_acctbal) — factored out so the NULL arms
+    can be differential-tested on synthetic data carrying real NULLs
+    (the TPC-H fixture has none;
+    ``test_quantified_rewrite_null_paths_match_duckdb``)."""
     x = F.col("s_acctbal")
 
     pn = s.groupBy("s_nationkey").agg(

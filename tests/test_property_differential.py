@@ -440,3 +440,63 @@ def test_mad_median_picks_match_python(spark, values):
         for s, vals in by_series.items()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # nation
+            st.one_of(st.none(), st.integers(-50, 50)),  # acctbal (or NULL)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_quantified_rewrite_null_paths_match_duckdb(spark, rows):
+    """q97's > ALL / >= ANY aggregate rewrite must match DuckDB's
+    NATIVE quantified comparisons on data with REAL NULLs — the 3VL
+    arms the TPC-H fixture (no NULL acctbals) cannot exercise.
+    Hypothesis shrinks any disagreement."""
+    import duckdb as _d
+
+    from flaco_spark.operators.relational_ext import quantified_comparison_flags
+
+    data = [
+        (i, f"s{i}", nation, None if bal is None else float(bal))
+        for i, (nation, bal) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "s_suppkey int, s_name string, s_nationkey int, s_acctbal double"
+    )
+    got = {
+        r.s_suppkey: (r.beats_all_in_nation, r.beats_any_abroad)
+        for r in quantified_comparison_flags(df).collect()
+    }
+
+    con = _d.connect()
+    con.execute(
+        "CREATE TABLE supplier (s_suppkey INT, s_name VARCHAR, "
+        "s_nationkey INT, s_acctbal DOUBLE)"
+    )
+    con.executemany("INSERT INTO supplier VALUES (?, ?, ?, ?)", data)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT s.s_suppkey,
+                   s.s_acctbal > ALL (SELECT s2.s_acctbal FROM supplier s2
+                                      WHERE s2.s_nationkey = s.s_nationkey
+                                        AND s2.s_suppkey <> s.s_suppkey),
+                   s.s_acctbal >= ANY (SELECT s3.s_acctbal FROM supplier s3
+                                       WHERE s3.s_nationkey <> s.s_nationkey)
+            FROM supplier s
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
