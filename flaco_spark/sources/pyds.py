@@ -25,7 +25,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _FeatherFilePartition(InputPartition):
@@ -78,6 +84,14 @@ class FeatherDirDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return FeatherDirReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "FeatherDirWriter":
+        os.makedirs(self.options["path"], exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self.options["path"]):
+                if f.endswith(".arrow"):
+                    os.remove(os.path.join(self.options["path"], f))
+        return FeatherDirWriter(self.options, schema)
+
 
 def register_feather_source(spark) -> None:
     """Idempotently register the feather_dir source on a session."""
@@ -85,3 +99,69 @@ def register_feather_source(spark) -> None:
         spark.dataSource.register(FeatherDirDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+# ---------------------------------------------------------------------------
+# Writer half: df.write.format("feather_dir").option("path", dir).save()
+# ---------------------------------------------------------------------------
+
+
+class _FeatherCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class FeatherDirWriter(DataSourceWriter):
+    """One Arrow IPC file per partition task.
+
+    Tasks write straight to a uniquely-named final file (uuid suffix:
+    task retries cannot collide), and commit/abort bookkeeping happens
+    on the driver — abort removes the reported files, giving
+    best-effort cleanup rather than staged-rename atomicity; a
+    production sink would stage to a temp dir and rename on commit.
+    """
+
+    def __init__(self, options: dict, schema) -> None:
+        self.path = options["path"]
+        self.schema = schema
+
+    def write(self, iterator) -> "_FeatherCommit":
+        import uuid as _uuid
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pid = TaskContext.get().partitionId()
+        arrow_schema = to_arrow_schema(self.schema)
+        names = [f.name for f in arrow_schema]
+        cols: list[list] = [[] for _ in names]
+        n = 0
+        for row in iterator:
+            for i, name in enumerate(names):
+                cols[i].append(row[i])
+            n += 1
+        tbl = pa.table(
+            {name: pa.array(vals, arrow_schema.field(i).type)
+             for i, (name, vals) in enumerate(zip(names, cols))},
+            schema=arrow_schema,
+        )
+        out = os.path.join(
+            self.path, f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.arrow"
+        )
+        with pa.OSFile(out, "wb") as sink:
+            with pa.ipc.new_file(sink, arrow_schema) as writer:
+                writer.write_table(tbl)
+        return _FeatherCommit(out, n)
+
+    def commit(self, messages) -> None:
+        return None  # files are already at their final names
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
