@@ -2706,3 +2706,130 @@ def q100_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q12 — ship-speed vs order-priority matrix (TPC-H Q12 adapted)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT CASE
+         WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30 THEN 'FAST'
+         WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'REGULAR'
+         ELSE 'SLOW'
+       END AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+    tags=("join", "agg", "conditional", "lineitem", "orders"),
+    doc="TPC-H Q12 ('shipping modes and order priority') adapted to "
+    "the fixture: the generator carries no l_shipmode/l_receiptdate, "
+    "so the mode axis becomes a derived ship-speed class "
+    "(datediff(l_shipdate, o_orderdate) bucketed FAST/REGULAR/SLOW) "
+    "— same shape as the spec query: fact-fact equi-join, CASE "
+    "buckets as the group key, priority split as conditional "
+    "counts.  Scale: one orderkey shuffle join (AQE-planned; both "
+    "sides SF-proportional so no broadcast), then a 3-group partial "
+    "aggregate — map-side combine reduces each partition to ≤3 rows "
+    "before the exchange.",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    ship_class = (
+        F.when(lag < 30, "FAST").when(lag <= 90, "REGULAR").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (TPC-H Q21 adapted)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""",
+    tags=("join", "semi", "anti", "subquery", "decorrelate", "topk"),
+    doc="TPC-H Q21 ('suppliers who kept orders waiting') adapted: "
+    "'late' is l_shipdate > o_orderdate + 90 days (the fixture has "
+    "no commit/receipt dates).  The spec's correlated EXISTS "
+    "(another supplier on the order) + NOT EXISTS (no OTHER supplier "
+    "late) is decorrelated into ONE per-order aggregate — "
+    "n_suppliers = COUNT(DISTINCT l_suppkey), n_late_suppliers = "
+    "COUNT(DISTINCT late l_suppkey) — joined back to the late "
+    "lines: a late line qualifies iff n_suppliers > 1 AND "
+    "n_late_suppliers = 1 (the late-supplier set is exactly {me}).  "
+    "The oracle runs DuckDB's NATIVE quantified form, machine-"
+    "checking the rewrite.  Scale: the per-order aggregate and the "
+    "late-line join share the l_orderkey partitioning (one shuffle, "
+    "exchange reuse); supplier names arrive by broadcast; top-100 is "
+    "TakeOrderedAndProject.  No per-row rescan of lineitem — the "
+    "naive correlated plan is quadratic in order size; this is one "
+    "distinct-aggregate pass.",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    waiting = (
+        lo.where(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
