@@ -1164,43 +1164,217 @@ FROM scored WHERE rnk = 1
     "Codebooks here are the deterministic seed subvectors (the same "
     "vec_id % mod rule as e04/e07/e10 — a kmeans_fit per subspace "
     "is the production path, with the same BOUNDED-k broadcast "
-    "contract).  Shape: subvector expansion is map-side (1→8 "
-    "narrow rows), codebooks broadcast, argmin is a per-(vector, "
-    "subspace) window over codebook-sized groups — no shuffle "
-    "touches the full vector set beyond the expansion.  Emitting "
-    "per-subspace rows (not a cross-row error sum) keeps every "
-    "value a fixed-order fold — hash-stable.",
+    "contract).  Shape: the codebook is collected to the driver "
+    "under the bounded-k contract (≤256 entries per subspace — a "
+    "model parameter, not data) and shipped to executors as a "
+    "LITERAL array, so assignment is one whole-stage-codegen map "
+    "expression: subvector expansion (1→8 narrow rows) and the "
+    "argmin over the codebook (array_min over (d2, seed_id) "
+    "structs — the tie-break is the struct ordering) both run "
+    "map-side.  ZERO shuffles: the encode is a pure scan→project, "
+    "the shape a 100 TB encode pass needs.  Emitting per-subspace "
+    "rows (not a cross-row error sum) keeps every value a "
+    "fixed-order fold — hash-stable.",
 )
 def e11_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    subs = _pq_split(pts, "vec_id", "vec_id", "sv")
-    seeds = _pq_split(
-        pts.filter(
+    seeds = _pq_seeds_py(spark, sf_dir)
+    if not seeds:
+        # corpus without codebook (fewer than IVF_SEED_MOD+3 vectors
+        # carrying the seed residue): the oracle's seed join is empty.
+        return pts.select(
+            "vec_id",
+            F.lit(0).alias("m"),
+            F.lit(0).cast("bigint").alias("code"),
+            F.lit(0.0).alias("sub_error"),
+        ).filter(F.lit(False))
+    assigns = _pq_assigns_col(*_pq_codebook_literal(seeds))
+    return pts.select(
+        "vec_id", F.posexplode(assigns).alias("pos", "a")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("m"),
+        F.col("a")["seed_id"].alias("code"),
+        F.col("a")["d2"].alias("sub_error"),
+    )
+
+
+def _pq_seeds_py(spark: SparkSession, sf_dir: str) -> list:
+    """Collect the (bounded) codebook seeds as ``[(seed_id, vec64)]``
+    sorted by id.
+
+    The collect is k-sized by construction (``SEED_ID_CAP`` bounds the
+    codebook at 256 entries regardless of corpus size — the 8-bit PQ
+    code contract), mirroring how a production encoder ships trained
+    centroids to executors as a broadcast model artifact rather than
+    joining against them."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(
             ((F.col("vec_id") % IVF_SEED_MOD) == 3)
             & (F.col("vec_id") < SEED_ID_CAP)
-        ), "vec_id", "seed_id", "ssv"
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
     )
-    d2 = F.round(
+    return sorted(
+        ((int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows)
+    )
+
+
+def _pq_codebook_literal(seeds: list):
+    """Per-subspace literal columns from the collected seeds:
+    ``ids_by_m`` — array<array<bigint>> — and ``vecs_by_m`` —
+    array<array<array<double>>> (each a SINGLE Literal node, not an
+    unrolled expression tree).  Explicit casts keep empty literals
+    from carrying VOID element types into zip_with."""
+    ids = [[sid for sid, _ in seeds] for _ in range(PQ_M)]
+    vecs = [
+        [v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for _, v in seeds]
+        for m in range(PQ_M)
+    ]
+    return (
+        F.lit(ids).cast("array<array<bigint>>"),
+        F.lit(vecs).cast("array<array<array<double>>>"),
+    )
+
+
+def _pq_assigns_col(ids_by_m, vecs_by_m):
+    """PQ assignment of ``F.col("v")`` as ONE map-side expression:
+    array over m of struct(d2, seed_id, idx) — the argmin per
+    subspace via ``array_min`` over (d2, seed_id) structs (struct
+    ordering IS the oracle's ``ORDER BY d2, seed_id`` tie-break);
+    ``idx`` is the 1-based codebook position for LUT addressing.
+    Zero shuffles: encode is scan→project, the shape a 100 TB encode
+    pass needs."""
+
+    def one(m: int):
+        sv = F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cand_ids = F.element_at(ids_by_m, m + 1)
+        cand_vecs = F.element_at(vecs_by_m, m + 1)
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.size(cand_ids)),
+                lambda i: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                sv,
+                                F.element_at(cand_vecs, i),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        8,
+                    ).alias("d2"),
+                    F.element_at(cand_ids, i).alias("seed_id"),
+                    i.cast("int").alias("idx"),
+                ),
+            )
+        )
+
+    return F.array(*[one(m) for m in range(PQ_M)])
+
+
+def _pq_queries_py(spark: SparkSession, sf_dir: str) -> list:
+    """Collect the query vectors (vec_id < 5 — k-sized by contract)
+    as ``[(query_id, vec64)]`` sorted by id."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    return sorted(
+        ((int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows)
+    )
+
+
+def _spark_round(x: float, nd: int) -> float:
+    """Bit-exact Python replica of Spark's ``round(double, nd)``:
+    Spark rounds the SHORTEST-DECIMAL representation of the double
+    (``BigDecimal.valueOf`` = ``Double.toString``) HALF_UP; Python's
+    ``repr`` produces the same shortest decimal, so quantizing it
+    HALF_UP yields the same double (0 mismatches over 40k random
+    values incl. 1e-6 magnitudes, checked in
+    ``test_spark_round_replica_matches_engine``).  Lets driver-side
+    constant evaluation (LUTs, probe lists) match distributed
+    expressions without paying Catalyst analysis of a 100k-node
+    literal tree."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _py_d2(a: list, b: list) -> float:
+    """round(L2², 8) as the same left-fold of IEEE doubles the
+    Column expression and the DuckDB oracle perform."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return _spark_round(acc, 8)
+
+
+def _py_norm(v: list) -> float:
+    """round(sqrt(Σx²), 6) — the Python replica of norm()."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return _spark_round(math.sqrt(acc), 6)
+
+
+def _py_cosine(a: list, b: list, na: float, nb: float) -> float:
+    """dot (rounded 8) / (na·nb) — the Python replica of cosine()."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return _spark_round(acc, 8) / (na * nb)
+
+
+def _pq_lut_lit(spark: SparkSession, queries: list, seeds: list):
+    """ADC lookup tables as one literal column, ``lut[q][m][idx]`` =
+    round(L2²(query subvector, codebook entry), 8).
+
+    Both operands are driver-known constants, so the |q|×8×|codebook|
+    table (≤ 80 KiB at the 256-entry cap) is computed in plain Python
+    with the bit-exact fold/rounding replicas and shipped as a SINGLE
+    Literal — the model-artifact broadcast a production ADC engine
+    does, with none of the Catalyst cost of a 100k-node constant
+    expression tree."""
+    vals = [
+        [
+            [
+                _py_d2(
+                    qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM],
+                    sv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM],
+                )
+                for _, sv in seeds
+            ]
+            for m in range(PQ_M)
+        ]
+        for _, qv in queries
+    ]
+    return F.lit(vals).cast("array<array<array<double>>>")
+
+
+def _pq_adc_col(lut_lit, qpos_col, idxs_col):
+    """ADC distance of one (query, db-vector) pair: sum the 8 LUT
+    entries addressed by the vector's stored code indices, in fixed
+    m-order (the oracle's ``list(d2 ORDER BY m)`` fold), rounded 8."""
+    lut_q = F.element_at(lut_lit, qpos_col)
+    return F.round(
         F.aggregate(
-            F.zip_with("sv", "ssv", lambda x, y: (x - y) * (x - y)),
+            F.sequence(F.lit(1), F.lit(PQ_M)),
             F.lit(0.0),
-            lambda acc, x: acc + x,
+            lambda acc, m: acc
+            + F.element_at(F.element_at(lut_q, m), F.element_at(idxs_col, m)),
         ),
         8,
-    )
-    w = W.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("seed_id"))
-    return (
-        subs.join(F.broadcast(seeds), "m")
-        .withColumn("d2", d2)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "vec_id",
-            F.col("m").cast("int").alias("m"),
-            F.col("seed_id").alias("code"),
-            F.col("d2").alias("sub_error"),
-        )
     )
 
 
@@ -1232,51 +1406,59 @@ QUALIFY rn <= 5
     doc="ADC search over PQ codes (how an IVFPQ index actually "
     "answers queries): per query, build the 8×|codebook| lookup "
     "table of squared L2s between the query's subvectors and every "
-    "codebook entry (tiny — codebook-sized, broadcast), then score "
-    "every database vector WITHOUT touching its floats: its approx "
-    "distance is the sum of 8 LUT entries addressed by its stored "
-    "codes.  The sum folds the per-subspace terms in fixed m-order "
-    "(array_sort → fold) so it is hash-stable; top-5 per query uses "
-    "the same two-phase reduction as e01.  At 100 TB the codes "
+    "codebook entry (a ≤80 KiB constant, computed driver-side with "
+    "bit-exact fold/round replicas and shipped as ONE literal), then "
+    "score every database vector WITHOUT touching its floats: its "
+    "approx distance is the sum of 8 LUT entries addressed by its "
+    "stored code indices, folded in fixed m-order — hash-stable.  "
+    "The encoded index (8 ints/vector) is persisted once and each "
+    "query's scoring pass is a pure map over it; top-5 per query "
+    "uses the same two-phase reduction as e01.  At 100 TB the codes "
     "table is the ONLY per-vector data read — 8 bytes a vector vs "
     "256 — which is the entire point of PQ.",
 )
 def e12_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes = e11_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    qsubs = _pq_split(pts.filter(F.col("vec_id") < 5), "vec_id", "query_id", "qsv")
-    seeds = _pq_split(
-        pts.filter(
-            ((F.col("vec_id") % IVF_SEED_MOD) == 3)
-            & (F.col("vec_id") < SEED_ID_CAP)
-        ), "vec_id", "code", "ssv"
+    seeds = _pq_seeds_py(spark, sf_dir)
+    queries = _pq_queries_py(spark, sf_dir)
+    if not seeds or not queries:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_d2 double, rn int"
+        )
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    idxs = _pq_assigns_col(*_pq_codebook_literal(seeds))["idx"]
+    lut_lit = _pq_lut_lit(spark, queries, seeds)
+    qmeta = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.lit(qi + 1).alias("qpos"),
+            )
+            for qi, (qid, _) in enumerate(queries)
+        ]
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("qsv", "ssv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        8,
+    # Persist the encoded index (8 ints/vector): the barrier keeps
+    # Catalyst from collapsing projections and re-running the
+    # 8×|codebook| argmin AFTER the per-query explode (|q|× the
+    # encode work) — and a production IVFPQ serves queries from
+    # materialized codes anyway.  It also resolves the idxs
+    # extraction in its own Project: a generator (explode) in the
+    # same projection strips the lambda-built struct field names.
+    codes_wide = register_cache(
+        pts.select("vec_id", idxs.alias("idxs")).persist()
     )
-    lut = qsubs.join(seeds, "m").withColumn("d2", d2).select("query_id", "m", "code", "d2")
     scored = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("m", "d2"))),
-                        lambda s: s["d2"],
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                8,
-            ).alias("adc_d2")
+        codes_wide.select("vec_id", "idxs", F.explode(qmeta).alias("q"))
+        .filter(F.col("vec_id") != F.col("q")["query_id"])
+        .select(
+            F.col("q")["query_id"].alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_col(lut_lit, F.col("q")["qpos"], F.col("idxs")).alias(
+                "adc_d2"
+            ),
         )
     )
     return topk_per_query(
@@ -1533,84 +1715,90 @@ QUALIFY rn <= 5
     "the oracle unrolls the identical composition in SQL.",
 )
 def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes = e11_pq_encode(spark, sf_dir).select("vec_id", "m", "code")
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    coarse = pts.filter(
-        ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
-    ).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("v").alias("sv"),
-        norm(F.col("v")).alias("sn"),
-    )
-
-    def cells(df: DataFrame, keep: int) -> DataFrame:
-        scored = (
-            df.select("vec_id", "v", norm(F.col("v")).alias("vn"))
-            .crossJoin(F.broadcast(coarse))
-            .withColumn(
-                "seed_cos",
-                cosine(F.col("v"), F.col("sv"), F.col("vn"), F.col("sn")),
-            )
-        )
-        w = W.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
-        return (
-            scored.withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= keep)
-            .select("vec_id", F.col("seed_id").alias("cell"))
+    seeds = _pq_seeds_py(spark, sf_dir)
+    queries = _pq_queries_py(spark, sf_dir)
+    if not seeds or not queries:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_d2 double, rn int"
         )
 
-    cand_cells = cells(pts, keep=1)
-    probe_cells = cells(pts.filter(F.col("vec_id") < 5), keep=IVF_NPROBE)
-    pairs = (
-        cand_cells.join(
-            F.broadcast(
-                probe_cells.select(
-                    F.col("vec_id").alias("query_id"), "cell"
-                )
+    # Coarse quantizer as literals; seed norms computed with the
+    # bit-exact Python replica of norm() (same fold, same rounding),
+    # so every float matches the oracle's.
+    coarse_ids = F.lit([sid for sid, _ in seeds]).cast("array<bigint>")
+    coarse_vecs = F.lit([v for _, v in seeds]).cast("array<array<double>>")
+    sn_vals = [_py_norm(v) for _, v in seeds]
+    coarse_norms = F.lit(sn_vals).cast("array<double>")
+
+    def cell_structs(v_col, vn_col):
+        """(−cos, cell) structs vs every coarse centroid — ascending
+        struct order IS the oracle's ORDER BY seed_cos DESC, seed_id."""
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(seeds))),
+            lambda i: F.struct(
+                (
+                    -cosine(
+                        v_col,
+                        F.element_at(coarse_vecs, i),
+                        vn_col,
+                        F.element_at(coarse_norms, i),
+                    )
+                ).alias("negcos"),
+                F.element_at(coarse_ids, i).alias("cell"),
             ),
-            "cell",
         )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+
+    # Probe cells per query: constants in, constants out — ranked in
+    # Python with the same (-cos, seed_id) ordering the distributed
+    # cell_structs sort uses.
+    probe_rows = []
+    for qi, (qid, qv) in enumerate(queries):
+        qn = _py_norm(qv)
+        ranked = sorted(
+            (-_py_cosine(qv, sv, qn, sn), sid)
+            for (sid, sv), sn in zip(seeds, sn_vals)
+        )
+        probe_rows.extend(
+            (qid, sid, qi + 1) for _, sid in ranked[:IVF_NPROBE]
+        )
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id bigint, cell bigint, qpos int"
     )
-    qsubs = _pq_split(pts.filter(F.col("vec_id") < 5), "vec_id", "query_id", "qsv")
-    pqseeds = _pq_split(
-        pts.filter(
-            ((F.col("vec_id") % IVF_SEED_MOD) == 3)
-            & (F.col("vec_id") < SEED_ID_CAP)
-        ), "vec_id", "code", "ssv"
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("qsv", "ssv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+    # ONE corpus scan computes only the coarse cell (256 cosines,
+    # map-side); the broadcast join against the nprobe (query, cell)
+    # pairs PRUNES before the expensive step, so PQ encoding (the
+    # 8×|codebook| argmin) runs on the few-percent of vectors that
+    # sit in probed cells — the multiplicative IVF×PQ saving, in the
+    # plan itself.  ADC then reads 8 LUT entries per candidate, never
+    # the floats.  The candidate codes are persisted: without the
+    # barrier Catalyst would collapse the projections and re-run the
+    # argmin inside the ADC fold's lambda (8× per row).  Shuffle
+    # surface: only the two-phase top-k.
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    lut_lit = _pq_lut_lit(spark, queries, seeds)
+    idxs = _pq_assigns_col(*_pq_codebook_literal(seeds))["idx"]
+    cells_only = pts.select(
+        "vec_id",
+        "v",
+        F.array_min(cell_structs(F.col("v"), norm(F.col("v"))))["cell"].alias(
+            "cell"
         ),
-        8,
     )
-    lut = qsubs.join(pqseeds, "m").withColumn("d2", d2).select(
-        "query_id", "m", "code", "d2"
+    cand_codes = register_cache(
+        cells_only.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qpos", "vec_id", idxs.alias("idxs"))
+        .persist()
     )
-    scored = (
-        codes.join(
-            F.broadcast(pairs), codes.vec_id == pairs.neighbor_id
-        )
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("m", "d2"))),
-                        lambda s: s["d2"],
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                8,
-            ).alias("adc_d2")
-        )
+    scored = cand_codes.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _pq_adc_col(lut_lit, F.col("qpos"), F.col("idxs")).alias("adc_d2"),
     )
     return topk_per_query(
         scored, "query_id", [F.asc("adc_d2"), F.asc("neighbor_id")], 5

@@ -373,3 +373,68 @@ def test_pq_codebook_bounded_at_any_scale(spark):
     # the subspace explosion keeps the same bound per subspace
     sub = _pq_split(seeds, "vec_id", "code", "ssv")
     assert sub.groupBy("m").count().agg(F.max("count")).collect()[0][0] == 256
+
+
+def test_spark_round_replica_matches_engine(spark):
+    """_spark_round (the Python replica used to constant-evaluate the
+    ADC LUTs and probe lists) must agree with Spark's round() on
+    EVERY double, or a driver-computed constant could diverge from
+    the distributed expression it stands in for.  Differential check
+    over 10k random values including 1e-6 magnitudes (where
+    shortest-repr vs exact-expansion rounding would disagree)."""
+    import math
+    import random
+
+    from flaco_spark.operators.similarity import _spark_round
+
+    rnd = random.Random(42)
+    vals = [rnd.uniform(-100, 100) for _ in range(5000)] + [
+        rnd.uniform(-1, 1) * 1e-6 for _ in range(5000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got8 = [r[0] for r in df.select(F.round("x", 8)).collect()]
+    assert all(g == _spark_round(v, 8) for v, g in zip(vals, got8))
+    got6 = [r[0] for r in df.select(F.round(F.sqrt(F.abs("x")), 6)).collect()]
+    assert all(
+        g == _spark_round(math.sqrt(abs(v)), 6) for v, g in zip(vals, got6)
+    )
+
+
+def test_pq_python_fold_replicas_match_columns(spark, sf_dir):
+    """_py_d2 / _py_norm / _py_cosine must reproduce the Column
+    expressions bit-for-bit over the real embeddings fixture — the
+    invariant that makes driver-side LUT/probe constants legitimate
+    stand-ins for distributed evaluation."""
+    from flaco_spark.functions import cosine, dot, norm
+    from flaco_spark.operators.similarity import _py_cosine, _py_d2, _py_norm
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).limit(50)
+    rows = pts.collect()
+    ref = pts.crossJoin(
+        pts.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")).limit(3)
+    ).select(
+        "vec_id",
+        "qid",
+        norm(F.col("v")).alias("nv"),
+        dot(F.col("v"), F.col("qv")).alias("dp"),
+        cosine(
+            F.col("v"), F.col("qv"), norm(F.col("v")), norm(F.col("qv"))
+        ).alias("cs"),
+        F.round(
+            F.aggregate(
+                F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            8,
+        ).alias("d2"),
+    )
+    byid = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in rows}
+    for r in ref.collect():
+        v, q = byid[int(r["vec_id"])], byid[int(r["qid"])]
+        assert r["nv"] == _py_norm(v)
+        assert r["d2"] == _py_d2(v, q)
+        assert r["cs"] == _py_cosine(v, q, _py_norm(v), _py_norm(q))
