@@ -52,6 +52,9 @@ EXTENDED = [
     "e10_kmeans_unrolled",
     "e15_ivfpq_search",
     "q92_csv_roundtrip",
+    "t22_bm25_search",
+    "g01_pagerank",
+    "g02_triangle_count",
 ]
 
 

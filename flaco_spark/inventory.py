@@ -131,6 +131,7 @@ def load_inventory() -> dict[str, QuerySpec]:
     """
     from flaco_spark.operators import (  # noqa: F401
         dedup,
+        graph,
         multimodal,
         relational,
         relational_ext,

@@ -1,0 +1,308 @@
+"""Graph analytics over relationship graphs derived from the fixture.
+
+The reference delegates any relational shape to the server
+(``/root/reference/src/lib.rs:189``); graph measures are the natural
+next ring out for an analytics engine sitting on entity-relationship
+data — "who is central", "how clustered is the co-occurrence
+structure" — and they exercise a plan family nothing else in the
+inventory does: unrolled fixed-point iteration (g01) and ordered
+wedge-closing self-joins (g02).
+
+Graphs used (both derived, nothing synthetic):
+
+- **bipartite trade graph** — customer c bought from supplier s
+  (distinct (o_custkey, l_suppkey) pairs via orders ⋈ lineitem),
+  directed both ways with namespaced node ids (2·custkey vs
+  2·suppkey+1) so ranks flow c→s and s→c.
+- **supplier co-occurrence graph** — s1—s2 undirected iff they
+  supplied the same order.  Pair GENERATION is bounded (per-order
+  supplier sets are order-sized), but the accumulated graph densifies
+  as orders pile up — which is exactly why g02 counts triangles on a
+  deterministic edge SAMPLE (DOULION) rather than the full graph.
+
+Determinism contract: PageRank float sums are LEFT-FOLDS over
+neighbor contributions sorted by source node id
+(collect_list → array_sort → aggregate, mirrored by DuckDB's
+``list(x ORDER BY src)`` + ``list_reduce``), so every double is an
+identical IEEE sequence in both engines — the same discipline as the
+ANN/PQ operators.  Triangle counting is pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flaco_spark.inventory import register
+from flaco_spark.tables import table
+
+G01_ITERS = 3
+G01_DAMP = "0.85"
+G01_JUMP = "0.15"
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bipartite edges: 2·custkey ⇄ 2·suppkey+1, distinct."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+_G01_EDGES_SQL = """
+cs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM cs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM cs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+nstats AS (SELECT COUNT(*) AS n FROM nodes)
+"""
+
+
+def _g01_iter_sql(k: int) -> str:
+    """One unrolled PageRank round: r_k = jump/N + damp·fold(inflow)."""
+    return f"""
+contrib_{k} AS (
+  SELECT e.dst, e.src, r.rank / CAST(d.od AS DOUBLE) AS x
+  FROM edges e
+  JOIN rank_{k - 1} r ON e.src = r.node
+  JOIN outdeg d ON e.src = d.src
+),
+infl_{k} AS (
+  SELECT dst, list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY src)),
+                          (acc, v) -> acc + v) AS infl
+  FROM contrib_{k} GROUP BY dst
+),
+rank_{k} AS (
+  SELECT n.node,
+         CAST({G01_JUMP} AS DOUBLE) / CAST(ns.n AS DOUBLE)
+           + CAST({G01_DAMP} AS DOUBLE) * COALESCE(i.infl, 0.0) AS rank
+  FROM nodes n CROSS JOIN nstats ns
+  LEFT JOIN infl_{k} i ON n.node = i.dst
+)"""
+
+
+@register(
+    "g01_pagerank",
+    oracle=f"""
+WITH {_G01_EDGES_SQL},
+rank_0 AS (
+  SELECT n.node, 1.0::DOUBLE / CAST(ns.n AS DOUBLE) AS rank
+  FROM nodes n CROSS JOIN nstats ns
+),
+{",".join(_g01_iter_sql(k) for k in range(1, G01_ITERS + 1))}
+SELECT node, rank,
+       ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rn
+FROM rank_{G01_ITERS}
+QUALIFY rn <= 50
+""",
+    tags=("graph", "pagerank", "iterative", "topk"),
+    doc=f"PageRank ({G01_ITERS} unrolled rounds, damping 0.85) over "
+    "the customer⇄supplier trade graph — the canonical 'who is "
+    "central' measure, and the engine's demonstration of UNROLLED "
+    "fixed-point iteration as a Catalyst plan (the same lineage "
+    "pattern kmeans_fit bounds with persist+cut at production "
+    "depth).  Per round: edges join ranks on src (both sides keyed "
+    "by node — the shuffle partitioning is REUSED across rounds), "
+    "per-target inflow as a src-ordered left-fold (collect_list → "
+    "array_sort → aggregate; DuckDB mirrors with list(ORDER BY) → "
+    "list_reduce) so float sums are order-deterministic, then "
+    "jump/N + damp·inflow with no-inlink nodes kept by left join.  "
+    "Dangling-mass redistribution is intentionally omitted — both "
+    "engines compute the same variant, and the bipartite both-ways "
+    "construction has no dangling nodes by construction.  Top-50 "
+    "nodes by rank.  100 TB posture: each round is one self-keyed "
+    "shuffle; at depth, checkpoint every ~5 rounds to cut lineage "
+    "(kmeans_fit's contract).",
+)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    edges = _trade_edges(spark, sf_dir)
+    # The edge list and node set are read EVERY round — persist them
+    # or each iteration re-derives the distinct() lineage from parquet
+    # (3× the scan+shuffle work for 3 rounds; worse at depth).
+    nodes = register_cache(
+        edges.select(F.col("src").alias("node")).distinct().persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nstats = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+    )
+    ed = register_cache(
+        edges.join(outdeg, "src").select("src", "dst", F.col("od")).persist()
+    )
+    for _ in range(G01_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            "dst", "src", (F.col("rank") / F.col("od").cast("double")).alias("x")
+        )
+        infl = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "x")))["x"],
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("infl")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nstats))
+            .join(infl, nodes.node == infl.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(float(G01_JUMP)) / F.col("n").cast("double")
+                    + F.lit(float(G01_DAMP))
+                    * F.coalesce(F.col("infl"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    w_scored = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
+    from pyspark.sql import Window as W
+
+    return w_scored.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.desc("rank"), F.asc("node"))),
+    ).select("node", "rank", "rn")
+
+
+_G02_EDGES_SQL = """
+supp AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
+),
+pairs AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM supp a JOIN supp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sampled AS (
+  SELECT u, v FROM pairs
+  WHERE md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR))[1:1]
+        IN ('0', '1', '2', '3')
+)
+"""
+
+G02_INV_P3 = 64  # sampling keeps p=1/4 of edges; triangles survive w.p. p^3
+
+
+@register(
+    "g02_triangle_count",
+    oracle=f"""
+WITH {_G02_EDGES_SQL},
+tris AS (
+  SELECT p1.u AS a, p1.v AS b, p2.v AS c
+  FROM sampled p1
+  JOIN sampled p2 ON p1.v = p2.u
+  JOIN sampled p3 ON p3.u = p1.u AND p3.v = p2.v
+),
+tot AS (SELECT COUNT(*) AS n_sampled_total FROM tris),
+per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles,
+       ROW_NUMBER() OVER (ORDER BY n_triangles DESC, node) AS rn,
+       CAST(t.n_sampled_total AS BIGINT) AS n_sampled_total,
+       CAST(t.n_sampled_total * {G02_INV_P3} AS BIGINT) AS est_total
+FROM per_node CROSS JOIN tot t
+QUALIFY rn <= 20
+""",
+    tags=("graph", "triangles", "self-join", "sampling", "topk"),
+    doc="Approximate triangle counting by DOULION-style edge "
+    "sparsification (Tsourakakis et al., KDD 2009) over the "
+    "supplier co-occurrence graph: keep each edge with p=1/4 via a "
+    "DETERMINISTIC md5 coin (both engines hash the same string, so "
+    "the sample — and therefore every value — is reproducible), "
+    "count triangles EXACTLY on the sampled graph with the ordered "
+    "wedge-close (u<v edges, wedge self-join, third-edge close — "
+    "each triangle found once), and scale by 1/p^3 = 64 for the "
+    "global estimate.  The sampling is the 100 TB lever: the "
+    "fixture's co-occurrence graph is DENSE (every supplier pair "
+    "eventually shares an order), and wedge work falls with the "
+    "CUBE of the sampling rate while the estimator stays unbiased "
+    "— the published answer to triangle counting at scales where "
+    "the exact wedge join is quadratic.  Per-node counts stay "
+    "sample-exact (top-20 by membership); the global estimate rides "
+    "along in every row.  Pure integer arithmetic, no float "
+    "discipline needed.",
+)
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    supp = l.select("l_orderkey", "l_suppkey").distinct()
+    a = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string")
+            )
+        ),
+        1,
+        1,
+    )
+    sampled = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .where(coin.isin("0", "1", "2", "3"))
+    )
+    p1 = sampled.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    p2 = sampled.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    p3 = sampled.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (
+        p1.join(p2, p1.b == p2.b2)
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    tris = register_cache(tris.persist())
+    tot = tris.agg(F.count(F.lit(1)).alias("n_sampled_total"))
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b")))
+        .unionAll(tris.select(F.col("c")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        per_node.orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(20)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("n_triangles"), F.asc("node"))),
+        )
+        .select(
+            "node",
+            "n_triangles",
+            "rn",
+            F.col("n_sampled_total").cast("bigint").alias("n_sampled_total"),
+            (F.col("n_sampled_total") * G02_INV_P3)
+            .cast("bigint")
+            .alias("est_total"),
+        )
+    )

@@ -1225,3 +1225,152 @@ def t21_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t22 — BM25 retrieval (rational idf, deterministic fixed-order sums)
+# ---------------------------------------------------------------------------
+
+# (query_id, terms) — fixed literal queries, the shape a retrieval
+# harness issues; terms indexed 0..n-1 across all queries.
+T22_QUERIES = (
+    ("q_hash_join", ("hash", "join")),
+    ("q_stream_window_agg", ("stream", "window", "agg")),
+    ("q_vector_scan", ("vector", "scan")),
+)
+T22_TERMS = tuple(
+    dict.fromkeys(t for _, terms in T22_QUERIES for t in terms)
+)
+T22_TOPK = 10
+
+
+def _t22_sql_contrib(i: int) -> str:
+    """One term's BM25 contribution (k1=1.2, b=0.75, rational idf) —
+    the SQL text mirrors the Column expression op-for-op so both
+    engines run the identical IEEE sequence."""
+    tf = f"CAST(tf_{i} AS DOUBLE)"
+    return (
+        f"((CAST(n - df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (({tf} * 2.2) / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 *"
+        f" (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+    )
+
+
+def _t22_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(T22_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(T22_TERMS))
+    )
+    legs = []
+    for qid, terms in T22_QUERIES:
+        idx = [T22_TERMS.index(t) for t in terms]
+        score = " + ".join(_t22_sql_contrib(i) for i in idx)
+        legs.append(
+            f"SELECT '{qid}' AS query_id, doc_id, {score} AS score FROM joined"
+        )
+    union = "\n  UNION ALL\n  ".join(legs)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         {df_cols}
+  FROM per_doc
+),
+joined AS (SELECT * FROM per_doc CROSS JOIN stats),
+scored AS (
+  {union}
+)
+SELECT query_id, doc_id, score,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rn
+FROM scored WHERE score > 0
+QUALIFY rn <= {T22_TOPK}
+"""
+
+
+@register(
+    "t22_bm25_search",
+    oracle=_t22_oracle(),
+    tags=("text", "retrieval", "bm25", "topk", "documents"),
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query "
+    "set — the canonical lexical search scorer, with the RATIONAL "
+    "idf variant ((N-df+0.5)/(df+0.5), no ln(): libm-dependent "
+    "logs would break cross-engine hashing, and monotonicity — "
+    "hence ranking — is unchanged).  Determinism without decimal "
+    "machinery: tf/df/dl/N are integer aggregates, and each doc's "
+    "score is a FIXED-ORDER sum of per-term contributions written "
+    "as one expression (never a float SUM() across rows), so every "
+    "double is an identical IEEE sequence in both engines.  Scale "
+    "shape: ONE (doc)-keyed token aggregate (map-side combine on "
+    "the tokenizer explode), a 1-row stats broadcast, per-query "
+    "scores via stack() in the same projection — no per-query "
+    "corpus pass — then the e01-style two-phase top-k.  The df "
+    "columns only exist for query terms: the posting-list width is "
+    "|query vocabulary|, not |corpus vocabulary|.",
+)
+def t22_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.operators.similarity import topk_per_query
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(T22_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(T22_TERMS))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = (
+            (F.col("n") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        dl_norm = F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (
+            F.col("dl").cast("double")
+            / (F.col("sumdl").cast("double") / F.col("n").cast("double"))
+        )
+        return idf * ((tf * F.lit(2.2)) / (tf + F.lit(1.2) * dl_norm))
+
+    def qscore(terms):
+        idx = [T22_TERMS.index(t) for t in terms]
+        s = contrib(idx[0])
+        for i in idx[1:]:
+            s = s + contrib(i)
+        return s
+
+    stack_args = []
+    for qid, terms in T22_QUERIES:
+        stack_args.extend([F.lit(qid), qscore(terms)])
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.stack(F.lit(len(T22_QUERIES)), *stack_args).alias(
+                "query_id", "score"
+            ),
+        )
+        .filter(F.col("score") > 0)
+    )
+    return topk_per_query(
+        scored, "query_id", [F.desc("score"), F.asc("doc_id")], T22_TOPK
+    ).select("query_id", "doc_id", "score", "rn")

@@ -110,6 +110,18 @@ PROBE = [
     "q98_cumulative_unique_users",
     "e15_ivfpq_search",
     "st04_stateful_sessionization",
+    # round-4 second wave: q21's per-order distinct aggregate meets 10x
+    # orders; d19's blocks grow with |parts| (verbatim here, so this
+    # pins the fixed-block cost); g01 iterates over a 10x edge list;
+    # g02's sampled wedge-close sees the densified co-occurrence graph;
+    # t22's posting aggregate spans the 10x corpus.
+    "q12_shipmode_priority",
+    "q21_suppliers_kept_waiting",
+    "d19_record_linkage",
+    "t22_bm25_search",
+    "g01_pagerank",
+    "g02_triangle_count",
+    "e13_pq_recall",
 ]
 
 
