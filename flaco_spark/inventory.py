@@ -132,6 +132,7 @@ def load_inventory() -> dict[str, QuerySpec]:
     from flaco_spark.operators import (  # noqa: F401
         dedup,
         graph,
+        layout,
         multimodal,
         relational,
         relational_ext,

@@ -237,3 +237,62 @@ def st04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+# Static enrichment dimension for st05: event_type → (funnel stage,
+# engagement weight).  A literal dim keeps the query self-contained;
+# in production this is any slowly-changing reference table (user
+# segments, geo lookup, model-version routing) re-read per micro-batch.
+_ST05_DIM = [
+    ("view", "top", 1),
+    ("click", "mid", 3),
+    ("signup", "bottom", 10),
+    ("purchase", "bottom", 25),
+    ("error", "ops", 0),
+]
+
+
+@register(
+    "st05_stream_static_enrichment",
+    oracle="""
+WITH dim(event_type, stage, weight) AS (
+  VALUES ('view', 'top', 1), ('click', 'mid', 3), ('signup', 'bottom', 10),
+         ('purchase', 'bottom', 25), ('error', 'ops', 0)
+)
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       d.stage,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(d.weight AS BIGINT)) AS BIGINT) AS engagement
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "enrichment", "events"),
+    doc="Stream-STATIC broadcast enrichment behind the correctness "
+    "gate: the events readStream joins a static reference dimension "
+    "(event_type → funnel stage / engagement weight) and aggregates "
+    "weighted counts per tumbling hour, drained availableNow into a "
+    "complete-mode memory sink and hash-matched to the batch SQL "
+    "with an inline VALUES dim.  Stream-static joins need NO "
+    "watermark and NO join state: the static side is broadcast to "
+    "every micro-batch (re-resolved per batch, so a slowly-changing "
+    "dim picks up updates between batches) — the cheapest and most "
+    "common streaming join shape at 100 TB/day, and the one to reach "
+    "for before any stream-stream topology (st03) when one side is "
+    "reference data.",
+)
+def st05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(_ST05_DIM, "event_type string, stage string, weight int")
+    enriched = stream.join(F.broadcast(dim), "event_type").groupBy(
+        F.window("ts", "1 hour").alias("w"), "stage"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("weight").cast("bigint")).alias("engagement"),
+    )
+    sink = _drain(enriched, scratch, "complete", "st05")
+    return sink.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "stage",
+        "n",
+        "engagement",
+    )

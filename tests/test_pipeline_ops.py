@@ -212,6 +212,11 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         # empty corpus correctly yields checkpoint rows with vocab 0)
         "q96_variant_extract",
         "m07_phash_search",
+        # round-4 additions (q102 excluded: a zero-row partitioned
+        # write emits no directories, so the read-back has no schema
+        # to infer — the empty-extract case is the caller's to guard)
+        "d24_exact_substring_dedup",
+        "q101_bucketed_join",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname

@@ -820,3 +820,22 @@ def test_cumulative_unique_single_pass_q98(spark, sf_dir):
 
     df = REGISTRY["q98_cumulative_unique_users"].builder(spark, sf_dir)
     assert formatted_plan(df).count("events.parquet") <= 2
+
+
+def test_d24_no_all_pairs(spark, sf_dir):
+    """d24's substring profile must stay posting-shaped: hash-keyed
+    shuffles only, never a cartesian/nested-loop pairing of documents."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["d24_exact_substring_dedup"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q102_partition_values_roundtrip(spark, sf_dir):
+    """q102's read-back day partition column must come back typed (DATE)
+    so pruning compares values, not strings."""
+    out = REGISTRY["q102_partition_pruned_agg"].builder(spark, sf_dir)
+    days = {r["day"] for r in out.select("day").distinct().collect()}
+    assert days == {"2024-01-03", "2024-01-04", "2024-01-05"}
