@@ -55,6 +55,8 @@ EXTENDED = [
     "t22_bm25_search",
     "g01_pagerank",
     "g02_triangle_count",
+    "d24_exact_substring_dedup",
+    "q101_bucketed_join",
 ]
 
 

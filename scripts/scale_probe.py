@@ -122,6 +122,15 @@ PROBE = [
     "g01_pagerank",
     "g02_triangle_count",
     "e13_pq_recall",
+    # round-4 third wave: d24's postings explode = 10x corpus token
+    # count with every window at df=10 (the mass-duplication worst
+    # case for its dup-hash join); q101 pays the bucketed write's
+    # one-time shuffle on 6M lineitem rows; q102 writes/prunes 30 day
+    # partitions of 1M events; st05 re-broadcasts the dim per batch.
+    "d24_exact_substring_dedup",
+    "q101_bucketed_join",
+    "q102_partition_pruned_agg",
+    "st05_stream_static_enrichment",
 ]
 
 
