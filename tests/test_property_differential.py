@@ -500,3 +500,49 @@ def test_quantified_rewrite_null_paths_match_duckdb(spark, rows):
     }
     con.close()
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=20).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    window=st.integers(2, 5),
+)
+def test_exact_substring_profile_matches_python(spark, docs, window):
+    """d24's duplicated-window fractions equal a pure-Python sliding
+    window reference on random tiny-vocabulary corpora (the small
+    alphabet forces heavy window collisions — the regime the postings
+    join must count exactly, including intra-doc repeats that must
+    NOT count as duplication on their own)."""
+    from flaco_spark.operators.dedup import exact_substring_profile
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    ).repartition(5)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in exact_substring_profile(df, window=window).collect()
+    }
+
+    def wins(text):
+        toks = text.split(" ")
+        n = max(len(toks) - window + 1, 1)
+        return [" ".join(toks[i : i + window]) for i in range(n)]
+
+    owner = {}
+    for i, t in enumerate(docs):
+        for w in set(wins(t)):
+            owner.setdefault(w, set()).add(i)
+    want = {}
+    for i, t in enumerate(docs):
+        ws = wins(t)
+        dup = sum(1 for w in ws if len(owner[w]) >= 2)
+        want[i] = (len(ws), dup)
+    assert got == want
