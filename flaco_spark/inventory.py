@@ -89,6 +89,21 @@ SOFT_RECHECK: frozenset[str] = frozenset(
     }
 )
 
+# Round-4 additions whose EXECUTION PATH is novel (real streaming
+# jobs, the Python DataSource, table-writing layout queries, the
+# PQ/IVFPQ composition): a driver-environment surprise is likeliest
+# here, so within the never-checked tier they outrank plain relational
+# additions — a failure found this round is fixable next round.
+RISKY_NEW: frozenset[str] = frozenset(
+    {
+        "st04_stateful_sessionization", "st05_stream_static_enrichment",
+        "u10_python_datasource", "q101_bucketed_join",
+        "q102_partition_pruned_agg", "q99_orc_roundtrip",
+        "e15_ivfpq_search", "d24_exact_substring_dedup",
+        "g01_pagerank", "t22_bm25_search",
+    }
+)
+
 
 def _last_green_round() -> dict[str, int]:
     """Per query, the latest driver round with a green CORRECTNESS row.
@@ -159,6 +174,8 @@ def load_inventory() -> dict[str, QuerySpec]:
             # are locally parity-tested from day one), so these outrank
             # this round's additions.
             rank = -3.0
+        elif n not in seen and n in RISKY_NEW:
+            rank = -2.5  # novel execution paths: check before plain additions
         elif n not in seen:
             rank = -2.0  # this round's additions
         elif n in SOFT_RECHECK:
