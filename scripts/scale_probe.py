@@ -173,7 +173,10 @@ def main() -> int:
                 best = min(best, time.perf_counter() - t0)
             results[name] = {"sec": round(best, 2), "rows": rows}
             print(f"# {name}: {best:.2f}s ({rows} rows)", file=sys.stderr)
-        print(json.dumps({"scale": "10x_sf0.1", "build_sec": build_s, "queries": results}))
+        line = json.dumps({"scale": "10x_sf0.1", "build_sec": build_s, "queries": results})
+        print(line)
+        if len(sys.argv) > 2:
+            Path(sys.argv[2]).write_text(line + "\n")
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
