@@ -306,3 +306,106 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g03 — label propagation communities (synchronous, mode-of-neighbors)
+# ---------------------------------------------------------------------------
+
+G03_ROUNDS = 2
+
+
+def _g03_round_sql(k: int) -> str:
+    """One synchronous LPA round: each node adopts the most frequent
+    label among its neighbors (ties → smallest label)."""
+    return f"""
+votes_{k} AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS c
+  FROM sym_edges e JOIN lab_{k - 1} l ON e.v = l.node
+  GROUP BY e.u, l.label
+),
+lab_{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM votes_{k}
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "g03_label_propagation",
+    oracle=f"""
+WITH supp AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
+),
+pairs AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM supp a JOIN supp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sym_edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+lab_0 AS (SELECT DISTINCT u AS node, u AS label FROM sym_edges),
+{",".join(_g03_round_sql(k) for k in range(1, G03_ROUNDS + 1))}
+SELECT l.node, l.label,
+       CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT) AS community_size
+FROM lab_{G03_ROUNDS} l
+""",
+    tags=("graph", "communities", "label-propagation", "iterative"),
+    doc=f"Community detection by synchronous label propagation "
+    f"({G03_ROUNDS} rounds, Raghavan et al. 2007, Phys. Rev. E 76): "
+    "every supplier starts as its own label; each round every node "
+    "adopts the MOST FREQUENT label among its co-occurrence "
+    "neighbors, ties broken toward the smallest label — the "
+    "deterministic variant (classic LPA breaks ties randomly, which "
+    "no correctness gate can pin).  Pure integer arithmetic: one "
+    "edges⋈labels shuffle + count + per-node window argmax per "
+    "round, the edge list keyed identically every round so the "
+    "partitioning is reused (g01's contract).  Complements g01/g02: "
+    "centrality, clustering, and now PARTITIONING of the same "
+    "derived graph.  Synchronous update is the distributed-safe "
+    "choice (async LPA is order-dependent); at 100 TB rounds cap + "
+    "lineage cut per ~5 rounds, as g01 documents.",
+)
+def g03_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    l = table(spark, sf_dir, "lineitem")
+    supp = l.select("l_orderkey", "l_suppkey").distinct()
+    a = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = register_cache(
+        pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    argmax = W.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(G03_ROUNDS):
+        votes = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u.alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("n", "node")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(argmax))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(W.partitionBy("label")).cast("bigint"),
+    )

@@ -1374,3 +1374,127 @@ def t22_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         scored, "query_id", [F.desc("score"), F.asc("doc_id")], T22_TOPK
     ).select("query_id", "doc_id", "score", "rn")
+
+
+# ---------------------------------------------------------------------------
+# t23 — RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+T23_TOPK = 2
+
+
+@register(
+    "t23_rake_keywords",
+    oracle=rf"""
+WITH tk AS (
+  SELECT doc_id, i AS pos, t[i] AS tok,
+         CASE WHEN t[i] IN ('{_STOP_SQL}') THEN 1 ELSE 0 END AS is_stop
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+       LATERAL unnest(generate_series(1, len(t))) AS g(i)
+),
+isl AS (
+  SELECT doc_id, pos, tok, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM tk
+),
+words AS (SELECT doc_id, pos, tok, island FROM isl WHERE is_stop = 0),
+phrases AS (
+  SELECT doc_id, island,
+         array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+         COUNT(*) AS plen
+  FROM words GROUP BY doc_id, island
+),
+wstats AS (
+  SELECT w.doc_id, w.tok,
+         CAST(SUM(p.plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS s
+  FROM words w JOIN phrases p ON w.doc_id = p.doc_id AND w.island = p.island
+  GROUP BY w.doc_id, w.tok
+),
+scored AS (
+  SELECT DISTINCT w.doc_id, p.phrase,
+         round(list_reduce(list_prepend(0.0::DOUBLE, list(ws.s ORDER BY w.pos)),
+                           (acc, x) -> acc + x), 8) AS score
+  FROM words w
+  JOIN phrases p ON w.doc_id = p.doc_id AND w.island = p.island
+  JOIN wstats ws ON w.doc_id = ws.doc_id AND w.tok = ws.tok
+  GROUP BY w.doc_id, w.island, p.phrase
+),
+ranked AS (
+  SELECT doc_id, phrase, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rn
+  FROM (SELECT DISTINCT doc_id, phrase, score FROM scored)
+)
+SELECT doc_id, phrase, score, rn FROM ranked WHERE rn <= {T23_TOPK}
+""",
+    tags=("text", "keywords", "rake", "documents"),
+    doc=f"RAKE keyword extraction (Rose et al. 2010, *Automatic "
+    "Keyword Extraction from Individual Documents*): candidate "
+    "phrases are maximal stopword-free token runs (gaps-and-islands "
+    "on the stopword positions), each word scores degree/freq "
+    "(degree = summed length of the phrases it appears in), and a "
+    "phrase scores the sum of its member words' scores — top-"
+    f"{T23_TOPK} phrases per document.  Float discipline: each "
+    "word score is ONE exact-integer division; the phrase score is "
+    "a position-ordered left-fold of those doubles (g01's "
+    "contract), so both engines run the identical IEEE sequence.  "
+    "Physical shape: tokenize→window islands per doc, two "
+    "wordcount-shaped aggregations, per-doc top-k window — all "
+    "doc-partitioned, nothing corpus-global.",
+)
+def t23_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "tok",
+        F.col("tok").isin(*STOPWORDS).cast("int").alias("is_stop"),
+    )
+    isl = tk.withColumn(
+        "island",
+        F.sum("is_stop").over(
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    words = isl.filter(F.col("is_stop") == 0).select("doc_id", "pos", "tok", "island")
+    phrases = words.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "tok")))["tok"], " "
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstats = (
+        words.join(phrases, ["doc_id", "island"])
+        .groupBy("doc_id", "tok")
+        .agg(
+            (F.sum("plen").cast("double") / F.count(F.lit(1)).cast("double")).alias("s")
+        )
+    )
+    scored = (
+        words.join(phrases, ["doc_id", "island"])
+        .join(wstats, ["doc_id", "tok"])
+        .groupBy("doc_id", "island", "phrase")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "s")))["s"],
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                8,
+            ).alias("score")
+        )
+        .select("doc_id", "phrase", "score")
+        .distinct()
+    )
+    rank = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= T23_TOPK)
+        .select("doc_id", "phrase", "score", "rn")
+    )

@@ -217,6 +217,9 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         # to infer — the empty-extract case is the caller's to guard)
         "d24_exact_substring_dedup",
         "q101_bucketed_join",
+        "d25_incremental_dedup",
+        "g03_label_propagation",
+        "t23_rake_keywords",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
