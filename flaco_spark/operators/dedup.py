@@ -2098,13 +2098,17 @@ def incremental_dedup_status(
         .distinct()
         .withColumn("is_near", F.lit(True))
     )
+    # The corpus hash index is CORPUS-sized — never broadcast it.  A
+    # plain th-keyed join lets AQE broadcast only when the corpus side
+    # is actually small; at 100 TB it stays a shuffle semi-join against
+    # the persisted hash index.
     corpus_th = (
         sig.filter(~is_batch).select("th").distinct().withColumn("in_corpus", F.lit(True))
     )
     return (
         sig.filter(is_batch)
         .select("doc_id", "th")
-        .join(F.broadcast(corpus_th), "th", "left")
+        .join(corpus_th, "th", "left")
         .join(near_ids, "doc_id", "left")
         .select(
             "doc_id",
@@ -2165,7 +2169,8 @@ FROM sh b WHERE b.doc_id % {D25_BATCH_MOD} = 0
     doc="Incremental ingest dedup — the nightly-batch topology: docs "
     "with doc_id % 10 = 0 play 'today's batch', the rest the frozen "
     "corpus, and every batch doc is classified exact (corpus md5 "
-    "match, broadcast semi-join), near (batch-side × corpus-side "
+    "match — the corpus-sized hash index joins UNHINTED, so AQE "
+    "broadcasts only a small corpus), near (batch-side × corpus-side "
     "banded MinHash-LSH candidates, exact-Jaccard-verified ≥ 0.6 — "
     "the SAME 4×2 parameterization d04/d20 audit), or new.  The "
     "physical contract vs d04: candidates join batch bands against "
