@@ -57,6 +57,7 @@ EXTENDED = [
     "g02_triangle_count",
     "d24_exact_substring_dedup",
     "q101_bucketed_join",
+    "p01_corpus_pipeline",
 ]
 
 

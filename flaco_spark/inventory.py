@@ -101,6 +101,7 @@ RISKY_NEW: frozenset[str] = frozenset(
         "q102_partition_pruned_agg", "q99_orc_roundtrip",
         "e15_ivfpq_search", "d24_exact_substring_dedup",
         "g01_pagerank", "t22_bm25_search",
+        "p01_corpus_pipeline",  # the flagship composition
     }
 )
 
@@ -149,6 +150,7 @@ def load_inventory() -> dict[str, QuerySpec]:
         graph,
         layout,
         multimodal,
+        pipeline,
         relational,
         relational_ext,
         similarity,

@@ -131,6 +131,7 @@ PROBE = [
     "q101_bucketed_join",
     "q102_partition_pruned_agg",
     "st05_stream_static_enrichment",
+    "p01_corpus_pipeline",
 ]
 
 
