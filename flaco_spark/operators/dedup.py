@@ -2180,3 +2180,57 @@ FROM sh b WHERE b.doc_id % {D25_BATCH_MOD} = 0
 )
 def d25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_status(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# d26 — dataset fingerprint (order-independent content digest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d26_dataset_fingerprint",
+    oracle="""
+WITH h AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) < 204 THEN 'train'
+              WHEN CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) < 230 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h60
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(h60) AS content_digest,
+       CAST(SUM(h60 % 1000003) AS BIGINT) AS content_checksum
+FROM h GROUP BY split
+""",
+    tags=("dedup", "fingerprint", "manifest", "documents"),
+    doc="Dataset fingerprint — the reproducibility digest a corpus "
+    "release ships: per split (d11's content-hash rule), doc count, "
+    "char mass, and TWO order-independent content digests (bit_xor "
+    "of each doc's 60-bit md5 prefix, and a modular sum — xor alone "
+    "is blind to doubled docs, the sum catches multiplicity).  Any "
+    "re-ingestion, re-shard, or engine migration that preserves "
+    "content reproduces the digests bit-for-bit; any silent "
+    "corruption, loss, or duplication moves them.  Pure map-side "
+    "hashing + one partial-agg shuffle to 3 rows — free at any "
+    "scale, and the cheapest end-to-end integrity check two "
+    "pipelines (or two engines, as this gate itself proves) can "
+    "compare.",
+)
+def d26_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint")
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    split = F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    return (
+        d.select(split.alias("split"), "n_chars", h60.alias("h60"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.expr("bit_xor(h60)").alias("content_digest"),
+            F.sum(F.col("h60") % 1000003).cast("bigint").alias("content_checksum"),
+        )
+    )
