@@ -333,6 +333,37 @@ lab_{k} AS (
 )"""
 
 
+def label_propagation(edges: DataFrame, rounds: int = G03_ROUNDS) -> DataFrame:
+    """Synchronous LPA over a SYMMETRIC edge list (u, v): every node
+    starts as its own label; each round every node adopts the most
+    frequent neighbor label, ties toward the smallest label.  Factored
+    out of g03 so the update rule is differential-testable on random
+    graphs (``test_label_propagation_matches_python``)."""
+    from pyspark.sql import Window as W
+
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    argmax = W.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u.alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("n", "node")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(argmax))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(W.partitionBy("label")).cast("bigint"),
+    )
+
+
+
 @register(
     "g03_label_propagation",
     oracle=f"""
@@ -370,8 +401,6 @@ FROM lab_{G03_ROUNDS} l
     "lineage cut per ~5 rounds, as g01 documents.",
 )
 def g03_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from flaco_spark.cachepool import register_cache, release_caches
 
     release_caches()
@@ -389,23 +418,4 @@ def g03_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .persist()
     )
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    argmax = W.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(G03_ROUNDS):
-        votes = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy(edges.u.alias("n"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumnRenamed("n", "node")
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(argmax))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        )
-    return labels.withColumn(
-        "community_size",
-        F.count(F.lit(1)).over(W.partitionBy("label")).cast("bigint"),
-    )
+    return label_propagation(edges, G03_ROUNDS)

@@ -566,3 +566,52 @@ def test_exact_substring_profile_matches_python(spark, docs, window):
         dup = sum(1 for w in ws if len(owner[w]) >= 2)
         want[i] = (len(ws), dup)
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw_edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=40,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_label_propagation_matches_python(spark, raw_edges, rounds):
+    """g03's synchronous LPA equals a pure-Python reference on random
+    graphs: per round every node adopts its neighbors' most frequent
+    label, ties toward the smallest label (multi-edges after
+    symmetrization weight votes — both sides count them the same)."""
+    from collections import Counter
+
+    from flaco_spark.operators.graph import label_propagation
+
+    edges = [(u, v) for u, v in raw_edges if u != v]
+    if not edges:
+        return
+    sym = edges + [(v, u) for u, v in edges]
+    df = spark.createDataFrame(sym, ["u", "v"]).repartition(5)
+    got = {
+        r["node"]: (r["label"], r["community_size"])
+        for r in label_propagation(df, rounds).collect()
+    }
+
+    neigh = {}
+    for u, v in sym:
+        neigh.setdefault(u, []).append(v)
+    lab = {n: n for n in neigh}
+    for _ in range(rounds):
+        lab = {
+            n: min(
+                (l for l, c in Counter(lab[m] for m in ms).items()
+                 if c == max(Counter(lab[m] for m in ms).values()))
+            )
+            for n, ms in neigh.items()
+        }
+    sizes = Counter(lab.values())
+    want = {n: (l, sizes[l]) for n, l in lab.items()}
+    assert got == want
