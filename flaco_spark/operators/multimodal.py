@@ -682,3 +682,122 @@ def m08_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# m09 — binary header decode (little-endian field extraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m09_header_decode",
+    oracle="""
+WITH built AS (
+  SELECT doc_id,
+         unhex('52494646'
+               || printf('%02x%02x%02x%02x',
+                         octet_length(CAST(text AS BLOB)) % 256,
+                         (octet_length(CAST(text AS BLOB)) // 256) % 256,
+                         (octet_length(CAST(text AS BLOB)) // 65536) % 256,
+                         (octet_length(CAST(text AS BLOB)) // 16777216) % 256)
+               || '57415645'
+               || printf('%02x%02x', CAST(1 + doc_id % 2 AS INT), 0)
+               || printf('%02x%02x%02x%02x',
+                         CAST((8000 + (doc_id % 3) * 4000) % 256 AS INT),
+                         CAST(((8000 + (doc_id % 3) * 4000) // 256) % 256 AS INT),
+                         CAST(((8000 + (doc_id % 3) * 4000) // 65536) % 256 AS INT),
+                         0)) || CAST(text AS BLOB) AS payload
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, octet_length(payload) AS plen,
+         substr(hex(payload), 1, 36) AS h
+  FROM built
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(h, 25, 2) AS INT)
+            + 256 * CAST('0x' || substr(h, 27, 2) AS INT) AS INT) AS channels,
+       CAST(CAST('0x' || substr(h, 29, 2) AS INT)
+            + 256 * CAST('0x' || substr(h, 31, 2) AS INT)
+            + 65536 * CAST('0x' || substr(h, 33, 2) AS INT)
+            + 16777216 * CAST('0x' || substr(h, 35, 2) AS INT) AS INT) AS sample_rate,
+       CAST(CAST('0x' || substr(h, 9, 2) AS INT)
+            + 256 * CAST('0x' || substr(h, 11, 2) AS INT)
+            + 65536 * CAST('0x' || substr(h, 13, 2) AS INT)
+            + 16777216 * CAST('0x' || substr(h, 15, 2) AS INT) AS BIGINT) AS body_len,
+       (substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+        AND CAST('0x' || substr(h, 9, 2) AS INT)
+            + 256 * CAST('0x' || substr(h, 11, 2) AS INT)
+            + 65536 * CAST('0x' || substr(h, 13, 2) AS INT)
+            + 16777216 * CAST('0x' || substr(h, 15, 2) AS INT)
+            = plen - 18) AS header_ok
+FROM hx
+""",
+    tags=("multimodal", "binary", "header", "documents"),
+    doc="Little-endian binary header decode — the byte-protocol skill "
+    "every media-ingest stage needs before any codec runs: payloads "
+    "carry a WAV-shaped header (RIFF magic, le32 body length, WAVE "
+    "tag, le16 channel count, le32 sample rate) built "
+    "deterministically from doc fields, and the query reads the "
+    "FIELDS BACK FROM THE RAW BYTES — per-byte hex extraction + "
+    "positional arithmetic, the same math both engines run "
+    "bit-identically — and cross-checks the declared body length "
+    "against the actual payload size (header_ok catches truncation, "
+    "the most common corruption in bulk media transfer).  Decode "
+    "touches only the first 18 bytes per row (Spark slices the "
+    "binary BEFORE hex'ing), pure map-side at any scale; complements "
+    "m06 (which byte can I trust for FORMAT) with WHAT the header "
+    "declares.",
+)
+def m09_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    blen = F.length(body)
+    rate = F.lit(8000) + (F.col("doc_id") % 3).cast("int") * 4000
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+
+    def le32(x):
+        return F.format_string(
+            "%02x%02x%02x%02x",
+            (x % 256).cast("int"),
+            ((x / 256).cast("bigint") % 256).cast("int"),
+            ((x / 65536).cast("bigint") % 256).cast("int"),
+            ((x / 16777216).cast("bigint") % 256).cast("int"),
+        )
+
+    header_hex = F.concat(
+        F.lit("52494646"),
+        le32(blen.cast("bigint")),
+        F.lit("57415645"),
+        F.format_string("%02x%02x", ch, F.lit(0)),
+        le32(rate.cast("bigint")),
+    )
+    payload = F.concat(F.unhex(F.upper(header_hex)), body)
+    hx = d.select(
+        "doc_id",
+        F.length(payload).alias("plen"),
+        F.upper(F.hex(F.substring(payload, 1, 18))).alias("h"),
+    )
+
+    def byte(pos):
+        return F.conv(F.substring(F.col("h"), 2 * pos - 1, 2), 16, 10).cast("int")
+
+    channels = (byte(13) + 256 * byte(14)).cast("int")
+    sample_rate = (
+        byte(15) + 256 * byte(16) + 65536 * byte(17) + 16777216 * byte(18)
+    ).cast("int")
+    body_len = (
+        byte(5) + 256 * byte(6) + 65536 * byte(7) + 16777216 * byte(8)
+    ).cast("bigint")
+    ok = (
+        (F.substring("h", 1, 8) == "52494646")
+        & (F.substring("h", 17, 8) == "57415645")
+        & (body_len == (F.col("plen") - 18).cast("bigint"))
+    )
+    return hx.select(
+        "doc_id",
+        channels.alias("channels"),
+        sample_rate.alias("sample_rate"),
+        body_len.alias("body_len"),
+        ok.alias("header_ok"),
+    )
