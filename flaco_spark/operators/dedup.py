@@ -578,16 +578,39 @@ GROUP BY node
     "even when A and C never co-bucket (d07's one-hop canonical form "
     "cannot see that).  The oracle computes the same fixpoint with a "
     "recursive CTE; Spark iterates one (node,label)-shuffle per round "
-    "until a round changes nothing (O(cluster diameter) rounds).",
+    "until a round changes nothing (O(log diameter) pointer-jump "
+    "rounds).  PHYSICAL plan (same relation): exact-duplicate texts "
+    "collapse to their min-id representative FIRST — byte-identical "
+    "copies have identical shingles, hence identical band keys and "
+    "jaccard-1.0 edges, so the rep graph's components re-expanded "
+    "over the copy families ARE the full graph's components — which "
+    "shrinks the LSH join and every CC round by the duplication "
+    "factor (10× in the probe's mass-duplication regime: the exact "
+    "collapse is a cheap hash-agg, the expensive stages then run on "
+    "distinct texts only — the production dedup ordering).",
 )
 def d09_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs)
-    comp = connected_components(docs.select("doc_id"), pairs)
-    return comp.select(
-        "doc_id",
-        "component_id",
-        (F.col("component_id") != F.col("doc_id")).alias("is_duplicate"),
+    keyed = docs.select("doc_id", F.md5("text").alias("th"), "text")
+    reps = keyed.groupBy("th").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = (
+        keyed.join(reps, "th")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    pairs = minhash_near_dup_pairs(rep_docs)
+    comp = connected_components(rep_docs.select("doc_id"), pairs).select(
+        F.col("doc_id").alias("rep_id"), "component_id"
+    )
+    return (
+        keyed.select("doc_id", "th")
+        .join(reps, "th")
+        .join(comp, "rep_id")
+        .select(
+            "doc_id",
+            "component_id",
+            (F.col("component_id") != F.col("doc_id")).alias("is_duplicate"),
+        )
     )
 
 
