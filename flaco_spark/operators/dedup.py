@@ -59,15 +59,24 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     return df
 
 
-def _persist_eager(df: DataFrame) -> DataFrame:
+def _persist_eager(df: DataFrame, release: bool = True) -> DataFrame:
     """Persist + eager count, releasing previously-live dedup caches.
 
     The count() materializes the cache EAGERLY in a single-consumer
     job: letting the final action populate it lazily puts several plan
     branches in a race for the same cache-block locks, which
     serializes the whole job (measured: 491 s vs 20 s at 50k docs).
+
+    ``release=False`` is for COMPOSED pipelines that persist several
+    frames in sequence and still need the earlier ones: the default
+    entry-release would evict a predecessor this very plan reads,
+    silently recomputing its lineage at every downstream consumption
+    (measured 5× on d04 when the signature persist evicted the
+    family table).  Callers passing False must release_caches()
+    themselves at pipeline entry.
     """
-    release_caches()
+    if release:
+        release_caches()
     # Idempotent: a composed pipeline (e.g. d18 reusing d03's candidate
     # builder) may hand back an already-persisted frame — re-persisting
     # it only emits "Asked to cache already cached data" churn.
@@ -83,6 +92,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(F.min(key_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _pairs_over_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_mode: str = "word",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+    release: bool = True,
+) -> DataFrame:
+    """Banded-LSH verified pairs over a frame of DISTINCT texts (the
+    core d04 machinery; see :func:`minhash_near_dup_pairs`)."""
+    cand_ids, sig = _minhash_candidates(
+        df, text_col, key_col, shingle_mode, shingle_k, num_hashes, bands, release
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    return (
+        cand_ids.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
     )
 
 
@@ -103,19 +139,76 @@ def minhash_near_dup_pairs(
     char k-grams over a small shared vocabulary collide pathologically
     and blow up the LSH bucket join (observed: >10 min at 5k docs vs
     seconds with word shingles).
+
+    PHYSICAL plan (relation unchanged): exact-duplicate texts collapse
+    to their min-id representative before the LSH machinery, and the
+    full pair relation is reconstructed afterwards — cross-family
+    pairs expand the rep pair over both copy families (identical
+    shingle sets ⇒ identical band keys and jaccard, so every
+    copy×copy combination is a verified pair with the rep pair's
+    jaccard), intra-family pairs are emitted directly at jaccard 1.0.
+    In the mass-duplication regime (every text ×d) this cuts the
+    bucket join by d² per bucket while the output — which is
+    inherently quadratic in family size — is produced by cheap
+    explodes instead of the shuffle join.  A text duplicated beyond
+    array-collect practicality would also be beyond pair-output
+    practicality (d07/d09 are the linear-output forms).
     """
-    cand_ids, sig = _minhash_candidates(
-        df, text_col, key_col, shingle_mode, shingle_k, num_hashes, bands
+    keyed = df.select(
+        F.col(key_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("th"),
+        F.col(text_col).alias("__text"),
     )
-    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
-    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
-    return (
-        cand_ids.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
+    release_caches()
+    # ONE shuffle produces both the family table and the rep corpus:
+    # texts within a th-group are byte-identical, so first(__text) is
+    # deterministic and a separate rep join (which would re-shuffle
+    # the text payload) is unnecessary.
+    fams = _persist_eager(
+        keyed.groupBy("th").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.collect_list("doc_id").alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+            F.first("__text").alias("__text"),
+        ),
+        release=False,
     )
+    rep_docs = fams.select(
+        F.col("rep_id").alias("doc_id"), F.col("__text").alias(text_col)
+    )
+    rp = _pairs_over_distinct(
+        rep_docs, text_col, "doc_id", shingle_mode, shingle_k,
+        num_hashes, bands, threshold, release=False,
+    )
+    cross = (
+        rp.join(
+            fams.select(F.col("rep_id").alias("doc1"), F.col("ids").alias("ids1")),
+            "doc1",
+        )
+        .join(
+            fams.select(F.col("rep_id").alias("doc2"), F.col("ids").alias("ids2")),
+            "doc2",
+        )
+        .select(F.explode("ids1").alias("a"), "ids2", "jaccard")
+        .select("a", F.explode("ids2").alias("b"), "jaccard")
+        .select(
+            F.least("a", "b").alias("doc1"),
+            F.greatest("a", "b").alias("doc2"),
+            "jaccard",
+        )
+    )
+    intra = (
+        fams.filter(F.col("n") >= 2)
+        .select("ids", F.explode("ids").alias("a"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("doc1"),
+            F.col("b").alias("doc2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _minhash_candidates(
@@ -126,6 +219,7 @@ def _minhash_candidates(
     shingle_k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    release: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-LSH candidate generation (d04 pairs, d20
     calibration): returns (candidate id pairs, persisted signature
@@ -141,7 +235,8 @@ def _minhash_candidates(
     # persist: the banded self-join and the verify re-join both reuse this
     # lineage; without it the (expensive) signature expression re-evaluates.
     sig = _persist_eager(
-        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes)),
+        release=release,
     )
     # The LSH self-join carries ONLY (doc_id, band, band_key) — never the
     # shingle arrays.  Co-bucketed pairs multiply row counts ×(bucket
@@ -598,7 +693,7 @@ def d09_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("rep_id"))
         .select("doc_id", "text")
     )
-    pairs = minhash_near_dup_pairs(rep_docs)
+    pairs = _pairs_over_distinct(rep_docs)
     comp = connected_components(rep_docs.select("doc_id"), pairs).select(
         F.col("doc_id").alias("rep_id"), "component_id"
     )
