@@ -1,7 +1,7 @@
 # Dev workflow, mirroring the reference's Makefile targets
 # (/root/reference/Makefile: test / bench / memory profiling).
 
-.PHONY: test test-fast bench bench-small smoke
+.PHONY: test test-fast bench bench-small smoke gate probe
 
 test:            ## full suite (oracle parity + API + plans + streaming)
 	python -m pytest tests/ -q
@@ -20,3 +20,9 @@ smoke:           ## driver-contract smoke: entry() on sf0.001
 	python -c "import __spark_entry__ as m; \
 	from flaco_spark.session import get_session; \
 	print(m.entry(get_session()).count(), 'rows')"
+
+gate:            ## full driver-gate mirror: every query vs its DuckDB oracle at sf0.01
+	python scripts/driver_sim.py
+
+probe:           ## 10x scale probe (key-shifted sf0.1 union), writes SCALE_PROBE JSON
+	python scripts/scale_probe.py /root/testdata/sf0.1 SCALE_PROBE_r04.json
