@@ -1573,26 +1573,44 @@ FROM ranked WHERE rnk = 1 AND n_members >= 2
     "relationally (recursive CTE + window).",
 )
 def d18_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PHYSICAL rewrite of the same relation (d09's collapse argument,
+    # extended): quality q is a PURE TEXT function, so within an
+    # exact-copy family every member scores identically and the
+    # min-id tie-break elects the family rep; across families the
+    # global (q desc, doc_id asc) winner is therefore always a rep.
+    # CC, the member count (sum of family sizes), and the winner can
+    # all be computed on the rep graph — parity-verified.
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    keyed = docs.select("doc_id", F.md5("text").alias("th"), "text")
+    fams = keyed.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("fam_n"),
+        F.first("text").alias("text"),
+    )
+    rep_docs = fams.select(F.col("rep_id").alias("doc_id"), "text")
+    pairs = _pairs_over_distinct(rep_docs)
+    comp = connected_components(rep_docs.select("doc_id"), pairs)
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks).cast("double")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_D18_STOPWORDS)))
-    quality = docs.select(
+    quality = rep_docs.select(
         "doc_id",
         (
             (F.size(F.array_distinct(toks)).cast("double") / n_tokens)
             * (F.lit(1.0) - stop_hits.cast("double") / n_tokens)
         ).alias("q"),
     )
-    joined = comp.select("doc_id", "component_id").join(quality, "doc_id")
+    joined = (
+        comp.select("doc_id", "component_id")
+        .join(quality, "doc_id")
+        .join(fams.select(F.col("rep_id").alias("doc_id"), "fam_n"), "doc_id")
+    )
     w_cnt = W.partitionBy("component_id")
     w_rnk = W.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
     return (
-        joined.withColumn("n_members", F.count(F.lit(1)).over(w_cnt))
+        joined.withColumn("n_members", F.sum("fam_n").over(w_cnt))
         .withColumn("rnk", F.row_number().over(w_rnk))
         .filter((F.col("rnk") == 1) & (F.col("n_members") >= 2))
         .select(

@@ -500,17 +500,16 @@ def test_quantified_rewrite_null_paths_match_duckdb(spark, rows):
     }
     con.close()
 
-    # Known DuckDB decorrelation artifact: with a NULL lhs over an
-    # EMPTY correlated set, DuckDB's correlated > ALL / >= ANY return
-    # NULL, while its own UNCORRELATED forms — and PostgreSQL, whose
-    # semantics this engine mirrors (PG docs 9.23.4: "if there are no
-    # rows, the result of ALL is true") — return the vacuous
+    # Known DuckDB decorrelation artifact: once the subquery COLUMN
+    # contains any NULL, DuckDB's correlated > ALL / >= ANY return
+    # NULL even for rows whose correlated set is EMPTY (regardless of
+    # lhs NULLness) — its own UNCORRELATED forms, and PostgreSQL,
+    # whose semantics this engine mirrors (PG docs 9.23.4: "if there
+    # are no rows, the result of ALL is true"), return the vacuous
     # TRUE/FALSE.  Normalize the oracle to the standard on exactly
-    # that corner (unreachable in the q97 fixture, which has no NULL
-    # acctbals).
+    # the empty-set corner (unreachable in the q97 fixture, which has
+    # no NULL acctbals).
     for i, (_, _, nation, bal) in enumerate(data):
-        if bal is not None:
-            continue
         n_others = sum(1 for j, (_, _, n2, _) in enumerate(data) if n2 == nation and j != i)
         n_abroad = sum(1 for _, _, n2, _ in data if n2 != nation)
         w_all, w_any = want[i]
