@@ -1584,13 +1584,20 @@ def d18_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     keyed = docs.select("doc_id", F.md5("text").alias("th"), "text")
-    fams = keyed.groupBy("th").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.count(F.lit(1)).alias("fam_n"),
-        F.first("text").alias("text"),
+    release_caches()
+    # fams is the hub every stage reads (pairs lineage, CC node set,
+    # quality, member counts) — unpersisted, its text-carrying shuffle
+    # re-runs per consumer and per CC round.
+    fams = _persist_eager(
+        keyed.groupBy("th").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("fam_n"),
+            F.first("text").alias("text"),
+        ),
+        release=False,
     )
     rep_docs = fams.select(F.col("rep_id").alias("doc_id"), "text")
-    pairs = _pairs_over_distinct(rep_docs)
+    pairs = _pairs_over_distinct(rep_docs, release=False)
     comp = connected_components(rep_docs.select("doc_id"), pairs)
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks).cast("double")
