@@ -83,9 +83,11 @@ WAITING_SINCE_R3: frozenset[str] = frozenset(
 # evidence): refresh after semantics changes, before stale greens.
 SOFT_RECHECK: frozenset[str] = frozenset(
     {
-        "d04_minhash_lsh_pairs",  # cache lifecycle + scan parallelism
+        "d04_minhash_lsh_pairs",  # r4: exact-collapse-first rewrite (same relation)
         "d05_simhash_signature",  # map-side vote aggregation rewrite
         "d07_dedup_canonical",  # inherits d04's plan changes
+        "d14_split_leakage",  # r4: inherits the collapsed pair stage
+        "e07_kmeans_iteration",  # r4: kmeans cache-release lifecycle change
     }
 )
 
