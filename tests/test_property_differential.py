@@ -614,3 +614,48 @@ def test_label_propagation_matches_python(spark, raw_edges, rounds):
     sizes = Counter(lab.values())
     want = {n: (l, sizes[l]) for n, l in lab.items()}
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    ),
+    copies=st.lists(st.integers(1, 4), min_size=2, max_size=8),
+)
+def test_minhash_collapse_reconstruction_matches_direct(spark, base, copies):
+    """The exact-collapse-first pair pipeline must emit EXACTLY the
+    relation the direct (no-collapse) banded-LSH computation emits,
+    on corpora with planted duplicate families of random sizes —
+    cross-family pairs carry the rep pair's jaccard, intra-family
+    pairs appear at 1.0, nothing extra, nothing missing."""
+    from flaco_spark.operators.dedup import (
+        _pairs_over_distinct,
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+
+    rows, nid = [], 0
+    for text, k in zip(base, copies):
+        for _ in range(k):
+            rows.append((nid, text))
+            nid += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    got = sorted(
+        (r["doc1"], r["doc2"], round(r["jaccard"], 9))
+        for r in minhash_near_dup_pairs(df).collect()
+    )
+    release_caches()
+    want = sorted(
+        (r["doc1"], r["doc2"], round(r["jaccard"], 9))
+        for r in _pairs_over_distinct(df).collect()
+    )
+    release_caches()
+    assert got == want
