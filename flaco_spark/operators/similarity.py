@@ -1803,3 +1803,98 @@ def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         scored, "query_id", [F.asc("adc_d2"), F.asc("neighbor_id")], 5
     ).select("query_id", "neighbor_id", "adc_d2", "rn")
+
+
+# ---------------------------------------------------------------------------
+# e16 — reciprocal rank fusion (hybrid retrieval combiner)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the paper's constant (Cormack/Clarke/Buettcher 2009)
+
+
+@register(
+    "e16_rrf_fusion",
+    oracle=f"""
+{_PQ_BASE_CTES},
+{_PQ_CODES_CTE},
+{_PQ_LUT_CTE},
+adc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY l.query_id
+                            ORDER BY round(list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(l.d2 ORDER BY l.m)), (acc, x) -> acc + x), 8),
+                                     co.vec_id) AS rn
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+adc5 AS (SELECT query_id, neighbor_id, rn FROM adc WHERE rn <= 5),
+{_NORMS_SQL},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_dot_sql('q.v', 'c.v')}, 8) AS dotp
+  FROM pts q
+  JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+ex AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT d.query_id, d.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY d.dotp / (nq.nrm * nc.nrm) DESC, d.neighbor_id) AS rn
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.neighbor_id = nc.vec_id) t
+  WHERE rn <= 10
+),
+allp AS (
+  SELECT query_id, neighbor_id FROM ex
+  UNION
+  SELECT query_id, neighbor_id FROM adc5
+),
+fused AS (
+  SELECT a.query_id, a.neighbor_id,
+         COALESCE(1.0 / ({RRF_K} + e.rn), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + d.rn), 0.0) AS rrf
+  FROM allp a
+  LEFT JOIN ex e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  LEFT JOIN adc5 d ON a.query_id = d.query_id AND a.neighbor_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rn
+FROM fused
+QUALIFY rn <= 5
+""",
+    tags=("similarity", "fusion", "rrf", "topk", "embedding"),
+    doc=f"Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR "
+    "2009) — the standard hybrid-retrieval combiner: two rankings of "
+    "the same query set (here the exact-cosine top-10 and the PQ/ADC "
+    f"top-5) fuse by rrf = Σ 1/({RRF_K}+rank), absent-from-a-list "
+    "contributing 0; fused top-5 per query.  RRF needs only RANKS — "
+    "never score calibration across heterogeneous retrievers — which "
+    "is why it is the default fusion in production hybrid (lexical + "
+    "vector) search.  Float discipline: each term is one exact "
+    "integer-denominator division, the two-term sum has fixed "
+    "operand order.  Physical shape: both input rankings are k-sized "
+    "per query, so the fusion itself joins and windows over "
+    "O(queries × k) rows — negligible at any corpus scale; the cost "
+    "lives in the upstream retrievers, both already bounded.",
+)
+def e16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id", F.col("rn").alias("r1")
+    )
+    adc = e12_pq_adc_search(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rn").alias("r2")
+    )
+    fused = exact.join(adc, ["query_id", "neighbor_id"], "full").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r1")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r2")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return topk_per_query(
+        fused, "query_id", [F.desc("rrf"), F.asc("neighbor_id")], 5
+    ).select("query_id", "neighbor_id", "rrf", "rn")
