@@ -1382,3 +1382,144 @@ def ts22_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts23 — LTTB-style downsampling (largest triangle, bucket-mean anchors)
+# ---------------------------------------------------------------------------
+
+TS23_BUCKETS = 20
+
+
+@register(
+    "ts23_lttb_downsample",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id % 10 AS series,
+         CAST(epoch_us(ts) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 10 ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id % 10) AS n
+  FROM events
+),
+big AS (SELECT * FROM pts WHERE n > {TS23_BUCKETS + 2}),
+bucketed AS (
+  SELECT series, x, y, rn, n,
+         CASE WHEN rn = 1 THEN 0
+              WHEN rn = n THEN {TS23_BUCKETS - 1}
+              ELSE 1 + CAST(((rn - 2) * {TS23_BUCKETS - 2}) // (n - 2) AS INT)
+         END AS b
+  FROM big
+),
+means AS (
+  SELECT series, b,
+         CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS my
+  FROM bucketed GROUP BY series, b
+),
+areas AS (
+  SELECT c.series, c.b, c.x, c.y, c.rn,
+         abs((p.mx - nx.mx) * (c.y - p.my) - (p.mx - c.x) * (nx.my - p.my)) AS area
+  FROM bucketed c
+  JOIN means p  ON c.series = p.series  AND p.b  = c.b - 1
+  JOIN means nx ON c.series = nx.series AND nx.b = c.b + 1
+  WHERE c.b BETWEEN 1 AND {TS23_BUCKETS - 2}
+),
+chosen AS (
+  SELECT series, b, x, y,
+         ROW_NUMBER() OVER (PARTITION BY series, b ORDER BY area DESC, rn) AS pick
+  FROM areas
+)
+SELECT series, b AS bucket, x AS x_us, y FROM chosen WHERE pick = 1
+UNION ALL
+SELECT series, b AS bucket, x AS x_us, y FROM bucketed WHERE b IN (0, {TS23_BUCKETS - 1})
+""",
+    tags=("timeseries", "downsample", "lttb", "events"),
+    doc=f"LTTB-style visual downsampling (Steinarsson 2013, *Downsampling "
+    "Time Series for Visual Representation*): each series keeps its "
+    f"first and last points plus, from each of {TS23_BUCKETS - 2} "
+    "equal-count middle buckets, the point forming the LARGEST "
+    "TRIANGLE with its neighbor buckets' mean points — the "
+    "downsampler that preserves visual extremes where per-bucket "
+    "averaging flattens them.  This is the bucket-MEAN-anchor "
+    "variant: strict LTTB anchors on the previously SELECTED point "
+    "(a sequential chain per series); anchoring on the neighbor "
+    "bucket means — Steinarsson's own 'LTTB with fixed anchors' "
+    "simplification — makes every bucket's argmax independent, i.e. "
+    "one window pass + one bucket aggregate + one argmax, fully "
+    "parallel at 100 TB (the sequential variant needs per-series "
+    "iteration).  Float discipline: bucket means divide exact sums "
+    "(bigint µs / decimal values) once; the area formula is a fixed "
+    "IEEE operation sequence; argmax ties break on row order.",
+)
+def ts23_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    B = TS23_BUCKETS
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("series").orderBy("ts", "event_id")
+    pts = ev.select(
+        (F.col("user_id") % 10).alias("series"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+        "ts",
+        "event_id",
+    ).select(
+        "series",
+        "x",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("series")).alias("n"),
+    )
+    big = pts.filter(F.col("n") > B + 2)
+    bucketed = big.withColumn(
+        "b",
+        F.when(F.col("rn") == 1, F.lit(0))
+        .when(F.col("rn") == F.col("n"), F.lit(B - 1))
+        .otherwise(
+            (
+                F.lit(1)
+                + F.floor(((F.col("rn") - 2) * (B - 2)) / (F.col("n") - 2)).cast("int")
+            )
+        ),
+    )
+    means = bucketed.groupBy("series", "b").agg(
+        (
+            F.sum(F.col("x").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mx"),
+        (
+            F.sum(F.col("y").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("my"),
+    )
+    p = means.select(
+        F.col("series").alias("s1"), (F.col("b") + 1).alias("bp"),
+        F.col("mx").alias("pmx"), F.col("my").alias("pmy"),
+    )
+    nx = means.select(
+        F.col("series").alias("s2"), (F.col("b") - 1).alias("bn"),
+        F.col("mx").alias("nmx"), F.col("my").alias("nmy"),
+    )
+    mids = bucketed.filter(F.col("b").between(1, B - 2))
+    areas = (
+        mids.join(p, (mids.series == p.s1) & (mids.b == p.bp))
+        .join(nx, (mids.series == nx.s2) & (mids.b == nx.bn))
+        .select(
+            "series", "b", "x", "y", "rn",
+            F.abs(
+                (F.col("pmx") - F.col("nmx")) * (F.col("y") - F.col("pmy"))
+                - (F.col("pmx") - F.col("x")) * (F.col("nmy") - F.col("pmy"))
+            ).alias("area"),
+        )
+    )
+    pick = W.partitionBy("series", "b").orderBy(F.desc("area"), F.asc("rn"))
+    chosen = (
+        areas.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select("series", F.col("b").alias("bucket"), F.col("x").alias("x_us"), "y")
+    )
+    ends = bucketed.filter(F.col("b").isin(0, B - 1)).select(
+        "series", F.col("b").alias("bucket"), F.col("x").alias("x_us"), "y"
+    )
+    return chosen.unionAll(ends)

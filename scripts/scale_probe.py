@@ -132,6 +132,15 @@ PROBE = [
     "q102_partition_pruned_agg",
     "st05_stream_static_enrichment",
     "p01_corpus_pipeline",
+    # round-4 fifth wave
+    "d25_incremental_dedup",
+    "d26_dataset_fingerprint",
+    "g03_label_propagation",
+    "t23_rake_keywords",
+    "st06_stream_parquet_sink",
+    "m09_header_decode",
+    "e16_rrf_fusion",
+    "ts23_lttb_downsample",
 ]
 
 
