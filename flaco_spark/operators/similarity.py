@@ -1898,3 +1898,111 @@ def e16_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         fused, "query_id", [F.desc("rrf"), F.asc("neighbor_id")], 5
     ).select("query_id", "neighbor_id", "rrf", "rn")
+
+
+# ---------------------------------------------------------------------------
+# e17 — prefix-dimension prefilter (Matryoshka-style coarse-to-fine ANN)
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIMS = 16
+MRL_SHORTLIST = 20
+
+
+@register(
+    "e17_mrl_prefilter",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+pre AS (
+  SELECT vec_id, v, list_slice(v, 1, {MRL_PREFIX_DIMS}) AS pv FROM pts
+),
+pnorms AS (
+  SELECT vec_id,
+         round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                             list_transform(pv, x -> x * x)),
+                                (acc, x) -> acc + x)), 6) AS pn
+  FROM pre
+),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, {MRL_PREFIX_DIMS}),
+                                i -> q.pv[i] * c.pv[i])),
+               (acc, x) -> acc + x), 8) / (nq.pn * nc.pn) AS pcos
+  FROM pre q
+  JOIN pre c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  JOIN pnorms nq ON q.vec_id = nq.vec_id
+  JOIN pnorms nc ON c.vec_id = nc.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY pcos DESC, neighbor_id) AS crn
+    FROM coarse) t
+  WHERE crn <= {MRL_SHORTLIST}
+),
+{_NORMS_SQL},
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_dot_sql('q.v', 'c.v')}, 8) / (nq.nrm * nc.nrm) AS cos_sim
+  FROM shortlist s
+  JOIN pts q ON s.query_id = q.vec_id
+  JOIN pts c ON s.neighbor_id = c.vec_id
+  JOIN norms nq ON s.query_id = nq.vec_id
+  JOIN norms nc ON s.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+FROM exact
+QUALIFY rn <= 5
+""",
+    tags=("similarity", "embedding", "mrl", "prefilter", "topk"),
+    doc=f"Coarse-to-fine ANN by PREFIX-dimension prefiltering — the "
+    "retrieval pattern Matryoshka representation learning trains for "
+    "(Kusupati et al., NeurIPS 2022): score all candidates on only "
+    f"the first {MRL_PREFIX_DIMS} of 64 dimensions (4× less compute "
+    f"and memory traffic per pair), shortlist the top-{MRL_SHORTLIST} "
+    "per query, then re-rank the shortlist with FULL-dimension exact "
+    "cosine for the final top-5.  The same two-phase economics as "
+    "IVFPQ (e15) but with zero index build — the prefix IS the "
+    "coarse representation — which is why MRL prefilters are the "
+    "cheapest latency lever on embedding search.  Both phases reuse "
+    "the engine's deterministic fold/round vector discipline; the "
+    "fixture's embeddings are not MRL-trained, so the shortlist "
+    "quality is whatever raw prefixes give — the CONTRACT (coarse "
+    "shortlist → exact re-rank, hash-stable at every step) is what "
+    "the gate pins.",
+)
+def e17_mrl_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pre = F.slice(F.col("embedding").cast("array<double>"), 1, MRL_PREFIX_DIMS)
+    cand = spread_to_cores(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        pre.alias("cpv"),
+    ).select(
+        "neighbor_id", "cv", "cpv", norm(F.col("cv")).alias("cn"), norm(F.col("cpv")).alias("cpn")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        pre.alias("qpv"),
+    ).select(
+        "query_id", "qv", "qpv", norm(F.col("qv")).alias("qn"), norm(F.col("qpv")).alias("qpn")
+    )
+    coarse = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("pcos", cosine(F.col("qpv"), F.col("cpv"), F.col("qpn"), F.col("cpn")))
+    )
+    shortlist = topk_per_query(
+        coarse, "query_id", [F.desc("pcos"), F.asc("neighbor_id")], MRL_SHORTLIST, rank_col="crn"
+    ).select(
+        "query_id", "neighbor_id",
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos_sim"),
+    )
+    return topk_per_query(
+        shortlist, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], 5
+    ).select("query_id", "neighbor_id", "cos_sim", "rn")

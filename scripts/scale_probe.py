@@ -141,6 +141,7 @@ PROBE = [
     "m09_header_decode",
     "e16_rrf_fusion",
     "ts23_lttb_downsample",
+    "e17_mrl_prefilter",
 ]
 
 
