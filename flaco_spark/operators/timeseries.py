@@ -1483,9 +1483,12 @@ def ts23_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # decimal(38,0) sum: epoch-µs × bucket size exceeds int64 beyond
+    # ~5k points/bucket (the 10× probe found the ANSI overflow;
+    # DuckDB's SUM(BIGINT) widens to 128-bit implicitly)
     means = bucketed.groupBy("series", "b").agg(
         (
-            F.sum(F.col("x").cast("bigint")).cast("double")
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("mx"),
         (
