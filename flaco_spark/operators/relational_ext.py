@@ -2833,3 +2833,77 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — leave-one-out target encoding (leakage-safe categorical feature)
+# ---------------------------------------------------------------------------
+
+Q103_SMOOTH = 20  # pseudo-observations pulled toward the global mean
+
+
+@register(
+    "q103_target_encoding",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_cents
+  FROM orders WHERE o_orderkey < 2000
+),
+cat AS (
+  SELECT o_orderpriority, SUM(y_cents) AS s, COUNT(*) AS n FROM base
+  GROUP BY o_orderpriority
+),
+gstats AS (SELECT SUM(y_cents) AS gs, COUNT(*) AS gn FROM base)
+SELECT b.o_orderkey,
+       b.o_orderpriority,
+       CAST((CAST(c.s - b.y_cents AS DOUBLE)
+             + {Q103_SMOOTH} * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+            / CAST(c.n - 1 + {Q103_SMOOTH} AS DOUBLE) AS DOUBLE) AS te_cents
+FROM base b
+JOIN cat c ON b.o_orderpriority = c.o_orderpriority
+CROSS JOIN gstats g
+WHERE c.n > 1
+""",
+    tags=("feature-engineering", "encoding", "orders"),
+    doc="Leave-one-out target encoding with additive smoothing "
+    "(Micci-Barreca, SIGKDD Explorations 2001) — the categorical "
+    "feature every tabular-ML pipeline derives, with the hygiene "
+    "that makes it safe: each row's OWN target is excluded from its "
+    "category mean ((sum - y_i)/(n - 1), so the feature never leaks "
+    f"the label it will be trained against), and {Q103_SMOOTH} "
+    "pseudo-observations of the global mean shrink rare categories "
+    "toward the prior.  Physical shape: one category aggregate + a "
+    "1-row global aggregate, both broadcast back over the fact scan "
+    "— two tiny joins, no per-row subquery rescans, unchanged at "
+    "100 TB.  Float discipline: sums stay exact cents; the encoding "
+    "is a fixed sequence of double ops per row.",
+)
+def q103_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y_cents"),
+    )
+    cat = base.groupBy("o_orderpriority").agg(
+        F.sum("y_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = base.agg(F.sum("y_cents").alias("gs"), F.count(F.lit(1)).alias("gn"))
+    prior = F.col("gs").cast("double") / F.col("gn").cast("double")
+    te = (
+        ((F.col("s") - F.col("y_cents")).cast("double") + Q103_SMOOTH * prior)
+        / (F.col("n") - 1 + Q103_SMOOTH).cast("double")
+    )
+    return (
+        base.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            te.cast("double").alias("te_cents"),
+        )
+    )

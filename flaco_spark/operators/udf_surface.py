@@ -418,3 +418,67 @@ def u10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "u11_arrow_udtf",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+  FROM events WHERE user_id < 50 GROUP BY user_id
+),
+tiers AS (
+  SELECT user_id, n_events, n_purch,
+         unnest(CASE WHEN n_purch >= 3 THEN ['active', 'buyer', 'vip']
+                     WHEN n_purch >= 1 THEN ['active', 'buyer']
+                     ELSE ['active'] END) AS tier
+  FROM base
+)
+SELECT user_id, tier, n_events, n_purch FROM tiers
+""",
+    tags=("udf", "udtf", "arrow", "events"),
+    doc="Arrow-optimized Python UDTF (Spark 4 ``useArrow=True``): the "
+    "same 1→N table-function authoring model as u08 but with "
+    "Arrow-serialized input/output batches instead of pickled rows — "
+    "the UDTF analogue of u05's Arrow scalar UDF, completing the "
+    "surface matrix {scalar, aggregate, table} × {pickle, Arrow}.  "
+    "Each user fans out to one row per earned engagement tier "
+    "(imperative threshold ladder).  The oracle mirrors with a CASE "
+    "list unnest; aggregation happens BEFORE the UDTF so the "
+    "imperative stage touches |users| rows, not |events|.",
+)
+def u11_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, tier string, n_events bigint, n_purch bigint",
+        useArrow=True,
+    )
+    class TierFanout:
+        def eval(self, user_id: int, n_events: int, n_purch: int):
+            tiers = ["active"]
+            if n_purch >= 1:
+                tiers.append("buyer")
+            if n_purch >= 3:
+                tiers.append("vip")
+            for t in tiers:
+                yield (user_id, t, n_events, n_purch)
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_purch"),
+    )
+    spark.udtf.register("tier_fanout", TierFanout)
+    agg.createOrReplaceTempView("u11_users")
+    return spark.sql(
+        """
+        SELECT s.user_id, s.tier, s.n_events, s.n_purch
+        FROM u11_users u,
+             LATERAL tier_fanout(u.user_id, u.n_events, u.n_purch) s
+        """
+    )
