@@ -2907,3 +2907,89 @@ def q103_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             te.cast("double").alias("te_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_sql_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_cents
+FROM lineitem
+WHERE l_quantity < 30
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("sql", "pipe-syntax", "lineitem"),
+    doc="SQL pipe syntax (Spark 4's |> operators, the SQL:2023-era "
+    "linear composition style popularized by GoogleSQL): the same "
+    "filter → aggregate → having → order pipeline q01 writes as "
+    "nested SQL, expressed as a left-to-right operator chain — "
+    "parity evidence that the engine's MODERN SQL dialect surface, "
+    "not just its classic one, produces the identical relation "
+    "(Catalyst compiles both to the same plan).  The oracle runs "
+    "classic ANSI SQL on DuckDB.",
+)
+def q104_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q104_lineitem")
+    return spark.sql(
+        """
+        FROM q104_lineitem
+        |> WHERE l_quantity < 30
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS qty_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 10
+        |> ORDER BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, qty_cents
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105 — parameterized SQL (named parameter markers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q105_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_totalprice BETWEEN 1000 AND 150000 AND o_orderkey < 4000
+GROUP BY o_orderpriority
+""",
+    tags=("sql", "parameterized", "orders"),
+    doc="Parameterized SQL with named markers (spark.sql(query, "
+    "args=...)): values bind as TYPED LITERALS in the parse tree, "
+    "never by string interpolation — the injection-safe and "
+    "plan-cache-friendly way applications pass predicates, and the "
+    "API a reference user migrating from psycopg2-style %(name)s "
+    "binding expects (the reference shells out whole SQL strings to "
+    "the server, src/lib.rs:189; this engine binds client-side).  "
+    "Constant folding then treats the bound values exactly like "
+    "inline literals — same pushdown, same plan.",
+)
+def q105_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q105_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS price_cents
+        FROM q105_orders
+        WHERE o_totalprice BETWEEN :lo AND :hi AND o_orderkey < :max_key
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 1000, "hi": 150000, "max_key": 4000},
+    )
