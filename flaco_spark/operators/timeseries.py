@@ -1526,3 +1526,116 @@ def ts23_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series", F.col("b").alias("bucket"), F.col("x").alias("x_us"), "y"
     )
     return chosen.unionAll(ends)
+
+
+# ---------------------------------------------------------------------------
+# ts24 — distribution drift (chi-square over value histograms)
+# ---------------------------------------------------------------------------
+
+TS24_BIN_WIDTH = 10.0
+TS24_SPLIT = "2024-01-16"
+
+
+@register(
+    "ts24_distribution_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{TS24_SPLIT}' THEN 'a' ELSE 'b' END AS cohort,
+         CAST(floor(CAST(value AS DOUBLE) / {TS24_BIN_WIDTH}) AS BIGINT) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM counts GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type, c.bin, t.na, t.nb,
+         CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE) AS pa,
+         CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE) AS pb
+  FROM counts c JOIN tot t ON c.event_type = t.event_type
+  WHERE c.ca > 0
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+               list((pb - pa) * (pb - pa) / pa ORDER BY bin)),
+             (acc, x) -> acc + x), 8) AS drift_chi2
+FROM terms
+GROUP BY event_type
+""",
+    tags=("timeseries", "drift", "histogram", "events"),
+    doc="Distribution drift between time cohorts by a chi-square "
+    "statistic over fixed-width value histograms: events split at "
+    f"{TS24_SPLIT} into reference (a) and current (b) cohorts, "
+    "per-type value distributions bin at width 10 "
+    "(q75's histogram rule), and drift = Σ (p_b − p_a)²/p_a over "
+    "reference-occupied bins — the monitoring gate that catches a "
+    "metric's DISTRIBUTION moving while its mean stays put (the "
+    "failure averages hide).  Chi-square over PSI deliberately: PSI "
+    "needs ln(), and libm transcendentals are not bit-identical "
+    "across engines (the same reason t22's BM25 uses rational idf); "
+    "the chi-square is pure rational arithmetic, summed as a "
+    "bin-ordered fold (g01's contract).  One binning pass + "
+    "|types × bins| tiny aggregate — scan-bound at any scale.",
+)
+def ts24_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(TS24_SPLIT).cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("cohort"),
+        F.floor(F.col("value").cast("double") / TS24_BIN_WIDTH)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    terms = (
+        counts.join(F.broadcast(tot), "event_type")
+        .filter(F.col("ca") > 0)
+        .select(
+            "event_type",
+            "bin",
+            "na",
+            "nb",
+            (F.col("ca").cast("double") / F.col("na").cast("double")).alias("pa"),
+            (F.col("cb").cast("double") / F.col("nb").cast("double")).alias("pb"),
+        )
+    )
+    chi2 = F.round(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "bin",
+                        (
+                            (F.col("pb") - F.col("pa"))
+                            * (F.col("pb") - F.col("pa"))
+                            / F.col("pa")
+                        ).alias("t"),
+                    )
+                )
+            )["t"],
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        8,
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        chi2.alias("drift_chi2"),
+    )

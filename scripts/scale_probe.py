@@ -142,6 +142,11 @@ PROBE = [
     "e16_rrf_fusion",
     "ts23_lttb_downsample",
     "e17_mrl_prefilter",
+    "q103_target_encoding",
+    "u11_arrow_udtf",
+    "q104_sql_pipe_syntax",
+    "q105_parameterized_sql",
+    "ts24_distribution_drift",
 ]
 
 
