@@ -1498,3 +1498,99 @@ def t23_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= T23_TOPK)
         .select("doc_id", "phrase", "score", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# t24 — query-by-document similarity search (Jaccard retrieval)
+# ---------------------------------------------------------------------------
+
+T24_MAX_DF = 100
+T24_TOPK = 5
+
+from flaco_spark.operators.dedup import _SHINGLE_SQL as _T24_SHINGLE_SQL
+
+
+@register(
+    "t24_jaccard_search",
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, {_T24_SHINGLE_SQL} AS shingles FROM documents
+),
+postings AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+capped AS (
+  SELECT s FROM postings GROUP BY s HAVING COUNT(*) <= {T24_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id
+  FROM postings q
+  JOIN capped k ON q.s = k.s
+  JOIN postings c ON c.s = q.s
+  WHERE q.doc_id < 3 AND c.doc_id <> q.doc_id
+),
+scored AS (
+  SELECT ca.query_id, ca.cand_id,
+         CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+           / CAST(len(list_distinct(s1.shingles || s2.shingles)) AS DOUBLE) AS jaccard
+  FROM cand ca
+  JOIN sh s1 ON ca.query_id = s1.doc_id
+  JOIN sh s2 ON ca.cand_id = s2.doc_id
+)
+SELECT query_id, cand_id, jaccard,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jaccard DESC, cand_id) AS rn
+FROM scored
+QUALIFY rn <= {T24_TOPK}
+""",
+    tags=("text", "search", "jaccard", "retrieval", "documents"),
+    doc=f"Query-by-document retrieval: for each query doc (doc_id < "
+    "3), the top-{T24_TOPK} most similar corpus documents by exact "
+    "3-gram-shingle Jaccard — 'more like this', the retrieval twin "
+    "of d08's dedup (same shingles, same verify formula, but "
+    "query-sided: candidates come from joining the QUERY docs' "
+    f"postings — a k-doc-sized set — against the corpus index, with "
+    f"shingles of document frequency > {T24_MAX_DF} dropped as "
+    "non-discriminative stop-shingles, the cap that bounds candidate "
+    "fan-out when a query contains boilerplate).  At 100 TB the "
+    "query postings broadcast and the candidate set is "
+    "|query shingles| × capped-df — independent of corpus size; "
+    "exact Jaccard verifies only the candidates.",
+)
+def t24_jaccard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flaco_spark.functions import jaccard, word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("shingles"))
+    postings = sh.select("doc_id", F.explode("shingles").alias("s"))
+    capped = (
+        postings.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= T24_MAX_DF)
+        .select("s")
+    )
+    qpost = postings.filter(F.col("doc_id") < 3).join(capped, "s").select(
+        F.col("doc_id").alias("query_id"), "s"
+    )
+    cand = (
+        postings.join(F.broadcast(qpost), "s")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("cand_id"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("query_id"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("cand_id"), F.col("shingles").alias("sh2"))
+    scored = (
+        cand.join(s1, "query_id")
+        .join(s2, "cand_id")
+        .select(
+            "query_id", "cand_id", jaccard(F.col("sh1"), F.col("sh2")).alias("jaccard")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= T24_TOPK)
+        .select("query_id", "cand_id", "jaccard", "rn")
+    )

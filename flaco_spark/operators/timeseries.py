@@ -1639,3 +1639,101 @@ def ts24_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("bigint").alias("n_b"),
         chi2.alias("drift_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts25 — winsorized robust aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts25_winsorized_stats",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN v END) AS lo,
+         MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS hi
+  FROM ranked GROUP BY event_type
+),
+clamped AS (
+  SELECT r.event_type, r.n,
+         CASE WHEN r.v < b.lo THEN b.lo
+              WHEN r.v > b.hi THEN b.hi
+              ELSE r.v END AS w,
+         r.v,
+         CASE WHEN r.v < b.lo OR r.v > b.hi THEN 1 ELSE 0 END AS is_clamped
+  FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(is_clamped) AS BIGINT) AS n_clamped,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS raw_mean,
+       CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS winsor_mean
+FROM clamped
+GROUP BY event_type
+""",
+    tags=("timeseries", "robust", "winsorize", "events"),
+    doc="Winsorized robust aggregation: per event type, values clamp "
+    "to their distribution's discrete p05/p95 (q55's row-selection "
+    "rule — chosen bounds are REAL data points, no interpolation, so "
+    "they are engine-portable for continuous doubles where "
+    "PERCENTILE_CONT's interpolation is ulp-fragile), then the "
+    "winsorized mean is reported against the raw mean plus the clamp "
+    "count — the standard tamed-tail metric (Tukey/Dixon lineage) "
+    "for dashboards a single outlier would otherwise swing, and the "
+    "robust companion to ts13's z-score and ts21's MAD gates.  "
+    "Clamped sums stay in the exact-decimal discipline; one window "
+    "pass + one aggregate, both on the same event_type partitioning.",
+)
+def ts25_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("v")
+    )
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    wn = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"), F.col("v"))
+        ).alias("hi"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "v",
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+        .alias("w"),
+        ((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")))
+        .cast("int")
+        .alias("is_clamped"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("is_clamped").cast("bigint").alias("n_clamped"),
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.max("n").cast("double")
+        ).alias("raw_mean"),
+        (
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+            / F.max("n").cast("double")
+        ).alias("winsor_mean"),
+    )
