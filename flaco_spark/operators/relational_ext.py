@@ -2993,3 +2993,92 @@ def q105_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 1000, "hi": 150000, "max_key": 4000},
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — point-in-time join against SCD2 intervals (feature-store PIT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_point_in_time_join",
+    oracle="""
+WITH dim AS (
+  SELECT user_id,
+         event_id AS version_id,
+         CAST(value AS DOUBLE) AS attr_value,
+         ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  TIMESTAMP '9999-12-31') AS valid_to
+  FROM events WHERE event_type = 'signup'
+),
+fact AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_micros
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id,
+       f.user_id,
+       f.value_micros,
+       d.version_id,
+       d.attr_value
+FROM fact f
+JOIN dim d ON f.user_id = d.user_id
+          AND f.ts >= d.valid_from AND f.ts < d.valid_to
+""",
+    tags=("join", "scd2", "point-in-time", "feature-store", "events"),
+    doc="Point-in-time join — THE feature-store operation: every "
+    "purchase fact joins the dimension version (q79's SCD2 intervals "
+    "over signup events) that was VALID AT THE FACT'S OWN TIMESTAMP "
+    "([valid_from, valid_to) containment), never a later one — the "
+    "train-serve-skew guard that keeps training features identical "
+    "to what online serving would have seen at event time.  Inner "
+    "join: purchases before a user's first version have no truthful "
+    "feature value and are correctly absent (emitting them with the "
+    "FUTURE version is exactly the leakage PIT joins exist to "
+    "prevent).  Physical shape: the interval build and the join key "
+    "on the same entity column, so one shuffle partitioning serves "
+    "both; the range predicate prunes within each user's sorted "
+    "versions.  At 100 TB skewed entities use s02's salting.",
+)
+def q106_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("value").cast("double").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(
+                    W.partitionBy("user_id").orderBy("ts", "event_id")
+                ),
+                F.lit("9999-12-31").cast("timestamp_ntz"),
+            ).alias("valid_to"),
+        )
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("fts"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.user_id == dim.user_id)
+            & (fact.fts >= dim.valid_from)
+            & (fact.fts < dim.valid_to),
+        )
+        .select(
+            "event_id",
+            fact.user_id.alias("user_id"),
+            "value_micros",
+            "version_id",
+            "attr_value",
+        )
+    )

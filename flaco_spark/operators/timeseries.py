@@ -1737,3 +1737,87 @@ def ts25_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("n").cast("double")
         ).alias("winsor_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts26 — linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts26_linear_attribution",
+    oracle="""
+WITH touches AS (
+  SELECT p.event_id AS purchase_id,
+         p.user_id,
+         CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents,
+         v.event_id AS view_id,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM events p
+  JOIN events v ON v.user_id = p.user_id
+               AND v.event_type = 'view'
+               AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+  WHERE p.event_type = 'purchase'
+)
+SELECT purchase_id, user_id, view_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(revenue_cents // n_touches
+            + CASE WHEN view_id = MIN(view_id) OVER (PARTITION BY purchase_id)
+                   THEN revenue_cents % n_touches ELSE 0 END AS BIGINT) AS credit_cents
+FROM touches
+""",
+    tags=("timeseries", "attribution", "join", "events"),
+    doc="Linear multi-touch attribution: each purchase's revenue "
+    "splits EQUALLY across the same-user views in its preceding hour "
+    "(st03's attribution window, now with the money allocated).  "
+    "Credit is exact integer cents — floor division with the "
+    "remainder assigned to the earliest touch (u08's "
+    "installment-split rule): per-touch float division both drifts "
+    "between engines and loses cents, and a ledger that doesn't sum "
+    "exactly back to revenue fails reconciliation.  Physical shape: "
+    "one user-keyed interval join (bounded by the 1-hour window) + "
+    "two windows sharing the purchase partitioning; at 100 TB the "
+    "streaming form is st03's watermarked join with this allocation "
+    "as the post-join map.",
+)
+def ts26_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+    )
+    touches = p.join(
+        v,
+        (p.p_user == v.v_user)
+        & (v.vts <= p.pts)
+        & (v.vts >= p.pts - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "revenue_cents", "view_id")
+    wp = W.partitionBy("purchase_id")
+    out = touches.withColumn("n_touches", F.count(F.lit(1)).over(wp)).withColumn(
+        "first_view", F.min("view_id").over(wp)
+    )
+    credit = (
+        F.floor(F.col("revenue_cents") / F.col("n_touches")).cast("bigint")
+        + F.when(
+            F.col("view_id") == F.col("first_view"),
+            F.col("revenue_cents") % F.col("n_touches"),
+        ).otherwise(0)
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        credit.cast("bigint").alias("credit_cents"),
+    )
