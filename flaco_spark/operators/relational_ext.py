@@ -3082,3 +3082,75 @@ def q106_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attr_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — tri-branch MERGE (matched / not-matched / not-matched-by-source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q107_merge_full_sync",
+    oracle="""
+WITH source AS (
+  -- the authoritative feed: orders with keys in [1000, 3000), price +1 cent
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 + 1 AS BIGINT) AS src_cents
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+),
+target AS (
+  -- the existing table: keys < 2000
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS tgt_cents
+  FROM orders WHERE o_orderkey < 2000
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'updated'
+              WHEN s.o_orderkey IS NOT NULL THEN 'inserted'
+              ELSE 'deleted' END AS action,
+         COALESCE(s.src_cents, t.tgt_cents) AS cents
+  FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+)
+SELECT action,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM merged
+GROUP BY action
+""",
+    tags=("join", "merge", "cdc", "full-sync", "orders"),
+    doc="Full-sync MERGE — all three branches of the SQL:2023 MERGE "
+    "statement on plain Spark: WHEN MATCHED → update (source wins), "
+    "WHEN NOT MATCHED → insert, and the branch q67 omits, WHEN NOT "
+    "MATCHED BY SOURCE → delete (target rows absent from the "
+    "authoritative feed are tombstoned — the semantics a "
+    "full-snapshot sync needs, vs q67's incremental carry-over).  "
+    "One full outer join on the key classifies every row into "
+    "exactly one branch; the audit rollup counts and sums each "
+    "action class in exact cents — the reconciliation report a "
+    "sync job emits.  Same single-key-shuffle scale shape as q67.",
+)
+def q107_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    source = o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("s_key"), (cents + 1).alias("src_cents")
+    )
+    target = o.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("t_key"), cents.alias("tgt_cents")
+    )
+    merged = target.join(source, target.t_key == source.s_key, "full").select(
+        F.when(
+            F.col("s_key").isNotNull() & F.col("t_key").isNotNull(), "updated"
+        )
+        .when(F.col("s_key").isNotNull(), "inserted")
+        .otherwise("deleted")
+        .alias("action"),
+        F.coalesce(F.col("src_cents"), F.col("tgt_cents")).alias("cents"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )

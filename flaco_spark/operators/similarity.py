@@ -2006,3 +2006,102 @@ def e17_mrl_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         shortlist, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], 5
     ).select("query_id", "neighbor_id", "cos_sim", "rn")
+
+
+# ---------------------------------------------------------------------------
+# e18 — binary (sign) quantization with Hamming shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+BQ_SHORTLIST = 20
+
+
+@register(
+    "e18_binary_quantization",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         len(list_filter(list_transform(generate_series(1, 64),
+                                        i -> (q.v[i] > 0) <> (c.v[i] > 0)),
+                         x -> x)) AS hamming
+  FROM pts q
+  JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT query_id, neighbor_id, hamming,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS crn
+    FROM ham) t
+  WHERE crn <= {BQ_SHORTLIST}
+),
+{_NORMS_SQL},
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         round({_dot_sql('q.v', 'c.v')}, 8) / (nq.nrm * nc.nrm) AS cos_sim
+  FROM shortlist s
+  JOIN pts q ON s.query_id = q.vec_id
+  JOIN pts c ON s.neighbor_id = c.vec_id
+  JOIN norms nq ON s.query_id = nq.vec_id
+  JOIN norms nc ON s.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+FROM exact
+QUALIFY rn <= 5
+""",
+    tags=("similarity", "embedding", "binary-quantization", "hamming", "topk"),
+    doc="Binary (1-bit sign) quantization retrieval — the 32×-"
+    "compression path modern vector stores ship as 'BQ': every "
+    "vector reduces to its 64 sign bits, candidates shortlist by "
+    f"HAMMING distance (pure integer agreement count — phase 1 "
+    "involves no float at all), and the top-"
+    f"{BQ_SHORTLIST} re-rank with full-precision exact cosine for "
+    "the final top-5.  Completes the quantization ladder the engine "
+    "demonstrates: float32 (e01) → int8 scalar (e08) → PQ 8-bit "
+    "codes (e11/e12) → MRL prefix (e17) → 1-bit signs, each with "
+    "the same two-phase shortlist+re-rank contract.  At scale the "
+    "sign signatures pack to 8 bytes/vector and Hamming is a "
+    "popcount over XOR (m04/m07's machinery); here the per-dim "
+    "form keeps both engines on identical integer arithmetic.",
+)
+def e18_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cand = spread_to_cores(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
+    ham = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("qv"), F.col("cv"), lambda x, y: (x > 0) != (y > 0)
+                    ),
+                    lambda b: b,
+                )
+            ),
+        )
+    )
+    shortlist = topk_per_query(
+        ham, "query_id", [F.asc("hamming"), F.asc("neighbor_id")], BQ_SHORTLIST,
+        rank_col="crn",
+    ).select(
+        "query_id", "neighbor_id", "hamming",
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos_sim"),
+    )
+    return topk_per_query(
+        shortlist, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], 5
+    ).select(
+        "query_id", "neighbor_id",
+        F.col("hamming").cast("bigint").alias("hamming"), "cos_sim", "rn",
+    )
