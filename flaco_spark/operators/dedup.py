@@ -2377,3 +2377,102 @@ def d26_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("h60") % 1000003).cast("bigint").alias("content_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d27 — soft dedup: cluster-size-inverse sampling instead of dropping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d27_soft_dedup_sampling",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents
+),
+hx AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {{'a': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 576460752303423433,
+                                        'b': CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % 576460752303423433}}) AS hp
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(generate_series(0, 7),
+           j -> list_min(list_transform(hp, p -> (p.a + j * p.b) % 576460752303423433))) AS sig
+  FROM hx
+),
+bands AS (
+  SELECT doc_id, g.b AS band,
+         md5(array_to_string(list_transform(list_slice(sig, g.b * 2 + 1, g.b * 2 + 2), x -> CAST(x AS VARCHAR)), '|')) AS band_key
+  FROM sig, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc1, c.doc2
+  FROM cand c
+  JOIN sh s1 ON c.doc1 = s1.doc_id
+  JOIN sh s2 ON c.doc2 = s2.doc_id
+  WHERE CAST(len(list_filter(s1.shingles, x -> list_contains(s2.shingles, x))) AS DOUBLE)
+          / CAST(len(list_distinct(s1.shingles || s2.shingles)) AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
+),
+sized AS (
+  SELECT c.doc_id, c.component_id,
+         COUNT(*) OVER (PARTITION BY c.component_id) AS cluster_size
+  FROM comp c
+)
+SELECT doc_id,
+       component_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+         * cluster_size < 256 AS keep
+FROM sized
+""",
+    tags=("dedup", "sampling", "soft-dedup", "components", "documents"),
+    doc="Soft dedup — keep duplicates with probability 1/|cluster| "
+    "instead of dropping them: every document gets its d09 transitive "
+    "cluster's size, and survives iff md5(doc_id)'s first byte × "
+    "cluster_size < 256 — a deterministic coin whose keep rate is "
+    "⌈256/size⌉/256 ≈ 1/size, so every near-dup CLUSTER contributes "
+    "~one expected document while which copy survives stays unbiased "
+    "(hard dedup always keeps the min-id or best-quality copy — d07/"
+    "d18 — which skews toward whatever correlates with id or the "
+    "quality score).  This is the down-weighting recipe corpus "
+    "builders use when duplication frequency itself carries signal.  "
+    "Pure integer coin, no floats; adds one hash-agg + window over "
+    "d09's CC output.",
+)
+def d27_soft_dedup_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    comp = d09_dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    sized = comp.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(W.partitionBy("component_id")).cast("bigint"),
+    )
+    byte = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    return sized.select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        (byte * F.col("cluster_size") < 256).alias("keep"),
+    )
