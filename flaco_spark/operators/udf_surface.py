@@ -482,3 +482,50 @@ def u11_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL tier_fanout(u.user_id, u.n_events, u.n_purch) s
         """
     )
+
+
+@register(
+    "u12_grouped_agg_pandas_udf",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey < 3000
+GROUP BY o_orderstatus
+""",
+    tags=("udf", "pandas", "grouped-agg", "orders"),
+    doc="GROUPED_AGG pandas UDF (the Series→scalar aggregate form, "
+    "usable directly inside groupBy().agg() and as a window "
+    "function) — the remaining cell of the UDF matrix next to u03's "
+    "applyInPandas (DataFrame→DataFrame) form: where u03 reshapes "
+    "whole groups, GROUPED_AGG slots a vectorized Python reduction "
+    "into the aggregation plan.  Catalyst REFUSES to mix pandas and "
+    "JVM aggregates in one agg() ([INVALID_PANDAS_UDF_PLACEMENT]), "
+    "so both outputs here are pandas reductions — the composition "
+    "constraint itself is part of the surface being demonstrated.  "
+    "Integer-exact cents keep the Python-side sum "
+    "oracle-comparable.  Arrow-batched per group; partial "
+    "aggregation is NOT available for Python aggregates, so at "
+    "100 TB this shuffles full rows — acceptable for rare custom "
+    "reductions, never for what a builtin expresses (the engine's "
+    "standing UDF policy).",
+)
+def u12_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def cents_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("bigint")
+    def row_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return o.select("o_orderstatus", cents.alias("c")).groupBy("o_orderstatus").agg(
+        cents_sum(F.col("c")).alias("cents_sum"),
+        row_count(F.col("c")).alias("n"),
+    )
