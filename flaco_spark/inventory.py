@@ -99,6 +99,8 @@ SOFT_RECHECK: frozenset[str] = frozenset(
 RISKY_NEW: frozenset[str] = frozenset(
     {
         "st04_stateful_sessionization", "st05_stream_static_enrichment",
+        "st07_transform_with_state",  # state-v2 + worker protobuf bootstrap
+
         "u10_python_datasource", "q101_bucketed_join",
         "q102_partition_pruned_agg", "q99_orc_roundtrip",
         "e15_ivfpq_search", "d24_exact_substring_dedup",

@@ -242,3 +242,125 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 state-v2 API): running per-key totals
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT_SCHEMA = "user_id long, n long, sum_micros long"
+
+# The state-v2 Python workers speak protobuf to the JVM state server
+# (pyspark/sql/streaming/proto/StateMessage_pb2).  This container has
+# no pip-installed protobuf, but ships one inside the system
+# google-cloud-sdk — point the WORKER processes at it.  Worker env is
+# sourced from ``sc.environment`` at UDF-wrap time (PythonFunction
+# envVars; the JVM's PythonWorkerFactory merges its PYTHONPATH into
+# the worker's), so a runtime mutation here works even when the JVM
+# was started by a harness we don't control.
+_SYSTEM_PROTOBUF_PATH = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def ensure_protobuf_worker_env(spark: SparkSession) -> None:
+    """Make ``google.protobuf`` importable in Python workers.
+
+    No-op when protobuf is a real site-package (workers share the
+    driver interpreter's site-packages).  Otherwise prepend the
+    system-bundled copy to the worker PYTHONPATH and set protobuf's
+    official version-skew escape hatch (the bundled runtime can trail
+    the gencode pyspark ships by one minor version).  Raises
+    :class:`EngineError` when no protobuf runtime exists at all —
+    transformWithState is honestly unavailable then, never fake-green.
+    """
+    import os
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    if not os.path.isdir(f"{_SYSTEM_PROTOBUF_PATH}/google/protobuf"):
+        from flaco_spark.errors import EngineError
+
+        raise EngineError(
+            "transformWithStateInPandas needs the google.protobuf runtime "
+            "(pip package `protobuf`, or a system copy); none found"
+        )
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if _SYSTEM_PROTOBUF_PATH not in cur:
+        env["PYTHONPATH"] = (
+            f"{_SYSTEM_PROTOBUF_PATH}:{cur}" if cur else _SYSTEM_PROTOBUF_PATH
+        )
+    env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+
+
+class RunningTotalsProcessor:
+    """Spark 4 ``StatefulProcessor``: per-user running (count, sum).
+
+    The state-v2 surface (``transformWithStateInPandas``) that
+    supersedes ``applyInPandasWithState`` (st04): named, composable
+    state variables (ValueState/ListState/MapState, optional TTL) on
+    an explicit lifecycle (init/handleInputRows/close) instead of one
+    opaque tuple.  Each batch the processor folds the user's new rows
+    into a ``ValueState`` and emits ONE row with the totals SO FAR.
+
+    Emissions are cumulative and therefore MONOTONIC in ``n`` — per
+    user, the emission with the largest ``n`` is the final total no
+    matter how the bounded replay was carved into micro-batches.
+    That monotonicity is what lets a real streaming run sit behind a
+    batch-SQL correctness gate (take argmax-by-n per user downstream).
+
+    Scale shape: state is one (count, sum) pair per key — O(|users|),
+    independent of history; each micro-batch shuffles only its own
+    rows by key.  This is the canonical state-v2 use: running feature
+    aggregates (lifetime value, event counters) kept queryable across
+    an unbounded feed.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n long, s long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, s = (self._totals.get() or (0, 0)) if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            n += int(len(pdf))
+            s += int(pdf["micros"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sum_micros": [s]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) via ``transformWithStateInPandas``.
+
+    The money column is converted to exact integer micros JVM-side
+    BEFORE the Python boundary (decimal cast, no float summation in
+    pandas), so the running sum is exact at any scale.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    ensure_protobuf_worker_env(events.sparkSession)
+    # subclass dynamically so importing this module never hard-requires
+    # the state-v2 API (present in Spark >= 4.0)
+    proc = type("_RunningTotals", (RunningTotalsProcessor, StatefulProcessor), {})()
+    return (
+        events.select(
+            "user_id",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            .cast("bigint")
+            .alias("micros"),
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=RUNNING_TOTALS_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

@@ -372,3 +372,54 @@ def st06_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "st07_transform_with_state",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+           AS sum_micros
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "state-v2", "events"),
+    doc="Spark 4 STATE-V2 custom stateful operator "
+    "(transformWithStateInPandas) behind the correctness gate: a "
+    "StatefulProcessor keeps per-user running (count, value-sum) in a "
+    "named ValueState and emits the cumulative totals each "
+    "micro-batch; emissions are monotonic in n, so argmax-by-n per "
+    "user is the final total regardless of how the bounded replay was "
+    "carved into batches — that reduction (max / max_by) turns a real "
+    "readStream execution into a deterministic relation hash-matched "
+    "against the batch GROUP BY.  Money flows as exact integer micros "
+    "(decimal cast JVM-side, integer sums in state) — no float drift "
+    "across engines.  This is the lifecycle API that supersedes "
+    "applyInPandasWithState (st04): named composable state variables "
+    "with optional TTL, timers, and init/close hooks.",
+)
+def st07_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.streaming.ingest import running_totals_stream
+
+    # state-v2 requires the RocksDB state store (multiple column
+    # families); pin it for this query only and restore the session
+    # default after — st01-st06 keep the HDFS-backed provider.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        stream, scratch = _events_stream(spark, sf_dir)
+        totals = running_totals_stream(stream)
+        sink = _drain(totals, scratch, "append", "st07")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return sink.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max_by("sum_micros", "n").alias("sum_micros"),
+    )

@@ -839,3 +839,77 @@ def test_q102_partition_values_roundtrip(spark, sf_dir):
     out = REGISTRY["q102_partition_pruned_agg"].builder(spark, sf_dir)
     days = {r["day"] for r in out.select("day").distinct().collect()}
     assert days == {"2024-01-03", "2024-01-04", "2024-01-05"}
+
+
+def test_transform_with_state_multibatch(spark, sf_dir, tmp_path):
+    """state-v2 running totals are batch-boundary independent: split
+    the events fixture into THREE source files drained one per
+    micro-batch (maxFilesPerTrigger=1) — the argmax-by-n reduction of
+    the cumulative emissions must equal the single-batch total, i.e.
+    the batch GROUP BY."""
+    from flaco_spark.streaming.ingest import running_totals_stream
+    from flaco_spark.tables import table as _table
+
+    events = _table(spark, sf_dir, "events")
+    # three disjoint slices, written as one file each
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in range(3):
+        events.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}")
+        )
+        import glob
+        import shutil as _sh
+
+        [pf] = glob.glob(str(tmp_path / f"part{i}" / "*.parquet"))
+        _sh.copy(pf, src_dir / f"slice{i}.parquet")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        raw_schema = events.schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir))
+        )
+        q = (
+            running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("tws_mb")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    sink = spark.table("tws_mb")
+    # with 3 micro-batches most users emit multiple cumulative rows
+    assert sink.count() > sink.select("user_id").distinct().count()
+    got = {
+        (r.user_id): (r.n, r.sum_micros)
+        for r in sink.groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max_by("sum_micros", "n").alias("sum_micros"))
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
