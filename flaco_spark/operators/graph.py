@@ -419,3 +419,90 @@ def g03_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     return label_propagation(edges, G03_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# g04 — link prediction: common neighbors + resource allocation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g04_link_prediction",
+    oracle="""
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sdeg AS (SELECT s, COUNT(*) AS deg FROM cs GROUP BY s),
+probes AS (SELECT c AS qc, s FROM cs WHERE c % 97 = 0),
+cand AS (
+  SELECT p.qc, n.c AS cand, d.deg
+  FROM probes p
+  JOIN cs n ON n.s = p.s AND n.c <> p.qc
+  JOIN sdeg d ON d.s = p.s
+),
+scored AS (
+  SELECT qc, cand,
+         COUNT(*) AS common_suppliers,
+         CAST(SUM(CAST(FLOOR(1000000 / deg) AS BIGINT)) AS BIGINT) AS ra_micros
+  FROM cand GROUP BY qc, cand
+)
+SELECT qc, cand, common_suppliers, ra_micros
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qc
+                               ORDER BY ra_micros DESC, common_suppliers DESC,
+                                        cand) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    tags=("graph", "link-prediction", "orders", "lineitem"),
+    doc="Link prediction on the customer-supplier bipartite trade "
+    "graph: for each probe customer, rank the other customers by "
+    "shared suppliers — common-neighbor count plus the "
+    "resource-allocation index (Zhou 2009: sum of 1/deg over shared "
+    "neighbors, so rare shared suppliers count more than hubs), "
+    "top-5 per probe.  RA flows as floor(1e6/deg) integer micros "
+    "summed in BIGINT — cross-engine exact, no float accumulation "
+    "order.  Scale shape: this is deliberately the PROBE-QUERY "
+    "formulation, not all-pairs — the all-pairs wedge join is "
+    "deg-squared per supplier (the g02 triangle problem); anchoring "
+    "on a bounded probe set makes the work |probes' postings| x "
+    "|shared-supplier postings|, the same bounded fan-out contract "
+    "as the t22/t24 retrieval queries (a bounded real-world probe "
+    "list would additionally broadcast; the 1% systematic slice here "
+    "is SF-proportional, so the strategy is left to AQE).",
+)
+def g04_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sdeg = cs.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    probes = cs.filter(F.col("c") % 97 == 0).select(F.col("c").alias("qc"), "s")
+    # probes here are SF-proportional (a 1% systematic slice), so the
+    # join strategy is left to AQE; a real deployment's bounded probe
+    # list would take an explicit broadcast() hint.
+    cand = (
+        probes.join(cs, "s")
+        .filter(F.col("c") != F.col("qc"))
+        .join(sdeg, "s")
+    )
+    scored = cand.groupBy("qc", F.col("c").alias("cand")).agg(
+        F.count(F.lit(1)).alias("common_suppliers"),
+        F.sum(F.floor(F.lit(1_000_000) / F.col("deg")).cast("bigint"))
+        .cast("bigint")
+        .alias("ra_micros"),
+    )
+    w = W.partitionBy("qc").orderBy(
+        F.desc("ra_micros"), F.desc("common_suppliers"), F.asc("cand")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qc", "cand", "common_suppliers", "ra_micros")
+    )

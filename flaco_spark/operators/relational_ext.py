@@ -3154,3 +3154,41 @@ def q107_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — GROUP BY ALL / ORDER BY ALL (modern dialect sugar)
+# ---------------------------------------------------------------------------
+
+_Q108_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS revenue_cents
+FROM {src}
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "q108_group_by_all",
+    oracle=_Q108_SQL.format(src="lineitem"),
+    tags=("sql", "dialect", "lineitem"),
+    doc="GROUP BY ALL / ORDER BY ALL (the modern-dialect sugar both "
+    "Spark 4 and DuckDB adopted from the analytics-SQL lineage): the "
+    "engine infers the grouping key as every non-aggregate SELECT "
+    "item and the ordering key as the full output list — the exact "
+    "same SQL TEXT runs on both engines (the q82 recursive-CTE "
+    "device) and must produce the identical relation, proving the "
+    "sugar desugars to the same GROUP BY on both sides.  Eliminates "
+    "the classic drift bug where a column added to SELECT is "
+    "forgotten in GROUP BY.  Aggregation itself is q01's "
+    "hash-aggregate shape: partial map-side combine, one shuffle on "
+    "the inferred key.",
+)
+def q108_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q108_lineitem")
+    return spark.sql(_Q108_SQL.format(src="q108_lineitem"))

@@ -1821,3 +1821,134 @@ def ts26_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_touches").cast("bigint").alias("n_touches"),
         credit.cast("bigint").alias("credit_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts27 — resample to a regular grid with LINEAR INTERPOLATION
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts27_resample_interpolate",
+    oracle="""
+WITH grid AS (
+  SELECT u.user_id, g.h AS slot
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
+       generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-03 23:00:00',
+                       INTERVAL 1 HOUR) AS g(h)
+),
+hourly AS (
+  SELECT user_id, slot, m FROM (
+    SELECT user_id, date_trunc('hour', ts) AS slot,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id < 20) t
+  WHERE rn = 1
+),
+joined AS (
+  SELECT g.user_id, g.slot, h.m,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', g.slot)
+              AS BIGINT) AS hh
+  FROM grid g LEFT JOIN hourly h
+    ON g.user_id = h.user_id AND g.slot = h.slot
+),
+ctx AS (
+  SELECT user_id, slot, m, hh,
+    last_value(m IGNORE NULLS) OVER wp AS pm,
+    last_value(CASE WHEN m IS NOT NULL THEN hh END IGNORE NULLS) OVER wp AS ph,
+    first_value(m IGNORE NULLS) OVER wf AS nm,
+    first_value(CASE WHEN m IS NOT NULL THEN hh END IGNORE NULLS) OVER wf AS nh
+  FROM joined
+  WINDOW wp AS (PARTITION BY user_id ORDER BY slot ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY slot
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot,
+       m AS observed_micros,
+       CASE WHEN m IS NOT NULL THEN m
+            WHEN pm IS NULL OR nm IS NULL THEN NULL
+            ELSE pm + CAST(FLOOR(((nm - pm) * (hh - ph)) / (nh - ph)) AS BIGINT)
+       END AS filled_micros
+FROM ctx
+""",
+    tags=("timeseries", "resample", "interpolate", "events"),
+    doc="Resample to a regular hourly grid with LINEAR INTERPOLATION "
+    "(pandas' resample().interpolate(), complement of ts15's LOCF): "
+    "empty slots between two observations get the time-proportional "
+    "blend pm + (nm-pm)*(h-ph)/(nh-ph); edges never extrapolate "
+    "(leading/trailing gaps stay NULL).  Exactness discipline: values "
+    "flow as integer MICROS and the blend is floor(integer*integer / "
+    "small-int) — every intermediate is an exactly-representable "
+    "integer (<=2^47) and the quotient's distance from any integer is "
+    ">= 1/71, so double floor-division is bit-identical across "
+    "engines (no decimal-rounding divergence).  Physical shape is "
+    "ts15's: generated grid dimension x users, one (user,slot) left "
+    "join, then two per-user ordered windows (carry-forward AND "
+    "carry-backward) sharing one sort.  At 100 TB the grid stays a "
+    "generated dimension and each user's series sorts once within "
+    "its partition.",
+)
+def ts27_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    users = e.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("slot"),
+    )
+    w_last = W.partitionBy("user_id", "slot_h").orderBy(F.desc("ts"), F.desc("event_id"))
+    hourly = (
+        e.withColumn("slot_h", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("slot_h").alias("slot"),
+            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    joined = (
+        grid.join(hourly, ["user_id", "slot"], "left")
+        .withColumn(
+            "hh",
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', slot)"
+            ).cast("bigint"),
+        )
+    )
+    wp = W.partitionBy("user_id").orderBy("slot").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy("user_id").orderBy("slot").rowsBetween(0, W.unboundedFollowing)
+    obs_h = F.when(F.col("m").isNotNull(), F.col("hh"))
+    ctx = joined.select(
+        "user_id",
+        "slot",
+        "m",
+        "hh",
+        F.last("m", ignorenulls=True).over(wp).alias("pm"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("m", ignorenulls=True).over(wf).alias("nm"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    blend = F.col("pm") + F.floor(
+        ((F.col("nm") - F.col("pm")) * (F.col("hh") - F.col("ph")))
+        / (F.col("nh") - F.col("ph"))
+    ).cast("bigint")
+    return ctx.select(
+        "user_id",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot"),
+        F.col("m").alias("observed_micros"),
+        F.when(F.col("m").isNotNull(), F.col("m"))
+        .when(F.col("pm").isNull() | F.col("nm").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(blend)
+        .alias("filled_micros"),
+    )
