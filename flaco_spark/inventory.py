@@ -106,6 +106,7 @@ RISKY_NEW: frozenset[str] = frozenset(
         "e15_ivfpq_search", "d24_exact_substring_dedup",
         "g01_pagerank", "t22_bm25_search",
         "p01_corpus_pipeline",  # the flagship composition
+        "p02_index_build_pipeline",  # flagship #2: IVF+PQ composition
     }
 )
 

@@ -801,3 +801,85 @@ def m09_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         body_len.alias("body_len"),
         ok.alias("header_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m10 — ViT patch-grid planning (decode-free image preprocessing math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m10_patch_grid",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(224 + (doc_id % 5) * 32 AS BIGINT) AS width,
+         CAST(224 + (doc_id % 7) * 16 AS BIGINT) AS height
+  FROM documents WHERE doc_id < 20
+),
+geom AS (
+  SELECT doc_id, width, height,
+         width // 16 AS npx, height // 16 AS npy,
+         (width - (width // 16) * 16) // 2 AS offx,
+         (height - (height // 16) * 16) // 2 AS offy
+  FROM dims
+),
+exploded AS (
+  SELECT doc_id, npx, npy, offx, offy,
+         unnest(generate_series(0, npx * npy - 1)) AS pid
+  FROM geom
+)
+SELECT doc_id,
+       CAST(pid AS INT) AS patch_id,
+       CAST(pid % npx AS INT) AS px,
+       CAST(pid // npx AS INT) AS py,
+       CAST(offx + (pid % npx) * 16 AS INT) AS x0,
+       CAST(offy + (pid // npx) * 16 AS INT) AS y0,
+       CAST(npx * npy + 1 AS INT) AS seq_len
+FROM exploded
+""",
+    tags=("multimodal", "image", "patch", "vit", "documents"),
+    doc="ViT patch-grid planning: per image (dims derived "
+    "deterministically from doc_id — the codec itself stays gated, "
+    "multimodal.py:67), compute the 16x16 patch tiling a vision "
+    "transformer's preprocessor needs — center-crop offsets to the "
+    "nearest patch multiple, per-patch (px,py) grid coordinates and "
+    "pixel origins, and the resulting token sequence length "
+    "(n_patches + CLS).  This is the DECODE-FREE half of image "
+    "ingestion: the plan rows drive a downstream mapInPandas decode "
+    "UDF (m01's contract) that slices exactly these byte regions, so "
+    "the expensive codec pass reads each pixel once with no "
+    "trial-and-error.  Pure map-side generation (sequence + explode "
+    "— q64's calendar device applied to 2-D space); the probe slice "
+    "(doc_id < 20) bounds the materialized grid the same way ts15 "
+    "bounds its calendar — production keeps the grid fused into the "
+    "decode stage, never stored.",
+)
+def m10_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    width = (F.lit(224) + (F.col("doc_id") % 5) * 32).cast("bigint")
+    height = (F.lit(224) + (F.col("doc_id") % 7) * 16).cast("bigint")
+    geom = d.select(
+        "doc_id",
+        width.alias("width"),
+        height.alias("height"),
+        F.floor(width / 16).alias("npx"),
+        F.floor(height / 16).alias("npy"),
+        F.floor((width - F.floor(width / 16) * 16) / 2).alias("offx"),
+        F.floor((height - F.floor(height / 16) * 16) / 2).alias("offy"),
+    )
+    pid = F.explode(F.sequence(F.lit(0), (F.col("npx") * F.col("npy") - 1))).alias(
+        "pid"
+    )
+    g = geom.select("doc_id", "npx", "npy", "offx", "offy", pid)
+    return g.select(
+        "doc_id",
+        F.col("pid").cast("int").alias("patch_id"),
+        (F.col("pid") % F.col("npx")).cast("int").alias("px"),
+        F.floor(F.col("pid") / F.col("npx")).cast("int").alias("py"),
+        (F.col("offx") + (F.col("pid") % F.col("npx")) * 16).cast("int").alias("x0"),
+        (F.col("offy") + F.floor(F.col("pid") / F.col("npx")) * 16)
+        .cast("int")
+        .alias("y0"),
+        (F.col("npx") * F.col("npy") + 1).cast("int").alias("seq_len"),
+    )

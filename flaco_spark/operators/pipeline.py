@@ -257,3 +257,160 @@ def p01_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("disposition"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# p02 — the embedding index-build pipeline (the ANN-serving artifact)
+# ---------------------------------------------------------------------------
+
+
+def _p02_oracle() -> str:
+    from flaco_spark.operators.similarity import (
+        IVF_SEED_MOD,
+        PQ_M,
+        PQ_SUBDIM,
+        SEED_ID_CAP,
+        _dot_sql,
+        _NORMS_SQL,
+        _pq_d2_sql,
+    )
+
+    return f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL.strip().lstrip()},
+cseeds AS (
+  SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3 AND p.vec_id < {SEED_ID_CAP}
+),
+cells AS (
+  SELECT vec_id, seed_id AS list_id FROM (
+    SELECT p.vec_id, s.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY round({_dot_sql('p.v', 's.sv')}, 8)
+                                       / (n.nrm * s.sn) DESC, s.seed_id) AS rnk
+    FROM pts p JOIN norms n ON p.vec_id = n.vec_id CROSS JOIN cseeds s) t
+  WHERE rnk = 1
+),
+subs AS (
+  SELECT vec_id, g.m AS m,
+         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS sv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+pseeds AS (
+  SELECT vec_id AS seed_id, g.m AS m,
+         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id % {IVF_SEED_MOD} = 3 AND vec_id < {SEED_ID_CAP}
+),
+codes AS (
+  SELECT vec_id, m, seed_id AS code, d2 FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           round({_pq_d2_sql('s.sv', 'c.ssv')}, 8) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8),
+                                       c.seed_id) AS rnk
+    FROM subs s JOIN pseeds c ON s.m = c.m) t
+  WHERE rnk = 1
+),
+enc AS (
+  SELECT vec_id,
+         string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS pq_code,
+         round(list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY m)),
+                           (a, b) -> a + b), 8) AS total_d2
+  FROM codes GROUP BY vec_id
+)
+SELECT c.vec_id, c.list_id, e.pq_code, e.total_d2,
+       COUNT(*) OVER (PARTITION BY c.list_id) AS list_size
+FROM cells c JOIN enc e ON c.vec_id = e.vec_id
+"""
+
+
+@register(
+    "p02_index_build_pipeline",
+    oracle=_p02_oracle(),
+    tags=("pipeline", "similarity", "ivf", "pq", "embeddings", "flagship"),
+    doc="The embedding INDEX-BUILD pipeline as one oracle-checked "
+    "query: the artifact an IVFPQ deployment actually ships — per "
+    "vector, its coarse inverted-list assignment (e04's argmax-cosine "
+    "cell), its 8-subspace PQ code string (e11's per-subspace argmin, "
+    "fixed m-order), its total quantization error (the index-quality "
+    "number an offline build reports), and its list's occupancy (the "
+    "load-balance statistic that decides whether nlist needs "
+    "re-sizing).  e12/e15 SERVE from exactly this relation: codes "
+    "are the only per-vector bytes a query touches.  Physical shape: "
+    "both the coarse quantizer and all 8 codebooks ride to executors "
+    "as broadcast/literal constants (bounded k<=256 by the "
+    "SEED_ID_CAP contract), so assignment + encode is ONE "
+    "scan-project pass with zero shuffles; the only exchanges are "
+    "the per-vector argmax window (vec-partitioned, collapses with "
+    "the scan under AQE) and the per-list occupancy window — and a "
+    "production build writes list-partitioned files (q102's layout) "
+    "from the same pass, making the occupancy count a free "
+    "write-side statistic.  At 100 TB: 8 bytes/vector out, codebook "
+    "constants in, no all-pairs anything.",
+)
+def p02_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flaco_spark.functions import cosine, norm
+    from flaco_spark.operators.similarity import (
+        IVF_SEED_MOD,
+        SEED_ID_CAP,
+        _pq_assigns_col,
+        _pq_codebook_literal,
+        _pq_seeds_py,
+        spread_to_cores,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seeds = _pq_seeds_py(spark, sf_dir)
+    if not seeds:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, list_id bigint, pq_code string, "
+            "total_d2 double, list_size bigint",
+        )
+    coarse = pts.filter(
+        ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
+    ).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("v").alias("sv"),
+        norm(F.col("v")).alias("sn"),
+    )
+    scored = (
+        spread_to_cores(pts)
+        .select("vec_id", "v", norm(F.col("v")).alias("n"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "seed_cos", cosine(F.col("v"), F.col("sv"), F.col("n"), F.col("sn"))
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
+    cells = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v", F.col("seed_id").alias("list_id"))
+    )
+    assigns = _pq_assigns_col(*_pq_codebook_literal(seeds))
+    enc = cells.select(
+        "vec_id",
+        "list_id",
+        F.array_join(
+            F.transform(assigns, lambda a: a["seed_id"].cast("string")), "-"
+        ).alias("pq_code"),
+        F.round(
+            F.aggregate(assigns, F.lit(0.0), lambda acc, a: acc + a["d2"]), 8
+        ).alias("total_d2"),
+    )
+    wl = W.partitionBy("list_id")
+    return enc.select(
+        "vec_id",
+        "list_id",
+        "pq_code",
+        "total_d2",
+        F.count(F.lit(1)).over(wl).cast("bigint").alias("list_size"),
+    )
