@@ -2105,3 +2105,79 @@ def e18_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id",
         F.col("hamming").cast("bigint").alias("hamming"), "cos_sim", "rn",
     )
+
+
+# ---------------------------------------------------------------------------
+# e19 — metadata-filtered vector search (filter-THEN-search)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e19_filtered_ann",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+  FROM embeddings
+),
+{_NORMS_SQL.strip()},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round({_dot_sql('q.v', 'c.v')}, 8) AS dotp
+  FROM pts q
+  JOIN pts c ON q.vec_id < 25 AND c.vec_id <> q.vec_id AND c.label % 3 = 0
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.neighbor_label,
+         d.dotp / (nq.nrm * nc.nrm) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dotp / (nq.nrm * nc.nrm) DESC,
+                                     d.neighbor_id) AS rn
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, rn
+FROM scored WHERE rn <= 3
+""",
+    tags=("similarity", "embedding", "filtered", "topk"),
+    doc="Metadata-FILTERED vector search: top-3 cosine neighbors "
+    "among vectors whose label passes the predicate (label % 3 = 0) "
+    "— the shape every production retrieval system needs the moment "
+    "queries carry an ACL, language, or freshness constraint.  The "
+    "discipline is filter-THEN-search: the predicate lands in the "
+    "candidate SCAN (Catalyst pushes it to parquet), so k survivors "
+    "are guaranteed — where search-then-discard (post-filtering an "
+    "unfiltered top-k) silently returns FEWER than k when the "
+    "predicate is selective, the classic filtered-ANN bug.  Same "
+    "two-phase top-k reduction as e01; with an IVF index the same "
+    "predicate applies inside each probed list (e04 composes "
+    "unchanged).  At 100 TB the filter multiplies throughput by its "
+    "selectivity — the scan reads only matching row groups via "
+    "pushdown.",
+)
+def e19_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    cand = spread_to_cores(pts.filter(F.col("label") % 3 == 0)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+        F.col("label").alias("neighbor_label"),
+    )
+    q = pts.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+        )
+    )
+    return topk_per_query(
+        scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], 3
+    ).select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rn")

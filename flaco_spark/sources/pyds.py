@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -165,3 +166,62 @@ class FeatherDirWriter(DataSourceWriter):
                     os.remove(m.path)
                 except OSError:
                     pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python data source (Spark 4 SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+class CounterStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic counter stream: offsets advance ``batch``
+    rows per micro-batch up to ``limit``; row k carries (k, k²%97).
+
+    ``read(start)`` returns (rows, next_offset) — Spark checkpoints
+    the offsets, and ``readBetweenOffsets`` replays any [start, end)
+    range on recovery, which is what makes the source exactly-once:
+    a row's presence depends only on the committed offset ranges,
+    never on when the batch ran.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.limit = int(options.get("limit", 1000))
+        self.batch = int(options.get("batch", 250))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        return iter([(k, (k * k) % 97) for k in range(lo, hi)])
+
+    def read(self, start: dict):
+        i = start["i"]
+        if i >= self.limit:
+            return iter([]), start
+        end = min(i + self.batch, self.limit)
+        return self._rows(i, end), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], end["i"])
+
+
+class CounterStreamSource(DataSource):
+    """``spark.readStream.format("counter_stream")`` — a pure-Python
+    STREAMING source (the API a queue/feed without a built-in Spark
+    connector plugs into: poll an external cursor in ``read``, let
+    Spark own offset checkpointing and replay)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "counter_stream"
+
+    def schema(self) -> str:
+        return "i bigint, v bigint"
+
+    def simpleStreamReader(self, schema) -> CounterStreamReader:
+        return CounterStreamReader(self.options)
+
+
+def register_counter_stream(spark) -> None:
+    spark.dataSource.register(CounterStreamSource)

@@ -423,3 +423,55 @@ def st07_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.max_by("sum_micros", "n").alias("sum_micros"),
     )
+
+
+@register(
+    "st08_python_stream_source",
+    oracle="""
+SELECT i, (i * i) % 97 AS v FROM range(0, 1000) t(i)
+""",
+    tags=("streaming", "datasource", "source", "python"),
+    doc="STREAMING Python data source (Spark 4 "
+    "SimpleDataSourceStreamReader) behind the correctness gate: a "
+    "pure-Python source advances a checkpointed offset cursor 250 "
+    "rows per micro-batch to a 1000-row bound (row k = (k, k*k%97)), "
+    "drained through a real multi-micro-batch streaming run into a "
+    "memory sink — the emitted relation must equal the closed-form "
+    "SQL, proving no offset range was lost, duplicated, or replayed "
+    "into a different relation (readBetweenOffsets is the recovery "
+    "path that makes the source exactly-once).  This is the API a "
+    "queue or feed WITHOUT a built-in Spark connector plugs into — "
+    "the streaming complement of u10's batch DataSource; Spark owns "
+    "offset checkpointing, the source only answers read(start).  The "
+    "drain loop polls the sink and stops at the bound — the bounded "
+    "stand-in for a forever-running deployment.",
+)
+def st08_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from flaco_spark.sources.pyds import register_counter_stream
+
+    register_counter_stream(spark)
+    scratch = tempfile.mkdtemp(prefix="flaco_st08_")
+    name = f"st08_{uuid.uuid4().hex[:8]}"
+    limit = 1000
+    stream = spark.readStream.format("counter_stream").option("limit", limit).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= limit:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("st08: counter stream did not drain in 120 s")
+    finally:
+        q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(name)

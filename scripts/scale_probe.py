@@ -147,6 +147,15 @@ PROBE = [
     "q104_sql_pipe_syntax",
     "q105_parameterized_sql",
     "ts24_distribution_drift",
+    # round-4 sixth wave
+    "st07_transform_with_state",
+    "ts27_resample_interpolate",
+    "g04_link_prediction",
+    "q108_group_by_all",
+    "m10_patch_grid",
+    "p02_index_build_pipeline",
+    "st08_python_stream_source",
+    "e19_filtered_ann",
 ]
 
 

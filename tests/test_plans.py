@@ -913,3 +913,51 @@ def test_transform_with_state_multibatch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_m10_patch_grid_is_shuffle_free(spark, sf_dir):
+    """Patch-grid planning is pure generation: scan -> filter ->
+    project -> generate, no Exchange anywhere."""
+    from flaco_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["m10_patch_grid"].builder(spark, sf_dir))
+    assert "Exchange" not in plan, "m10 must not shuffle"
+    assert "Generate" in plan
+
+
+def test_p02_index_build_broadcasts_codebooks(spark, sf_dir):
+    """The index build ships the coarse quantizer as a broadcast and
+    the PQ codebooks as literals — no shuffle feeds the encode; the
+    only exchanges are the two window partitionings."""
+    from flaco_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["p02_index_build_pipeline"].builder(spark, sf_dir))
+    assert "BroadcastExchange" in plan, "coarse seeds must broadcast"
+    assert "CartesianProduct" not in plan
+    # window shuffles only: vec-partition argmax + list-partition size
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, f"expected <=2 hash exchanges, saw {n_shuffles}"
+
+
+def test_ts27_interpolation_shares_one_sort(spark, sf_dir):
+    """The carry-forward and carry-backward frames share one
+    (user_id, slot) ordering, so Spark must fuse them into a SINGLE
+    Window node over one sort (plus the hourly-dedup row_number
+    window) — and never a per-row join."""
+    import re
+
+    from flaco_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["ts27_resample_interpolate"].builder(spark, sf_dir))
+    window_nodes = re.findall(r"^\(\d+\) Window\b", plan, re.M)
+    assert len(window_nodes) <= 2, f"expected fused frames, saw {len(window_nodes)} Window nodes"
+    assert "CartesianProduct" not in plan
+
+
+def test_g04_no_cartesian(spark, sf_dir):
+    """Probe-anchored link prediction joins postings by supplier key —
+    never an all-pairs product."""
+    from flaco_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["g04_link_prediction"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
