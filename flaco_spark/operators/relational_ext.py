@@ -3192,3 +3192,49 @@ ORDER BY ALL
 def q108_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("q108_lineitem")
     return spark.sql(_Q108_SQL.format(src="q108_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# q109 — SQL session variables (DECLARE / SET VAR)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q109_session_variables",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_totalprice >= 50000.00 AND o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority
+""",
+    tags=("sql", "variables", "orders"),
+    doc="SQL session variables (SQL:2023 DECLARE VARIABLE / SET VAR, "
+    "Spark 3.5+): thresholds live as typed session-scoped variables "
+    "referenced by name inside the query text — the scripting surface "
+    "that replaces string-interpolated constants in multi-statement "
+    "SQL jobs (q105's parameterized markers bind per-call; variables "
+    "persist across statements and can be computed BY a query via "
+    "SET VAR x = (SELECT ...)).  Constant folding inlines the "
+    "variable's value at analysis, so pushdown and partition pruning "
+    "see a plain literal — same plan as writing the constant.  The "
+    "oracle inlines the same values as literals.",
+)
+def q109_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q109_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE q109_min_price DECIMAL(18,2)")
+    spark.sql("DECLARE OR REPLACE VARIABLE q109_since DATE")
+    spark.sql("SET VAR q109_min_price = 50000.00")
+    spark.sql("SET VAR q109_since = DATE '1995-01-01'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS price_cents
+        FROM q109_orders
+        WHERE o_totalprice >= q109_min_price AND o_orderdate >= q109_since
+        GROUP BY o_orderpriority
+        """
+    )

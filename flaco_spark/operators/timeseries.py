@@ -1952,3 +1952,55 @@ def ts27_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(blend)
         .alias("filled_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts28 — business-day arithmetic (closed form, no calendar explode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts28_business_days",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS od,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS n0
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderkey,
+       strftime(od, '%Y-%m-%d') AS order_date,
+       strftime(od + INTERVAL 21 DAY, '%Y-%m-%d') AS sla_date,
+       CAST((5 * ((n0 + 22) // 7) + LEAST((n0 + 22) % 7, 5))
+            - (5 * (n0 // 7) + LEAST(n0 % 7, 5)) AS BIGINT) AS business_days
+FROM base
+""",
+    tags=("timeseries", "calendar", "business-days", "orders"),
+    doc="Business-day arithmetic in CLOSED FORM: weekdays in "
+    "[order_date, order_date + 21d] via f(n) = 5*(n div 7) + "
+    "min(n mod 7, 5) anchored at Monday 1990-01-01, so bd = "
+    "f(n+22) - f(n) — pure integer scalar math, NO calendar explode "
+    "and NO engine dow() convention in sight (Spark's dayofweek is "
+    "Sunday=1 where DuckDB's dow is Sunday=0, the classic silent "
+    "cross-engine bug; anchoring at a known Monday sidesteps the "
+    "whole family).  The formula is semantically pinned against a "
+    "Python datetime replay in "
+    "test_business_day_formula_matches_python.  Per-row map "
+    "expression — the SLA-deadline column a 100 TB order stream "
+    "derives inline, where the q64-style generated-calendar join "
+    "(22x row fan-out) is only worth it once holidays enter.",
+)
+def ts28_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    od = F.col("o_orderdate").cast("date")
+    n0 = F.datediff(od, F.lit("1990-01-01").cast("date"))
+
+    def f(n):
+        return 5 * F.floor(n / 7) + F.least(n % 7, F.lit(5))
+
+    return o.select(
+        "o_orderkey",
+        F.date_format(od, "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_add(od, 21), "yyyy-MM-dd").alias("sla_date"),
+        (f(n0 + 22) - f(n0)).cast("bigint").alias("business_days"),
+    )

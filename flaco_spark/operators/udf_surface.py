@@ -529,3 +529,76 @@ def u12_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_sum(F.col("c")).alias("cents_sum"),
         row_count(F.col("c")).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u13 — UDTF with TABLE argument (polymorphic table function)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u13_table_arg_udtf",
+    oracle="""
+SELECT o_orderpriority, rnk, o_orderkey, price_cents FROM (
+  SELECT o_orderpriority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                                          o_orderkey) AS INT) AS rnk,
+         o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey < 4000
+) WHERE rnk <= 2
+""",
+    tags=("udf", "udtf", "table-argument", "orders"),
+    doc="UDTF with a TABLE argument (Spark 4 polymorphic table "
+    "functions): the function is called FROM top2_spenders(TABLE(t) "
+    "PARTITION BY o_orderpriority ORDER BY ...) — Spark shuffles by "
+    "the partition clause and feeds each partition's rows, in the "
+    "declared order, to one UDTF instance (eval per row, terminate "
+    "per partition), which is the imperative escape hatch when "
+    "per-group logic outgrows window functions but the input must "
+    "stay a streamed partition, never a collected list (u03's "
+    "applyInPandas materializes the group as one pandas frame; this "
+    "streams).  The top-2 semantics here are deliberately "
+    "window-expressible so the oracle can verify the partition/order "
+    "contract exactly.  Money stays integer cents through the Python "
+    "boundary.",
+)
+def u13_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderpriority string, rnk int, o_orderkey bigint, price_cents bigint")
+    class Top2Spenders:
+        def __init__(self) -> None:
+            self._seen = 0
+
+        def eval(self, row):
+            # rows arrive in the TABLE clause's declared ORDER BY
+            if self._seen < 2:
+                self._seen += 1
+                yield (
+                    row["o_orderpriority"],
+                    self._seen,
+                    row["o_orderkey"],
+                    row["price_cents"],
+                )
+
+    spark.udtf.register("u13_top2_spenders", Top2Spenders)
+    table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).createOrReplaceTempView("u13_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, rnk, o_orderkey, price_cents
+        FROM u13_top2_spenders(
+          TABLE(u13_orders)
+          PARTITION BY o_orderpriority
+          ORDER BY (price DESC, o_orderkey)
+        )
+        """
+    )

@@ -156,6 +156,9 @@ PROBE = [
     "p02_index_build_pipeline",
     "st08_python_stream_source",
     "e19_filtered_ann",
+    "q109_session_variables",
+    "ts28_business_days",
+    "u13_table_arg_udtf",
 ]
 
 

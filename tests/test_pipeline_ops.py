@@ -446,3 +446,24 @@ def test_pq_python_fold_replicas_match_columns(spark, sf_dir):
         assert r["nv"] == _py_norm(v)
         assert r["d2"] == _py_d2(v, q)
         assert r["cs"] == _py_cosine(v, q, _py_norm(v), _py_norm(q))
+
+
+def test_business_day_formula_matches_python(spark, sf_dir):
+    """ts28's closed-form weekday count equals a literal Python
+    datetime replay (the semantic anchor the cross-engine hash can't
+    provide, since both engines run the same formula)."""
+    import datetime as dt
+
+    from flaco_spark.inventory import REGISTRY
+
+    rows = REGISTRY["ts28_business_days"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        d0 = dt.date.fromisoformat(r.order_date)
+        d1 = dt.date.fromisoformat(r.sla_date)
+        want = sum(
+            1
+            for i in range((d1 - d0).days + 1)
+            if (d0 + dt.timedelta(days=i)).weekday() < 5
+        )
+        assert r.business_days == want, (r.order_date, r.business_days, want)
