@@ -58,6 +58,8 @@ EXTENDED = [
     "d24_exact_substring_dedup",
     "q101_bucketed_join",
     "p01_corpus_pipeline",
+    "p02_index_build_pipeline",
+    "st07_transform_with_state",
 ]
 
 

@@ -1594,3 +1594,76 @@ def t24_jaccard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= T24_TOPK)
         .select("query_id", "cand_id", "jaccard", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# t25 — sentence segmentation stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t25_sentence_stats",
+    oracle="""
+WITH sents AS (
+  SELECT doc_id, trim(s) AS s
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+    FROM documents
+  )
+  WHERE length(trim(s)) > 0
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_sentences,
+         CAST(SUM(length(s)) AS BIGINT) AS total_chars,
+         CAST(MAX(length(s)) AS BIGINT) AS max_len
+  FROM sents GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_sentences, 0) AS n_sentences,
+       COALESCE(a.total_chars, 0) AS total_chars,
+       COALESCE(a.max_len, 0) AS max_len,
+       CAST(CASE WHEN a.n_sentences > 0
+                 THEN (a.total_chars * 100) // a.n_sentences
+                 ELSE 0 END AS BIGINT) AS mean_len_x100
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+    tags=("text", "sentences", "segmentation", "documents"),
+    doc="Sentence segmentation stats — the chunking-policy input t10 "
+    "consumes (chunk at sentence boundaries, pack to a token budget): "
+    "split on terminal punctuation runs ([.!?]+ — the same regex "
+    "class in both engines' RE dialects), drop whitespace-only "
+    "segments, and report per-doc sentence count, character mass, "
+    "longest sentence, and mean length in exact fixed-point "
+    "(total*100 // n, no float division).  Docs with NO terminal "
+    "punctuation survive as zero-rows via the left join — the "
+    "boundary case that silently drops documents in naive "
+    "split-then-aggregate pipelines.  Map-side split + one "
+    "hash-aggregate; the explode fan-out is |sentences|, the same "
+    "scale contract as t05's word explode.",
+)
+def t25_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sents = (
+        d.select("doc_id", F.explode(F.split("text", r"[.!?]+")).alias("s"))
+        .select("doc_id", F.trim("s").alias("s"))
+        .filter(F.length("s") > 0)
+    )
+    agg = sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.length("s")).cast("bigint").alias("total_chars"),
+        F.max(F.length("s")).cast("bigint").alias("max_len"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+        F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
+        F.coalesce("max_len", F.lit(0)).alias("max_len"),
+        F.when(
+            F.col("n_sentences") > 0,
+            F.floor((F.col("total_chars") * 100) / F.col("n_sentences")),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("mean_len_x100"),
+    )

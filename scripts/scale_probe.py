@@ -159,6 +159,7 @@ PROBE = [
     "q109_session_variables",
     "ts28_business_days",
     "u13_table_arg_udtf",
+    "t25_sentence_stats",
 ]
 
 
