@@ -342,11 +342,11 @@ FROM cells c JOIN enc e ON c.vec_id = e.vec_id
     "re-sizing).  e12/e15 SERVE from exactly this relation: codes "
     "are the only per-vector bytes a query touches.  Physical shape: "
     "both the coarse quantizer and all 8 codebooks ride to executors "
-    "as broadcast/literal constants (bounded k<=256 by the "
-    "SEED_ID_CAP contract), so assignment + encode is ONE "
-    "scan-project pass with zero shuffles; the only exchanges are "
-    "the per-vector argmax window (vec-partitioned, collapses with "
-    "the scan under AQE) and the per-list occupancy window — and a "
+    "as literal constants (bounded k<=256 by the "
+    "SEED_ID_CAP contract), so assignment (a map-side array_min "
+    "argmin, e15's device — never a vecs×seeds crossJoin window) + "
+    "encode is ONE scan-project pass with zero shuffles; the only "
+    "exchange is the per-list occupancy window — and a "
     "production build writes list-partitioned files (q102's layout) "
     "from the same pass, making the occupancy count a free "
     "write-side statistic.  At 100 TB: 8 bytes/vector out, codebook "
@@ -357,12 +357,10 @@ def p02_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flaco_spark.functions import cosine, norm
     from flaco_spark.operators.similarity import (
-        IVF_SEED_MOD,
-        SEED_ID_CAP,
         _pq_assigns_col,
         _pq_codebook_literal,
         _pq_seeds_py,
-        spread_to_cores,
+        _py_norm,
     )
 
     e = table(spark, sf_dir, "embeddings")
@@ -374,27 +372,32 @@ def p02_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id bigint, list_id bigint, pq_code string, "
             "total_d2 double, list_size bigint",
         )
-    coarse = pts.filter(
-        ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
-    ).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("v").alias("sv"),
-        norm(F.col("v")).alias("sn"),
-    )
-    scored = (
-        spread_to_cores(pts)
-        .select("vec_id", "v", norm(F.col("v")).alias("n"))
-        .crossJoin(F.broadcast(coarse))
-        .withColumn(
-            "seed_cos", cosine(F.col("v"), F.col("sv"), F.col("n"), F.col("sn"))
+    # Coarse assignment as e15's MAP-SIDE literal argmin: 256 cosines
+    # per vector against broadcast-literal centroids, picked by
+    # ascending (-cos, cell) struct order (== the oracle's ORDER BY
+    # seed_cos DESC, seed_id) — not a vecs×seeds crossJoin window,
+    # which at 10× shuffles |corpus|×|seeds| rows through one
+    # per-vector window sort (the shape e15's rewrite removed).
+    coarse_ids = F.lit([sid for sid, _ in seeds]).cast("array<bigint>")
+    coarse_vecs = F.lit([v for _, v in seeds]).cast("array<array<double>>")
+    coarse_norms = F.lit([_py_norm(v) for _, v in seeds]).cast("array<double>")
+    cell = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(seeds))),
+            lambda i: F.struct(
+                (
+                    -cosine(
+                        F.col("v"),
+                        F.element_at(coarse_vecs, i),
+                        norm(F.col("v")),
+                        F.element_at(coarse_norms, i),
+                    )
+                ).alias("negcos"),
+                F.element_at(coarse_ids, i).alias("cell"),
+            ),
         )
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
-    cells = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v", F.col("seed_id").alias("list_id"))
-    )
+    )["cell"]
+    cells = pts.select("vec_id", "v", cell.alias("list_id"))
     assigns = _pq_assigns_col(*_pq_codebook_literal(seeds))
     enc = cells.select(
         "vec_id",

@@ -925,18 +925,21 @@ def test_m10_patch_grid_is_shuffle_free(spark, sf_dir):
     assert "Generate" in plan
 
 
-def test_p02_index_build_broadcasts_codebooks(spark, sf_dir):
-    """The index build ships the coarse quantizer as a broadcast and
-    the PQ codebooks as literals — no shuffle feeds the encode; the
-    only exchanges are the two window partitionings."""
+def test_p02_index_build_is_map_side(spark, sf_dir):
+    """The index build ships the coarse quantizer AND the PQ codebooks
+    as literal constants (e15's map-side argmin — not a vecs×seeds
+    crossJoin window), so the ONLY exchange is the per-list occupancy
+    window's partitioning."""
+    import re
+
     from flaco_spark.plans import formatted_plan
 
     plan = formatted_plan(REGISTRY["p02_index_build_pipeline"].builder(spark, sf_dir))
-    assert "BroadcastExchange" in plan, "coarse seeds must broadcast"
     assert "CartesianProduct" not in plan
-    # window shuffles only: vec-partition argmax + list-partition size
+    window_nodes = re.findall(r"^\(\d+\) Window\b", plan, re.M)
+    assert len(window_nodes) == 1, f"expected only the list-size window, saw {len(window_nodes)}"
     n_shuffles = plan.count("Exchange hashpartitioning")
-    assert n_shuffles <= 2, f"expected <=2 hash exchanges, saw {n_shuffles}"
+    assert n_shuffles <= 1, f"expected <=1 hash exchange, saw {n_shuffles}"
 
 
 def test_ts27_interpolation_shares_one_sort(spark, sf_dir):
