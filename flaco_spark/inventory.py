@@ -101,6 +101,7 @@ RISKY_NEW: frozenset[str] = frozenset(
         "st04_stateful_sessionization", "st05_stream_static_enrichment",
         "st07_transform_with_state",  # state-v2 + worker protobuf bootstrap
         "st08_python_stream_source",  # streaming Python DataSource drain loop
+        "st09_foreachbatch_upsert",  # multi-batch MERGE snapshot swap
 
         "u10_python_datasource", "q101_bucketed_join",
         "q102_partition_pruned_agg", "q99_orc_roundtrip",

@@ -475,3 +475,71 @@ def st08_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "st09_foreachbatch_upsert",
+    oracle="""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("streaming", "foreachbatch", "merge", "cdc", "events"),
+    doc="foreachBatch exactly-once MERGE behind the correctness gate "
+    "— the PRODUCTION streaming-CDC apply pattern (q67's MERGE run "
+    "per micro-batch): the events fixture is split into THREE "
+    "slices drained one per micro-batch (maxFilesPerTrigger=1), "
+    "deliberately NOT in time order, and each batch upserts "
+    "latest-record-per-user into a rewrite-and-swap parquet "
+    "snapshot; the drained snapshot must hash-match q69's batch "
+    "latest-record SQL, proving the merge converges to the same "
+    "relation under ANY batch carving and arrival order.  This "
+    "completes the streaming lane's sink trio: memory (test), "
+    "append parquet (st06 — immutable facts), foreachBatch MERGE "
+    "(keyed mutable state in the lake, the Delta/Iceberg-shaped "
+    "deployment).",
+)
+def st09_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from flaco_spark.streaming.ingest import foreachbatch_upsert
+    from flaco_spark.tables import table as _table
+
+    scratch = tempfile.mkdtemp(prefix="flaco_st09_")
+    src_dir = f"{scratch}/src"
+    os.mkdir(src_dir)
+    events = _table(spark, sf_dir, "events")
+    # three disjoint slices, one file each — replayed out of time order
+    for i in range(3):
+        events.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            f"{scratch}/part{i}"
+        )
+        [pf] = glob.glob(f"{scratch}/part{i}/*.parquet")
+        shutil.copy(pf, f"{src_dir}/slice{i}.parquet")
+    snap_dir = f"{scratch}/snapshot"
+    try:
+        raw_schema = events.schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .select("user_id", "event_id", "ts", "value")
+        )
+        q = foreachbatch_upsert(stream, snap_dir, f"{scratch}/ckpt")
+        q.awaitTermination()
+        snap = spark.read.parquet(snap_dir).select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        rows = snap.collect()
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -160,6 +160,7 @@ PROBE = [
     "ts28_business_days",
     "u13_table_arg_udtf",
     "t25_sentence_stats",
+    "st09_foreachbatch_upsert",
 ]
 
 
