@@ -1028,45 +1028,49 @@ GROUP BY s.doc_id
     "information (novelty → 0 means the source is exhausted; a "
     "boilerplate-heavy doc scores near 0 against its antecedents).  "
     "First-seen decomposition (t17's trick at shingle granularity) "
-    "keeps it two shuffles: shingle → MIN(doc_id), then re-join to "
-    "per-doc aggregate — no per-prefix rescans.  The DISTINCT is "
-    "per-doc (map-side dedupable); integer counts + one final double "
+    "needs NO shingle-keyed re-join: n_novel(doc) is just the size of "
+    "first_doc's preimage — GROUP BY first_doc over the firsts "
+    "relation — and n_shingles is the per-doc distinct-array size, "
+    "computed map-side before any shuffle.  Total exchange surface: "
+    "one shingle→MIN(doc_id) aggregate plus a doc-count-sized join "
+    "(AQE broadcasts it) — the corpus-sized shingle relation is "
+    "shuffled ONCE, not twice.  Integer counts + one final double "
     "division for bit-identical scores.",
 )
 def t19_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 5)
-        .select("doc_id", "text")
-    )
-    shingles = d.select(
-        "doc_id",
-        F.explode(
+        .select(
+            "doc_id",
             F.array_distinct(
                 F.expr(
                     "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"
                 )
-            )
-        ).alias("sh"),
-    )
-    firsts = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        shingles.join(firsts, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_novel"),
+            ).alias("shs"),
         )
+    )
+    per_doc = d.select(
+        "doc_id", F.size("shs").cast("bigint").alias("n_shingles"), "shs"
+    )
+    firsts = (
+        per_doc.select("doc_id", F.explode("shs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    return (
+        per_doc.drop("shs")
+        .join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_novel",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
             (
-                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
             ).alias("novelty"),
         )
     )

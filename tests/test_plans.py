@@ -964,3 +964,14 @@ def test_g04_no_cartesian(spark, sf_dir):
 
     plan = formatted_plan(REGISTRY["g04_link_prediction"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_t19_single_corpus_shuffle(spark, sf_dir):
+    """t19's rewrite removed the shingle-keyed re-join: the only join
+    left is doc-count-sized (broadcast), never a corpus-sized
+    SortMergeJoin over shingles."""
+    from flaco_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["t19_novelty_curve"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
