@@ -3238,3 +3238,46 @@ def q109_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — IDENTIFIER clause (safe SQL templating for names)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q110_identifier_clause",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_cents
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY l_linestatus
+""",
+    tags=("sql", "identifier", "templating", "lineitem"),
+    doc="IDENTIFIER clause (Spark 3.5+): table AND column names bind "
+    "from parameters as parse-tree identifiers — the safe form of "
+    "the string-spliced table/column templating every multi-tenant "
+    "or per-partition job ends up writing (q105 binds VALUES; this "
+    "binds NAMES, the half of injection surface parameter markers "
+    "can't cover because a name is not a literal).  A malicious "
+    "value like 'lineitem WHERE 1=1 --' fails identifier resolution "
+    "instead of splicing into the query.  The resolved plan is "
+    "byte-identical to writing the names inline — same scan, same "
+    "pushdown.",
+)
+def q110_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q110_lineitem")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:qty) AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS qty_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:qty) < 10
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": "q110_lineitem", "grp": "l_linestatus", "qty": "l_quantity"},
+    )

@@ -161,6 +161,7 @@ PROBE = [
     "u13_table_arg_udtf",
     "t25_sentence_stats",
     "st09_foreachbatch_upsert",
+    "q110_identifier_clause",
 ]
 
 
