@@ -659,3 +659,70 @@ def test_minhash_collapse_reconstruction_matches_direct(spark, base, copies):
     )
     release_caches()
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 5_000_000)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_linear_interpolation_matches_python(spark, obs):
+    """ts27's blend semantics on random observation patterns: a pure
+    Python replay of the spec (carry prev/next observation, integer
+    floor blend, NULL edges) must equal the window-expression result —
+    the semantic anchor the cross-engine hash can't provide, since
+    both engines run the same formula."""
+    from pyspark.sql import Window as W
+
+    have = dict(obs)
+    rows = [(h, have.get(h)) for h in range(24)]
+    df = spark.createDataFrame(rows, "hh long, m long").repartition(3)
+    wp = W.orderBy("hh").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.orderBy("hh").rowsBetween(0, W.unboundedFollowing)
+    obs_h = F.when(F.col("m").isNotNull(), F.col("hh"))
+    ctx = df.select(
+        "hh",
+        "m",
+        F.last("m", ignorenulls=True).over(wp).alias("pm"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("m", ignorenulls=True).over(wf).alias("nm"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    blend = F.col("pm") + F.floor(
+        ((F.col("nm") - F.col("pm")) * (F.col("hh") - F.col("ph")))
+        / (F.col("nh") - F.col("ph"))
+    ).cast("bigint")
+    got = {
+        r.hh: r.filled
+        for r in ctx.select(
+            "hh",
+            F.when(F.col("m").isNotNull(), F.col("m"))
+            .when(F.col("pm").isNull() | F.col("nm").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(blend)
+            .alias("filled"),
+        ).collect()
+    }
+    ks = sorted(have)
+    want = {}
+    for h in range(24):
+        if h in have:
+            want[h] = have[h]
+            continue
+        prev = max((k for k in ks if k < h), default=None)
+        nxt = min((k for k in ks if k > h), default=None)
+        if prev is None or nxt is None:
+            want[h] = None
+        else:
+            import math as _m
+
+            pm, nm = have[prev], have[nxt]
+            want[h] = pm + _m.floor((nm - pm) * (h - prev) / (nxt - prev))
+    assert got == want
