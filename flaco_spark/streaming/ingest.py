@@ -290,8 +290,12 @@ def ensure_protobuf_worker_env(spark: SparkSession) -> None:
     env = spark.sparkContext.environment
     cur = env.get("PYTHONPATH", "")
     if _SYSTEM_PROTOBUF_PATH not in cur:
+        # APPEND after any user-provided entries (any PYTHONPATH dir
+        # precedes site-packages either way; the sdk dir's top-level
+        # names — api_server, dev_appserver, lib, … — collide with no
+        # stdlib or dependency module, verified by listing).
         env["PYTHONPATH"] = (
-            f"{_SYSTEM_PROTOBUF_PATH}:{cur}" if cur else _SYSTEM_PROTOBUF_PATH
+            f"{cur}:{_SYSTEM_PROTOBUF_PATH}" if cur else _SYSTEM_PROTOBUF_PATH
         )
     env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
 
