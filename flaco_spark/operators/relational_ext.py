@@ -3281,3 +3281,76 @@ def q110_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "q110_lineitem", "grp": "l_linestatus", "qty": "l_quantity"},
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — SQL scripting (BEGIN/END control flow, Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q111_sql_scripting",
+    oracle="""
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+  FROM orders
+),
+t1 AS (SELECT 2 * (SUM(pc) // COUNT(*)) AS thr FROM o),
+t2 AS (SELECT 2 * (SUM(pc) // COUNT(*)) AS thr FROM o, t1 WHERE pc <= t1.thr),
+t3 AS (SELECT 2 * (SUM(pc) // COUNT(*)) AS thr FROM o, t2 WHERE pc <= t2.thr)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(pc) AS BIGINT) AS kept_cents,
+       CAST(MAX(t3.thr) AS BIGINT) AS final_threshold
+FROM o, t3 WHERE pc <= t3.thr
+""",
+    tags=("sql", "scripting", "iterative", "orders"),
+    doc="SQL SCRIPTING (Spark 4 BEGIN/END blocks: DECLARE, SET from "
+    "scalar subqueries, WHILE loops): an iterative outlier trim — "
+    "recompute the mean-based threshold three times, each round over "
+    "the rows the previous threshold kept — written as an actual "
+    "procedural loop in SQL, the migration surface for stored-"
+    "procedure workloads (the reference's users run whole SQL "
+    "batches server-side, src/lib.rs:189; this is that shape run on "
+    "the engine).  The oracle unrolls the loop into three chained "
+    "CTEs — hash-equality proves each procedural iteration equals "
+    "its declarative unrolling.  All arithmetic in integer cents "
+    "with floor division (positive domain, so Spark's DIV and "
+    "DuckDB's // agree).  Each loop body is one full-table "
+    "aggregate: the script costs exactly k scans — loops multiply "
+    "SCANS, not shuffles, which is the property to watch at 100 TB "
+    "(cache the filtered relation between rounds when k grows).",
+)
+def q111_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q111_orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr BIGINT DEFAULT NULL;
+              DECLARE i INT DEFAULT 0;
+              WHILE i < 3 DO
+                SET thr = (
+                  SELECT 2 * (SUM(pc) DIV COUNT(*)) FROM (
+                    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+                    FROM q111_orders
+                  ) WHERE thr IS NULL OR pc <= thr
+                );
+                SET i = i + 1;
+              END WHILE;
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     CAST(SUM(pc) AS BIGINT) AS kept_cents,
+                     thr AS final_threshold
+              FROM (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+                FROM q111_orders
+              ) WHERE pc <= thr;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

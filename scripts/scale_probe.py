@@ -162,6 +162,7 @@ PROBE = [
     "t25_sentence_stats",
     "st09_foreachbatch_upsert",
     "q110_identifier_clause",
+    "q111_sql_scripting",
 ]
 
 
