@@ -2251,6 +2251,14 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         elif fmt == "orc":
             writer.orc(path)
             back = spark.read.orc(path)
+        elif fmt == "xml":
+            writer.format("xml").option("rowTag", "row").save(path)
+            back = (
+                spark.read.schema(_RT_SCHEMA)
+                .format("xml")
+                .option("rowTag", "row")
+                .load(path)
+            )
         else:
             writer.json(path)
             back = spark.read.schema(_RT_SCHEMA).json(path)
@@ -3354,3 +3362,25 @@ def q111_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "q112_xml_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "xml", "roundtrip", "lineitem"),
+    doc="XML sink + source round-trip under the correctness gate — "
+    "Spark 4's NATIVE XML data source (the formerly-external "
+    "spark-xml, now built in) under the same value-fidelity contract "
+    "as q92/q93/q99: lineitem's money columns go parquet → "
+    "distributed XML write (rowTag-per-record) → schema-explicit XML "
+    "read → exact-decimal aggregate, hash-matched to the same "
+    "aggregate over the original parquet.  XML is the interchange "
+    "format of enterprise/EDI feeds (the place money columns most "
+    "often transit text); the explicit schema again avoids the "
+    "inference pass and the decimal→double demotion.  Completes the "
+    "format matrix: parquet, Feather/IPC, CSV, JSON-lines, ORC, XML "
+    "(Avro's module is not bundled in this runtime — honestly "
+    "absent, not stubbed).",
+)
+def q112_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "xml")

@@ -163,6 +163,7 @@ PROBE = [
     "st09_foreachbatch_upsert",
     "q110_identifier_clause",
     "q111_sql_scripting",
+    "q112_xml_roundtrip",
 ]
 
 
