@@ -883,3 +883,65 @@ def m10_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y0"),
         (F.col("npx") * F.col("npy") + 1).cast("int").alias("seq_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m11 — binaryFile source: raw-bytes corpus ingestion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m11_binaryfile_ingest",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 200
+""",
+    tags=("multimodal", "binary", "source", "ingest", "documents"),
+    doc="The `binaryFile` data source under the correctness gate — "
+    "the ingestion path a 100 TB image/audio corpus actually enters "
+    "Spark through (one row per file: path, length, raw content "
+    "bytes; m01/m02's decode UDFs consume exactly this shape): a "
+    "bounded per-doc file tree is materialized (content = the doc's "
+    "UTF-8 bytes, so the expected relation is derivable), read back "
+    "via spark.read.format('binaryFile'), and the recovered "
+    "(doc_id-from-path, byte length, content md5) must hash-match "
+    "the same digests computed from the documents table — proving "
+    "the source delivers every byte of every file exactly once.  "
+    "Scale notes: binaryFile parallelizes file-per-task with "
+    "pathGlobFilter/recursiveFileLookup for layout control; the "
+    "anti-pattern it replaces is driver-side file loops.  The "
+    "|docs|-row result is materialized eagerly so the scratch tree "
+    "deletes before returning (q92's contract).",
+)
+def m11_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    out = tempfile.mkdtemp(prefix="flaco_binf_")
+    try:
+        for r in d.collect():
+            with open(f"{out}/doc_{r['doc_id']:08d}.bin", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(out)
+            .select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                F.col("length").cast("bigint").alias("n_bytes"),
+                F.md5(F.col("content")).alias("content_md5"),
+            )
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -164,6 +164,7 @@ PROBE = [
     "q110_identifier_clause",
     "q111_sql_scripting",
     "q112_xml_roundtrip",
+    "m11_binaryfile_ingest",
 ]
 
 
