@@ -975,3 +975,55 @@ def test_t19_single_corpus_shuffle(spark, sf_dir):
     plan = formatted_plan(REGISTRY["t19_novelty_curve"].builder(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once RESUME across separate streaming runs: drain run 1
+    with only slice 0 in the source dir, then add slices 1+2 and start
+    a SECOND query on the SAME checkpoint — it must process only the
+    new files, and the parquet sink must hold every event exactly
+    once.  This is the backfill-resume contract the st06 topology
+    relies on (checkpointed file-source offsets + idempotent sink)."""
+    import glob
+    import shutil as _sh
+
+    from flaco_spark.streaming.ingest import stream_parquet_sink
+    from flaco_spark.tables import convert_event_ts, table as _table
+
+    events = _table(spark, sf_dir, "events")
+    slices = []
+    for i in range(3):
+        events.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}")
+        )
+        [pf] = glob.glob(str(tmp_path / f"part{i}" / "*.parquet"))
+        slices.append(pf)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _sh.copy(slices[0], src_dir / "slice0.parquet")
+
+    raw_schema = events.schema
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_parquet_sink(
+            spark,
+            str(src_dir),
+            raw_schema,
+            out_dir,
+            ckpt,
+            transform=lambda s: convert_event_ts(s).select("event_id", "user_id"),
+        )
+        q.awaitTermination(120)
+
+    run()  # run 1: slice 0 only
+    n1 = spark.read.parquet(out_dir).count()
+    _sh.copy(slices[1], src_dir / "slice1.parquet")
+    _sh.copy(slices[2], src_dir / "slice2.parquet")
+    run()  # run 2: same checkpoint, must pick up ONLY the new files
+    sunk = spark.read.parquet(out_dir)
+    total = events.count()
+    assert 0 < n1 < total
+    assert sunk.count() == total, "resume must not duplicate or drop rows"
+    assert sunk.select("event_id").distinct().count() == total
