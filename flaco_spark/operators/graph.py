@@ -506,3 +506,126 @@ def g04_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("qc", "cand", "common_suppliers", "ra_micros")
     )
+
+
+# ---------------------------------------------------------------------------
+# g05 — personalized PageRank (topic-sensitive jump vector)
+# ---------------------------------------------------------------------------
+
+_G05_SEED_SQL = "node % 2 = 0 AND (node // 2) % 97 = 0"
+
+
+def _g05_iter_sql(k: int) -> str:
+    return f"""
+contrib_{k} AS (
+  SELECT e.dst, e.src, r.rank / CAST(d.od AS DOUBLE) AS x
+  FROM edges e
+  JOIN prank_{k - 1} r ON e.src = r.node
+  JOIN outdeg d ON e.src = d.src
+),
+infl_{k} AS (
+  SELECT dst, list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY src)),
+                          (acc, v) -> acc + v) AS infl
+  FROM contrib_{k} GROUP BY dst
+),
+prank_{k} AS (
+  SELECT n.node,
+         CASE WHEN {_G05_SEED_SQL}
+              THEN CAST({G01_JUMP} AS DOUBLE) / CAST(ss.s AS DOUBLE)
+              ELSE 0.0 END
+           + CAST({G01_DAMP} AS DOUBLE) * COALESCE(i.infl, 0.0) AS rank
+  FROM nodes n CROSS JOIN sstats ss
+  LEFT JOIN infl_{k} i ON n.node = i.dst
+)"""
+
+
+@register(
+    "g05_personalized_pagerank",
+    oracle=f"""
+WITH {_G01_EDGES_SQL},
+sstats AS (SELECT COUNT(*) AS s FROM nodes WHERE {_G05_SEED_SQL}),
+prank_0 AS (
+  SELECT n.node,
+         CASE WHEN {_G05_SEED_SQL}
+              THEN 1.0::DOUBLE / CAST(ss.s AS DOUBLE) ELSE 0.0 END AS rank
+  FROM nodes n CROSS JOIN sstats ss
+),
+{",".join(_g05_iter_sql(k) for k in range(1, G01_ITERS + 1))}
+SELECT node, rank,
+       ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rn
+FROM prank_{G01_ITERS}
+WHERE rank > 0
+QUALIFY rn <= 50
+""",
+    tags=("graph", "pagerank", "personalized", "iterative", "topk"),
+    doc=f"PERSONALIZED PageRank (Haveliwala 2002's topic-sensitive "
+    "variant): the random surfer teleports only to a probe set — "
+    "every 97th customer — so rank mass measures proximity TO THOSE "
+    "customers rather than global centrality (the 'recommend "
+    "suppliers for this customer segment' query; g04's link "
+    "prediction is the 1-hop special case, this is the full "
+    f"random-walk version).  Same unrolled-{G01_ITERS}-round "
+    "machinery as g01 — shared persisted edge hub, src-ordered "
+    "deterministic inflow folds — with the uniform jump replaced by "
+    "a MAP-SIDE seed indicator (the seed rule is an expression over "
+    "node ids, so personalization adds zero joins and zero "
+    "shuffles to g01's plan).  Nodes untouched by the walk stay at "
+    "rank 0 and are excluded; top-50 reachable nodes.  At 100 TB "
+    "the jump vector generalizes to any broadcast seed table.",
+)
+def g05_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    edges = _trade_edges(spark, sf_dir)
+    nodes = register_cache(
+        edges.select(F.col("src").alias("node")).distinct().persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    is_seed = F.expr("node % 2 = 0 AND (node DIV 2) % 97 = 0")
+    sstats = nodes.filter(is_seed).agg(F.count(F.lit(1)).alias("s"))
+
+    ranks = nodes.crossJoin(F.broadcast(sstats)).select(
+        "node",
+        F.when(is_seed, F.lit(1.0) / F.col("s").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    ed = register_cache(
+        edges.join(outdeg, "src").select("src", "dst", F.col("od")).persist()
+    )
+    for _ in range(G01_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            "dst", "src", (F.col("rank") / F.col("od").cast("double")).alias("x")
+        )
+        infl = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "x")))["x"],
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("infl")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(sstats))
+            .join(infl, nodes.node == infl.dst, "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        is_seed,
+                        F.lit(float(G01_JUMP)) / F.col("s").cast("double"),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(float(G01_DAMP))
+                    * F.coalesce(F.col("infl"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    from pyspark.sql import Window as W
+
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(50)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("rank"), F.asc("node"))))
+        .select("node", "rank", "rn")
+    )

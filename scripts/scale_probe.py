@@ -165,6 +165,7 @@ PROBE = [
     "q111_sql_scripting",
     "q112_xml_roundtrip",
     "m11_binaryfile_ingest",
+    "g05_personalized_pagerank",
 ]
 
 
