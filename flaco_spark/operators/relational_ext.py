@@ -3384,3 +3384,67 @@ def q111_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q112_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "xml")
+
+
+# ---------------------------------------------------------------------------
+# q113 — row-value IN subquery (multi-column membership)
+# ---------------------------------------------------------------------------
+
+_Q113_SQL = """
+WITH hot AS (
+  SELECT l_suppkey, l_partkey
+  FROM {src}
+  GROUP BY l_suppkey, l_partkey
+  ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) DESC,
+           l_suppkey, l_partkey
+  LIMIT 50
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_cents
+FROM {src}
+WHERE (l_suppkey, l_partkey) IN (SELECT l_suppkey, l_partkey FROM hot)
+GROUP BY l_returnflag
+"""
+
+
+_Q113_ORACLE = """
+WITH hot AS (
+  SELECT l_suppkey, l_partkey
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+  ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) DESC,
+           l_suppkey, l_partkey
+  LIMIT 50
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_cents
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM hot h
+              WHERE h.l_suppkey = l.l_suppkey AND h.l_partkey = l.l_partkey)
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q113_rowvalue_in",
+    oracle=_Q113_ORACLE,
+    tags=("sql", "subquery", "row-value", "lineitem"),
+    doc="Row-value IN subquery: (l_suppkey, l_partkey) IN (SELECT "
+    "...) — MULTI-COLUMN membership against a derived key set (the "
+    "top-50 revenue pairs, deterministically tie-broken), the SQL:92 "
+    "row-constructor form that replaces the error-prone concat-keys "
+    "workaround (string keys collide on delimiter choices and break "
+    "pushdown).  DuckDB lacks the multi-column IN form, so the "
+    "oracle states the same relation as a correlated EXISTS — "
+    "hash-equality proves the two formulations coincide.  "
+    "Catalyst plans the row-value IN as a left-semi join on the "
+    "composite key — "
+    "the same physical shape as q38's explicit semi join, proving "
+    "the sugar and the join agree.  The LIMIT-bounded inner set "
+    "broadcasts at any corpus size.",
+)
+def q113_rowvalue_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q113_lineitem")
+    return spark.sql(_Q113_SQL.format(src="q113_lineitem"))

@@ -2004,3 +2004,97 @@ def ts28_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(od, 21), "yyyy-MM-dd").alias("sla_date"),
         (f(n0 + 22) - f(n0)).cast("bigint").alias("business_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts29 — moving-average crossover detection (momentum signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts29_ma_crossover",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+mas AS (
+  SELECT day, rev,
+         CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              // 3 AS BIGINT) AS short_ma,
+         CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              // 7 AS BIGINT) AS long_ma,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+  FROM daily
+),
+sig AS (
+  SELECT day, rev, short_ma, long_ma,
+         CASE WHEN short_ma > long_ma THEN 1 ELSE 0 END AS above,
+         LAG(CASE WHEN short_ma > long_ma THEN 1 ELSE 0 END) OVER (ORDER BY day)
+           AS prev_above
+  FROM mas WHERE w = 7
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, rev, short_ma, long_ma,
+       CASE WHEN above = 1 AND prev_above = 0 THEN 'golden'
+            WHEN above = 0 AND prev_above = 1 THEN 'death'
+            ELSE 'none' END AS crossover
+FROM sig WHERE prev_above IS NOT NULL
+""",
+    tags=("timeseries", "moving-average", "crossover", "events"),
+    doc="Moving-average crossover detection (the momentum-signal "
+    "primitive trading and alerting systems run on every metric): "
+    "daily purchase revenue in exact integer micros, 3-day vs 7-day "
+    "trailing means, and the day the short average crosses the long "
+    "one flagged as golden (up) or death (down) via a lag on the "
+    "above/below indicator.  Exactness: the means are INTEGER FLOOR "
+    "means — SUM(micros) DIV n over full windows only — because "
+    "AVG() routes through double division and the two engines "
+    "round-trip the 53-bit quotient differently by 1 µunit (caught "
+    "by the gate on first build; floor-of-integer-division cannot "
+    "disagree on a positive domain).  No float accumulation.  Warm-up "
+    "rows (incomplete 7-day window) are excluded by the window COUNT "
+    "so both engines agree on where the signal stream starts.  One "
+    "|days|-row relation after the first aggregate: the windows cost "
+    "nothing at any corpus scale.",
+)
+def ts29_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("value").cast("decimal(18,6)") * 1_000_000))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w3 = W.orderBy("day").rowsBetween(-2, 0)
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    mas = daily.select(
+        "day",
+        "rev",
+        F.expr("SUM(rev) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) DIV 3")
+        .cast("bigint")
+        .alias("short_ma"),
+        F.expr("SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) DIV 7")
+        .cast("bigint")
+        .alias("long_ma"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    ).filter(F.col("w") == 7)
+    above = F.when(F.col("short_ma") > F.col("long_ma"), 1).otherwise(0)
+    sig = mas.select(
+        "day",
+        "rev",
+        "short_ma",
+        "long_ma",
+        above.alias("above"),
+        F.lag(above).over(W.orderBy("day")).alias("prev_above"),
+    ).filter(F.col("prev_above").isNotNull())
+    return sig.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+        "short_ma",
+        "long_ma",
+        F.when((F.col("above") == 1) & (F.col("prev_above") == 0), "golden")
+        .when((F.col("above") == 0) & (F.col("prev_above") == 1), "death")
+        .otherwise("none")
+        .alias("crossover"),
+    )

@@ -166,6 +166,8 @@ PROBE = [
     "q112_xml_roundtrip",
     "m11_binaryfile_ingest",
     "g05_personalized_pagerank",
+    "ts29_ma_crossover",
+    "q113_rowvalue_in",
 ]
 
 
