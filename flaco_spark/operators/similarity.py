@@ -2181,3 +2181,136 @@ def e19_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], 3
     ).select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rn")
+
+
+# ---------------------------------------------------------------------------
+# e20 — incremental index maintenance (frozen quantizer, delta encode)
+# ---------------------------------------------------------------------------
+
+E20_DELTA_BELOW = 100  # vec_id < 100 = the newly-arrived batch
+
+
+@register(
+    "e20_incremental_index",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL.strip()},
+cseeds AS (
+  SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3 AND p.vec_id < {SEED_ID_CAP}
+    AND p.vec_id >= {E20_DELTA_BELOW}
+),
+cells AS (
+  SELECT vec_id, seed_id AS list_id FROM (
+    SELECT p.vec_id, s.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY round({_dot_sql('p.v', 's.sv')}, 8)
+                                       / (n.nrm * s.sn) DESC, s.seed_id) AS rnk
+    FROM pts p JOIN norms n ON p.vec_id = n.vec_id CROSS JOIN cseeds s) t
+  WHERE rnk = 1
+),
+subs AS (
+  SELECT vec_id, g.m AS m,
+         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS sv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+),
+pseeds AS (
+  SELECT vec_id AS seed_id, g.m AS m,
+         list_slice(v, g.m * {PQ_SUBDIM} + 1, (g.m + 1) * {PQ_SUBDIM}) AS ssv
+  FROM pts, generate_series(0, {PQ_M - 1}) AS g(m)
+  WHERE vec_id % {IVF_SEED_MOD} = 3 AND vec_id < {SEED_ID_CAP}
+    AND vec_id >= {E20_DELTA_BELOW}
+),
+codes AS (
+  SELECT vec_id, m, seed_id AS code FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY round({_pq_d2_sql('s.sv', 'c.ssv')}, 8),
+                                       c.seed_id) AS rnk
+    FROM subs s JOIN pseeds c ON s.m = c.m) t
+  WHERE rnk = 1
+),
+enc AS (
+  SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS pq_code
+  FROM codes GROUP BY vec_id
+)
+SELECT c.vec_id,
+       CASE WHEN c.vec_id < {E20_DELTA_BELOW} THEN 'delta' ELSE 'base' END AS origin,
+       c.list_id, e.pq_code,
+       COUNT(*) OVER (PARTITION BY c.list_id) AS list_size
+FROM cells c JOIN enc e ON c.vec_id = e.vec_id
+""",
+    tags=("similarity", "ivf", "pq", "incremental", "embeddings"),
+    doc="Incremental INDEX MAINTENANCE (d25's nightly-batch topology "
+    "for the vector stack): a newly-arrived batch (vec_id < 100) "
+    "joins an existing IVFPQ index whose quantizers were trained "
+    "WITHOUT it — coarse seeds and PQ codebooks come from the base "
+    "corpus only (the frozen-codebook contract: re-training on every "
+    "delta would re-encode the whole index; freezing makes updates "
+    "APPEND-ONLY, at the cost of drift e14 monitors).  Both cohorts "
+    "encode through the same frozen literals, tagged base/delta, and "
+    "the per-list occupancy is recomputed over the MERGED index — "
+    "the updated manifest a serving tier reloads.  Encode stays one "
+    "scan-project pass; the only shuffle is the occupancy window.  "
+    "At 100 TB the delta encode cost is |batch|, never |index|.",
+)
+def e20_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seed_rows = sorted(
+        (r["vec_id"], r["v"])
+        for r in pts.filter(
+            ((F.col("vec_id") % IVF_SEED_MOD) == 3)
+            & (F.col("vec_id") < SEED_ID_CAP)
+            & (F.col("vec_id") >= E20_DELTA_BELOW)
+        ).collect()
+    )
+    if not seed_rows:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, origin string, list_id bigint, pq_code string, "
+            "list_size bigint",
+        )
+    coarse_ids = F.lit([sid for sid, _ in seed_rows]).cast("array<bigint>")
+    coarse_vecs = F.lit([v for _, v in seed_rows]).cast("array<array<double>>")
+    coarse_norms = F.lit([_py_norm(v) for _, v in seed_rows]).cast("array<double>")
+    cell = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(seed_rows))),
+            lambda i: F.struct(
+                (
+                    -cosine(
+                        F.col("v"),
+                        F.element_at(coarse_vecs, i),
+                        norm(F.col("v")),
+                        F.element_at(coarse_norms, i),
+                    )
+                ).alias("negcos"),
+                F.element_at(coarse_ids, i).alias("cell"),
+            ),
+        )
+    )["cell"]
+    assigns = _pq_assigns_col(*_pq_codebook_literal(seed_rows))
+    enc = pts.select(
+        "vec_id",
+        F.when(F.col("vec_id") < E20_DELTA_BELOW, "delta")
+        .otherwise("base")
+        .alias("origin"),
+        cell.alias("list_id"),
+        F.array_join(
+            F.transform(assigns, lambda a: a["seed_id"].cast("string")), "-"
+        ).alias("pq_code"),
+    )
+    wl = W.partitionBy("list_id")
+    return enc.select(
+        "vec_id",
+        "origin",
+        "list_id",
+        "pq_code",
+        F.count(F.lit(1)).over(wl).cast("bigint").alias("list_size"),
+    )

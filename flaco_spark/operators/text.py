@@ -1671,3 +1671,74 @@ def t25_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_len_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t26 — character-class mix profile (script / mojibake screening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t26_charclass_mix",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS letters,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS digits,
+         CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+              AS BIGINT) AS spaces
+  FROM documents
+)
+SELECT doc_id, n, letters, digits, spaces,
+       n - letters - digits - spaces AS other,
+       CAST(CASE WHEN n > 0 THEN (letters * 1000) // n ELSE 0 END AS BIGINT)
+         AS letters_permille,
+       CAST(CASE WHEN n > 0 THEN ((n - letters - digits - spaces) * 1000) // n
+            ELSE 0 END AS BIGINT) AS other_permille
+FROM base
+""",
+    tags=("text", "charclass", "script", "quality", "documents"),
+    doc="Character-class mix profile: per doc, counts of ASCII "
+    "letters / digits / spaces / everything-else plus exact per-mille "
+    "ratios — the screening signal for mojibake (high 'other' from "
+    "double-decoded UTF-8), wrong-script routing before t03's "
+    "language ID, and OCR noise.  Counting is "
+    "length-minus-stripped-length (one regexp_replace per class — "
+    "explicit character classes only, identical in Java regex and "
+    "RE2, never shorthand like \\w whose Unicode scope differs "
+    "between engines); ratios are integer floor per-mille.  Pure "
+    "map-side scan, the cheapest possible corpus pass.",
+)
+def t26_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text").cast("bigint")
+
+    def cnt(cls):
+        return (F.length("text") - F.length(F.regexp_replace("text", cls, ""))).cast(
+            "bigint"
+        )
+
+    base = d.select(
+        "doc_id",
+        n.alias("n"),
+        cnt("[A-Za-z]").alias("letters"),
+        cnt("[0-9]").alias("digits"),
+        cnt("[ ]").alias("spaces"),
+    )
+    other = F.col("n") - F.col("letters") - F.col("digits") - F.col("spaces")
+    pm = lambda c: (
+        F.when(F.col("n") > 0, F.floor((c * 1000) / F.col("n"))).otherwise(0)
+    ).cast("bigint")
+    return base.select(
+        "doc_id",
+        "n",
+        "letters",
+        "digits",
+        "spaces",
+        other.alias("other"),
+        pm(F.col("letters")).alias("letters_permille"),
+        pm(other).alias("other_permille"),
+    )

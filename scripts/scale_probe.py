@@ -168,6 +168,8 @@ PROBE = [
     "g05_personalized_pagerank",
     "ts29_ma_crossover",
     "q113_rowvalue_in",
+    "t26_charclass_mix",
+    "e20_incremental_index",
 ]
 
 
