@@ -1742,3 +1742,187 @@ def t26_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pm(F.col("letters")).alias("letters_permille"),
         pm(other).alias("other_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t27 — Rocchio pseudo-relevance feedback (two-stage retrieval)
+# ---------------------------------------------------------------------------
+
+T27_FB_K = 3  # feedback depth: top-k docs from round 1 feed the expansion
+
+
+def _t27_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(T22_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(T22_TERMS))
+    )
+    r1_legs = []
+    for qid, terms in T22_QUERIES:
+        idx = [T22_TERMS.index(t) for t in terms]
+        score = " + ".join(_t22_sql_contrib(i) for i in idx)
+        r1_legs.append(
+            f"SELECT '{qid}' AS query_id, doc_id, {score} AS score FROM joined"
+        )
+    r1_union = "\n  UNION ALL\n  ".join(r1_legs)
+    fb_sums = ",\n         ".join(
+        f"SUM(pd.tf_{i}) AS fb_{i}" for i in range(len(T22_TERMS))
+    )
+    r2_legs = []
+    for qid, terms in T22_QUERIES:
+        qset = {T22_TERMS.index(t) for t in terms}
+        parts = []
+        for i in range(len(T22_TERMS)):
+            w = f"CAST({6 if i in qset else 0} + f.fb_{i} AS DOUBLE) / 6.0"
+            parts.append(f"(({w}) * ({_t22_sql_contrib(i)}))")
+        r2_legs.append(
+            f"SELECT '{qid}' AS query_id, doc_id, {' + '.join(parts)} AS score\n"
+            f"  FROM joined CROSS JOIN (SELECT * FROM fbs WHERE query_id = '{qid}') f"
+        )
+    r2_union = "\n  UNION ALL\n  ".join(r2_legs)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         {df_cols}
+  FROM per_doc
+),
+joined AS (SELECT * FROM per_doc CROSS JOIN stats),
+r1 AS (
+  {r1_union}
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM r1 WHERE score > 0) t
+  WHERE rn <= {T27_FB_K}
+),
+fbs AS (
+  SELECT fb.query_id,
+         {fb_sums}
+  FROM fb JOIN per_doc pd ON fb.doc_id = pd.doc_id
+  GROUP BY fb.query_id
+),
+r2 AS (
+  {r2_union}
+)
+SELECT query_id, doc_id, score,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rn
+FROM r2 WHERE score > 0
+QUALIFY rn <= {T22_TOPK}
+"""
+
+
+@register(
+    "t27_rocchio_prf",
+    oracle=_t27_oracle(),
+    tags=("text", "retrieval", "bm25", "rocchio", "prf", "topk", "documents"),
+    doc=f"Pseudo-relevance feedback (Rocchio 1971, the two-stage "
+    "retrieval loop every lexical search stack runs): round 1 is "
+    "t22's BM25 ranking; the top-{T27_FB_K} documents per query are "
+    "ASSUMED relevant, their term-frequency mass re-weights the "
+    "query (alpha=1 on original terms, beta=1/2 spread over the "
+    f"{T27_FB_K} feedback docs — weights kept as exact rationals "
+    "(6·orig + fb_tf)/6, one integer numerator per term), and round "
+    "2 re-ranks the corpus under the expanded weights.  The "
+    "vocabulary stays the FIXED query-term set, so the posting "
+    "width never grows with feedback (the bounded-expansion "
+    "contract; real Rocchio also harvests new terms — that widens "
+    "the tf projection the same way, by |expansion|, never "
+    "|corpus vocabulary|).  Both rounds share ONE per-doc token "
+    "aggregate and one stats broadcast; feedback sums are a "
+    "|queries|-row relation joined back as a broadcast constant.  "
+    "Fixed-order float folds throughout — hash-stable.",
+)
+def t27_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.operators.similarity import topk_per_query
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(T22_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(T22_TERMS))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = (
+            (F.col("n") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        dl_norm = F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (
+            F.col("dl").cast("double")
+            / (F.col("sumdl").cast("double") / F.col("n").cast("double"))
+        )
+        return idf * ((tf * F.lit(2.2)) / (tf + F.lit(1.2) * dl_norm))
+
+    r1_parts = []
+    for qid, terms in T22_QUERIES:
+        idx = [T22_TERMS.index(t) for t in terms]
+        s = contrib(idx[0])
+        for i in idx[1:]:
+            s = s + contrib(i)
+        r1_parts.append(
+            joined.select(F.lit(qid).alias("query_id"), "doc_id", s.alias("score"))
+        )
+    r1 = r1_parts[0]
+    for p in r1_parts[1:]:
+        r1 = r1.unionAll(p)
+    fb = topk_per_query(
+        r1.filter(F.col("score") > 0),
+        "query_id",
+        [F.desc("score"), F.asc("doc_id")],
+        T27_FB_K,
+    ).select("query_id", "doc_id")
+    fbs = fb.join(per_doc, "doc_id").groupBy("query_id").agg(
+        *[F.sum(f"tf_{i}").alias(f"fb_{i}") for i in range(len(T22_TERMS))]
+    )
+    r2_parts = []
+    for qid, terms in T22_QUERIES:
+        qset = {T22_TERMS.index(t) for t in terms}
+        f_row = fbs.filter(F.col("query_id") == qid).drop("query_id")
+        s = None
+        for i in range(len(T22_TERMS)):
+            w = (
+                F.lit(6 if i in qset else 0) + F.col(f"fb_{i}")
+            ).cast("double") / F.lit(6.0)
+            term = w * contrib(i)
+            s = term if s is None else s + term
+        r2_parts.append(
+            joined.crossJoin(F.broadcast(f_row)).select(
+                F.lit(qid).alias("query_id"), "doc_id", s.alias("score")
+            )
+        )
+    r2 = r2_parts[0]
+    for p in r2_parts[1:]:
+        r2 = r2.unionAll(p)
+    return topk_per_query(
+        r2.filter(F.col("score") > 0),
+        "query_id",
+        [F.desc("score"), F.asc("doc_id")],
+        T22_TOPK,
+    ).select("query_id", "doc_id", "score", "rn")

@@ -170,6 +170,7 @@ PROBE = [
     "q113_rowvalue_in",
     "t26_charclass_mix",
     "e20_incremental_index",
+    "t27_rocchio_prf",
 ]
 
 
