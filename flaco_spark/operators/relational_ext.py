@@ -3448,3 +3448,73 @@ GROUP BY l_returnflag
 def q113_rowvalue_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("q113_lineitem")
     return spark.sql(_Q113_SQL.format(src="q113_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# q114 — SQL-language functions (CREATE FUNCTION: scalar + table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q114_sql_functions",
+    oracle="""
+WITH big AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice >= 50000.0
+),
+net AS (
+  SELECT l_orderkey,
+         CAST(l_extendedprice AS DECIMAL(14,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS nr
+  FROM lineitem
+)
+SELECT b.o_orderpriority,
+       CAST(COUNT(DISTINCT b.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(n.nr) * 10000 AS BIGINT) AS net_x10000
+FROM big b JOIN net n ON n.l_orderkey = b.o_orderkey
+GROUP BY b.o_orderpriority
+""",
+    tags=("sql", "functions", "ddl", "orders", "lineitem"),
+    doc="SQL-LANGUAGE functions (SQL:2016 CREATE FUNCTION, Spark "
+    "3.5+): a scalar function (net revenue as the engine's exact "
+    "decimal formula) and a TABLE function (orders above a price "
+    "parameter) defined in SQL DDL and composed in one query — the "
+    "reusable-business-logic surface that replaces copy-pasted "
+    "expressions WITHOUT the Python-UDF serialization tax: SQL "
+    "functions inline into the plan at analysis, so pushdown, "
+    "codegen, and broadcast decisions see through them (a Python "
+    "UDF is an optimization barrier; these are transparent).  The "
+    "oracle inlines both bodies — hash-equality proves the "
+    "function-call indirection changes nothing.  Money math reuses "
+    "compat.py's exact decimal scales; the sum is emitted at x10000 "
+    "integer scale so no engine ever reduces a decimal's scale.",
+)
+def q114_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q114_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q114_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q114_net(price DOUBLE, disc DOUBLE)
+        RETURNS DECIMAL(20,4)
+        RETURN CAST(price AS DECIMAL(14,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(disc AS DECIMAL(4,2)))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q114_big_orders(min_price DOUBLE)
+        RETURNS TABLE (o_orderkey BIGINT, o_orderpriority STRING)
+        RETURN SELECT o_orderkey, o_orderpriority
+               FROM q114_orders WHERE o_totalprice >= min_price
+        """
+    )
+    return spark.sql(
+        """
+        SELECT b.o_orderpriority,
+               CAST(COUNT(DISTINCT b.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(q114_net(l.l_extendedprice, l.l_discount)) * 10000 AS BIGINT)
+                 AS net_x10000
+        FROM q114_big_orders(50000.0) b
+        JOIN q114_lineitem l ON l.l_orderkey = b.o_orderkey
+        GROUP BY b.o_orderpriority
+        """
+    )

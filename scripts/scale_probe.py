@@ -171,6 +171,7 @@ PROBE = [
     "t26_charclass_mix",
     "e20_incremental_index",
     "t27_rocchio_prf",
+    "q114_sql_functions",
 ]
 
 
