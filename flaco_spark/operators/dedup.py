@@ -2476,3 +2476,58 @@ def d27_soft_dedup_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (byte * F.col("cluster_size") < 256).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d28 — domain-interleaved write order (mixture batching)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d28_mixture_interleave",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS BIGINT)
+         AS position,
+       doc_id, source, CAST(rn AS BIGINT) AS within_source_rank
+FROM ranked
+""",
+    tags=("dedup", "mixture", "interleave", "ordering", "documents"),
+    doc="Domain-interleaved WRITE ORDER: documents get a "
+    "content-deterministic shuffle within their source (order by "
+    "md5(text) — d11's portable-randomness device, so the order is "
+    "reproducible and uncorrelated with ingestion order) and the "
+    "global position round-robins across sources (sort by "
+    "(within-source rank, source)) — the batch-composition policy "
+    "that keeps every training window source-balanced instead of "
+    "serving a million consecutive rows from one crawl (the "
+    "curriculum accident that shifts early-training gradients; t16's "
+    "mixture CARD says what the ratios are, this op lays the bytes "
+    "out so ANY contiguous read realizes them).  Two window sorts; "
+    "at 100 TB this is the final sort before the training-shard "
+    "write, where the same (rank, source) key feeds a "
+    "repartitionByRange so each output shard holds one contiguous, "
+    "already-interleaved position range.",
+)
+def d28_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flaco_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    w_src = W.partitionBy("source").orderBy(F.md5("text"), F.asc("doc_id"))
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("rn")
+    )
+    w_all = W.orderBy("rn", "source", "doc_id")
+    return ranked.select(
+        F.row_number().over(w_all).cast("bigint").alias("position"),
+        "doc_id",
+        "source",
+        F.col("rn").cast("bigint").alias("within_source_rank"),
+    )

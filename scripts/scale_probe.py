@@ -172,6 +172,7 @@ PROBE = [
     "e20_incremental_index",
     "t27_rocchio_prf",
     "q114_sql_functions",
+    "d28_mixture_interleave",
 ]
 
 
