@@ -3518,3 +3518,60 @@ def q114_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — collated string semantics (Spark 4 collation support)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q115_collations",
+    oracle="""
+WITH mixed AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN upper(source)
+                         WHEN 1 THEN lower(source)
+                         ELSE upper(substr(source, 1, 1)) || lower(substr(source, 2))
+         END AS src_mixed
+  FROM documents
+)
+SELECT lower(src_mixed) AS source_ci,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT src_mixed) AS BIGINT) AS n_case_variants
+FROM mixed
+GROUP BY lower(src_mixed)
+""",
+    tags=("sql", "collation", "strings", "documents"),
+    doc="Collated string semantics (Spark 4 collation support): "
+    "grouping under UTF8_LCASE merges case variants AT THE "
+    "COMPARISON LEVEL — collate(col, 'UTF8_LCASE') in the GROUP BY — "
+    "which is the declarative form of the lower()-wrapping every "
+    "case-insensitive report otherwise scatters through its queries "
+    "(and unlike lower()-wrapping, a collated COLUMN TYPE applies to "
+    "joins, DISTINCT, and ORDER BY without touching each "
+    "expression).  The group REPRESENTATIVE under a collation is "
+    "engine-chosen, so the output key is normalized through lower() "
+    "— the gate pins the partition of rows into groups, which is "
+    "the collation's semantic content.  Case variants are "
+    "manufactured deterministically (upper/lower/initcap by "
+    "doc_id % 3); n_case_variants counts DISTINCT exact strings "
+    "inside each collated group, proving the merge actually "
+    "happened.  The oracle states the same relation with lower().",
+)
+def q115_collations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    mixed = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.lower("source"))
+        .otherwise(F.initcap("source"))
+        .alias("src_mixed"),
+    )
+    ci = F.collate(F.col("src_mixed"), "UTF8_LCASE")
+    return mixed.groupBy(ci.alias("k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("src_mixed")).cast("bigint").alias("n_case_variants"),
+    ).select(
+        F.lower(F.col("k")).alias("source_ci"), "n_docs", "n_case_variants"
+    )

@@ -173,6 +173,7 @@ PROBE = [
     "t27_rocchio_prf",
     "q114_sql_functions",
     "d28_mixture_interleave",
+    "q115_collations",
 ]
 
 
