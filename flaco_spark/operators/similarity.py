@@ -2314,3 +2314,205 @@ def e20_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_code",
         F.count(F.lit(1)).over(wl).cast("bigint").alias("list_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e22 — maximal marginal relevance (diversified re-ranking)
+# ---------------------------------------------------------------------------
+
+E22_SHORTLIST = 8  # round-1 exact top-k per query
+E22_PICKS = 4      # diversified selections
+E22_NQ = 5         # queries: vec_id < 5
+
+
+def _e22_oracle() -> str:
+    cand_cte = f"""
+cand AS (
+  SELECT query_id, neighbor_id, cos_sim AS rel FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_dot_sql('q.v', 'c.v')}, 8) / (nq.nrm * nc.nrm) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_dot_sql('q.v', 'c.v')}, 8)
+                                       / (nq.nrm * nc.nrm) DESC, c.vec_id) AS rn
+    FROM pts q
+    JOIN norms nq ON q.vec_id = nq.vec_id
+    JOIN pts c ON c.vec_id <> q.vec_id
+    JOIN norms nc ON c.vec_id = nc.vec_id
+    WHERE q.vec_id < {E22_NQ}) t
+  WHERE rn <= {E22_SHORTLIST}
+),
+sims AS (
+  SELECT a.query_id, a.neighbor_id AS d1, b.neighbor_id AS d2,
+         round({_dot_sql('pa.v', 'pb.v')}, 8) / (na.nrm * nb.nrm) AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN pts pa ON a.neighbor_id = pa.vec_id
+  JOIN norms na ON a.neighbor_id = na.vec_id
+  JOIN pts pb ON b.neighbor_id = pb.vec_id
+  JOIN norms nb ON b.neighbor_id = nb.vec_id
+)"""
+    steps = ["""
+sel1 AS (
+  SELECT query_id, [neighbor_id] AS picks, neighbor_id AS pick,
+         0.5 * rel - 0.5 * 0.0 AS score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand) t
+  WHERE rn = 1
+)"""]
+    for t in range(2, E22_PICKS + 1):
+        steps.append(f"""
+elig{t} AS (
+  SELECT s.query_id, s.picks, c.neighbor_id, c.rel,
+         MAX(CASE WHEN list_contains(s.picks, x.d2) THEN x.sim END) AS maxsim
+  FROM sel{t - 1} s
+  JOIN cand c ON c.query_id = s.query_id
+             AND NOT list_contains(s.picks, c.neighbor_id)
+  LEFT JOIN sims x ON x.query_id = c.query_id AND x.d1 = c.neighbor_id
+  GROUP BY s.query_id, s.picks, c.neighbor_id, c.rel
+),
+sel{t} AS (
+  SELECT query_id, list_append(picks, neighbor_id) AS picks,
+         neighbor_id AS pick,
+         0.5 * rel - 0.5 * COALESCE(maxsim, 0.0) AS score
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY 0.5 * rel - 0.5 * COALESCE(maxsim, 0.0) DESC,
+                   neighbor_id) AS rn
+        FROM elig{t}) t
+  WHERE rn = 1
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT query_id, {t} AS step, pick AS picked_id, score FROM sel{t}"
+        for t in range(1, E22_PICKS + 1)
+    )
+    return f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL.strip()},
+{cand_cte},
+{",".join(steps)}
+SELECT query_id, CAST(step AS INT) AS step, picked_id, score
+FROM ({union})
+"""
+
+
+@register(
+    "e22_mmr_rerank",
+    oracle=_e22_oracle(),
+    tags=("similarity", "embedding", "mmr", "diversity", "rerank"),
+    doc=f"Maximal marginal relevance (Carbonell/Goldstein 1998) — "
+    "DIVERSIFIED re-ranking, the step between retrieval and "
+    "presentation in every RAG/search stack: from each query's exact "
+    f"top-{E22_SHORTLIST} shortlist, greedily select {E22_PICKS} "
+    "results maximizing 0.5·relevance − 0.5·max-similarity-to-"
+    "already-picked — near-duplicate results (which the embedding "
+    "corpus has by construction) cannot occupy multiple slots.  The "
+    "greedy loop is UNROLLED into per-step dataframe stages (q111's "
+    "loop-vs-unrolling device, one window argmax per step over the "
+    "per-query eligible set); the oracle unrolls identically, so "
+    "hash-equality pins every selection AND its marginal score.  "
+    "Scale: the shortlist is k-sized per query, so all MMR work "
+    "after round 1 touches k×|queries| rows — the distributed cost "
+    "is entirely in round 1's brute-force top-k (e01's two-phase "
+    "shape); pairwise sims are computed only within shortlists.",
+)
+def e22_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cand = brute_force_topk(
+        e, e.filter(F.col("vec_id") < E22_NQ), k=E22_SHORTLIST
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
+    cand = _persist_eager_sim(cand)
+    pa = pts.select(F.col("vec_id").alias("d1"), F.col("v").alias("v1"))
+    pb = pts.select(F.col("vec_id").alias("d2"), F.col("v").alias("v2"))
+    a = cand.select("query_id", F.col("neighbor_id").alias("d1"))
+    b = cand.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("d2"))
+    sims = (
+        a.join(b, (a.query_id == b.qb) & (a.d1 != b.d2))
+        .join(pa, "d1")
+        .join(pb, "d2")
+        .select(
+            "query_id",
+            "d1",
+            "d2",
+            cosine(
+                F.col("v1"), F.col("v2"), norm(F.col("v1")), norm(F.col("v2"))
+            ).alias("sim"),
+        )
+    )
+    sims = _persist_eager_sim(sims)
+
+    w1 = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.array(F.col("neighbor_id")).alias("picks"),
+            F.col("neighbor_id").alias("pick"),
+            (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.lit(0.0)).alias("score"),
+        )
+    )
+    out = [sel.select("query_id", F.lit(1).cast("int").alias("step"),
+                      F.col("pick").alias("picked_id"), "score")]
+    for t in range(2, E22_PICKS + 1):
+        elig = (
+            sel.select("query_id", "picks")
+            .join(cand, "query_id")
+            .filter(~F.array_contains(F.col("picks"), F.col("neighbor_id")))
+            .join(
+                sims.withColumnRenamed("d1", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id", "picks", "neighbor_id", "rel")
+            .agg(
+                F.max(
+                    F.when(
+                        F.array_contains(F.col("picks"), F.col("d2")), F.col("sim")
+                    )
+                ).alias("maxsim")
+            )
+        )
+        m = F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.coalesce(
+            F.col("maxsim"), F.lit(0.0)
+        )
+        wm = W.partitionBy("query_id").orderBy(m.desc(), F.asc("neighbor_id"))
+        sel = (
+            elig.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.concat(F.col("picks"), F.array(F.col("neighbor_id"))).alias(
+                    "picks"
+                ),
+                F.col("neighbor_id").alias("pick"),
+                m.alias("score"),
+            )
+        )
+        out.append(
+            sel.select(
+                "query_id",
+                F.lit(t).cast("int").alias("step"),
+                F.col("pick").alias("picked_id"),
+                "score",
+            )
+        )
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionAll(p)
+    return res
+
+
+def _persist_eager_sim(df: DataFrame) -> DataFrame:
+    """Materialize a small intermediate reused across MMR steps (the
+    shortlist and its pairwise sims are k-by-|queries| sized — the
+    persist prevents the 4-step loop from re-running round 1's
+    brute-force top-k per step)."""
+    from flaco_spark.cachepool import register_cache
+
+    return register_cache(df.persist())

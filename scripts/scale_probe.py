@@ -174,6 +174,7 @@ PROBE = [
     "q114_sql_functions",
     "d28_mixture_interleave",
     "q115_collations",
+    "e22_mmr_rerank",
 ]
 
 
