@@ -3575,3 +3575,52 @@ def q115_collations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lower(F.col("k")).alias("source_ci"), "n_docs", "n_case_variants"
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — SQL PIVOT clause (dialect form of q90's DataFrame pivot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q116_sql_pivot_clause",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) * 100 END) AS BIGINT)
+         AS f_qty_cents,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) * 100 END) AS BIGINT)
+         AS o_qty_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("sql", "pivot", "dialect", "lineitem"),
+    doc="The SQL PIVOT clause (FROM t PIVOT (agg FOR col IN (...))) — "
+    "the dialect form of q90's DataFrame pivot(values) and q41's "
+    "manual CASE-WHEN: the pinned IN-list keeps the output schema "
+    "STATIC (an unpinned pivot needs a values-discovery pass and "
+    "breaks schema contracts downstream), and Catalyst compiles the "
+    "clause to exactly the conditional-aggregate plan the CASE-WHEN "
+    "writes by hand — which is what the CASE-WHEN oracle proves by "
+    "hash-equality.  Money stays exact-decimal through the pivot "
+    "cells; absent combinations surface as NULL (never 0 — the "
+    "no-rows/zero-sum distinction audits care about).",
+)
+def q116_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q116_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(F AS BIGINT) AS f_qty_cents,
+               CAST(O AS BIGINT) AS o_qty_cents
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(18,2)) * 100 AS qty_cents
+          FROM q116_lineitem
+        )
+        PIVOT (
+          SUM(qty_cents) FOR l_linestatus IN ('F' AS F, 'O' AS O)
+        )
+        """
+    )

@@ -175,6 +175,7 @@ PROBE = [
     "d28_mixture_interleave",
     "q115_collations",
     "e22_mmr_rerank",
+    "q116_sql_pivot_clause",
 ]
 
 
