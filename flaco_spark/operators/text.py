@@ -1926,3 +1926,67 @@ def t27_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("score"), F.asc("doc_id")],
         T22_TOPK,
     ).select("query_id", "doc_id", "score", "rn")
+
+
+# ---------------------------------------------------------------------------
+# t28 — deterministic text augmentation (seeded word dropout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t28_text_augmentation",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(text, '\s+') AS w,
+         2 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 3 AS k
+  FROM documents
+),
+aug AS (
+  SELECT doc_id, k,
+         CAST(len(w) AS BIGINT) AS n_words,
+         array_to_string(
+           list_transform(
+             list_filter(generate_series(1, len(w)), i -> i % k != 0),
+             i -> w[i]),
+           ' ') AS aug_text
+  FROM base
+)
+SELECT doc_id, CAST(k AS INT) AS k, n_words,
+       CAST(CAST(n_words AS BIGINT) - n_words // k AS BIGINT) AS n_kept,
+       md5(aug_text) AS aug_md5
+FROM aug
+""",
+    tags=("text", "augmentation", "dropout", "documents"),
+    doc="Deterministic TEXT AUGMENTATION (seeded word dropout): every "
+    "k-th word is deleted, where k in {2,3,4} derives from the "
+    "document's content hash — the augmentation-policy shape "
+    "(dropout/swap/mask) training pipelines apply for robustness, "
+    "made REPRODUCIBLE: the same doc always yields the same variant "
+    "(content-hash seeding, d11's device), so augmented corpora are "
+    "regenerable instead of stored and experiments diff cleanly.  "
+    "The gate pins the exact variant via its md5 plus the n_kept = "
+    "n - floor(n/k) count identity.  Pure map-side higher-order "
+    "array ops (position filter + join) — zero shuffles, the "
+    "cheapest possible corpus pass, and the policy generalizes to "
+    "any position/hash predicate.",
+)
+def t28_text_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    k = (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int") % 3 + 2)
+    base = d.select("doc_id", w.alias("w"), k.alias("k"))
+    kept = F.filter(
+        F.col("w"), lambda x, i: ((i + 1) % F.col("k")) != 0
+    )
+    aug_text = F.array_join(kept, " ")
+    return base.select(
+        "doc_id",
+        F.col("k").cast("int").alias("k"),
+        F.size("w").cast("bigint").alias("n_words"),
+        (
+            F.size("w").cast("bigint")
+            - F.floor(F.size("w") / F.col("k")).cast("bigint")
+        ).alias("n_kept"),
+        F.md5(aug_text).alias("aug_md5"),
+    )

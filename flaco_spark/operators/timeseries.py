@@ -2098,3 +2098,57 @@ def ts29_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("crossover"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts30 — state dwell-time report (duration-weighted transitions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts30_state_durations",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(date_diff('second', ts, next_ts)) AS BIGINT) AS total_seconds,
+       CAST(MAX(date_diff('second', ts, next_ts)) AS BIGINT) AS max_seconds
+FROM seq WHERE next_ts IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("timeseries", "durations", "state", "events"),
+    doc="State DWELL-TIME report: each event opens a state that lasts "
+    "until the user's next event (lead over the (ts, event_id) "
+    "order), and durations aggregate per state — 'how long do users "
+    "sit in each state', the duration-weighted complement of q77's "
+    "transition COUNTS (a state entered often but exited instantly "
+    "dominates counts yet vanishes here; uptime/downtime and "
+    "funnel-latency reports are this exact shape).  Durations are "
+    "integer seconds via ts10's exact idiom — truncate both ends to "
+    "whole seconds, then timestampdiff (DuckDB's date_diff counts "
+    "second-BOUNDARY crossings, Spark's raw timestampdiff truncates "
+    "elapsed microseconds; truncating first makes both count the "
+    "same boundaries, timezone-independently); each user's final "
+    "open state is excluded (unknowable duration, the honest "
+    "right-censoring choice).  One per-user window + one small "
+    "aggregate.",
+)
+def ts30_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).filter(F.col("next_ts").isNotNull())
+    dur = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', ts),"
+        " date_trunc('second', next_ts))"
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(dur).cast("bigint").alias("total_seconds"),
+        F.max(dur).cast("bigint").alias("max_seconds"),
+    )

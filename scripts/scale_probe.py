@@ -176,6 +176,8 @@ PROBE = [
     "q115_collations",
     "e22_mmr_rerank",
     "q116_sql_pivot_clause",
+    "ts30_state_durations",
+    "t28_text_augmentation",
 ]
 
 
