@@ -2421,6 +2421,9 @@ FROM ({union})
 def e22_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from flaco_spark.cachepool import release_caches
+
+    release_caches()  # drain-on-entry, the cachepool contract
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cand = brute_force_topk(
