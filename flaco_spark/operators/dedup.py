@@ -2531,3 +2531,90 @@ def d28_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("rn").cast("bigint").alias("within_source_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d29 — dedup ladder: which normalization level collapses each doc
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d29_dedup_ladder",
+    oracle=r"""
+WITH lv AS (
+  SELECT doc_id,
+         md5(text) AS h0,
+         md5(lower(text)) AS h1,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h2,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS h3
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         doc_id > MIN(doc_id) OVER (PARTITION BY h0) AS d0,
+         doc_id > MIN(doc_id) OVER (PARTITION BY h1) AS d1,
+         doc_id > MIN(doc_id) OVER (PARTITION BY h2) AS d2,
+         doc_id > MIN(doc_id) OVER (PARTITION BY h3) AS d3
+  FROM lv
+)
+SELECT CASE WHEN d0 THEN 'exact'
+            WHEN d1 THEN 'casefold'
+            WHEN d2 THEN 'whitespace'
+            WHEN d3 THEN 'alnum'
+            ELSE 'unique' END AS first_dup_level,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1
+""",
+    tags=("dedup", "normalization", "audit", "documents"),
+    doc="The DEDUP LADDER audit: for every document, the FIRST "
+    "normalization level at which it becomes a duplicate of an "
+    "earlier doc — exact bytes → casefold → whitespace-collapse → "
+    "alphanumeric-only (d13's full normalization) — aggregated to "
+    "how many docs each rung newly collapses.  This is the report "
+    "that DECIDES a pipeline's normalization policy: if 'casefold' "
+    "collapses almost nothing beyond 'exact', the cheaper hash "
+    "suffices; if 'alnum' explodes, punctuation noise dominates and "
+    "near-dedup thresholds need re-tuning (d20's calibration).  Four "
+    "hash columns in one scan, four min-id windows sharing the "
+    "per-hash partitioning — at 100 TB this costs four hash-key "
+    "shuffles of (doc_id, 16-byte hash) pairs, never text.",
+)
+def d29_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flaco_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    ws = F.trim(F.regexp_replace(low, " +", " "))
+    alnum = F.trim(
+        F.regexp_replace(F.regexp_replace(low, "[^a-z0-9 ]", " "), " +", " ")
+    )
+    lv = d.select(
+        "doc_id",
+        F.md5("text").alias("h0"),
+        F.md5(low).alias("h1"),
+        F.md5(ws).alias("h2"),
+        F.md5(alnum).alias("h3"),
+    )
+    def dup(h):
+        return F.col("doc_id") > F.min("doc_id").over(W.partitionBy(h))
+
+    m = lv.select(
+        "doc_id",
+        dup("h0").alias("d0"),
+        dup("h1").alias("d1"),
+        dup("h2").alias("d2"),
+        dup("h3").alias("d3"),
+    )
+    level = (
+        F.when(F.col("d0"), "exact")
+        .when(F.col("d1"), "casefold")
+        .when(F.col("d2"), "whitespace")
+        .when(F.col("d3"), "alnum")
+        .otherwise("unique")
+    )
+    return m.groupBy(level.alias("first_dup_level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

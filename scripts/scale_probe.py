@@ -178,6 +178,8 @@ PROBE = [
     "q116_sql_pivot_clause",
     "ts30_state_durations",
     "t28_text_augmentation",
+    "d29_dedup_ladder",
+    "g06_kcore_peel",
 ]
 
 
