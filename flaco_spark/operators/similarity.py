@@ -2519,3 +2519,95 @@ def _persist_eager_sim(df: DataFrame) -> DataFrame:
     from flaco_spark.cachepool import register_cache
 
     return register_cache(df.persist())
+
+
+# ---------------------------------------------------------------------------
+# e23 — cluster-balanced sampling (per-list quotas from the index)
+# ---------------------------------------------------------------------------
+
+E23_QUOTA = 3
+
+
+@register(
+    "e23_cluster_balanced_sample",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL.strip()},
+cseeds AS (
+  SELECT p.vec_id AS seed_id, p.v AS sv, n.nrm AS sn
+  FROM pts p JOIN norms n ON p.vec_id = n.vec_id
+  WHERE p.vec_id % {IVF_SEED_MOD} = 3 AND p.vec_id < {SEED_ID_CAP}
+),
+cells AS (
+  SELECT vec_id, seed_id AS list_id FROM (
+    SELECT p.vec_id, s.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY round({_dot_sql('p.v', 's.sv')}, 8)
+                                       / (n.nrm * s.sn) DESC, s.seed_id) AS rnk
+    FROM pts p JOIN norms n ON p.vec_id = n.vec_id CROSS JOIN cseeds s) t
+  WHERE rnk = 1
+)
+SELECT list_id, vec_id, CAST(pick_rank AS INT) AS pick_rank
+FROM (
+  SELECT list_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY list_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS pick_rank
+  FROM cells) t
+WHERE pick_rank <= {E23_QUOTA}
+""",
+    tags=("similarity", "sampling", "ivf", "diversity", "embeddings"),
+    doc=f"CLUSTER-BALANCED sampling: up to {E23_QUOTA} vectors per "
+    "coarse IVF list, chosen by a content-deterministic md5 order — "
+    "the eval/inspection-set construction that uniform sampling gets "
+    "wrong (uniform over the corpus oversamples dense regions; "
+    "per-list quotas cover the embedding space's STRUCTURE, the same "
+    "reason d15 stratifies by label).  Reuses e04's cell assignment "
+    "as the stratifier — the index IS the sampling frame, no extra "
+    "clustering pass.  One map-side assignment + one per-list "
+    "window; quotas bound the output at |lists|×quota regardless of "
+    "corpus size.",
+)
+def e23_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seed_rows = sorted(
+        (r["vec_id"], r["v"])
+        for r in pts.filter(
+            ((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP)
+        ).collect()
+    )
+    if not seed_rows:
+        return spark.createDataFrame([], "list_id bigint, vec_id bigint, pick_rank int")
+    seed_ids = F.lit([sid for sid, _ in seed_rows]).cast("array<bigint>")
+    seed_vecs = F.lit([v for _, v in seed_rows]).cast("array<array<double>>")
+    seed_norms = F.lit([_py_norm(v) for _, v in seed_rows]).cast("array<double>")
+    cell = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(seed_rows))),
+            lambda i: F.struct(
+                (
+                    -cosine(
+                        F.col("v"),
+                        F.element_at(seed_vecs, i),
+                        norm(F.col("v")),
+                        F.element_at(seed_norms, i),
+                    )
+                ).alias("negcos"),
+                F.element_at(seed_ids, i).alias("cell"),
+            ),
+        )
+    )["cell"]
+    cells = pts.select("vec_id", cell.alias("list_id"))
+    w = W.partitionBy("list_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    return (
+        cells.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= E23_QUOTA)
+        .select("list_id", "vec_id", F.col("pick_rank").cast("int").alias("pick_rank"))
+    )

@@ -602,3 +602,40 @@ def u13_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# u14 — pandas UDF over STRUCT input (Arrow complex-type transit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u14_struct_pandas_udf",
+    oracle="""
+SELECT event_id,
+       CAST((CAST(json_extract_string(props, '$.k') AS INT) * 31
+             + length(event_type)) % 997 AS BIGINT) AS score
+FROM events WHERE event_id % 50 = 7
+""",
+    tags=("udf", "pandas", "arrow", "struct", "events"),
+    doc="Pandas UDF over a STRUCT argument — the Arrow COMPLEX-TYPE "
+    "transit lane: the props JSON parses JVM-side (from_json, so the "
+    "parse never pays the Python tax) into a typed struct, and the "
+    "scalar pandas UDF receives the struct column as a pandas "
+    "DataFrame (Arrow struct arrays arrive as named columns, the "
+    "contract every feature-dict scorer relies on) alongside a "
+    "plain string column.  The scored value is integer-affine so "
+    "the DuckDB oracle can verify the plumbing; the surface under "
+    "test is the struct crossing the Arrow boundary, completing the "
+    "UDF matrix's type axis (scalars: u02, arrays implicit in "
+    "similarity ops, structs: here).",
+)
+def u14_struct_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("bigint")
+    def score(meta: pd.DataFrame, etype: pd.Series) -> pd.Series:
+        # struct column arrives as a DataFrame with one column per field
+        return (meta["k"].astype("int64") * 31 + etype.str.len()) % 997
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 7)
+    meta = F.from_json("props", "k int").alias("meta")
+    return e.select("event_id", score(meta, F.col("event_type")).alias("score"))

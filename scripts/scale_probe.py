@@ -180,6 +180,8 @@ PROBE = [
     "t28_text_augmentation",
     "d29_dedup_ladder",
     "g06_kcore_peel",
+    "u14_struct_pandas_udf",
+    "e23_cluster_balanced_sample",
 ]
 
 
