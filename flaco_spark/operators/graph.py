@@ -749,3 +749,130 @@ def g06_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("final_deg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g07 — HITS hubs & authorities (unrolled, max-normalized)
+# ---------------------------------------------------------------------------
+
+G07_ITERS = 3
+
+
+def _g07_round_sql(k: int) -> str:
+    """One HITS round: auth = fold(in-hub), hub = fold(out-auth),
+    each max-normalized (MAX over doubles is order-independent)."""
+    return f"""
+auth_{k} AS (
+  SELECT e.s, list_reduce(list_prepend(0.0::DOUBLE, list(h.score ORDER BY e.c)),
+                          (acc, v) -> acc + v) AS score
+  FROM edges e JOIN hub_{k - 1} h ON e.c = h.c GROUP BY e.s
+),
+amax_{k} AS (SELECT MAX(score) AS m FROM auth_{k}),
+authn_{k} AS (SELECT s, a.score / x.m AS score FROM auth_{k} a CROSS JOIN amax_{k} x),
+hubr_{k} AS (
+  SELECT e.c, list_reduce(list_prepend(0.0::DOUBLE, list(a.score ORDER BY e.s)),
+                          (acc, v) -> acc + v) AS score
+  FROM edges e JOIN authn_{k} a ON e.s = a.s GROUP BY e.c
+),
+hmax_{k} AS (SELECT MAX(score) AS m FROM hubr_{k}),
+hub_{k} AS (SELECT c, h.score / x.m AS score FROM hubr_{k} h CROSS JOIN hmax_{k} x)"""
+
+
+@register(
+    "g07_hits",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+hub_0 AS (SELECT DISTINCT c, 1.0::DOUBLE AS score FROM edges),
+{",".join(_g07_round_sql(k) for k in range(1, G07_ITERS + 1))}
+SELECT node, score, role, rn FROM (
+  SELECT c AS node, score, 'hub' AS role,
+         ROW_NUMBER() OVER (ORDER BY score DESC, c) AS rn FROM hub_{G07_ITERS}
+  UNION ALL
+  SELECT s AS node, score, 'authority' AS role,
+         ROW_NUMBER() OVER (ORDER BY score DESC, s) AS rn FROM authn_{G07_ITERS}
+) WHERE rn <= 20
+""",
+    tags=("graph", "hits", "iterative", "topk"),
+    doc=f"HITS hubs & authorities (Kleinberg 1999; {G07_ITERS} "
+    "unrolled rounds) on the DIRECTED customer→supplier purchase "
+    "graph — the mutually-recursive complement to g01's PageRank: "
+    "customers are hubs (good buyers point at good suppliers), "
+    "suppliers are authorities.  Per round: authority = src-ordered "
+    "left-fold of in-neighbor hub scores, hub = dst-ordered fold of "
+    "out-neighbor authority scores (collect_list → array_sort → "
+    "aggregate; DuckDB list(ORDER BY) → list_reduce — g01's float "
+    "determinism discipline), each side normalized by its MAX — "
+    "chosen over the textbook L2 norm because MAX over a fixed set "
+    "of doubles is order-independent, so no sqrt-of-sum "
+    "nondeterminism enters the gate.  Top-20 of each role.  100 TB "
+    "posture: the bipartite split means each half-step is one "
+    "shuffle keyed by the opposite side; score relations are "
+    "node-sized, edge relation partitioning is reused across "
+    "rounds, normalization constants are 1-row broadcasts.",
+)
+def g07_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = register_cache(
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+
+    def fold(col_pairs: DataFrame, key: str, order: str) -> DataFrame:
+        return col_pairs.groupBy(key).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(order, "x")))["x"],
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score")
+        )
+
+    hub = edges.select("c").distinct().withColumn("score", F.lit(1.0))
+    auth = None
+    for _ in range(G07_ITERS):
+        contrib_a = edges.join(hub.withColumnRenamed("score", "h"), "c").select(
+            "s", "c", F.col("h").alias("x")
+        )
+        auth = fold(contrib_a, "s", "c")
+        amax = auth.agg(F.max("score").alias("m"))
+        auth = auth.crossJoin(F.broadcast(amax)).select(
+            "s", (F.col("score") / F.col("m")).alias("score")
+        )
+        contrib_h = edges.join(auth.withColumnRenamed("score", "a"), "s").select(
+            "c", "s", F.col("a").alias("x")
+        )
+        hub = fold(contrib_h, "c", "s")
+        hmax = hub.agg(F.max("score").alias("m"))
+        hub = hub.crossJoin(F.broadcast(hmax)).select(
+            "c", (F.col("score") / F.col("m")).alias("score")
+        )
+    from pyspark.sql import Window as W
+
+    top_h = (
+        hub.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("score"), F.asc("c")))
+        )
+        .filter(F.col("rn") <= 20)
+        .select(F.col("c").alias("node"), "score", F.lit("hub").alias("role"), "rn")
+    )
+    top_a = (
+        auth.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("score"), F.asc("s")))
+        )
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("s").alias("node"),
+            "score",
+            F.lit("authority").alias("role"),
+            "rn",
+        )
+    )
+    return top_h.unionAll(top_a)
