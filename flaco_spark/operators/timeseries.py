@@ -2152,3 +2152,98 @@ def ts30_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).cast("bigint").alias("total_seconds"),
         F.max(dur).cast("bigint").alias("max_seconds"),
     )
+
+
+@register(
+    "ts31_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+stat AS (SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mu FROM daily),
+cus AS (
+  SELECT day, rev,
+         CAST(SUM(rev - mu) OVER (ORDER BY day) AS BIGINT) AS cusum
+  FROM daily CROSS JOIN stat
+),
+cp AS (SELECT day AS cp_day FROM cus ORDER BY ABS(cusum) DESC, day LIMIT 1),
+seg AS (
+  SELECT c.day, c.rev, c.cusum,
+         CASE WHEN c.day = cp.cp_day THEN 1 ELSE 0 END AS is_changepoint,
+         CASE WHEN c.day <= cp.cp_day THEN 'before' ELSE 'after' END AS segment
+  FROM cus c CROSS JOIN cp
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, rev, cusum,
+       CAST(is_changepoint AS BIGINT) AS is_changepoint, segment,
+       CAST(SUM(rev) OVER (PARTITION BY segment)
+            // COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS segment_mean
+FROM seg
+""",
+    tags=("timeseries", "changepoint", "cusum", "events"),
+    doc="CUSUM changepoint estimation (Page 1954 lineage; the "
+    "argmax-|cumulative-deviation| single-split estimator binary "
+    "segmentation recurses on): daily purchase revenue in exact "
+    "integer micros, cumulative deviation from the global integer "
+    "floor mean, the day maximizing |CUSUM| flagged as the level "
+    "shift, and both segments annotated with their own floor means "
+    "— the drift/regime-shift primitive monitoring pipelines run "
+    "on every metric.  ALL-INTEGER arithmetic (micros, floor "
+    "means, integer cumsum): nothing for cross-engine float "
+    "rounding to disagree on.  100 TB posture: the series is "
+    "day-grained (agg output is |days| rows regardless of event "
+    "volume), so the single-partition windows operate on a "
+    "metadata-sized relation; the heavy lifting is one map-side "
+    "partial agg over events.",
+)
+def ts31_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("rev")
+    )
+    stat = daily.agg(
+        F.expr("SUM(rev) DIV COUNT(*)").cast("bigint").alias("mu")
+    )
+    cus = daily.crossJoin(F.broadcast(stat)).select(
+        "day",
+        "rev",
+        F.sum(F.col("rev") - F.col("mu"))
+        .over(W.orderBy("day"))
+        .cast("bigint")
+        .alias("cusum"),
+    )
+    cp = (
+        cus.orderBy(F.abs(F.col("cusum")).desc(), F.asc("day"))
+        .limit(1)
+        .select(F.col("day").alias("cp_day"))
+    )
+    seg = cus.crossJoin(F.broadcast(cp)).select(
+        "day",
+        "rev",
+        "cusum",
+        F.when(F.col("day") == F.col("cp_day"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_changepoint"),
+        F.when(F.col("day") <= F.col("cp_day"), "before")
+        .otherwise("after")
+        .alias("segment"),
+    )
+    wseg = W.partitionBy("segment")
+    return seg.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+        "cusum",
+        "is_changepoint",
+        "segment",
+        F.expr(
+            "SUM(rev) OVER (PARTITION BY segment)"
+            " DIV COUNT(*) OVER (PARTITION BY segment)"
+        )
+        .cast("bigint")
+        .alias("segment_mean"),
+    )
