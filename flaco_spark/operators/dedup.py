@@ -2618,3 +2618,141 @@ def d29_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy(level.alias("first_dup_level")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# d30 — Bloom-filter prefiltered decontamination (constant-size broadcast)
+# ---------------------------------------------------------------------------
+
+D30_BITS = 4096  # filter width m; k=3 positions per key
+D30_BENCH_MOD = 50  # doc_id % 50 == 0 → held-out benchmark split
+
+
+def _d30_pos_sql(col: str, off: int) -> str:
+    """Bloom position j from md5 hex chars [3j+1 .. 3j+3] (ascii mix)."""
+    a = f"ascii(substring({col}, {off + 1}, 1))"
+    b = f"ascii(substring({col}, {off + 2}, 1))"
+    c = f"ascii(substring({col}, {off + 3}, 1))"
+    return f"(({a} * 17161 + {b} * 131 + {c}) % {D30_BITS})"
+
+
+@register(
+    "d30_bloom_decontamination",
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % {D30_BENCH_MOD} = 0
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_d30_pos_sql("k", 0)} AS pos FROM bench
+    UNION ALL SELECT {_d30_pos_sql("k", 3)} FROM bench
+    UNION ALL SELECT {_d30_pos_sql("k", 6)} FROM bench
+  )
+),
+corpus AS (
+  SELECT doc_id, source, md5(text) AS k FROM documents
+  WHERE doc_id % {D30_BENCH_MOD} <> 0
+),
+cand AS (
+  SELECT c.doc_id, c.source, c.k FROM corpus c
+  JOIN bits b1 ON b1.pos = {_d30_pos_sql("c.k", 0)}
+  JOIN bits b2 ON b2.pos = {_d30_pos_sql("c.k", 3)}
+  JOIN bits b3 ON b3.pos = {_d30_pos_sql("c.k", 6)}
+),
+conta AS (
+  SELECT DISTINCT c.doc_id, c.source FROM cand c
+  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.k = c.k)
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus,
+       CAST(COALESCE(MAX(cd.n), 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(MAX(ct.n), 0) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(*) - COALESCE(MAX(ct.n), 0) AS BIGINT) AS n_kept
+FROM corpus c
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM cand GROUP BY source) cd
+  ON cd.source = c.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM conta GROUP BY source) ct
+  ON ct.source = c.source
+GROUP BY c.source
+""",
+    tags=("dedup", "decontamination", "bloom", "broadcast", "documents"),
+    doc="Decontamination via a DISTRIBUTED Bloom-filter prefilter "
+    "(Bloom 1970): the benchmark split's content hashes are folded "
+    f"into an m={D30_BITS}-bit / k=3 filter built as a distinct "
+    "bit-POSITION relation (a distributed aggregate — no driver "
+    "sketch object, no collect), the corpus is screened map-side by "
+    "joining all three of its positions against the broadcast bit "
+    "set, and only the surviving candidates meet the real benchmark "
+    "keys in an exact confirm join that clears Bloom false "
+    "positives.  Physically DIFFERENT from d16's broadcast-the-keys "
+    "strategy, and the reason this exists: the filter's broadcast "
+    "size is CONSTANT in benchmark cardinality (m bits, here ≤4096 "
+    "rows), so at 100 TB — where the contamination blocklist itself "
+    "can outgrow a broadcast — the full corpus scan still never "
+    "shuffles; only the candidate sliver (FPR ≈ (bits_set/m)^3 of "
+    "the corpus plus true hits) reaches the exact join.  Output: "
+    "per-source corpus/candidate/contaminated/kept counts — "
+    "n_candidates > n_contaminated is the false-positive margin "
+    "made visible, and every count is mirrored bit-for-bit by the "
+    "oracle's SQL re-derivation of the same filter.",
+)
+def d30_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pos(col: F.Column, off: int) -> F.Column:
+        a = F.ascii(F.substring(col, off + 1, 1))
+        b = F.ascii(F.substring(col, off + 2, 1))
+        c = F.ascii(F.substring(col, off + 3, 1))
+        return (a * 17161 + b * 131 + c) % D30_BITS
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("k")
+    )
+    is_bench = (F.col("doc_id") % D30_BENCH_MOD) == 0
+    bench = keyed.filter(is_bench).select("k").distinct()
+    corpus = keyed.filter(~is_bench)
+    bits = (
+        bench.select(pos(F.col("k"), 0).alias("pos"))
+        .unionAll(bench.select(pos(F.col("k"), 3)))
+        .unionAll(bench.select(pos(F.col("k"), 6)))
+        .distinct()
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(bits.withColumnRenamed("pos", "p1")),
+            F.col("p1") == pos(F.col("k"), 0),
+        )
+        .join(
+            F.broadcast(bits.withColumnRenamed("pos", "p2")),
+            F.col("p2") == pos(F.col("k"), 3),
+        )
+        .join(
+            F.broadcast(bits.withColumnRenamed("pos", "p3")),
+            F.col("p3") == pos(F.col("k"), 6),
+        )
+        .select("doc_id", "source", "k")
+    )
+    conta = cand.join(F.broadcast(bench), "k", "left_semi").select(
+        "doc_id", "source"
+    ).distinct()
+    per_corpus = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+    )
+    per_cand = cand.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    per_conta = conta.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
+    )
+    return (
+        per_corpus.join(per_cand, "source", "left")
+        .join(per_conta, "source", "left")
+        .select(
+            "source",
+            "n_corpus",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            (F.col("n_corpus") - F.coalesce("n_contaminated", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
