@@ -2651,7 +2651,6 @@ bits AS (
 ),
 corpus AS (
   SELECT doc_id, source, md5(text) AS k FROM documents
-  WHERE doc_id % {D30_BENCH_MOD} <> 0
 ),
 cand AS (
   SELECT c.doc_id, c.source, c.k FROM corpus c
@@ -2690,7 +2689,12 @@ GROUP BY c.source
     "rows), so at 100 TB — where the contamination blocklist itself "
     "can outgrow a broadcast — the full corpus scan still never "
     "shuffles; only the candidate sliver (FPR ≈ (bits_set/m)^3 of "
-    "the corpus plus true hits) reaches the exact join.  Output: "
+    "the corpus plus true hits) reaches the exact join.  The "
+    "screened corpus is the WHOLE documents table while the "
+    "benchmark is carved from it by doc_id — the classic "
+    "'eval set leaked into the crawl' scenario, which guarantees "
+    "every benchmark text has at least its own verbatim copy to "
+    "catch (non-vacuous true positives at every SF).  Output: "
     "per-source corpus/candidate/contaminated/kept counts — "
     "n_candidates > n_contaminated is the false-positive margin "
     "made visible, and every count is mirrored bit-for-bit by the "
@@ -2709,7 +2713,7 @@ def d30_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_bench = (F.col("doc_id") % D30_BENCH_MOD) == 0
     bench = keyed.filter(is_bench).select("k").distinct()
-    corpus = keyed.filter(~is_bench)
+    corpus = keyed
     bits = (
         bench.select(pos(F.col("k"), 0).alias("pos"))
         .unionAll(bench.select(pos(F.col("k"), 3)))
