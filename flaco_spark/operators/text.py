@@ -1990,3 +1990,88 @@ def t28_text_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_kept"),
         F.md5(aug_text).alias("aug_md5"),
     )
+
+
+@register(
+    "t29_readability",
+    oracle=r"""
+WITH feat AS (
+  SELECT doc_id,
+         greatest(1, len(regexp_extract_all(text, '\S+'))) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+           AS n_syllables
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         206835 - (1015 * n_words) // n_sentences
+                - (84600 * n_syllables) // n_words AS fre_x1000
+  FROM feat
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(fre_x1000 AS BIGINT) AS fre_x1000,
+       CASE WHEN fre_x1000 >= 90000 THEN 'very_easy'
+            WHEN fre_x1000 >= 70000 THEN 'easy'
+            WHEN fre_x1000 >= 50000 THEN 'standard'
+            WHEN fre_x1000 >= 30000 THEN 'difficult'
+            ELSE 'very_confusing' END AS band
+FROM scored
+""",
+    tags=("text", "readability", "quality", "documents"),
+    doc="Flesch reading-ease readability scoring (Flesch 1948; the "
+    "document-quality feature corpus filters bucket on alongside "
+    "t02's heuristics): words = non-space runs, sentences = "
+    "terminal-punctuation runs, syllables = the standard vowel-run "
+    "proxy ([aeiouy]+ on lowercased text), each clamped to ≥1 so "
+    "empty/punctuation-free docs score instead of dividing by "
+    "zero.  The formula runs in FIXED-POINT x1000 with integer "
+    "floor divisions (206835 − 1015·w//s − 84600·syl//w) — no "
+    "float division anywhere, so both engines produce identical "
+    "integers — and the score is bucketed into the five standard "
+    "bands.  Pure map-side column expressions over one scan: "
+    "shuffle-free, codegen-friendly, the same 100 TB contract as "
+    "t02/t14.",
+)
+def t29_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_words = F.greatest(
+        F.lit(1), F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    )
+    n_sents = F.greatest(
+        F.lit(1), F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)"))
+    )
+    n_syl = F.greatest(
+        F.lit(1),
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+    )
+    feat = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    fre = (
+        F.lit(206835)
+        - F.floor((1015 * F.col("n_words")) / F.col("n_sentences"))
+        - F.floor((84600 * F.col("n_syllables")) / F.col("n_words"))
+    )
+    scored = feat.withColumn("fre_x1000", fre)
+    band = (
+        F.when(F.col("fre_x1000") >= 90000, "very_easy")
+        .when(F.col("fre_x1000") >= 70000, "easy")
+        .when(F.col("fre_x1000") >= 50000, "standard")
+        .when(F.col("fre_x1000") >= 30000, "difficult")
+        .otherwise("very_confusing")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        F.col("fre_x1000").cast("bigint").alias("fre_x1000"),
+        band.alias("band"),
+    )
