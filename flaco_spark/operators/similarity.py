@@ -2611,3 +2611,163 @@ def e23_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= E23_QUOTA)
         .select("list_id", "vec_id", F.col("pick_rank").cast("int").alias("pick_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# e24 — Johnson–Lindenstrauss random projection (64 → 16 dims)
+# ---------------------------------------------------------------------------
+
+E24_OUT = 16
+E24_IN = 64
+
+
+def _e24_signs() -> list[float]:
+    """Deterministic Rademacher ±1 matrix, flattened row-major
+    (j-th output dim × 64 input dims), seeded by md5 — a literal
+    model artifact embedded identically in both engines (the PQ
+    codebook convention)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"e24_{t}".encode()).hexdigest()[0], 16) < 8 else -1.0
+        for t in range(E24_OUT * E24_IN)
+    ]
+
+
+_E24_S_SQL = "[" + ", ".join(
+    "1.0" if x > 0 else "-1.0" for x in _e24_signs()
+) + "]::DOUBLE[]"
+
+
+def _e24_proj_sql(v: str) -> str:
+    return (
+        f"list_transform(generate_series(1, {E24_OUT}), j -> "
+        "0.25 * list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {E24_IN}), "
+        f"i -> {v}[i] * sg.s[(j - 1) * {E24_IN} + i])), (acc, x) -> acc + x))"
+    )
+
+
+def _e24_d2_sql(a: str, b: str, n: int) -> str:
+    return (
+        "round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {n}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(acc, x) -> acc + x), 6)"
+    )
+
+
+@register(
+    "e24_random_projection",
+    oracle=f"""
+WITH sg AS (SELECT {_E24_S_SQL} AS s),
+pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, v, {_e24_proj_sql("v")} AS pv FROM pts CROSS JOIN sg
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_e24_d2_sql("q.v", "c.v", E24_IN)} AS d2_orig,
+         {_e24_d2_sql("q.pv", "c.pv", E24_OUT)} AS d2_proj
+  FROM proj q JOIN proj c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2_orig, neighbor_id) AS rn_orig,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2_proj, neighbor_id) AS rn_proj
+  FROM pairs
+)
+SELECT query_id,
+       CAST(COUNT(*) FILTER (rn_orig <= 10 AND rn_proj <= 10) AS BIGINT)
+         AS n_overlap,
+       CAST(COUNT(*) FILTER (rn_orig <= 10 AND rn_proj <= 10) * 10 AS BIGINT)
+         AS recall_x100
+FROM ranked
+GROUP BY query_id
+""",
+    tags=("similarity", "embedding", "projection", "recall"),
+    doc="Johnson–Lindenstrauss random projection (Achlioptas 2001 "
+    f"Rademacher ±1 variant): {E24_IN}-dim embeddings are mapped "
+    f"map-side to {E24_OUT} dims through a deterministic md5-seeded "
+    "sign matrix embedded as a literal model artifact in BOTH "
+    "engines (the PQ-codebook convention), scaled by 1/√16.  The "
+    "result row is the projection's QUALITY CONTRACT — recall@10 "
+    "per query of projected-space L2 top-10 against original-space "
+    "top-10 — the same ships-its-own-recall discipline as "
+    "e06/e09/e13, so a silently distance-destroying projection "
+    "cannot stay green.  All float work is index-ordered left-folds "
+    "(zip_with/aggregate vs list_reduce) rounded before ranking.  "
+    "100 TB posture: projection is a pure map over the vector scan "
+    "(the 4× narrower vectors then feed any downstream ANN index at "
+    "4× less shuffle/memory); the all-pairs stage here exists only "
+    "to measure recall against the exact baseline, exactly like the "
+    "other recall rows.",
+)
+def e24_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    s_lit = F.array(*[F.lit(x) for x in _e24_signs()])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def proj(vcol: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(E24_OUT)),
+            lambda j: F.lit(0.25)
+            * F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(E24_IN)),
+                    lambda i: F.element_at(vcol, i)
+                    * F.element_at(F.col("s"), (j - 1) * E24_IN + i),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    def d2(a: F.Column, b: F.Column) -> F.Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    pts = e.select(F.col("vec_id"), v.alias("v")).withColumn(
+        "s", s_lit
+    )
+    pr = pts.select("vec_id", "v", proj(F.col("v")).alias("pv"))
+    q = pr.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("pv").alias("qp"),
+    )
+    pairs = (
+        pr.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d2(F.col("qv"), F.col("v")).alias("d2_orig"),
+            d2(F.col("qp"), F.col("pv")).alias("d2_proj"),
+        )
+    )
+    wq_o = W.partitionBy("query_id").orderBy(F.asc("d2_orig"), F.asc("neighbor_id"))
+    wq_p = W.partitionBy("query_id").orderBy(F.asc("d2_proj"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wq_o).alias("rn_orig"),
+        F.row_number().over(wq_p).alias("rn_proj"),
+    )
+    hit = (F.col("rn_orig") <= 10) & (F.col("rn_proj") <= 10)
+    return ranked.groupBy("query_id").agg(
+        F.count_if(hit).cast("bigint").alias("n_overlap"),
+        (F.count_if(hit) * 10).cast("bigint").alias("recall_x100"),
+    )
