@@ -150,3 +150,72 @@ def s02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation",
         money("l_extendedprice").cast("double").alias("price"),
     )
+
+
+HOT_KEY_MIN_ROWS = 20  # a key this hot gets the broadcast path
+
+
+def hot_cold_split_join(
+    big: DataFrame, small: DataFrame, key: str, hot_min: int = HOT_KEY_MIN_ROWS
+) -> DataFrame:
+    """Inner equi-join with HOT-KEY ISOLATION (the differentiated-join
+    treatment): keys whose big-side row count ≥ ``hot_min`` are joined
+    on the BROADCAST path (no shuffle touches their rows), the cold
+    remainder takes the normal shuffle join, and the union is exactly
+    ``big.join(small, key)``.  Unlike salting (s02), the hot rows
+    never shuffle AT ALL — the treatment of choice when a handful of
+    keys dominate and the dim side is broadcastable anyway.
+    """
+    hot_keys = (
+        big.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= hot_min)
+        .select(key)
+    )
+    big_hot = big.join(F.broadcast(hot_keys), key, "left_semi")
+    big_cold = big.join(F.broadcast(hot_keys), key, "left_anti")
+    hot_joined = big_hot.join(F.broadcast(small), key)
+    cold_joined = big_cold.join(small, key)
+    return hot_joined.unionByName(cold_joined)
+
+
+@register(
+    "s03_hot_cold_split_join",
+    oracle=f"""
+SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber,
+       s.s_nationkey,
+       CAST({sql_money('l.l_extendedprice')} AS DOUBLE) AS price
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+""",
+    tags=("skew", "join", "hot-keys", "broadcast"),
+    doc="Hot-key isolation join (the differentiated/split-join skew "
+    "treatment, the third of the classic trio after salting s01/s02 "
+    "and AQE's runtime split): suppliers with ≥20 lineitem rows are "
+    "detected by a partial-aggregated count, their rows take a "
+    "BROADCAST join (zero shuffle for exactly the rows that would "
+    "have made a reducer hot), the cold tail takes the plain "
+    "shuffle join, and unionByName stitches the two plans.  The "
+    "oracle is the PLAIN join — the split is machine-checked to be "
+    "semantics-preserving, the same equivalence contract as "
+    "s01/s02.  100 TB posture: the hot-key relation is "
+    "tiny-by-definition (keys above a row-count threshold), both "
+    "probe passes are broadcast semi/anti joins over one scan, and "
+    "the expensive shuffle now sees a key distribution with its "
+    "head cut off.",
+)
+def s03_hot_cold_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = hot_cold_split_join(
+        l, s.withColumnRenamed("s_suppkey", "l_suppkey"), key="l_suppkey"
+    )
+    return joined.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "s_nationkey",
+        money("l_extendedprice").cast("double").alias("price"),
+    )
