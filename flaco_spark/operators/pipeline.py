@@ -417,3 +417,107 @@ def p02_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_d2",
         F.count(F.lit(1)).over(wl).cast("bigint").alias("list_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p03 — training-shard export: gate → dedup → content-order → pack → manifest
+# ---------------------------------------------------------------------------
+
+P03_BUDGET = 4096  # tokens per shard
+P03_MIN_TOKENS = 5  # quality floor
+
+
+@register(
+    "p03_shard_export_pipeline",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS k,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+gated AS (SELECT * FROM base WHERE n_tokens >= {P03_MIN_TOKENS}),
+ded AS (
+  SELECT k, MIN(doc_id) AS keep_id, MAX(n_tokens) AS n_tokens
+  FROM gated GROUP BY k
+),
+ordered AS (
+  SELECT k, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM ded
+),
+sharded AS (
+  SELECT k, n_tokens, prev // {P03_BUDGET} AS shard_id FROM ordered
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(k) AS first_key, MAX(k) AS last_key,
+       md5(string_agg(k, '' ORDER BY k)) AS shard_md5
+FROM sharded GROUP BY shard_id
+""",
+    tags=("pipeline", "export", "sharding", "prefix-sum", "documents"),
+    doc="The training-data EXPORT pipeline as one audited relation — "
+    "the step after p01 decides what survives: quality-gate (token "
+    f"floor {P03_MIN_TOKENS}), exact-dedup (min doc_id per content "
+    "hash), CONTENT-ADDRESSED global ordering (order by md5(text): "
+    "reproducible run-to-run, decorrelates source/time locality — "
+    "the shuffle a curriculum-neutral corpus ships with), greedy "
+    f"packing into {P03_BUDGET}-token shards by running-prefix "
+    "cut, and a shard MANIFEST (doc/token counts, key range, and "
+    "an order-sensitive md5-of-keys fingerprint per shard — what "
+    "a release signs).  The Spark plan computes the global prefix "
+    "sum the SCALE-SAFE way: a two-phase hierarchical cumsum "
+    "(within-bucket window over the 16 hex-prefix ranges + a "
+    "16-row broadcast offset table), so no single-partition window "
+    "ever sees the corpus — the oracle's flat window proves the "
+    "decomposition exact.  100 TB posture: everything is one scan, "
+    "one dedup shuffle, one bucket-keyed window; widen the bucket "
+    "alphabet (2-3 hex chars → 256-4096 ranges) as the corpus "
+    "grows.",
+)
+def p03_shard_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.md5("text").alias("k"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    gated = base.filter(F.col("n_tokens") >= P03_MIN_TOKENS)
+    ded = gated.groupBy("k").agg(
+        F.min("doc_id").alias("keep_id"), F.max("n_tokens").alias("n_tokens")
+    )
+    bucket = F.conv(F.substring("k", 1, 1), 16, 10).cast("int")
+    ded = ded.withColumn("bucket", bucket)
+    per_bucket = ded.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(
+            F.sum("btot").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    w_in = W.partitionBy("bucket").orderBy("k").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    sharded = (
+        ded.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "prev",
+            F.col("offset") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .withColumn("shard_id", F.expr(f"prev DIV {P03_BUDGET}"))
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("k")))).alias(
+            "shard_md5"
+        ),
+    )
