@@ -876,3 +876,113 @@ def g07_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_h.unionAll(top_a)
+
+
+# ---------------------------------------------------------------------------
+# g08 — local clustering coefficient (on the g02-sampled graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g08_clustering_coefficient",
+    oracle=f"""
+WITH {_G02_EDGES_SQL},
+und AS (
+  SELECT u, v FROM sampled UNION ALL SELECT v AS u, u AS v FROM sampled
+),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM und GROUP BY u),
+tris AS (
+  SELECT p1.u AS a, p1.v AS b, p2.v AS c
+  FROM sampled p1
+  JOIN sampled p2 ON p1.v = p2.u
+  JOIN sampled p3 ON p3.u = p1.u AND p3.v = p2.v
+),
+pertri AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT d.node,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (2000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_x1000
+FROM deg d LEFT JOIN pertri t ON d.node = t.node
+""",
+    tags=("graph", "clustering", "triangles", "lineitem"),
+    doc="Local clustering coefficient (Watts–Strogatz 1998) per node "
+    "on the SAME deterministically-sampled supplier co-occurrence "
+    "graph g02 counts triangles on: c(v) = 2·tri(v) / "
+    "(deg(v)·(deg(v)−1)), reported in exact FIXED-POINT x1000 via "
+    "integer floor division (degree-1 and isolated-in-sample nodes "
+    "pinned to 0) — 'how clique-like is each supplier's "
+    "neighborhood', the local-density complement to g02's global "
+    "count.  Reuses the ordered wedge-close for per-node triangle "
+    "membership and a flat degree aggregate over the "
+    "symmetrized sample; all-integer output, nothing for float "
+    "rounding to disagree on.  100 TB posture: identical cost "
+    "class to g02 — the DOULION sample bounds wedge work cubically "
+    "while per-node coefficients remain sample-exact.",
+)
+def g08_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = l.distinct()
+    a = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string")
+            )
+        ),
+        1,
+        1,
+    )
+    sampled = register_cache(
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .where(coin.isin("0", "1", "2", "3"))
+        .persist()
+    )
+    und = sampled.unionAll(
+        sampled.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    p1 = sampled.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    p2 = sampled.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    p3 = sampled.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (
+        p1.join(p2, p1.b == p2.b2)
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    pertri = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b")))
+        .unionAll(tris.select(F.col("c")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return deg.join(pertri, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        n_tri.cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.floor((2000 * n_tri) / (F.col("deg") * (F.col("deg") - 1))),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("coeff_x1000"),
+    )
