@@ -3624,3 +3624,70 @@ def q116_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — ANSI day-time INTERVAL arithmetic surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_interval_arithmetic",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderpriority,
+         CAST(EXTRACT(epoch FROM
+           CAST(l.l_shipdate AS TIMESTAMP) - CAST(o.o_orderdate AS TIMESTAMP)
+         ) AS BIGINT) AS secs,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(secs) AS BIGINT) AS sum_delay_secs,
+       CAST(SUM(secs) // COUNT(*) AS BIGINT) AS avg_delay_secs,
+       CAST(MAX(secs) AS BIGINT) AS max_delay_secs,
+       CAST(SUM(late) AS BIGINT) AS n_late
+FROM iv
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "interval", "temporal", "ansi"),
+    doc="ANSI day-time INTERVAL type surface (the typed complement "
+    "to q83's integer datediff arithmetic): timestamp subtraction "
+    "producing a DAY TO SECOND interval, interval AGGREGATION "
+    "(SUM/MAX over the interval type itself, cast to exact epoch "
+    "seconds), and date + INTERVAL literal comparison for the "
+    "late-shipment predicate.  The SPARK side aggregates the "
+    "interval TYPE itself (the surface under test); the oracle "
+    "mirrors with per-row epoch seconds because DuckDB has no "
+    "SUM(INTERVAL) — same whole-second values either way.  The "
+    "mean is integer floor division of the exact interval sum — "
+    "AVG(interval) is deliberately avoided because it divides "
+    "inside the interval type where the two engines round the "
+    "fractional microsecond differently, the same trap ts29 "
+    "documents for AVG(double).  Date-sourced "
+    "timestamps are midnight-exact so every interval is a whole "
+    "number of days — interval arithmetic stays integer all the "
+    "way down.  One join + one partial-agg groupBy: the q03 cost "
+    "class.",
+)
+def q117_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = F.expr("CAST(l_shipdate AS TIMESTAMP) - CAST(o_orderdate AS TIMESTAMP)")
+    late = F.expr("l_shipdate > o_orderdate + INTERVAL 30 DAY")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", iv.alias("iv"), late.alias("late")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("iv").cast("bigint").alias("sum_delay_secs"),
+        F.expr("CAST(CAST(SUM(iv) AS BIGINT) DIV COUNT(*) AS BIGINT)").alias(
+            "avg_delay_secs"
+        ),
+        F.max("iv").cast("bigint").alias("max_delay_secs"),
+        F.count_if(F.col("late")).cast("bigint").alias("n_late"),
+    )
