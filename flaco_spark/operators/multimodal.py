@@ -945,3 +945,119 @@ def m11_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, back.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# m12 — stereo deinterleave + downmix + decimation (PCM DSP plumbing)
+# ---------------------------------------------------------------------------
+
+M12_WINDOW = 50  # downmixed frames per analysis window
+
+M12_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def _stereo_downmix_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Stereo PCM16 → mono pipeline, REAL byte-level DSP like m03's
+    framing: payload bytes are little-endian int16 samples treated as
+    interleaved L/R frames, downmixed by headroom-preserving SUM
+    (L+R at int64 — deliberately no /2, so no division-rounding
+    semantics to pin cross-engine), then DECIMATED 2:1 (every other
+    frame — the naive-but-standard sample-rate halving; a real
+    resampler would put an FIR low-pass before this line and nothing
+    else changes).  Windows of ``M12_WINDOW`` decimated frames reduce
+    to exact integer sum-of-squares and peak |amplitude|."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "window_idx", "n_frames", "sum_sq", "peak")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            samples = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<i2").astype(
+                np.int64
+            )
+            frames = samples.reshape(-1, 2)
+            mono = frames[:, 0] + frames[:, 1]
+            deci = mono[::2]
+            for w in range(0, len(deci), M12_WINDOW):
+                chunk = deci[w : w + M12_WINDOW]
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(w // M12_WINDOW)
+                out["n_frames"].append(len(chunk))
+                out["sum_sq"].append(int((chunk * chunk).sum()))
+                out["peak"].append(int(np.abs(chunk).max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "window_idx": pd.Series(out["window_idx"], dtype="int32"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                "sum_sq": pd.Series(out["sum_sq"], dtype="int64"),
+                "peak": pd.Series(out["peak"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "m12_stereo_downmix",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+),
+bytes AS (
+  SELECT doc_id, i, unicode(substr(text, i, 1)) AS b FROM pos
+),
+samples AS (
+  SELECT lo.doc_id,
+         CAST((lo.i - 1) / 2 AS BIGINT) AS k,
+         lo.b + 256 * hi.b - CASE WHEN hi.b >= 128 THEN 65536 ELSE 0 END AS s
+  FROM bytes lo
+  JOIN bytes hi ON lo.doc_id = hi.doc_id AND hi.i = lo.i + 1
+  WHERE lo.i % 2 = 1
+),
+frames AS (
+  SELECT l.doc_id, CAST(l.k / 2 AS BIGINT) AS f,
+         CAST(l.s + r.s AS BIGINT) AS mono
+  FROM samples l
+  JOIN samples r ON l.doc_id = r.doc_id AND r.k = l.k + 1
+  WHERE l.k % 2 = 0
+),
+deci AS (
+  SELECT doc_id, CAST(f / 2 AS BIGINT) AS df, mono FROM frames WHERE f % 2 = 0
+)
+SELECT doc_id,
+       CAST(df // {M12_WINDOW} AS INT) AS window_idx,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(mono * mono) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(mono)) AS BIGINT) AS peak
+FROM deci
+GROUP BY doc_id, df // {M12_WINDOW}
+""",
+    tags=("multimodal", "audio", "pcm", "downmix", "pandas-udf"),
+    doc="Stereo→mono PCM pipeline over opaque binary payloads — the "
+    "deinterleave/downmix/decimate plumbing every audio ingest runs "
+    "before featurization, as a REAL vectorized decode (numpy "
+    "frombuffer over Arrow batches, m03's contract): interleaved "
+    "L/R int16 frames, headroom-preserving SUM downmix "
+    "(deliberately no /2 — integer division rounding is exactly "
+    "the cross-engine trap m12 refuses to step on), 2:1 "
+    "decimation, and per-window exact integer sum-of-squares + "
+    "peak.  The oracle re-derives the identical bytes from the "
+    "text fixture via unicode() byte surgery (m03's trick) — the "
+    "whole DSP chain is hash-checked end-to-end, no float "
+    "tolerance anywhere.  100 TB posture: mapInPandas over "
+    "payload-bounded partitions, embarrassingly parallel, output "
+    "is |windows| rows not |samples|.",
+)
+def m12_stereo_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    media = attach_binary_payload(d)
+    n = max(1, spark.sparkContext.defaultParallelism)
+    src = media.select("doc_id", "payload").repartition(n)
+    return src.mapInPandas(_stereo_downmix_batches, schema=M12_SCHEMA)
