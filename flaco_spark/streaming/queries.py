@@ -543,3 +543,66 @@ def st09_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, snap.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "st10_chained_stream_aggs",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+kept AS (
+  SELECT h, event_type, n FROM hourly CROSS JOIN wm
+  WHERE h + INTERVAL 1 HOUR <= w
+),
+daily AS (
+  SELECT date_trunc('day', h) AS d, event_type,
+         SUM(n) AS total, COUNT(*) AS n_hours
+  FROM kept GROUP BY 1, 2
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+       CAST(total AS BIGINT) AS total,
+       CAST(n_hours AS BIGINT) AS n_hours
+FROM daily CROSS JOIN wm WHERE d + INTERVAL 1 DAY <= w
+""",
+    tags=("streaming", "multi-stateful", "window", "events"),
+    doc="CHAINED stateful streaming aggregations in ONE query (the "
+    "multiple-stateful-operator support added in Spark 3.4): "
+    "watermarked hourly counts per event type feed a SECOND "
+    "windowed aggregation — daily totals over window_time() of the "
+    "hourly windows — with both stateful operators in a single "
+    "append-mode availableNow run, no intermediate sink.  The "
+    "oracle pins the BOUNDED-REPLAY SEMANTICS exactly: a window "
+    "emits iff its end ≤ final watermark (max event time − 10 min), "
+    "applied at BOTH levels — the last partial day and the trailing "
+    "partial hours are withheld, which is precisely what a resumed "
+    "production run would later emit.  Before 3.4 this topology "
+    "required two jobs and a Kafka/parquet hop between them; the "
+    "single-query form checkpoints both state stores atomically.  "
+    "100 TB posture: state is |open hourly windows| + |open daily "
+    "windows| per key — rate-independent; the second agg's input "
+    "is already hour-grained, so its shuffle is metadata-sized.",
+)
+def st10_chained_stream_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _events_stream(spark, sf_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_hours"))
+    )
+    sink = _drain(daily, scratch, "append", "st10")
+    return sink.select(
+        F.date_format(F.col("w2.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("total").cast("bigint").alias("total"),
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+    )
