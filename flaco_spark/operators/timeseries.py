@@ -2247,3 +2247,103 @@ def ts31_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("segment_mean"),
     )
+
+
+@register(
+    "ts32_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS rev
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, rev,
+         day - MIN(day) OVER (PARTITION BY event_type) AS x
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(((b.rev - a.rev) * 1000000) // (b.x - a.x) AS BIGINT) AS slope
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND b.x > a.x
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM pairs
+)
+SELECT event_type,
+       CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+       CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN slope END) AS BIGINT)
+         AS slope_micros_per_day,
+       CASE WHEN MAX(CASE WHEN rn = (cnt + 1) // 2 THEN slope END) > 0
+            THEN 'rising'
+            WHEN MAX(CASE WHEN rn = (cnt + 1) // 2 THEN slope END) < 0
+            THEN 'falling' ELSE 'flat' END AS trend
+FROM ranked GROUP BY event_type
+""",
+    tags=("timeseries", "trend", "robust", "theil-sen", "events"),
+    doc="Theil–Sen robust trend estimation (Theil 1950 / Sen 1968): "
+    "per event type, the MEDIAN of all pairwise day-to-day revenue "
+    "slopes — the breakdown-point-0.29 alternative to least-squares "
+    "that one outlier day cannot drag, which is why monitoring "
+    "systems prefer it for drift direction.  Slopes are exact "
+    "integers (micros·1e6 per day, truncating integer division — "
+    "Spark DIV and DuckDB // share toward-zero semantics), and the "
+    "median is the DISCRETE lower-middle order statistic picked by "
+    "rank, never an interpolated float.  The O(days²) pair join is "
+    "intentional and safe: the input is the day-grained aggregate "
+    "(metadata-sized regardless of event volume — a year is 66k "
+    "pairs), the same contract as ts31's windows; at 100 TB the "
+    "heavy work remains the one partial-agg scan of events.",
+)
+def ts32_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("rev")
+    )
+    idx = daily.select(
+        "event_type",
+        "rev",
+        F.datediff(
+            "day", F.min("day").over(W.partitionBy("event_type"))
+        ).alias("x"),
+    )
+    a = idx.select(
+        F.col("event_type").alias("et"),
+        F.col("rev").alias("rev_a"),
+        F.col("x").alias("x_a"),
+    )
+    b = idx.select(
+        F.col("event_type").alias("et"),
+        F.col("rev").alias("rev_b"),
+        F.col("x").alias("x_b"),
+    )
+    pairs = a.join(b, "et").filter(F.col("x_b") > F.col("x_a")).select(
+        F.col("et").alias("event_type"),
+        F.expr("CAST(((rev_b - rev_a) * 1000000) DIV (x_b - x_a) AS BIGINT)")
+        .alias("slope"),
+    )
+    wp = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wp.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    med = F.max(
+        F.when(F.col("rn") == F.expr("(cnt + 1) DIV 2"), F.col("slope"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("bigint").alias("n_pairs"),
+        med.cast("bigint").alias("slope_micros_per_day"),
+        F.when(med > 0, "rising")
+        .when(med < 0, "falling")
+        .otherwise("flat")
+        .alias("trend"),
+    )
