@@ -3691,3 +3691,55 @@ def q117_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("iv").cast("bigint").alias("max_delay_secs"),
         F.count_if(F.col("late")).cast("bigint").alias("n_late"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — lateral column alias references
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_lateral_column_alias",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+           AS gross_cents,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * CAST(l_discount AS DECIMAL(4,2)) * 10000) AS BIGINT)
+           AS disc_x10000
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, gross_cents,
+       gross_cents - disc_x10000 // 100 AS net_cents,
+       (gross_cents - disc_x10000 // 100) - (gross_cents - disc_x10000 // 100) // 10
+         AS after_fee_cents
+FROM base
+""",
+    tags=("sql", "lateral-alias", "lineitem"),
+    doc="Lateral column alias resolution (Spark 3.4+): a SELECT item "
+    "referencing an alias DEFINED EARLIER IN THE SAME SELECT "
+    "(net_cents built from gross_cents, after_fee_cents built from "
+    "net_cents — a 3-deep alias chain over aggregates), the "
+    "spreadsheet-style derived-metric idiom that classic SQL forces "
+    "into nested subqueries or repetition.  The oracle unnests the "
+    "chain into a CTE with the expressions expanded — proving the "
+    "sugar resolves to exactly that relation.  All money math in "
+    "exact integer cents with shared truncating division "
+    "semantics.",
+)
+def q118_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q118_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+                 AS gross_cents,
+               gross_cents
+                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                            * CAST(l_discount AS DECIMAL(4,2)) * 10000) AS BIGINT)
+                   DIV 100 AS net_cents,
+               net_cents - net_cents DIV 10 AS after_fee_cents
+        FROM q118_lineitem GROUP BY l_returnflag, l_linestatus
+        """
+    )
