@@ -109,6 +109,9 @@ RISKY_NEW: frozenset[str] = frozenset(
         "g01_pagerank", "t22_bm25_search",
         "p01_corpus_pipeline",  # the flagship composition
         "p02_index_build_pipeline",  # flagship #2: IVF+PQ composition
+        "st10_chained_stream_aggs",  # multi-stateful single query
+        "p03_shard_export_pipeline",  # flagship #3: export manifest
+        "m12_stereo_downmix",  # Arrow-batched PCM DSP path
     }
 )
 
