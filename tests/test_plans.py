@@ -1027,3 +1027,61 @@ def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert 0 < n1 < total
     assert sunk.count() == total, "resume must not duplicate or drop rows"
     assert sunk.select("event_id").distinct().count() == total
+
+
+def test_d30_bloom_bits_broadcast(spark, sf_dir):
+    """The Bloom bit set and the exact-confirm bench keys are all
+    broadcast: the corpus scan must never shuffle."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["d30_bloom_decontamination"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 4, "3 bit probes + confirm must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_s03_hot_path_stays_broadcast_when_smj_forced(spark, sf_dir):
+    """With auto-broadcast disabled the COLD path degrades to SMJ (the
+    100 TB shape) while the hot-key path keeps its explicit broadcast
+    hints — the whole point of the split."""
+    from flaco_spark.plans import sort_merge_join_count
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["s03_hot_cold_split_join"].builder(spark, sf_dir)
+        assert broadcast_join_count(df) >= 3, "hot join + both key probes"
+        assert sort_merge_join_count(df) >= 1, "cold tail must shuffle-join"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_p03_prefix_sum_is_bucket_partitioned(spark, sf_dir):
+    """The corpus-sized window runs partitioned by hex bucket; only
+    the 16-row offset table may pass through a single partition."""
+    from flaco_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["p03_shard_export_pipeline"].builder(spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan, "big window must partition by bucket"
+
+
+def test_e24_projection_is_map_side(spark, sf_dir):
+    """JL projection adds no shuffle of its own; the recall stage's
+    all-pairs join builds on the broadcast 5-row query side."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["e24_random_projection"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_m12_downmix_single_repartition(spark, sf_dir):
+    """The DSP chain is mapInPandas after ONE explicit payload
+    repartition — no other exchange."""
+    from flaco_spark.plans import exchange_count, formatted_plan
+
+    df = REGISTRY["m12_stereo_downmix"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert exchange_count(df) == 1, "only the explicit repartition may shuffle"
