@@ -2075,3 +2075,59 @@ def t29_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fre_x1000").cast("bigint").alias("fre_x1000"),
         band.alias("band"),
     )
+
+
+@register(
+    "t30_tokenizer_fertility",
+    oracle=rf"""
+WITH feat AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+       CAST((SUM(bpe) * 1000) // greatest(SUM(ws), 1) AS BIGINT)
+         AS fertility_x1000,
+       CAST((SUM(chars) * 1000) // greatest(SUM(bpe), 1) AS BIGINT)
+         AS chars_per_token_x1000
+FROM feat GROUP BY lang
+""",
+    tags=("text", "tokens", "fertility", "lang", "documents"),
+    doc="Tokenizer FERTILITY audit per language — the budgeting "
+    "metric multilingual-corpus work reports before training "
+    "(how many subword tokens per word, how many bytes per token, "
+    "per language): t06's BPE-style pre-tokenizer regex vs the "
+    "whitespace word count, aggregated per lang in exact integers "
+    "with fixed-point x1000 ratios (truncating integer division — "
+    "no float path).  High fertility for a language flags a "
+    "tokenizer that will silently tax that language's effective "
+    "context length — the thing this audit exists to catch.  Pure "
+    "map-side regexp counting + one partial-agg groupBy(lang): "
+    "t02's 100 TB contract.",
+)
+def t30_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    feat = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+        ).cast("bigint").alias("bpe"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("ws").cast("bigint").alias("total_ws_tokens"),
+        F.expr("CAST((SUM(bpe) * 1000) DIV greatest(SUM(ws), 1) AS BIGINT)").alias(
+            "fertility_x1000"
+        ),
+        F.expr(
+            "CAST((SUM(chars) * 1000) DIV greatest(SUM(bpe), 1) AS BIGINT)"
+        ).alias("chars_per_token_x1000"),
+    )
