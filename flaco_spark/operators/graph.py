@@ -986,3 +986,111 @@ def g08_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coeff_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g09 — degree assortativity (Newman 2002) from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g09_degree_assortativity",
+    oracle=f"""
+WITH {_G02_EDGES_SQL},
+und AS (
+  SELECT u, v FROM sampled UNION ALL SELECT v AS u, u AS v FROM sampled
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+ed AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM und e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT m AS n_directed_edges, sx AS sum_deg, sxy AS sum_deg_products,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+         AS assortativity
+FROM s
+""",
+    tags=("graph", "assortativity", "moments", "lineitem"),
+    doc="Degree assortativity (Newman 2002): the Pearson correlation "
+    "of endpoint degrees over the directed edge list of the "
+    "g02-sampled supplier co-occurrence graph — one number that "
+    "says whether hubs attach to hubs (r>0, social-network-like) "
+    "or to spokes (r<0, infrastructure-like), the standard "
+    "topology fingerprint reported next to degree distributions.  "
+    "Exactness follows the q70 moments discipline with a twist: "
+    "degrees are INTEGERS, so every moment (Σx, Σxy, Σx², m) is an "
+    "exact BIGINT from order-independent integer sums; floats "
+    "enter only in the FINAL expression — two sqrts and one "
+    "division over identical exact operands — which both engines "
+    "evaluate to the same double.  Two node-keyed joins to "
+    "decorate edges with degrees + one global aggregate; no wedge "
+    "work, so it scales better than the triangle family it "
+    "complements.",
+)
+def g09_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = l.distinct()
+    a = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = supp.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string")
+            )
+        ),
+        1,
+        1,
+    )
+    sampled = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .where(coin.isin("0", "1", "2", "3"))
+    )
+    und = sampled.unionAll(
+        sampled.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "x"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "y"), "v")
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxy").alias("sum_deg_products"),
+        F.round(
+            (d("m") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
+                * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
+            ),
+            8,
+        ).alias("assortativity"),
+    )
