@@ -182,6 +182,21 @@ PROBE = [
     "g06_kcore_peel",
     "u14_struct_pandas_udf",
     "e23_cluster_balanced_sample",
+    "g07_hits",
+    "ts31_cusum_changepoint",
+    "d30_bloom_decontamination",
+    "t29_readability",
+    "e24_random_projection",
+    "s03_hot_cold_split_join",
+    "p03_shard_export_pipeline",
+    "g08_clustering_coefficient",
+    "q117_interval_arithmetic",
+    "m12_stereo_downmix",
+    "st10_chained_stream_aggs",
+    "ts32_theil_sen_trend",
+    "q118_lateral_column_alias",
+    "t30_tokenizer_fertility",
+    "g09_degree_assortativity",
 ]
 
 
