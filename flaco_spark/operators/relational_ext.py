@@ -3743,3 +3743,81 @@ def q118_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q118_lineitem GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — text-source round-trip (TSV + base64 payload encoding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q119_text_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5
+FROM documents GROUP BY source
+""",
+    tags=("source", "text", "roundtrip", "documents"),
+    doc="spark.read/write.text round-trip under the q92 "
+    "value-fidelity contract — the LINE-ORIENTED leg of the format "
+    "matrix (parquet/feather/csv/jsonl/orc/xml/binaryFile already "
+    "covered): documents ship as 'doc_id\\tsource\\tbase64(text)' "
+    "lines, the encoding every newline-hostile TSV corpus dump "
+    "uses (document text may contain tabs and newlines; base64 "
+    "makes the record line-safe WITHOUT trusting any quoting "
+    "dialect), then parse back via split + unbase64/decode.  The "
+    "gate compares a per-source fingerprint — doc count, char "
+    "mass, and an order-sensitive md5-of-md5s over doc_id order — "
+    "against the same digest computed straight from parquet: one "
+    "flipped byte anywhere in any document fails the hash.  Both "
+    "legs distributed; the |sources|-row aggregate is materialized "
+    "eagerly so the scratch copy deletes before return (q92's "
+    "scratch-leak guard).",
+)
+def q119_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = tempfile.mkdtemp(prefix="flaco_rt_text_")
+    path = f"{out}/documents_txt"
+    try:
+        # Spark's base64 MIME-wraps at 76 chars when
+        # spark.sql.legacy.chunkBase64String.enabled is on (and older
+        # releases always did); strip CR/LF so one record is one line
+        # regardless of the codec's wrapping policy.
+        b64 = F.regexp_replace(
+            F.base64(F.encode(F.col("text"), "UTF-8")), "[\\r\\n]", ""
+        )
+        line = F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("source"), b64
+        )
+        d.select(line.alias("value")).write.mode("overwrite").text(path)
+        back = spark.read.text(path).select(
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+            .cast("bigint")
+            .alias("doc_id"),
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("source"),
+            F.decode(
+                F.unbase64(F.split_part(F.col("value"), F.lit("\t"), F.lit(3))),
+                "UTF-8",
+            ).alias("text"),
+        )
+        agg = back.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))
+                    )["h"],
+                )
+            ).alias("content_md5"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

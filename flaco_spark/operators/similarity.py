@@ -2771,3 +2771,97 @@ def e24_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(hit).cast("bigint").alias("n_overlap"),
         (F.count_if(hit) * 10).cast("bigint").alias("recall_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e25 — centroid-distance outlier detection (mislabeled-embedding audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e25_centroid_outliers",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT label, g.i AS dim, CAST(v[g.i] AS DECIMAL(18,8)) AS x
+  FROM pts, generate_series(1, 64) AS g(i)
+),
+cent AS (
+  SELECT label, dim, CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cv
+  FROM dims GROUP BY label, dim
+),
+cvecs AS (SELECT label, list(cv ORDER BY dim) AS cent FROM cent GROUP BY label),
+scored AS (
+  SELECT p.vec_id, p.label,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, 64),
+                   i -> (p.v[i] - c.cent[i]) * (p.v[i] - c.cent[i]))),
+               (acc, z) -> acc + z), 6) AS d2
+  FROM pts p JOIN cvecs c ON p.label = c.label
+),
+ranked AS (
+  SELECT label, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY d2 DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT label, vec_id, d2, rn FROM ranked WHERE rn <= 5
+""",
+    tags=("similarity", "embedding", "outliers", "quality"),
+    doc="Centroid-distance outlier audit — the mislabeled-data / "
+    "embedding-quality screen run before a labeled set trains "
+    "anything: per-label exact-decimal centroids (e05's reduce), "
+    "each vector's squared L2 distance to its OWN label's centroid "
+    "as an index-ordered fold, and the top-5 farthest vectors per "
+    "label flagged for review (rank by distance, vec_id "
+    "tie-break).  The distance is computed against centroids "
+    "reassembled from the (label, dim) means via dim-ordered "
+    "collect — both engines build the identical double array, so "
+    "the fold sequence is bit-identical.  100 TB posture: one "
+    "|labels|×64-row centroid shuffle, centroids broadcast back "
+    "(labels ≪ vectors), distances map-side, per-label top-k "
+    "windows over distance-sorted slivers.",
+)
+def e25_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    dec = "decimal(18,8)"
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pts = e.select("vec_id", "label", v.alias("v"))
+    dims = pts.select(
+        "label", F.posexplode("v").alias("pos", "xd")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("xd").cast(dec).alias("x"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias("cv")
+    )
+    cvecs = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "cv")))["cv"].alias("cent")
+    )
+    scored = pts.join(F.broadcast(cvecs), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    wl = W.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_id", "d2", "rn")
+    )

@@ -2347,3 +2347,70 @@ def ts32_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+@register(
+    "ts33_burstiness",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, s1 AS total_events,
+       round((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS fano_factor,
+       round((sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+              - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS burstiness
+FROM mom
+""",
+    tags=("timeseries", "burstiness", "moments", "events"),
+    doc="Traffic burstiness profile per event type: the Fano factor "
+    "(variance-to-mean of daily counts; 1 = Poisson, >1 = "
+    "overdispersed/bursty) and the Goh–Barabási burstiness "
+    "coefficient B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the two standard "
+    "clumpiness diagnostics capacity planning and anomaly "
+    "baselining start from.  The q70/g09 moments discipline: daily "
+    "counts are integers, so n, Σc, Σc² are exact order-independent "
+    "BIGINTs; doubles appear only in the final closed-form "
+    "expression (one sqrt, fixed operation sequence) evaluated "
+    "identically by both engines.  One partial-agg scan to "
+    "day-grain, then a 5-row reduce.",
+)
+def ts33_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("n") * d("s2") - d("s1") * d("s1")) / (d("n") * (d("n") - F.lit(1.0)))
+    mean = d("s1") / d("n")
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s1").alias("total_events"),
+        F.round(var / mean, 8).alias("fano_factor"),
+        F.round((F.sqrt(var) - mean) / (F.sqrt(var) + mean), 8).alias(
+            "burstiness"
+        ),
+    )
