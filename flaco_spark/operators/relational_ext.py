@@ -3821,3 +3821,74 @@ def q119_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q120 — URL scalar-function family (parse_url / url_encode / url_decode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q120_url_functions",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id, source, lang,
+         'https://' || source || '.example.com/a%20b/' || doc_id
+           || '?id=' || doc_id || '&tag=feed+' || lang AS url
+  FROM documents
+),
+parsed AS (
+  SELECT source,
+         source || '.example.com' AS host,
+         '/a%20b/' || doc_id AS path,
+         doc_id AS qid,
+         'feed ' || lang AS tag,
+         source || '+' || lang AS enc
+  FROM urls
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(qid) AS BIGINT) AS id_sum,
+       MIN(tag) AS min_tag,
+       MAX(enc) AS max_enc,
+       MIN(path) AS min_path
+FROM parsed GROUP BY host, source
+""",
+    tags=("scalar", "url", "string", "documents"),
+    doc="The URL scalar-function family — parse_url(HOST/PATH/QUERY "
+    "with a key argument), url_decode, url_encode — over a "
+    "deterministically derived per-document URL (web-corpus "
+    "pipelines spend real cycles here: canonicalizing crawl URLs, "
+    "stripping tracking params, grouping by host).  The oracle is "
+    "KNOWN-ANSWER string construction: because the URL is built "
+    "from the row's own columns, every extraction has a closed-form "
+    "expected value (host = source||'.example.com', query param id "
+    "= doc_id, '+' decodes to space in the form-encoding dialect "
+    "parse_url/url_decode implement), so DuckDB needs no URL parser "
+    "— one flipped character in any Spark extraction breaks the "
+    "per-host hash.  Everything is map-side column expressions into "
+    "one partial agg; no UDF, no shuffle beyond the |hosts|-row "
+    "group.",
+)
+def q120_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/a%20b/"),
+        F.col("doc_id").cast("string"), F.lit("?id="),
+        F.col("doc_id").cast("string"), F.lit("&tag=feed+"), F.col("lang"),
+    )
+    parsed = d.select(
+        "source",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).cast("bigint").alias("qid"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("tag"))).alias("tag"),
+        F.url_encode(F.concat_ws(" ", F.col("source"), F.col("lang"))).alias("enc"),
+    )
+    return parsed.groupBy("host", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("qid").cast("bigint").alias("id_sum"),
+        F.min("tag").alias("min_tag"),
+        F.max("enc").alias("max_enc"),
+        F.min("path").alias("min_path"),
+    ).drop("source")

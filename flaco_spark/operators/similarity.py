@@ -2865,3 +2865,178 @@ def e25_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("label", "vec_id", "d2", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# e26 — retrieval quality metrics (MRR, nDCG@10) for an ANN ranking
+# ---------------------------------------------------------------------------
+
+# Fixed nDCG discount table w(i) = round(1/log2(i+1), 8), embedded as
+# LITERALS in both engines: log2 outputs may differ in the last ulp
+# between libm implementations, so the discount is pinned the way
+# production eval code pins it (a constant table), not recomputed.
+E26_DISCOUNTS = [
+    (1, "1.00000000"),
+    (2, "0.63092975"),
+    (3, "0.50000000"),
+    (4, "0.43067656"),
+    (5, "0.38685281"),
+    (6, "0.35620719"),
+    (7, "0.33333333"),
+    (8, "0.31546488"),
+    (9, "0.30103000"),
+    (10, "0.28906483"),
+]
+
+_E26_DISC_VALUES = ", ".join(f"({i}, {w})" for i, w in E26_DISCOUNTS)
+
+
+@register(
+    "e26_ranking_metrics",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_NORMS_SQL},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_dot_sql('q.v', 'c.v')}, 8) AS dotp
+  FROM pts q
+  JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+ex AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT d.query_id, d.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY d.dotp / (nq.nrm * nc.nrm) DESC, d.neighbor_id) AS rn
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.neighbor_id = nc.vec_id) t
+  WHERE rn <= 10
+),
+pre AS (
+  SELECT vec_id, list_slice(v, 1, {MRL_PREFIX_DIMS}) AS pv FROM pts
+),
+pnorms AS (
+  SELECT vec_id,
+         round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                             list_transform(pv, x -> x * x)),
+                                (acc, x) -> acc + x)), 6) AS pn
+  FROM pre
+),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, {MRL_PREFIX_DIMS}),
+                                i -> q.pv[i] * c.pv[i])),
+               (acc, x) -> acc + x), 8) / (nq.pn * nc.pn) AS pcos
+  FROM pre q
+  JOIN pre c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  JOIN pnorms nq ON q.vec_id = nq.vec_id
+  JOIN pnorms nc ON c.vec_id = nc.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, crn AS i FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY pcos DESC, neighbor_id) AS crn
+    FROM coarse) t
+  WHERE crn <= 10
+),
+disc(i, w) AS (VALUES {_E26_DISC_VALUES}),
+idcg AS (
+  SELECT SUM(CAST(11 - i AS DECIMAL(18,8)) * w) AS v FROM disc
+),
+gains AS (
+  SELECT c.query_id, c.i,
+         CAST(COALESCE(11 - e.rn, 0) AS DECIMAL(18,8)) AS g,
+         CASE WHEN e.rn IS NOT NULL THEN c.i END AS rel_i
+  FROM cand c
+  LEFT JOIN ex e ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+),
+m AS (
+  SELECT g.query_id,
+         SUM(g.g * d.w) AS dcg,
+         MIN(g.rel_i) AS fr
+  FROM gains g JOIN disc d ON g.i = d.i
+  GROUP BY g.query_id
+)
+SELECT query_id,
+       round(CAST(dcg AS DOUBLE) / CAST((SELECT v FROM idcg) AS DOUBLE), 8) AS ndcg10,
+       round(COALESCE(1.0 / fr, 0.0), 8) AS mrr
+FROM m
+""",
+    tags=("similarity", "embedding", "eval", "ranking", "metrics"),
+    doc="Retrieval-quality metrics for an ANN ranking — the eval "
+    "harness every index deployment gates on, generalizing the "
+    "recall-only rows (e06/e09/e13): the prefix-dimension coarse "
+    "ranking (e17's phase 1, no re-rank) is scored against exact "
+    "full-dimension cosine top-10 ground truth with graded "
+    "relevance gain = 11 − true_rank, yielding per-query nDCG@10 "
+    "and MRR (reciprocal rank of the first true-top-10 hit).  "
+    "Float discipline: the log2 discount table is a pinned literal "
+    "in BOTH engines (libm last-ulp drift never enters the gate); "
+    "gain × discount accumulates in exact decimal, doubles appear "
+    "only in the final two divisions.  100 TB posture: both "
+    "rankings are k-sized per query, so the metric join is "
+    "O(queries × k) — evaluation cost is upstream retrieval, "
+    "already bounded; ground truth at scale comes from the same "
+    "two-phase brute-force path (e01) over a sampled query set.",
+)
+def e26_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    e = table(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 5)
+    ex = brute_force_topk(e, qset, k=10).select(
+        "query_id", "neighbor_id", F.col("rn").alias("true_rank")
+    )
+
+    pre = F.slice(F.col("embedding").cast("array<double>"), 1, MRL_PREFIX_DIMS)
+    cand_side = spread_to_cores(e).select(
+        F.col("vec_id").alias("neighbor_id"), pre.alias("cpv")
+    )
+    cand_side = cand_side.select(
+        "neighbor_id", "cpv", norm(F.col("cpv")).alias("cpn")
+    )
+    qside = qset.select(F.col("vec_id").alias("query_id"), pre.alias("qpv"))
+    qside = qside.select("query_id", "qpv", norm(F.col("qpv")).alias("qpn"))
+    scored = (
+        cand_side.crossJoin(F.broadcast(qside))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "pcos", cosine(F.col("qpv"), F.col("cpv"), F.col("qpn"), F.col("cpn"))
+        )
+    )
+    cand = topk_per_query(
+        scored, "query_id", [F.desc("pcos"), F.asc("neighbor_id")], 10
+    ).select("query_id", "neighbor_id", F.col("rn").alias("i"))
+
+    disc = spark.createDataFrame(
+        [(i, Decimal(w)) for i, w in E26_DISCOUNTS], "i int, w decimal(18,8)"
+    )
+    idcg = disc.agg(
+        F.sum((F.lit(11) - F.col("i")).cast("decimal(18,8)") * F.col("w")).alias("v")
+    )
+
+    gains = cand.join(ex, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "i",
+        F.coalesce(F.lit(11) - F.col("true_rank"), F.lit(0))
+        .cast("decimal(18,8)")
+        .alias("g"),
+        F.when(F.col("true_rank").isNotNull(), F.col("i")).alias("rel_i"),
+    )
+    m = gains.join(F.broadcast(disc), "i").groupBy("query_id").agg(
+        F.sum(F.col("g") * F.col("w")).alias("dcg"),
+        F.min("rel_i").alias("fr"),
+    )
+    return m.crossJoin(F.broadcast(idcg)).select(
+        "query_id",
+        F.round(
+            F.col("dcg").cast("double") / F.col("v").cast("double"), 8
+        ).alias("ndcg10"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("fr"), F.lit(0.0)), 8
+        ).alias("mrr"),
+    )

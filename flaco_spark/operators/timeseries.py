@@ -2414,3 +2414,89 @@ def ts33_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness"
         ),
     )
+
+
+@register(
+    "ts34_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+gmom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM daily
+),
+lags AS (SELECT i AS lag FROM generate_series(1, 7) AS g(i)),
+pairs AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(SUM(a.x) AS BIGINT) AS sa,
+         CAST(SUM(b.x) AS BIGINT) AS sb
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT p.lag, p.n_pairs,
+       round((CAST(p.sxy AS DOUBLE)
+              - (CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE))
+                * (CAST(p.sa AS DOUBLE) + CAST(p.sb AS DOUBLE))
+              + CAST(p.n_pairs AS DOUBLE)
+                * (CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE))
+                * (CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE)))
+             / (CAST(g.s2 AS DOUBLE)
+                - CAST(g.n AS DOUBLE)
+                  * (CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE))
+                  * (CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE))), 8) AS acf
+FROM pairs p CROSS JOIN gmom g
+""",
+    tags=("timeseries", "autocorrelation", "moments", "events"),
+    doc="Sample autocorrelation function of the daily event-count "
+    "series at lags 1-7 — the seasonality/memory diagnostic run "
+    "before any forecasting or anomaly model (a weekly cycle shows "
+    "as a lag-7 peak).  Standard ACF estimator: full-series mean "
+    "and variance in the denominator, lag-k cross products in the "
+    "numerator, expanded so every aggregate is an exact "
+    "order-independent integer (n, Σx, Σx², and per-lag Σx·x₊ₖ, "
+    "Σx, Σx₊ₖ via a self-join on day+k); doubles enter only in the "
+    "final closed-form expression with a fixed operation sequence "
+    "(the q70/g09/ts33 moments discipline).  100 TB posture: one "
+    "partial-agg scan to day grain, then the self-join and moments "
+    "run on |days| rows × 7 lags — metadata-sized regardless of "
+    "event volume.",
+)
+def ts34_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("a_day"), F.col("x").alias("ax"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("x").alias("bx"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_day") == F.date_add(F.col("a_day"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("ax") * F.col("bx")).cast("bigint").alias("sxy"),
+            F.sum("ax").cast("bigint").alias("sa"),
+            F.sum("bx").cast("bigint").alias("sb"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s1") / d("n")
+    num = d("sxy") - mean * (d("sa") + d("sb")) + d("n_pairs") * mean * mean
+    den = d("s2") - d("n") * mean * mean
+    return pairs.crossJoin(F.broadcast(glob)).select(
+        "lag", "n_pairs", F.round(num / den, 8).alias("acf")
+    )

@@ -606,3 +606,114 @@ def st10_chained_stream_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("bigint").alias("total"),
         F.col("n_hours").cast("bigint").alias("n_hours"),
     )
+
+
+@register(
+    "st11_session_window_agg",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+agg AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(n_events AS BIGINT) AS n_events
+FROM agg
+""",
+    tags=("streaming", "session-window", "events"),
+    doc="NATIVE session-window streaming aggregation "
+    "(``F.session_window``, Spark 3.2+) behind the correctness gate "
+    "— the DECLARATIVE counterpart to st04's imperative "
+    "applyInPandasWithState sessionization, exercising a different "
+    "execution path entirely: the state store's session-merge "
+    "operator (sort-merge of overlapping [start, last+gap) "
+    "intervals inside the state store) rather than user-code state. "
+    "Complete-mode drain emits EVERY session including each user's "
+    "final one (st04's append-mode contract must withhold those), "
+    "so the oracle is the full gaps-and-islands relation with the "
+    "session end extended by the gap — exactly session_window's "
+    "[first_event, last_event + gap) window.  Gap-boundary "
+    "semantics are pinned: an event at exactly start + gap falls "
+    "OUTSIDE the half-open window, so the oracle opens a new "
+    "session when the delta is >= the gap, not >.  100 TB posture: "
+    "state is |open sessions| per user (rate-independent); "
+    "production uses append mode + watermark to evict closed "
+    "sessions, complete mode here is the bounded-replay gate "
+    "harness.",
+)
+def st11_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _events_stream(spark, sf_dir)
+    sessions = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sink = _drain(sessions, scratch, "complete", "st11")
+    return sink.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "st12_sliding_window_counts",
+    oracle="""
+WITH offs AS (SELECT i AS k FROM generate_series(0, 1) AS g(i)),
+assigned AS (
+  SELECT date_trunc('hour', e.ts) - o.k * INTERVAL 1 HOUR AS w_start,
+         e.event_type
+  FROM events e CROSS JOIN offs o
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(w_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned
+GROUP BY 1, 2, 3
+""",
+    tags=("streaming", "sliding-window", "events"),
+    doc="SLIDING-window streaming aggregation (window duration 2h, "
+    "slide 1h) behind the correctness gate — the overlapping-window "
+    "state shape st01's tumbling windows never exercise: every "
+    "event belongs to exactly duration/slide = 2 windows, so the "
+    "stateful operator fans each input row into 2 window keys "
+    "before the count state updates (this multiplicative state "
+    "write is why production monitors pick slide ratios, not "
+    "arbitrary slides).  The oracle replays the same assignment "
+    "rule in batch SQL: window starts are the 2 hour-aligned "
+    "instants w with w <= ts < w + 2h, i.e. trunc(ts) - k hours "
+    "for k in {0, 1}.  Complete-mode drain as in st01 (bounded "
+    "replay emits every window).  100 TB posture: state is |open "
+    "windows x keys| — rate-independent; the fan-out factor is the "
+    "fixed integer 2, applied map-side before the shuffle.",
+)
+def st12_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _events_stream(spark, sf_dir)
+    counts = stream.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sink = _drain(counts, scratch, "complete", "st12")
+    return sink.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -75,7 +75,8 @@ def main() -> int:
             print(("PASS" if ok else "FAIL"), name, f"({kind}, {len(got)} rows)")
             fails += not ok
         except Exception as exc:  # noqa: BLE001
-            print("ERROR", name, repr(exc)[:160])
+            # Py4JJavaError carries the JVM stack in str(), not repr()
+            print("ERROR", name, str(exc)[:4000])
             fails += 1
     print(f"TOTAL FAILS: {fails}/{len(qs)}  wall={time.perf_counter() - t0:.0f}s")
     spark.stop()
