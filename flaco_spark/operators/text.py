@@ -2131,3 +2131,114 @@ def t30_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((SUM(chars) * 1000) DIV greatest(SUM(bpe), 1) AS BIGINT)"
         ).alias("chars_per_token_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t31 — language-ID confusion audit (classifier quality per gold label)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t31_langid_confusion",
+    oracle=rf"""
+WITH scores AS (
+  SELECT doc_id, lang AS lang_actual,
+         {{de}} AS s_de,
+         {{en}} AS s_en,
+         {{es}} AS s_es,
+         {{fr}} AS s_fr,
+         {{zh}} AS s_zh
+  FROM documents
+),
+pred AS (
+  SELECT lang_actual,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM scores
+),
+gold AS (
+  SELECT lang_actual AS lang, CAST(COUNT(*) AS BIGINT) AS gold_n,
+         CAST(SUM(CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM pred GROUP BY 1
+),
+hyp AS (
+  SELECT lang_pred AS lang, CAST(COUNT(*) AS BIGINT) AS pred_n
+  FROM pred GROUP BY 1
+)
+SELECT g.lang, g.gold_n, COALESCE(h.pred_n, 0) AS pred_n, g.tp,
+       round(CAST(g.tp AS DOUBLE)
+             / CAST(NULLIF(COALESCE(h.pred_n, 0), 0) AS DOUBLE), 8) AS precision_,
+       round(CAST(g.tp AS DOUBLE) / CAST(g.gold_n AS DOUBLE), 8) AS recall_,
+       round(CAST(2 * g.tp AS DOUBLE)
+             / CAST(COALESCE(h.pred_n, 0) + g.gold_n AS DOUBLE), 8) AS f1
+FROM gold g LEFT JOIN hyp h ON g.lang = h.lang
+""".format(
+        de=_lexicon_sql("de"),
+        en=_lexicon_sql("en"),
+        es=_lexicon_sql("es"),
+        fr=_lexicon_sql("fr"),
+        zh=_lexicon_sql("zh"),
+    ),
+    tags=("text", "langid", "eval", "confusion", "documents"),
+    doc="Classifier-quality audit of the t03 language identifier "
+    "against the corpus's gold labels — the per-class "
+    "precision/recall/F1 report any lang-ID stage ships with before "
+    "its predictions route documents into per-language training "
+    "mixtures (a low-precision class silently pollutes that "
+    "language's corpus).  Exact-count discipline: TP, gold and "
+    "predicted totals are integers; precision and recall are single "
+    "integer-ratio divisions, and F1 uses the algebraic identity "
+    "F1 = 2·TP/(pred_n + gold_n) so it too is ONE division of "
+    "exact integers — no compounded float error, no engine drift.  "
+    "Physical shape: the prediction is t03's map-side expression, "
+    "then two |languages|-row aggregates and a tiny join — one "
+    "partial-agg scan regardless of corpus size.",
+)
+def t31_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("lang_actual"),
+        predict_lang(F.col("text")).alias("lang_pred"),
+    )
+    gold = pred.groupBy(F.col("lang_actual").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("gold_n"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang_actual"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    hyp = pred.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pred_n")
+    )
+    j = gold.join(hyp, "lang", "left").select(
+        "lang",
+        "gold_n",
+        F.coalesce("pred_n", F.lit(0)).cast("bigint").alias("pred_n"),
+        "tp",
+    )
+    return j.select(
+        "lang",
+        "gold_n",
+        "pred_n",
+        "tp",
+        # a never-predicted class has undefined precision — NULL, not
+        # a divide-by-zero (ANSI) or an inf (non-ANSI)
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("pred_n"), F.lit(0)).cast("double"),
+            8,
+        ).alias("precision_"),
+        F.round(F.col("tp").cast("double") / F.col("gold_n").cast("double"), 8).alias(
+            "recall_"
+        ),
+        F.round(
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.col("pred_n") + F.col("gold_n")).cast("double"),
+            8,
+        ).alias("f1"),
+    )

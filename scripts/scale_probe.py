@@ -197,6 +197,15 @@ PROBE = [
     "q118_lateral_column_alias",
     "t30_tokenizer_fertility",
     "g09_degree_assortativity",
+    "q119_text_roundtrip",
+    "e25_centroid_outliers",
+    "ts33_burstiness",
+    "st11_session_window_agg",
+    "st12_sliding_window_counts",
+    "e26_ranking_metrics",
+    "ts34_autocorrelation",
+    "q120_url_functions",
+    "t31_langid_confusion",
 ]
 
 

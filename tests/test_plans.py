@@ -1085,3 +1085,44 @@ def test_m12_downmix_single_repartition(spark, sf_dir):
     plan = formatted_plan(df)
     assert "MapInPandas" in plan
     assert exchange_count(df) == 1, "only the explicit repartition may shuffle"
+
+
+def test_ts34_moments_are_broadcast(spark, sf_dir):
+    """ACF: the lag dimension and global moments are broadcast; the
+    only shuffles key on day grain (metadata-sized)."""
+    from flaco_spark.plans import broadcast_join_count, formatted_plan
+
+    df = REGISTRY["ts34_autocorrelation"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, "lags and gmom must broadcast"
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_e26_discount_table_broadcast(spark, sf_dir):
+    """nDCG discount table and the 1-row IDCG aggregate join broadcast;
+    ground truth and candidate rankings meet in a k-sized join."""
+    from flaco_spark.plans import broadcast_join_count
+
+    df = REGISTRY["e26_ranking_metrics"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q120_single_aggregation_shuffle(spark, sf_dir):
+    """URL parsing is pure map-side column work: exactly the one
+    partial-agg exchange, no join."""
+    from flaco_spark.plans import exchange_count, formatted_plan
+
+    df = REGISTRY["q120_url_functions"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan, "URL family must stay JVM-side"
+
+
+def test_t31_single_scan_two_aggs(spark, sf_dir):
+    """Confusion audit: prediction is map-side; gold and hyp are
+    |languages|-row aggregates joined without a corpus-sized shuffle."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["t31_langid_confusion"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, "lang-ID must stay JVM-side"
