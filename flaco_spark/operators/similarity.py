@@ -2822,12 +2822,12 @@ SELECT label, vec_id, d2, rn FROM ranked WHERE rn <= 5
     "collect — both engines build the identical double array, so "
     "the fold sequence is bit-identical.  100 TB posture: one "
     "|labels|×64-row centroid shuffle, centroids broadcast back "
-    "(labels ≪ vectors), distances map-side, per-label top-k "
-    "windows over distance-sorted slivers.",
+    "(labels ≪ vectors), distances map-side, and the per-label "
+    "top-5 via the two-phase local-prune top-k (a flat "
+    "partitionBy(label) window would funnel each label's whole "
+    "population through one task — the e01 lesson).",
 )
 def e25_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     e = table(spark, sf_dir, "embeddings")
     dec = "decimal(18,8)"
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -2859,12 +2859,14 @@ def e25_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("d2"),
     )
-    wl = W.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(wl))
-        .filter(F.col("rn") <= 5)
-        .select("label", "vec_id", "d2", "rn")
-    )
+    # two-phase top-k per label (topk_per_query): a flat
+    # partitionBy(label) window funnels each label's ENTIRE vector
+    # population through one task — with few labels that is the e01
+    # scale-killer; the local-prune phase bounds the final shuffle
+    # to k × partitions rows.
+    return topk_per_query(
+        scored, "label", [F.desc("d2"), F.asc("vec_id")], 5
+    ).select("label", "vec_id", "d2", "rn")
 
 
 # ---------------------------------------------------------------------------
