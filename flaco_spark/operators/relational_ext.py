@@ -3774,7 +3774,13 @@ FROM documents GROUP BY source
     "flipped byte anywhere in any document fails the hash.  Both "
     "legs distributed; the |sources|-row aggregate is materialized "
     "eagerly so the scratch copy deletes before return (q92's "
-    "scratch-leak guard).",
+    "scratch-leak guard).  Scale note: the order-sensitive digest "
+    "collects one md5 per doc into a per-source array — at 100 TB "
+    "a billion-doc source needs the hierarchical form instead "
+    "(bucket by doc_id range, digest buckets, digest the "
+    "bucket-digests in bucket order — d26's order-independent "
+    "fingerprint is the cheap alternative when order is not part "
+    "of the contract).",
 )
 def q119_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
