@@ -112,6 +112,10 @@ RISKY_NEW: frozenset[str] = frozenset(
         "st10_chained_stream_aggs",  # multi-stateful single query
         "p03_shard_export_pipeline",  # flagship #3: export manifest
         "m12_stereo_downmix",  # Arrow-batched PCM DSP path
+        "st11_session_window_agg",  # state-store session-merge operator
+        "st12_sliding_window_counts",  # overlapping-window state fan-out
+        "q119_text_roundtrip",  # line-oriented sink/source + scratch swap
+        "g07_hits",  # iterative with per-round broadcast jobs
     }
 )
 
