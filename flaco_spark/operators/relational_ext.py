@@ -3898,3 +3898,64 @@ def q120_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("enc").alias("max_enc"),
         F.min("path").alias("min_path"),
     ).drop("source")
+
+
+# ---------------------------------------------------------------------------
+# q121 — parquet schema evolution on READ (mergeSchema file-level union)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q121_mergeschema_read",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY source
+""",
+    tags=("source", "parquet", "schema-evolution", "documents"),
+    doc="Parquet schema evolution at the FILE level, resolved on read "
+    "(.option('mergeSchema', 'true')) — the physical counterpart to "
+    "q85's logical unionByName: generation 1 of a dataset lands "
+    "with (doc_id, source), generation 2 appends (doc_id, source, "
+    "n_chars) into the SAME directory, and the scan reconciles the "
+    "two footer schemas itself, NULL-filling the missing column for "
+    "old files — exactly how a 100 TB lake absorbs a new column "
+    "without rewriting history.  Generations are carved "
+    "deterministically (doc_id parity), so the oracle recomputes "
+    "the merged relation straight from the documents table: "
+    "null-skipping SUM(n_chars) must equal the odd-generation char "
+    "mass, doc counts must survive the merge.  Scale note: "
+    "mergeSchema reads EVERY file footer at planning time — at "
+    "millions of files pin the schema explicitly or keep it in a "
+    "table format's metadata layer; the per-round-trip scratch is "
+    "reclaimed before return (q92's contract).",
+)
+def q121_mergeschema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="flaco_msr_")
+    path = f"{out}/docs"
+    try:
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.mode(
+            "append"
+        ).parquet(path)
+        d.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(path)
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        agg = merged.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_chars").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_evolved"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

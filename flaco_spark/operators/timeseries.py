@@ -2500,3 +2500,62 @@ def ts34_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.crossJoin(F.broadcast(glob)).select(
         "lag", "n_pairs", F.round(num / den, 8).alias("acf")
     )
+
+
+@register(
+    "ts35_ohlc_resample",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hour,
+         CAST(epoch(ts) AS BIGINT) * 100000000 + event_id AS okey,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       arg_min(v, okey) AS open,
+       round(MAX(v), 8) AS high,
+       round(MIN(v), 8) AS low,
+       arg_max(v, okey) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM keyed
+GROUP BY event_type, hour
+""",
+    tags=("timeseries", "ohlc", "argminmax", "events"),
+    doc="OHLC bar resampling via the arg-min/arg-max AGGREGATE "
+    "surface (F.min_by / F.max_by ↔ DuckDB arg_min/arg_max) — "
+    "selection-by-ordering as a hash aggregate instead of ts18's "
+    "window-rank formulation: one partial-agg pass, no sort, no "
+    "window state.  Determinism is the subtle part pinned here: "
+    "min_by/max_by with a tied ordering key is engine-chosen, so "
+    "the ordering key is epoch-seconds × 1e8 + event_id — unique "
+    "per row by construction (event_id < 1e8 at every fixture "
+    "scale), making open/close well-defined selections.  100 TB "
+    "posture: this is THE preferred OHLC shape at scale — map-side "
+    "combinable partial aggregates ((key, value) pairs merge by "
+    "key comparison), vs the window form's full per-partition "
+    "sort; |types × hours| output rows.",
+)
+def ts35_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        (
+            F.unix_timestamp("ts").cast("bigint") * F.lit(100000000)
+            + F.col("event_id")
+        ).alias("okey"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return keyed.groupBy("event_type", "hour").agg(
+        F.min_by("v", "okey").alias("open"),
+        F.round(F.max("v"), 8).alias("high"),
+        F.round(F.min("v"), 8).alias("low"),
+        F.max_by("v", "okey").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "open", "high", "low", "close", "n",
+    )
