@@ -3959,3 +3959,134 @@ def q121_mergeschema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q122 — observed metrics (CollectMetrics piggybacked on the main job)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q122_observe_metrics",
+    oracle="""
+WITH src AS (
+  SELECT l_returnflag, l_extendedprice, l_discount
+  FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+  FROM src GROUP BY l_returnflag
+),
+metrics AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS obs_rows,
+         CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS obs_discounted
+  FROM src
+)
+SELECT a.l_returnflag, a.n, a.price_cents, m.obs_rows, m.obs_discounted
+FROM agg a CROSS JOIN metrics m
+""",
+    tags=("sql", "observe", "metrics", "lineitem"),
+    doc="Observed metrics (df.observe / CollectMetrics): data-quality "
+    "counters — scanned-row count, discounted-row count — "
+    "piggybacked on the SAME job as the revenue aggregate, the way "
+    "production pipelines instrument a 100 TB scan without paying a "
+    "second pass (the CollectMetrics node accumulates per task and "
+    "merges on the driver alongside the real aggregation).  The "
+    "observation is retrieved after the action and joined onto the "
+    "relation, so the gate checks the METRICS THEMSELVES against "
+    "the oracle's second-scan formulation: equality proves the "
+    "piggybacked counters see exactly the filtered row set the "
+    "aggregate consumed.  All counters are exact integers.",
+)
+def q122_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    src = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        .select("l_returnflag", "l_extendedprice", "l_discount")
+    )
+    obs = Observation("q122")
+    observed = src.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("obs_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("obs_discounted"),
+    )
+    agg = observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    rows = agg.collect()  # triggers the single job; metrics now final
+    m = obs.get
+    out = spark.createDataFrame(rows, agg.schema)
+    return out.select(
+        "l_returnflag",
+        "n",
+        "price_cents",
+        F.lit(m["obs_rows"]).cast("bigint").alias("obs_rows"),
+        F.lit(m["obs_discounted"]).cast("bigint").alias("obs_discounted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — HLL datasketches: mergeable approx-distinct with a checked bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q123_hll_sketch",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       true AS within_bound,
+       true AS merge_consistent
+FROM events GROUP BY event_type
+""",
+    tags=("sql", "sketch", "hll", "approx", "events"),
+    doc="Apache DataSketches HLL behind the gate (hll_sketch_agg / "
+    "hll_union_agg / hll_sketch_estimate, Spark 3.5+) — the "
+    "MERGEABLE approx-distinct that replaces COUNT(DISTINCT) at "
+    "100 TB: per-partition sketches union associatively, so "
+    "yesterday's persisted sketch absorbs today's increment without "
+    "rescanning history (approx_count_distinct computes but cannot "
+    "be stored/merged across jobs).  The estimate value itself is "
+    "engine-specific, so the gate pins two MACHINE-CHECKED claims "
+    "instead (the q45/q62 bound discipline, but oracle-matchable): "
+    "within_bound — the direct estimate lands within 5% of the "
+    "exact distinct (HLL lgK=12 standard error ≈ 1.6%, so 5% is a "
+    "real assertion, not slack) — and merge_consistent — the union "
+    "of per-DAY sketches yields the IDENTICAL estimate to the "
+    "one-shot sketch (register-state max-merge is order- and "
+    "partition-independent), the associativity that makes the "
+    "incremental topology sound.  A false in either column breaks "
+    "the hash against the oracle's literal trues.",
+)
+def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    )
+    direct = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact").cast("double")
+        ).alias("within_bound"),
+        (F.col("est") == F.col("est_merged")).alias("merge_consistent"),
+    )
