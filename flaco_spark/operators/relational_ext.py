@@ -4090,3 +4090,117 @@ def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_bound"),
         (F.col("est") == F.col("est_merged")).alias("merge_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — XPath scalar family over a derived XML column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q124_xpath_functions",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       MIN(lang) AS min_lang
+FROM documents GROUP BY source
+""",
+    tags=("scalar", "xml", "xpath", "documents"),
+    doc="The XPath scalar family (xpath_string / xpath_int / "
+    "xpath_long) — per-ROW XML dissection, the complement of q112's "
+    "whole-dataset XML source: enterprise feeds routinely land an "
+    "XML FRAGMENT in one column of an otherwise relational record, "
+    "and xpath_* extracts fields without a per-row parser UDF.  The "
+    "q120 known-answer discipline: the fragment is built from the "
+    "row's own columns (<doc id=..><meta lang=.. chars=../></doc> "
+    "with the doc_id attribute and nested element values), every "
+    "extraction has a closed-form expected value, and the per-source "
+    "aggregate of EXTRACTED fields must hash-match the same "
+    "aggregate computed straight from the base columns — a "
+    "mis-parse of any row breaks id_sum/chars_sum/min_lang.  All "
+    "map-side JVM expressions; one partial-agg shuffle.",
+)
+def q124_xpath_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id").cast("string"),
+        F.lit('"><src>'), F.col("source"),
+        F.lit('</src><meta lang="'), F.col("lang"),
+        F.lit('" chars="'), F.col("n_chars").cast("string"),
+        F.lit('"/></doc>'),
+    )
+    parsed = d.select(
+        F.xpath_string(xml, F.lit("/doc/src")).alias("source"),
+        F.xpath_long(xml, F.lit("/doc/@id")).alias("xid"),
+        F.xpath_long(xml, F.lit("/doc/meta/@chars")).alias("xchars"),
+        F.xpath_string(xml, F.lit("/doc/meta/@lang")).alias("xlang"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("xid").cast("bigint").alias("id_sum"),
+        F.sum("xchars").cast("bigint").alias("chars_sum"),
+        F.min("xlang").alias("min_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — cryptographic/hash scalar family (sha2, aes round-trip, crc/xxhash)
+# ---------------------------------------------------------------------------
+
+# 16-byte AES-128 key, fixed so ECB output is deterministic run-to-run.
+_Q125_KEY = "flaco_spark_key1"
+
+
+@register(
+    "q125_crypto_functions",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg(sha256(text), '' ORDER BY doc_id)) AS sha_digest,
+       true AS aes_ok,
+       true AS hash_cols_nonnull
+FROM documents GROUP BY source
+""",
+    tags=("scalar", "crypto", "hash", "documents"),
+    doc="The cryptographic scalar family: sha2-256 (cross-checked "
+    "byte-for-byte against DuckDB's sha256 via an order-sensitive "
+    "per-source digest), AES-128-ECB encrypt→decrypt round-trip "
+    "(fixed key, deterministic mode — GCM's random IV would break "
+    "replay; the machine-checked aes_ok column proves "
+    "decrypt(encrypt(text)) == text for EVERY document), and the "
+    "non-cryptographic partitioner hashes crc32/xxhash64 (engine-"
+    "specific values, so the gate pins their non-nullness while the "
+    "cross-engine claim rides on sha2).  Pattern: where a function's "
+    "output is portable, hash-match it; where it is engine-defined, "
+    "machine-check its CONTRACT (round-trip identity, totality) and "
+    "let a literal-true column carry the assertion through the "
+    "gate.  All map-side; one partial-agg shuffle.",
+)
+def q125_crypto_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    key = F.lit(_Q125_KEY)
+    enc = F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary"), F.lit("ECB"))
+    dec = F.aes_decrypt(enc, key.cast("binary"), F.lit("ECB")).cast("string")
+    rowed = d.select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+        (dec == F.col("text")).alias("rt_ok"),
+        (F.crc32(F.col("text").cast("binary")).isNotNull()
+         & F.xxhash64(F.col("text")).isNotNull()).alias("h_ok"),
+    )
+    return rowed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.array_sort(F.collect_list(F.struct("doc_id", F.col("sha").alias("s"))))["s"],
+            )
+        ).alias("sha_digest"),
+        F.min("rt_ok").alias("aes_ok"),
+        F.min("h_ok").alias("hash_cols_nonnull"),
+    )
