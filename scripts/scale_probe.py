@@ -206,6 +206,12 @@ PROBE = [
     "ts34_autocorrelation",
     "q120_url_functions",
     "t31_langid_confusion",
+    "ts35_ohlc_resample",
+    "q121_mergeschema_read",
+    "q122_observe_metrics",
+    "q123_hll_sketch",
+    "q124_xpath_functions",
+    "q125_crypto_functions",
 ]
 
 
