@@ -4204,3 +4204,154 @@ def q125_crypto_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rt_ok").alias("aes_ok"),
         F.min("h_ok").alias("hash_cols_nonnull"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — market-basket pair mining (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q126_market_basket",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 97 AS item FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+item_n AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM baskets GROUP BY item
+),
+pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.item_a, p.item_b, p.c_ab,
+         round(CAST(p.c_ab AS DOUBLE) / CAST(n.n AS DOUBLE), 8) AS support,
+         round(CAST(p.c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE), 8) AS confidence,
+         round(CAST(n.n AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
+               / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 8) AS lift
+  FROM pair_n p
+  JOIN item_n ca ON p.item_a = ca.item
+  JOIN item_n cb ON p.item_b = cb.item
+  CROSS JOIN n_orders n
+  WHERE p.c_ab >= 5
+)
+SELECT item_a, item_b, c_ab, support, confidence, lift,
+       ROW_NUMBER() OVER (ORDER BY lift DESC, item_a, item_b) AS rn
+FROM scored
+QUALIFY rn <= 25
+""",
+    tags=("sql", "basket", "association", "lineitem"),
+    doc="Market-basket pair mining — support, confidence and lift "
+    "for items co-occurring in an order (items = part keys folded "
+    "to 97 classes so pairs repeat at fixture scale), min-support "
+    "floor c_ab >= 5, top-25 pairs by lift: the association-rule "
+    "workload every retail/affinity OLAP deployment runs.  All "
+    "counts are exact integers off ONE distinct basket relation; "
+    "support/confidence/lift are single fixed-sequence double "
+    "expressions (the moments discipline).  100 TB posture: the "
+    "pair join is per-order self-join — fan-out bounded by "
+    "basket-size² (orders are small), NOT corpus²; item counts and "
+    "the 1-row order total broadcast back; min-support prunes "
+    "before the top-k window.  The classic a-priori trick (prune "
+    "items below min-support BEFORE pairing) applies unchanged "
+    "when baskets are larger.",
+)
+def q126_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.operators.similarity import topk_per_query
+
+    l = table(spark, sf_dir, "lineitem")
+    baskets = l.select(
+        "l_orderkey", (F.col("l_partkey") % 97).alias("item")
+    ).distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item_n = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = baskets.select("l_orderkey", F.col("item").alias("item_a"))
+    b = baskets.select("l_orderkey", F.col("item").alias("item_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        pair_n.join(
+            F.broadcast(item_n.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a", "item_b", "c_ab",
+            F.round(d("c_ab") / d("n"), 8).alias("support"),
+            F.round(d("c_ab") / d("ca"), 8).alias("confidence"),
+            F.round(d("n") * d("c_ab") / (d("ca") * d("cb")), 8).alias("lift"),
+        )
+    )
+    ranked = topk_per_query(
+        scored.withColumn("_g", F.lit(1)),
+        "_g",
+        [F.desc("lift"), F.asc("item_a"), F.asc("item_b")],
+        25,
+    )
+    return ranked.select(
+        "item_a", "item_b", "c_ab", "support", "confidence", "lift", "rn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — file-metadata pseudo-columns (_metadata struct on file sources)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_file_metadata",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       true AS all_parquet,
+       true AS sizes_positive,
+       true AS rows_covered
+FROM documents
+""",
+    tags=("source", "metadata", "lake", "documents"),
+    doc="The hidden _metadata struct every file source exposes "
+    "(file_path, file_name, file_size, file_modification_time) — "
+    "the lineage/debugging surface lake pipelines lean on to trace "
+    "a bad row back to the file that delivered it, and the basis "
+    "of file-grained incremental patterns before a table format is "
+    "adopted.  The gate pins the CONTRACT: every row carries a "
+    "non-null .parquet-suffixed path with positive size "
+    "(machine-checked flags), the distinct-file count is exactly "
+    "the fixture's single file per table (the driver's SF dirs lay "
+    "one file per table — documented dependency, scaled probe "
+    "directories exercise the multi-file shape rows-only), and the "
+    "per-file row counts sum to the scan's row count.  Metadata "
+    "columns are populated by the reader itself — no extra scan, "
+    "no shuffle beyond the audit aggregate.",
+)
+def q127_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.file_size").alias("fs"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("fp").cast("bigint").alias("n_files"),
+        F.min(F.col("fn").endswith(".parquet")).alias("all_parquet"),
+        F.min(F.col("fs") > 0).alias("sizes_positive"),
+        (F.count("fp") == F.count(F.lit(1))).alias("rows_covered"),
+    )
