@@ -717,3 +717,106 @@ def st12_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "p04_stream_ingest_pipeline",
+    oracle="""
+WITH dim(event_type, stage, weight) AS (
+  VALUES ('view', 'top', 1), ('click', 'mid', 3), ('signup', 'bottom', 10),
+         ('purchase', 'bottom', 25), ('error', 'ops', 0)
+),
+wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS final_wm FROM events),
+silver AS (
+  SELECT date_trunc('hour', e.ts) AS w_start, d.stage,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(d.weight AS BIGINT)) AS BIGINT) AS engagement,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS value_micros
+  FROM events e
+  JOIN dim d USING (event_type)
+  CROSS JOIN wm
+  WHERE e.event_type <> 'error' AND e.user_id IS NOT NULL
+    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.final_wm
+  GROUP BY 1, 2
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS total_n,
+       CAST(SUM(engagement) AS BIGINT) AS total_engagement,
+       CAST(SUM(value_micros) AS BIGINT) AS total_value_micros
+FROM silver GROUP BY stage
+""",
+    tags=("streaming", "pipeline", "flagship", "events"),
+    doc="FLAGSHIP #4 — the streaming bronze→silver ingest pipeline "
+    "as ONE oracle-gated run: a real events readStream passes a "
+    "quality gate (error-drop + null-user drop), broadcast "
+    "stream-static enrichment (st05's funnel dim), and a WATERMARKED "
+    "hourly windowed aggregate per funnel stage (real stateful "
+    "operator, 10-min watermark, append mode), lands as PARQUET "
+    "files with exactly-once checkpointing, and is then BATCH-read "
+    "back and rolled up per stage — proving the files a downstream "
+    "consumer sees are exactly the batch relation.  Append-mode "
+    "emission is pinned the st10 way: only windows whose end <= the "
+    "final watermark (max ts − 10 min) emit on bounded replay, and "
+    "the oracle applies the same rule.  This is the composition a "
+    "100 TB/day deployment actually ships (ingest → enrich → gate → "
+    "rollup → lake); state is |open windows × stages| — "
+    "rate-independent.",
+)
+def p04_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.streaming.ingest import stream_parquet_sink
+
+    scratch = tempfile.mkdtemp(prefix="flaco_p04_")
+    src_dir = f"{scratch}/src"
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, src_dir)
+    else:
+        os.mkdir(src_dir)
+        shutil.copy(src, f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out_dir = f"{scratch}/silver"
+    dim = spark.createDataFrame(
+        _ST05_DIM, "event_type string, stage string, weight int"
+    )
+
+    def transform(s: DataFrame) -> DataFrame:
+        gated = (
+            convert_event_ts(s)
+            # watermarks require TIMESTAMP (not NTZ); session tz is
+            # pinned UTC so the cast preserves instants (st10's rule)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(
+                (F.col("event_type") != "error") & F.col("user_id").isNotNull()
+            )
+            .join(F.broadcast(dim), "event_type")
+        )
+        return (
+            gated.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "stage")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("weight").cast("bigint")).alias("engagement"),
+                F.sum(F.col("value").cast("decimal(18,6)") * 1_000_000)
+                .cast("bigint")
+                .alias("value_micros"),
+            )
+            .select(F.col("w.start").alias("w_start"), "stage", "n", "engagement", "value_micros")
+        )
+
+    try:
+        q = stream_parquet_sink(
+            spark, src_dir, raw_schema, out_dir, f"{scratch}/ckpt", transform
+        )
+        q.awaitTermination()
+        silver = spark.read.parquet(out_dir)
+        agg = silver.groupBy("stage").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("total_n"),
+            F.sum("engagement").cast("bigint").alias("total_engagement"),
+            F.sum("value_micros").cast("bigint").alias("total_value_micros"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
