@@ -212,6 +212,9 @@ PROBE = [
     "q123_hll_sketch",
     "q124_xpath_functions",
     "q125_crypto_functions",
+    "q126_market_basket",
+    "q127_file_metadata",
+    "p04_stream_ingest_pipeline",
 ]
 
 
