@@ -726,3 +726,83 @@ def test_linear_interpolation_matches_python(spark, obs):
             pm, nm = have[prev], have[nxt]
             want[h] = pm + _m.floor((nm - pm) * (h - prev) / (nxt - prev))
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # (user, offset-minutes) events; minute offsets force gap-boundary
+    # collisions (deltas of exactly the 30-min gap) with high probability
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        min_size=1,
+        max_size=80,
+    ),
+)
+def test_session_window_matches_python_sessionizer(spark, rows):
+    """F.session_window (batch form — same merge semantics as st11's
+    streaming run) equals a pure-Python gap sessionizer, pinning the
+    half-open boundary: an event at exactly start + gap begins a NEW
+    session (delta >= gap splits)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(minutes=m)) for u, m in rows
+    ]
+    df = spark.createDataFrame(data, ["user_id", "ts"]).repartition(5)
+    got = sorted(
+        (r.user_id, r.w.start, r.w.end, r.n)
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = []
+    for u in {r[0] for r in data}:
+        times = sorted(t for (uu, t) in data if uu == u)
+        start, last, n = times[0], times[0], 1
+        gap = dt.timedelta(minutes=30)
+        for t in times[1:]:
+            if t - last >= gap:  # boundary event starts a new session
+                want.append((u, start, last + gap, n))
+                start, n = t, 1
+            else:
+                n += 1
+            last = t
+        want.append((u, start, last + gap, n))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(0, 500), min_size=1, max_size=200),
+    n_parts=st.integers(1, 6),
+)
+def test_hll_union_is_split_invariant(spark, ids, n_parts):
+    """DataSketches HLL: unioning per-part sketches yields the exact
+    same estimate as one direct sketch, for ANY way the rows are
+    split — the associativity q123's merge_consistent column pins on
+    the fixture, here under random data and random split keys."""
+    data = [(i, v) for i, v in enumerate(ids)]
+    df = spark.createDataFrame(data, ["rid", "v"])
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("est")
+    ).collect()[0].est
+    parts = df.withColumn("p", F.col("rid") % n_parts)
+    merged = (
+        parts.groupBy("p")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert direct == merged
