@@ -2760,3 +2760,78 @@ def d30_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d31 — effective corpus size (dedup-weighted token budget)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d31_effective_corpus_size",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+uniq AS (
+  SELECT source, h, MIN(n_tok) AS n_tok, CAST(COUNT(*) AS BIGINT) AS copies
+  FROM toks GROUP BY source, h
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tok) AS BIGINT) AS raw_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM uniq u WHERE u.source = t.source) AS unique_docs,
+       (SELECT CAST(SUM(u.n_tok) AS BIGINT) FROM uniq u WHERE u.source = t.source) AS effective_tokens,
+       CAST(SUM(t.n_tok) AS BIGINT)
+         - (SELECT CAST(SUM(u.n_tok) AS BIGINT) FROM uniq u WHERE u.source = t.source)
+         AS duplicated_tokens
+FROM toks t GROUP BY t.source
+""",
+    tags=("dedup", "tokens", "budget", "documents"),
+    doc="Effective corpus size — the dedup-weighted token budget "
+    "every data-curation decision starts from: per source, raw "
+    "token mass vs the EFFECTIVE mass after exact dedup (each "
+    "duplicate cluster contributes its text once), and the "
+    "duplicated-token overhang a dedup pass would reclaim.  This "
+    "is the number that decides whether a source is worth keeping "
+    "at 100 TB (a source can be 40% phantom mass), computed "
+    "WITHOUT materializing the deduped corpus: one md5-grouped "
+    "aggregate per source, token counts as integers (whitespace "
+    "tokenizer shared with t01), all sums exact.  Shape: two "
+    "partial-agg passes over (source, md5) — no pair joins, no "
+    "text shuffles beyond the md5-keyed reduce.",
+)
+def d31_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flaco_spark.tables import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    raw = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+    )
+    uniq = (
+        toks.groupBy("source", "h")
+        .agg(F.min("n_tok").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("unique_docs"),
+            F.sum("n_tok").cast("bigint").alias("effective_tokens"),
+        )
+    )
+    return raw.join(uniq, "source").select(
+        "source",
+        "n_docs",
+        "raw_tokens",
+        "unique_docs",
+        "effective_tokens",
+        (F.col("raw_tokens") - F.col("effective_tokens"))
+        .cast("bigint")
+        .alias("duplicated_tokens"),
+    )

@@ -4355,3 +4355,74 @@ def q127_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("fs") > 0).alias("sizes_positive"),
         (F.count("fp") == F.count(F.lit(1))).alias("rows_covered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — ANALYZE TABLE statistics (CBO catalog surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q128_analyze_statistics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       true AS row_stat_matches,
+       true AS ndv_within_bound,
+       true AS size_recorded
+FROM documents
+""",
+    tags=("sql", "catalog", "statistics", "cbo", "documents"),
+    doc="The cost-based-optimizer statistics surface: saveAsTable → "
+    "ANALYZE TABLE COMPUTE STATISTICS (+ FOR COLUMNS) → catalog "
+    "readback — the maintenance pass that feeds join reordering "
+    "and broadcast decisions at 100 TB (without stats the planner "
+    "falls back to file sizes; with them, CBO picks build sides "
+    "from row counts and NDVs).  Machine-checked contract through "
+    "the gate: the ANALYZE-recorded row count equals the actual "
+    "COUNT(*), the doc_id distinct-count estimate (HLL-backed) "
+    "lands within 5% of exact, and a table size in bytes was "
+    "recorded.  The scratch catalog table is dropped before "
+    "return.",
+)
+def q128_analyze_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    name = f"q128_docs_{_uuid.uuid4().hex[:8]}"
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d.write.mode("overwrite").saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS doc_id")
+        actual = spark.table(name).count()
+        exact_ndv = (
+            spark.table(name).agg(F.countDistinct("doc_id").alias("n")).collect()[0].n
+        )
+        stats_row = [
+            r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+            if r.col_name == "Statistics"
+        ]
+        rows_rec = bytes_rec = None
+        if stats_row:
+            # e.g. "12345 bytes, 1000 rows"
+            parts = stats_row[0].replace(",", "").split()
+            bytes_rec = int(parts[0])
+            rows_rec = int(parts[2]) if len(parts) >= 4 else None
+        ndv_rec = None
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name} doc_id").collect():
+            if r.info_name == "distinct_count":
+                ndv_rec = int(r.info_value)
+        return spark.createDataFrame(
+            [
+                (
+                    actual,
+                    rows_rec == actual,
+                    ndv_rec is not None
+                    and abs(ndv_rec - exact_ndv) <= 0.05 * exact_ndv,
+                    bytes_rec is not None and bytes_rec > 0,
+                )
+            ],
+            "n_rows bigint, row_stat_matches boolean, ndv_within_bound boolean, size_recorded boolean",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
