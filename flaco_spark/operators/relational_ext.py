@@ -4426,3 +4426,118 @@ def q128_analyze_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# q129 — checkpoint(): reliable-storage lineage truncation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q129_checkpoint_lineage",
+    oracle="""
+WITH step1 AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_suppkey
+),
+step2 AS (
+  SELECT l_suppkey, rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+  FROM step1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MAX(run_cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN run_cents * 2 <= (SELECT MAX(run_cents) FROM step2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS head_suppliers
+FROM step2
+""",
+    tags=("sql", "checkpoint", "lineage", "lineitem"),
+    doc="df.checkpoint() — RELIABLE-STORAGE lineage truncation, the "
+    "third lineage tool next to persist (memory/disk, lineage "
+    "retained) and the g07 per-round persist discipline: after "
+    "checkpoint the plan is reborn from the checkpoint files "
+    "(LogicalRDD — no upstream scan), which is what keeps "
+    "100-round iterative jobs replannable and their failure "
+    "recovery bounded (a lost executor replays from the "
+    "checkpoint, not from the original 100 TB scan).  The gate "
+    "hash-matches a two-stage computation — supplier revenue "
+    "aggregate, CHECKPOINT, then a running-total head-count over "
+    "the checkpointed relation — against the straight-through "
+    "SQL: truncation must not change the relation.  The "
+    "checkpoint dir is session-scratch and reclaimed.",
+)
+def q129_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="flaco_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        l = table(spark, sf_dir, "lineitem")
+        step1 = l.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+        cp = step1.checkpoint()  # eager: materializes to the ckpt dir
+        w = W.orderBy(F.desc("rev_cents"), F.asc("l_suppkey")).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        step2 = cp.withColumn("run_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        total = step2.agg(F.max("run_cents").alias("t"))
+        agg = step2.crossJoin(F.broadcast(total)).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.max("run_cents").cast("bigint").alias("total_cents"),
+            F.sum(
+                F.when(F.col("run_cents") * 2 <= F.col("t"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("head_suppliers"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q130 — join strategy hints (SHUFFLE_HASH vs the default SMJ)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q130_join_hints",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("sql", "hints", "join-strategy", "lineitem"),
+    doc="Join strategy HINTS — the per-query physical override when "
+    "the planner's default is wrong for a known workload: "
+    "hint('SHUFFLE_HASH') forces a shuffled hash join (build a hash "
+    "map per partition — skips BOTH sort passes of the default "
+    "sort-merge, the right call when one side is modestly sized per "
+    "partition and spill risk is low; SMJ remains the safe default "
+    "at 100 TB because hash builds can OOM).  The gate hash-matches "
+    "the hinted plan's relation against plain SQL — a hint may "
+    "change the PLAN, never the answer; the plan-shape test asserts "
+    "the hint was actually honored (ShuffledHashJoin node present, "
+    "no SortMergeJoin).",
+)
+def q130_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    joined = l.join(
+        o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )

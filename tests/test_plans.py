@@ -1126,3 +1126,15 @@ def test_t31_single_scan_two_aggs(spark, sf_dir):
     df = REGISTRY["t31_langid_confusion"].builder(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan, "lang-ID must stay JVM-side"
+
+
+def test_q130_shuffle_hash_hint_honored(spark, sf_dir):
+    """The SHUFFLE_HASH hint must materialize as a ShuffledHashJoin —
+    a hint changes the plan, never the relation (the gate checks the
+    relation; this checks the plan)."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["q130_join_hints"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
