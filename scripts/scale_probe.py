@@ -215,6 +215,11 @@ PROBE = [
     "q126_market_basket",
     "q127_file_metadata",
     "p04_stream_ingest_pipeline",
+    "d31_effective_corpus_size",
+    "q128_analyze_statistics",
+    "q129_checkpoint_lineage",
+    "q130_join_hints",
+    "m13_fft_dominant_freq",
 ]
 
 
