@@ -220,6 +220,27 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "d25_incremental_dedup",
         "g03_label_propagation",
         "t23_rake_keywords",
+        # round-4 final wave (q127/q128/q129 excluded: global audit
+        # aggregates correctly return their 1-row report on empty
+        # input; q122 likewise collapses to 0 groups but its metrics
+        # are global)
+        "q119_text_roundtrip",
+        "e25_centroid_outliers",
+        "ts33_burstiness",
+        "ts34_autocorrelation",
+        "ts35_ohlc_resample",
+        "st11_session_window_agg",
+        "st12_sliding_window_counts",
+        "e26_ranking_metrics",
+        "q120_url_functions",
+        "t31_langid_confusion",
+        "q121_mergeschema_read",
+        "q124_xpath_functions",
+        "q125_crypto_functions",
+        "q126_market_basket",
+        "d31_effective_corpus_size",
+        "m13_fft_dominant_freq",
+        "q130_join_hints",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
