@@ -2242,3 +2242,63 @@ def t31_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t32 — UTF-8 validation (mojibake screen with planted corruption)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t32_utf8_validation",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       true AS try_null_on_invalid,
+       true AS repaired_all_valid
+FROM documents GROUP BY source
+""",
+    tags=("text", "utf8", "validation", "quality", "documents"),
+    doc="UTF-8 validity screening (is_valid_utf8 / try_validate_utf8 "
+    "/ make_valid_utf8, Spark 4) — the mojibake gate a web-crawl "
+    "corpus runs before tokenization, since one stray 0xFF from a "
+    "mis-declared charset poisons downstream byte-level models.  "
+    "Known-answer construction: docs with doc_id % 5 == 0 get a "
+    "0xFF byte (never valid in UTF-8) appended to their encoded "
+    "payload, the rest stay clean — so per source the invalid/valid "
+    "split is closed-form and ONE wrong validity verdict breaks "
+    "the hash.  Machine-checked companions: try_validate_utf8 "
+    "returns NULL exactly on the corrupted rows, and "
+    "make_valid_utf8's repaired output is always valid (the "
+    "replacement-char repair path).  All map-side; one partial "
+    "agg.",
+)
+def t32_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corrupted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.encode("text", "UTF-8"), F.unhex(F.lit("FF"))),
+    ).otherwise(F.encode("text", "UTF-8"))
+    # binary → string reinterpretation keeps the raw bytes (no
+    # transcode), which is exactly the mis-ingested-corpus shape
+    raw = d.select(
+        "doc_id", "source", F.col("text").alias("orig"),
+        corrupted.cast("string").alias("s"),
+    )
+    checked = raw.select(
+        "source",
+        F.is_valid_utf8("s").alias("ok"),
+        (F.try_validate_utf8("s").isNull() == (F.col("doc_id") % 5 == 0)).alias(
+            "try_contract"
+        ),
+        F.is_valid_utf8(F.make_valid_utf8("s")).alias("repaired_ok"),
+    )
+    return checked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_invalid"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_valid"),
+        F.min("try_contract").alias("try_null_on_invalid"),
+        F.min("repaired_ok").alias("repaired_all_valid"),
+    )

@@ -2559,3 +2559,83 @@ def ts35_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "open", "high", "low", "close", "n",
     )
+
+
+@register(
+    "ts36_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day, v,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS equity
+  FROM daily
+),
+dd AS (
+  SELECT event_type, day, equity,
+         MAX(equity) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS hwm
+  FROM cum
+),
+worst AS (
+  SELECT event_type, day, hwm - equity AS drawdown,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY hwm - equity DESC, day) AS rn
+  FROM dd
+)
+SELECT event_type,
+       CAST(drawdown AS BIGINT) AS max_drawdown_micros,
+       strftime(day, '%Y-%m-%d') AS trough_day,
+       CAST((SELECT MAX(hwm) FROM dd d2 WHERE d2.event_type = worst.event_type)
+            AS BIGINT) AS peak_equity_micros
+FROM worst WHERE rn = 1
+""",
+    tags=("timeseries", "drawdown", "window", "events"),
+    doc="Maximum drawdown with high-water mark — the risk metric "
+    "every equity/traffic curve audit reports: daily value sums "
+    "(exact integer micros) accumulate to an equity curve, the "
+    "running MAX gives the high-water mark, and the deepest "
+    "(hwm − equity) gap is the max drawdown, earliest-day "
+    "tie-break.  Three ordered windows SHARING one "
+    "(event_type, day) sort — Spark plans a single exchange+sort "
+    "for all of them — then a per-type argmax.  All arithmetic "
+    "exact integers end to end; |types × days| intermediate rows "
+    "regardless of event volume.",
+)
+def ts36_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("v")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    dd = daily.withColumn("equity", F.sum("v").over(w)).withColumn(
+        "hwm", F.max(F.sum("v").over(w)).over(w)
+    )
+    worst_w = W.partitionBy("event_type").orderBy(
+        F.desc(F.col("hwm") - F.col("equity")), F.asc("day")
+    )
+    peaks = dd.groupBy("event_type").agg(
+        F.max("hwm").cast("bigint").alias("peak_equity_micros")
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(worst_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            (F.col("hwm") - F.col("equity")).cast("bigint").alias(
+                "max_drawdown_micros"
+            ),
+            F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+        )
+        .join(F.broadcast(peaks), "event_type")
+    )
