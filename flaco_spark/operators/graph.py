@@ -1099,3 +1099,108 @@ def g09_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g11 — harmonic centrality (probe-anchored, 3-hop bounded BFS)
+# ---------------------------------------------------------------------------
+
+G11_HOPS = 3
+
+
+@register(
+    "g11_harmonic_centrality",
+    oracle=f"""
+WITH {_G01_EDGES_SQL},
+probes AS (
+  SELECT src AS probe FROM edges GROUP BY src ORDER BY src LIMIT 5
+),
+d1 AS (
+  SELECT p.probe, e.dst AS node FROM probes p JOIN edges e ON e.src = p.probe
+  GROUP BY 1, 2
+),
+d2_raw AS (
+  SELECT d.probe, e.dst AS node FROM d1 d JOIN edges e ON e.src = d.node
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT r.probe, r.node FROM d2_raw r
+  LEFT JOIN d1 ON d1.probe = r.probe AND d1.node = r.node
+  WHERE d1.node IS NULL AND r.node <> r.probe
+),
+d3_raw AS (
+  SELECT d.probe, e.dst AS node FROM d2 d JOIN edges e ON e.src = d.node
+  GROUP BY 1, 2
+),
+d3 AS (
+  SELECT r.probe, r.node FROM d3_raw r
+  LEFT JOIN d1 ON d1.probe = r.probe AND d1.node = r.node
+  LEFT JOIN d2 ON d2.probe = r.probe AND d2.node = r.node
+  WHERE d1.node IS NULL AND d2.node IS NULL AND r.node <> r.probe
+)
+SELECT p.probe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d1 WHERE d1.probe = p.probe) AS n_hop1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d2 WHERE d2.probe = p.probe) AS n_hop2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d3 WHERE d3.probe = p.probe) AS n_hop3,
+       (SELECT CAST(6 * COUNT(*) AS BIGINT) FROM d1 WHERE d1.probe = p.probe)
+         + (SELECT CAST(3 * COUNT(*) AS BIGINT) FROM d2 WHERE d2.probe = p.probe)
+         + (SELECT CAST(2 * COUNT(*) AS BIGINT) FROM d3 WHERE d3.probe = p.probe)
+         AS harmonic_x6
+FROM probes p
+""",
+    tags=("graph", "centrality", "bfs", "bounded"),
+    doc=f"Harmonic centrality, probe-anchored and hop-bounded — the "
+    "closeness-family metric that survives disconnected graphs "
+    "(unreachable nodes contribute 0, not ∞): for 5 probe nodes, "
+    f"exact BFS distance sets at hops 1..{G11_HOPS} via frontier "
+    "expansion with visited-set subtraction (each hop joins the "
+    "previous frontier to the edge list, then anti-joins everything "
+    "already reached — the textbook distributed BFS), then "
+    "H(p) = Σ 1/d over reached nodes in exact SIXTHS "
+    "(6/1, 6/2, 6/3 are integers — no float division anywhere).  "
+    "100 TB posture: probe-anchored is the production shape "
+    "(all-pairs harmonic is O(V·E)); frontiers are node-sized, each "
+    "hop is one shuffle keyed on the frontier, and hop-bounding "
+    "caps total work at diameter-free cost — the same contract as "
+    "q82's bounded BFS but fanned across probes in ONE plan.",
+)
+def g11_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir)
+    probes = (
+        edges.select("src").distinct().orderBy("src").limit(5)
+        .select(F.col("src").alias("probe"))
+    )
+    d1 = (
+        edges.join(F.broadcast(probes), edges.src == probes.probe)
+        .select("probe", F.col("dst").alias("node"))
+        .distinct()
+    )
+    d2 = (
+        edges.join(d1.withColumnRenamed("node", "mid"), edges.src == F.col("mid"))
+        .select("probe", F.col("dst").alias("node"))
+        .distinct()
+        .join(d1, ["probe", "node"], "left_anti")
+        .filter(F.col("node") != F.col("probe"))
+    )
+    d3 = (
+        edges.join(d2.withColumnRenamed("node", "mid"), edges.src == F.col("mid"))
+        .select("probe", F.col("dst").alias("node"))
+        .distinct()
+        .join(d1, ["probe", "node"], "left_anti")
+        .join(d2, ["probe", "node"], "left_anti")
+        .filter(F.col("node") != F.col("probe"))
+    )
+    def cnt(df, name):
+        return df.groupBy("probe").agg(F.count(F.lit(1)).cast("bigint").alias(name))
+    out = (
+        probes.join(cnt(d1, "n_hop1"), "probe", "left")
+        .join(cnt(d2, "n_hop2"), "probe", "left")
+        .join(cnt(d3, "n_hop3"), "probe", "left")
+        .na.fill(0)
+    )
+    return out.select(
+        "probe", "n_hop1", "n_hop2", "n_hop3",
+        (6 * F.col("n_hop1") + 3 * F.col("n_hop2") + 2 * F.col("n_hop3"))
+        .cast("bigint")
+        .alias("harmonic_x6"),
+    )

@@ -2639,3 +2639,92 @@ def ts36_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(peaks), "event_type")
     )
+
+
+@register(
+    "ts37_seasonality_strength",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+dow AS (
+  SELECT event_type, CAST(dayofweek(day) AS INT) AS wd,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(c) AS BIGINT) AS s1_g
+  FROM daily GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+),
+ssb AS (
+  SELECT d.event_type,
+         SUM(CAST(d.s1_g AS DOUBLE) * CAST(d.s1_g AS DOUBLE)
+             / CAST(d.n_g AS DOUBLE) ORDER BY d.wd) AS grp_term
+  FROM dow d GROUP BY d.event_type
+)
+SELECT t.event_type, t.n AS n_days,
+       round((s.grp_term - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)
+                            / CAST(t.n AS DOUBLE))
+             / (CAST(t.s2 AS DOUBLE) - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)
+                                        / CAST(t.n AS DOUBLE)), 8) AS eta_sq
+FROM tot t JOIN ssb s ON t.event_type = s.event_type
+""",
+    tags=("timeseries", "seasonality", "moments", "events"),
+    doc="Weekly seasonality strength per event type: η² — the "
+    "between-weekday share of daily-count variance "
+    "(SSB/SST via the computational identity "
+    "Σ_g S1_g²/n_g − S1²/n over S2 − S1²/n) — the one-number answer "
+    "to 'does this series have a weekly cycle worth modeling', "
+    "η² → 1 meaning weekday explains everything, → 0 noise.  "
+    "Moments discipline with one extension: the 7 per-weekday "
+    "S1_g²/n_g terms are doubles, so their sum is a "
+    "WEEKDAY-ORDERED fold on both engines (Spark sorts the 7-row "
+    "array; DuckDB SUM(... ORDER BY wd) — DuckDB's ordered "
+    "aggregate makes the sequence explicit).  Day-grain partial "
+    "agg, then 7-row math.",
+)
+def ts37_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dow = daily.groupBy(
+        "event_type", F.dayofweek("day").cast("int").alias("wd")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("c").cast("bigint").alias("s1_g"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    term = (
+        F.col("s1_g").cast("double")
+        * F.col("s1_g").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    ssb = dow.select("event_type", "wd", term.alias("t")).groupBy(
+        "event_type"
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("wd", "t")))["t"],
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("grp_term")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_sq = d("s1") * d("s1") / d("n")
+    return tot.join(ssb, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("grp_term") - mean_sq) / (d("s2") - mean_sq), 8
+        ).alias("eta_sq"),
+    )
