@@ -4541,3 +4541,86 @@ def q130_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — range-partitioned total-order export (the sorted-output path)
+# ---------------------------------------------------------------------------
+
+Q131_PARTS = 8
+
+
+@register(
+    "q131_range_partitioned_sort",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST({Q131_PARTS} AS BIGINT) AS n_partitions,
+       true AS ranges_disjoint,
+       true AS sorted_within
+FROM lineitem
+""",
+    tags=("sql", "sort", "range-partition", "export", "lineitem"),
+    doc="Globally-ordered output WITHOUT a single-task sort: "
+    "repartitionByRange (sampled range boundaries → RangePartitioning "
+    "exchange) + sortWithinPartitions — the only way to write a "
+    "100 TB dataset in total order, since orderBy into one writer "
+    "funnels everything through one task while range partitioning "
+    "gives partition i < partition i+1 with each task sorting only "
+    "its slice (this is exactly how Spark implements orderBy; doing "
+    "it explicitly keeps the partition count and the write layout "
+    "under caller control).  Machine-checked contract: per-partition "
+    "(min, max, sorted?) audited via spark_partition_id — ranges "
+    "must be pairwise DISJOINT in partition order and every "
+    "partition internally sorted; row count must survive the "
+    "exchange.  A wrong boundary or an unsorted slice flips a "
+    "literal-true column.",
+)
+def q131_range_partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    key = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    ranged = l.repartitionByRange(Q131_PARTS, *key).sortWithinPartitions(*key)
+    keyed = ranged.select(
+        F.concat_ws(
+            ":",
+            F.col("l_shipdate").cast("string"),
+            F.format_string("%012d", "l_orderkey"),
+            F.format_string("%02d", "l_linenumber"),
+        ).alias("k")
+    )
+
+    # Per-partition audit INSIDE the task (mapInPandas sees one
+    # partition's batches in order) — a window over spark_partition_id
+    # would itself reshuffle and destroy the very order being audited.
+    def audit(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        n, lo, hi, prev, ok = 0, None, None, None, True
+        for pdf in batches:
+            for k in pdf["k"]:
+                if prev is not None and k < prev:
+                    ok = False
+                prev = k
+                if lo is None:
+                    lo = k
+                hi = k if hi is None or k > hi else hi
+                n += 1
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            [(pid, n, lo if lo is not None else "", hi if hi is not None else "", ok)],
+            columns=["pid", "n", "lo", "hi", "sorted_flag"],
+        )
+
+    per_part = keyed.mapInPandas(
+        audit, schema="pid int, n bigint, lo string, hi string, sorted_flag boolean"
+    ).filter(F.col("n") > 0)
+    rows = per_part.orderBy("pid").collect()
+    n_rows = sum(r.n for r in rows)
+    disjoint = all(rows[i].hi <= rows[i + 1].lo for i in range(len(rows) - 1))
+    sorted_within = all(r.sorted_flag for r in rows)
+    return spark.createDataFrame(
+        [(n_rows, len(rows), disjoint, sorted_within)],
+        "n_rows bigint, n_partitions bigint, ranges_disjoint boolean, sorted_within boolean",
+    )

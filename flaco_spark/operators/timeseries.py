@@ -2728,3 +2728,108 @@ def ts37_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("grp_term") - mean_sq) / (d("s2") - mean_sq), 8
         ).alias("eta_sq"),
     )
+
+
+@register(
+    "ts38_kendall_tau",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+aligned AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.day, a.c AS x, b.c AS y
+  FROM daily a JOIN daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+),
+pairs AS (
+  SELECT p.type_a, p.type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN (p.x - q.x) * (p.y - q.y) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (p.x - q.x) * (p.y - q.y) < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS discordant,
+         CAST(SUM(CASE WHEN p.x = q.x AND p.y <> q.y THEN 1 ELSE 0 END)
+              AS BIGINT) AS ties_x,
+         CAST(SUM(CASE WHEN p.y = q.y AND p.x <> q.x THEN 1 ELSE 0 END)
+              AS BIGINT) AS ties_y
+  FROM aligned p JOIN aligned q
+    ON p.type_a = q.type_a AND p.type_b = q.type_b AND p.day < q.day
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_pairs, concordant, discordant,
+       round(CAST(concordant - discordant AS DOUBLE)
+             / (sqrt(CAST(concordant + discordant + ties_x AS DOUBLE))
+                * sqrt(CAST(concordant + discordant + ties_y AS DOUBLE))), 8)
+         AS tau_b
+FROM pairs
+""",
+    tags=("timeseries", "correlation", "kendall", "events"),
+    doc="Kendall τ-b rank correlation between every pair of event "
+    "types' daily-count series — the nonparametric complement to "
+    "ts22's lagged Pearson: outlier-robust, invariant to any "
+    "monotone transform, and (the engine reason it's here) "
+    "computable in EXACT INTEGERS end-to-end — concordant / "
+    "discordant / tie counts are plain sums over day pairs, with "
+    "doubles only in the final two-sqrt τ-b normalization (fixed "
+    "sequence, q70/g09 discipline).  Day pairs are "
+    "|days|² over the day-grain aggregate — metadata-sized at any "
+    "event volume; the type-pair alignment is a |days|-row "
+    "self-join.",
+)
+def ts38_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("c").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("c").alias("y"),
+    )
+    aligned = a.join(
+        b,
+        (F.col("day") == F.col("day_b")) & (F.col("type_a") < F.col("type_b")),
+    ).select("type_a", "type_b", "day", "x", "y")
+    p = aligned
+    q = aligned.select(
+        F.col("type_a").alias("qa"), F.col("type_b").alias("qb"),
+        F.col("day").alias("qday"), F.col("x").alias("qx"), F.col("y").alias("qy"),
+    )
+    joined = p.join(
+        q,
+        (F.col("type_a") == F.col("qa"))
+        & (F.col("type_b") == F.col("qb"))
+        & (F.col("day") < F.col("qday")),
+    )
+    sgn = (F.col("x") - F.col("qx")) * (F.col("y") - F.col("qy"))
+    pairs = joined.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("bigint").alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("bigint").alias("discordant"),
+        F.sum(
+            F.when((F.col("x") == F.col("qx")) & (F.col("y") != F.col("qy")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("ties_x"),
+        F.sum(
+            F.when((F.col("y") == F.col("qy")) & (F.col("x") != F.col("qx")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("ties_y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return pairs.select(
+        "type_a", "type_b", "n_pairs", "concordant", "discordant",
+        F.round(
+            (d("concordant") - d("discordant"))
+            / (
+                F.sqrt(d("concordant") + d("discordant") + d("ties_x"))
+                * F.sqrt(d("concordant") + d("discordant") + d("ties_y"))
+            ),
+            8,
+        ).alias("tau_b"),
+    )
