@@ -220,6 +220,12 @@ PROBE = [
     "q129_checkpoint_lineage",
     "q130_join_hints",
     "m13_fft_dominant_freq",
+    "t32_utf8_validation",
+    "ts36_max_drawdown",
+    "g11_harmonic_centrality",
+    "ts37_seasonality_strength",
+    "q131_range_partitioned_sort",
+    "ts38_kendall_tau",
 ]
 
 
