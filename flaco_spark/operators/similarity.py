@@ -3042,3 +3042,76 @@ def e26_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.lit(1.0) / F.col("fr"), F.lit(0.0)), 8
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e27 — hard-negative mining (contrastive-training sampler)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e27_hard_negative_mining",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_NORMS_SQL},
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neg_id,
+         round({_dot_sql('q.v', 'c.v')}, 8) / (nq.nrm * nc.nrm) AS cos_sim
+  FROM pts q
+  JOIN pts c ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label <> q.label
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+)
+SELECT query_id, query_label, neg_id, cos_sim, rn FROM (
+  SELECT query_id, query_label, neg_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neg_id) AS rn
+  FROM scored) t
+WHERE rn <= 10
+""",
+    tags=("similarity", "embedding", "training", "hard-negatives"),
+    doc="Hard-negative mining — the sampler contrastive/embedding "
+    "training loops run every epoch: for each anchor, the top-k "
+    "most-similar vectors with a DIFFERENT label (semantically "
+    "close, labeled apart — exactly the examples that move the "
+    "loss; random negatives are mostly trivial).  The "
+    "label-mismatch predicate applies BEFORE scoring (e19's "
+    "filter-then-search rule: post-filtering a top-k underfills "
+    "k), then the engine's deterministic cosine and the two-phase "
+    "top-k.  100 TB posture: identical to e01's brute-force lane "
+    "(broadcast anchors × candidate scan, local prune, k×P final "
+    "shuffle); production swaps the scan for the IVF/PQ index "
+    "(e15) with the label filter pushed into the probe — the "
+    "plumbing this row pins is the mining CONTRACT.",
+)
+def e27_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cand = spread_to_cores(e).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neg_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("query_label"))
+        )
+        .withColumn(
+            "cos_sim", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+        )
+    )
+    return topk_per_query(
+        scored, "query_id", [F.desc("cos_sim"), F.asc("neg_id")], 10
+    ).select("query_id", "query_label", "neg_id", "cos_sim", "rn")
