@@ -226,6 +226,7 @@ PROBE = [
     "ts37_seasonality_strength",
     "q131_range_partitioned_sort",
     "ts38_kendall_tau",
+    "e27_hard_negative_mining",
 ]
 
 
