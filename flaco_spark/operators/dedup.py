@@ -2835,3 +2835,61 @@ def d31_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duplicated_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d32 — soft dedup weights (reweight instead of drop)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d32_soft_dedup_weights",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cl AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS copies FROM toks GROUP BY h
+)
+SELECT t.doc_id,
+       t.n_tok,
+       c.copies,
+       round(1.0 / c.copies, 8) AS weight,
+       round(CAST(t.n_tok AS DOUBLE) / c.copies, 8) AS eff_tokens
+FROM toks t JOIN cl c ON t.h = c.h
+""",
+    tags=("dedup", "weights", "training", "documents"),
+    doc="SOFT deduplication — reweight duplicates instead of dropping "
+    "them (the sampling-weight alternative to d01's hard dedup that "
+    "recent data-curation work prefers when duplicates carry signal): "
+    "every document gets weight 1/|its exact-hash cluster|, so each "
+    "distinct text contributes exactly one document-equivalent of "
+    "sampling mass and the corpus-level expected token mix equals "
+    "the deduped corpus WITHOUT discarding any row (the trainer "
+    "consumes the weight column directly).  Integer cluster sizes "
+    "make 1/copies and n_tok/copies single IEEE divisions — "
+    "deterministic, hash-matchable.  Shape: one md5-keyed count "
+    "shuffle + a join back on the SAME key (co-partitioned, no "
+    "second exchange); no text ever shuffles twice.  At 100 TB this "
+    "is d01's exact scale story with the kept-side semantics "
+    "inverted.",
+)
+def d32_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    cl = toks.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("copies"))
+    return toks.join(cl, "h").select(
+        "doc_id",
+        "n_tok",
+        "copies",
+        F.round(F.lit(1.0) / F.col("copies"), 8).alias("weight"),
+        F.round(F.col("n_tok").cast("double") / F.col("copies"), 8).alias(
+            "eff_tokens"
+        ),
+    )

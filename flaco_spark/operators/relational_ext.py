@@ -4624,3 +4624,58 @@ def q131_range_partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, len(rows), disjoint, sorted_within)],
         "n_rows bigint, n_partitions bigint, ranges_disjoint boolean, sorted_within boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — inline(): the array<struct> generator (TVF surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q132_inline_generator",
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents
+  FROM lineitem WHERE l_orderkey < 200
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS INT) AS n_lines,
+       l_linenumber, qty_cents
+FROM base
+""",
+    tags=("sql", "generator", "nested", "lineitem"),
+    doc="The inline() generator — the TABLE-VALUED complement to "
+    "q81's explode family for ARRAY<STRUCT> columns: each struct "
+    "element becomes a row with one OUTPUT COLUMN PER FIELD (no "
+    "manual col.field projection).  The nested column is built "
+    "first (deterministically ordered collect_list of "
+    "(l_linenumber, qty_cents) structs per order — the shape "
+    "line-item data actually takes after a denormalizing "
+    "pre-aggregation or a document-store ingest), then inline() "
+    "restores the flat relation alongside per-order array stats; "
+    "the oracle states the round-trip law: build-then-inline over a "
+    "keyed slice equals the slice itself with a windowed count.  "
+    "Generators run map-side in WholeStageCodegen — the 1→N fan-out "
+    "never shuffles; the only exchange is the build-side groupBy on "
+    "the already-clustered order key.",
+)
+def q132_inline_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber"),
+                    (F.col("l_quantity").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                    .alias("qty_cents"),
+                )
+            )
+        ).alias("items")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_lines"),
+        F.inline("items"),
+    )

@@ -3115,3 +3115,102 @@ def e27_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         scored, "query_id", [F.desc("cos_sim"), F.asc("neg_id")], 10
     ).select("query_id", "query_label", "neg_id", "cos_sim", "rn")
+
+
+# ---------------------------------------------------------------------------
+# e28 — embedding outlier screen (distance-to-own-centroid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e28_embedding_outlier_screen",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, g.i AS dim,
+         CAST(SUM(CAST(v[g.i] AS DECIMAL(18,8))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM pts, generate_series(1, 8) AS g(i)
+  GROUP BY label, g.i
+),
+devs AS (
+  SELECT p.vec_id, p.label, c.dim,
+         (CAST(p.v[c.dim] AS DOUBLE) - c.m) AS dv
+  FROM pts p JOIN cent c ON p.label = c.label
+),
+scored AS (
+  SELECT vec_id, label,
+         round(sqrt(list_reduce(
+             list_prepend(0.0::DOUBLE, list(dv * dv ORDER BY dim)),
+             (acc, x) -> acc + x)), 8) AS dist
+  FROM devs GROUP BY vec_id, label
+)
+SELECT label, vec_id, dist, rn FROM (
+  SELECT label, vec_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS rn
+  FROM scored) t
+WHERE rn <= 3
+""",
+    tags=("similarity", "embedding", "quality", "outlier"),
+    doc="Embedding outlier screen — the mislabeled/corrupted-vector "
+    "audit an embedding corpus runs before index build or "
+    "contrastive training: each vector's Euclidean distance to its "
+    "OWN label centroid (dims 1-8), top-3 farthest per label "
+    "surfaced for review (far-from-centroid = mislabel, encoder "
+    "failure, or genuine hard example — all worth eyes).  "
+    "Determinism discipline: centroids are e05's exact-decimal "
+    "means (order-independent sums, one exact→IEEE division), "
+    "per-vector deviation squares then fold in FIXED dim order "
+    "(list collect → sort → left-fold, mirrored by DuckDB "
+    "list(ORDER BY)/list_reduce — g07's rule), sqrt and round are "
+    "correctly-rounded IEEE.  Shape: the centroid table is "
+    "|labels|x8 rows (broadcast), the deviation join is map-side, "
+    "the fold shuffles |vectors|x8 slim rows once on vec_id, the "
+    "per-label top-3 takes the two-phase window lane — no pair "
+    "joins anywhere, so the screen costs one pass at any corpus "
+    "size.",
+)
+def e28_embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dec = "decimal(18,8)"
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    devs = dims.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        "dim",
+        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("dv2"),
+    )
+    scored = devs.groupBy("vec_id", "label").agg(
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("dim", "dv2")))["dv2"],
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            8,
+        ).alias("dist")
+    )
+    return topk_per_query(
+        scored, "label", [F.desc("dist"), F.asc("vec_id")], 3
+    ).select("label", "vec_id", "dist", "rn")

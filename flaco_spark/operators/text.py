@@ -2302,3 +2302,73 @@ def t32_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("try_contract").alias("try_null_on_invalid"),
         F.min("repaired_ok").alias("repaired_all_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t33 — token-mass inequality (Gini) per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t33_length_gini",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tok, doc_id) AS i
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       round(CAST(2 * SUM(i * n_tok) - (COUNT(*) + 1) * SUM(n_tok) AS DOUBLE)
+             / (COUNT(*) * SUM(n_tok)), 8) AS gini
+FROM r GROUP BY source
+""",
+    tags=("text", "quality", "distribution", "documents"),
+    doc="Token-mass inequality per source — the Gini coefficient "
+    "(Gini 1912) of document lengths, the curation diagnostic that "
+    "separates a source of uniform articles (G≈0) from one where a "
+    "few mega-documents carry most of the token budget (G→1, the "
+    "shape that breaks naive per-document sampling).  Computed in "
+    "the rank form G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx) over "
+    "ascending-sorted lengths: every term is an INTEGER until the "
+    "single final IEEE division, so the statistic is exact and "
+    "hash-matchable with no log/float accumulation (the engine's "
+    "log-free discipline).  Ranks are per-source row_numbers with "
+    "doc_id tie-break (ties in x make Σ i·x_i order-invariant, the "
+    "tie-break just pins the plan).  Shape: one shuffle keyed by "
+    "source for the rank window, then a partial-aggregated "
+    "reduce — no pair joins; at 100 TB the per-source sort is the "
+    "classic skew spot, and a heavy source would take q66's "
+    "range-partitioned rank lane.",
+)
+def t33_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    ranked = toks.withColumn(
+        "i",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.asc("n_tok"), F.asc("doc_id"))
+        ),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("n_tok")
+    return ranked.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        sx.cast("bigint").alias("total_tokens"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("n_tok")) - (n + 1) * sx).cast("double")
+            / (n * sx),
+            8,
+        ).alias("gini"),
+    )
