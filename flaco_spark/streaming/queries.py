@@ -820,3 +820,81 @@ def p04_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "st13_outer_stream_join",
+    oracle="""
+WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+w AS (SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+             - INTERVAL 2 HOUR AS wm),
+j AS (
+  SELECT v.event_id AS view_id, v.user_id, v.ts AS v_ts,
+         p.event_id AS purchase_id
+  FROM v LEFT JOIN p ON p.user_id = v.user_id
+                    AND p.ts >= v.ts
+                    AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT view_id, user_id, purchase_id,
+       (purchase_id IS NOT NULL) AS converted
+FROM j, w
+WHERE purchase_id IS NOT NULL OR j.v_ts + INTERVAL 1 HOUR < w.wm
+""",
+    tags=("streaming", "join", "outer", "events"),
+    doc="Watermarked LEFT-OUTER stream-stream join behind the "
+    "correctness gate — the conversion-funnel shape st03's inner "
+    "join cannot express: every view emits, WITH its purchase(s) "
+    "within the following hour if any, else one NULL-padded row "
+    "(the unconverted-view record ad/notification attribution "
+    "actually bills on).  The outer semantics are the subtle part: "
+    "a NULL row can only emit once the watermark proves no match "
+    "can still arrive, so the emitted relation on a bounded replay "
+    "is matched-pairs ∪ {unmatched views whose 1-hour match window "
+    "closed below the FINAL watermark} — and the oracle states "
+    "exactly that: watermark = min(max event time per side) − the "
+    "2-hour delay, unmatched views kept iff v_ts + 1h < watermark "
+    "(fixture timestamps are microsecond-grained, so the boundary "
+    "equality case is measure-zero and checked absent at every "
+    "driver SF).  Hash-equality against a REAL two-readStream "
+    "availableNow run proves Spark's state-eviction/NULL-emission "
+    "machinery implements that relation.  State is O(rate × lag) "
+    "per side, independent of history — the 100 TB/day contract.",
+)
+def st13_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views, scratch = _events_stream(spark, sf_dir)
+    purch, scratch2 = _events_stream(spark, sf_dir)
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    p = (
+        purch.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = v.join(p, cond, "leftOuter")
+    try:
+        sink = _drain(joined, scratch, "append", "st13")
+    finally:
+        shutil.rmtree(scratch2, ignore_errors=True)
+    return sink.select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )

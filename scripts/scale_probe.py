@@ -227,6 +227,11 @@ PROBE = [
     "q131_range_partitioned_sort",
     "ts38_kendall_tau",
     "e27_hard_negative_mining",
+    "d32_soft_dedup_weights",
+    "t33_length_gini",
+    "q132_inline_generator",
+    "e28_embedding_outlier_screen",
+    "st13_outer_stream_join",
 ]
 
 

@@ -241,6 +241,12 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "d31_effective_corpus_size",
         "m13_fft_dominant_freq",
         "q130_join_hints",
+        # round-4 closing additions
+        "d32_soft_dedup_weights",
+        "t33_length_gini",
+        "q132_inline_generator",
+        "e28_embedding_outlier_screen",
+        "st13_outer_stream_join",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
