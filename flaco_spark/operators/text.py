@@ -2372,3 +2372,74 @@ def t33_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t34 — code-vs-prose screen (special-character mass)
+# ---------------------------------------------------------------------------
+
+# Characters that dominate source code but are rare in prose.  Counted
+# by the replace-difference trick (pure string ops, both engines).
+_T34_CODE_CHARS = "{}();=<>[]"
+
+
+def _t34_count_sql(src: str) -> str:
+    """DuckDB: total occurrences of the code-character set in src."""
+    terms = [
+        f"(len({src}) - len(replace({src}, '{c}', '')))"
+        for c in _T34_CODE_CHARS
+        if c != "'"
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "t34_code_detection",
+    oracle=f"""
+WITH counts AS (
+  SELECT doc_id, source,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST({_t34_count_sql('text')} AS BIGINT) AS n_code_chars
+  FROM documents WHERE len(text) > 0
+)
+SELECT doc_id, source, n_chars, n_code_chars,
+       CAST((10000 * n_code_chars) // n_chars AS BIGINT) AS code_bp,
+       ((10000 * n_code_chars) // n_chars >= 150) AS looks_like_code
+FROM counts
+""",
+    tags=("text", "quality", "code", "documents"),
+    doc="Code-vs-prose screen — the router every mixed web corpus "
+    "needs before applying prose-shaped quality gates (t02's "
+    "stopword ratio or t29's readability would junk perfectly good "
+    "source code; code wants its own lane): per document, the mass "
+    "of code-dominant characters ({{}}();=<>[] — braces, call "
+    "syntax, assignment, comparison, indexing) as BASIS POINTS of "
+    "total characters, thresholded at 1.5%.  Counting is the "
+    "replace-difference trick (len minus len-after-strip per "
+    "character), pure JVM string expressions; the score is one "
+    "integer division — exact, no floats anywhere.  Map-side only: "
+    "zero shuffles at ANY corpus size (the plan is scan → project), "
+    "so the screen is free to bolt onto any ingest pass.",
+)
+def t34_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_code = None
+    for c in _T34_CODE_CHARS:
+        term = F.length("text") - F.length(F.replace(F.col("text"), F.lit(c)))
+        n_code = term if n_code is None else n_code + term
+    counts = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_code.cast("bigint").alias("n_code_chars"),
+    )
+    # true integer division on both sides (Spark `div`, DuckDB `//`)
+    bp_int = F.expr("10000 * n_code_chars div n_chars").cast("bigint")
+    return counts.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "n_code_chars",
+        bp_int.alias("code_bp"),
+        (bp_int >= 150).alias("looks_like_code"),
+    )

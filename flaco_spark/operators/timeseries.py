@@ -2833,3 +2833,86 @@ def ts38_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts39 — interval-union coverage (merge overlapping intervals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts39_interval_coverage",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 1800000000 AS e_us
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, s_us, e_us,
+         MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM base
+),
+i AS (
+  SELECT user_id, s_us, e_us,
+         SUM(CASE WHEN pm IS NULL OR s_us > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+),
+g AS (
+  SELECT user_id, island, MAX(e_us) - MIN(s_us) AS cov_us
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(cov_us) AS BIGINT) AS covered_us
+FROM g GROUP BY user_id
+""",
+    tags=("timeseries", "interval", "union", "events"),
+    doc="Interval-UNION coverage — merge overlapping intervals and "
+    "measure what they actually cover: every event opens a "
+    "30-minute activity interval; per user, overlapping/touching "
+    "intervals coalesce into islands (the classic cumulative-max "
+    "sweep: an interval starts a new island iff its start exceeds "
+    "the running max of all earlier ends — half-open [s,e) "
+    "semantics, so exact adjacency chains) and the report is "
+    "islands + total covered time.  The metric double-counting "
+    "naive SUM(duration) gets wrong and ts17's concurrency sweep "
+    "does not answer (coverage ≠ overlap depth) — billable active "
+    "time, sensor uptime, effective listening windows.  All arithmetic "
+    "is epoch-microsecond integers — exact, hash-matchable.  "
+    "Shape: one shuffle keyed by user for the ordered sweep "
+    "window, then two partial-agg reduces; per-user event runs are "
+    "bounded, and a whale user would take the q66 range-partition "
+    "lane.",
+)
+def ts39_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 1800000000).alias("e_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("s_us", "event_id")
+    m = base.withColumn(
+        "pm", F.max("e_us").over(w.rowsBetween(W.unboundedPreceding, -1))
+    )
+    i = m.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pm").isNull() | (F.col("s_us") > F.col("pm")), 1).otherwise(
+                0
+            )
+        ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    g = i.groupBy("user_id", "island").agg(
+        (F.max("e_us") - F.min("s_us")).alias("cov_us")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("cov_us").cast("bigint").alias("covered_us"),
+    )

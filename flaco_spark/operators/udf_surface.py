@@ -639,3 +639,51 @@ def u14_struct_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 7)
     meta = F.from_json("props", "k int").alias("meta")
     return e.select("event_id", score(meta, F.col("event_type")).alias("score"))
+
+
+@register(
+    "u15_array_return_pandas_udf",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS tok
+  FROM documents WHERE doc_id % 25 = 3
+)
+SELECT doc_id,
+       CAST(len(tok) AS INT) AS n_toks,
+       array_to_string(tok[1:3], '|') AS head3
+FROM toks
+""",
+    tags=("udf", "pandas", "arrow", "array", "documents"),
+    doc="Pandas UDF RETURNING an array — the other direction of the "
+    "Arrow complex-type transit u14 pins for structs: a scalar "
+    "pandas UDF tokenizes each document Python-side and returns "
+    "``array<string>`` (list-of-string Arrow arrays crossing back "
+    "into the JVM — the contract every Python tokenizer/chunker "
+    "that feeds native explode/slice relies on), then NATIVE "
+    "expressions consume the returned array (size, slice, "
+    "concat_ws) so the gate proves the round-trip preserves "
+    "element order and count.  The tokenizer is the same "
+    "lowercase/non-alphanumeric-split t12 normalizes with, so the "
+    "DuckDB oracle states it in pure SQL.  Keyed 1-in-25 sample: "
+    "the lane under test is type transit, not throughput — the "
+    "engine's production tokenizers stay JVM-side (t01/t06).",
+)
+def u15_array_return_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("array<string>")
+    def tokenize(text: pd.Series) -> pd.Series:
+        import re
+
+        pat = re.compile(r"[^a-z0-9]+")
+        return text.map(
+            lambda s: [t for t in pat.split((s or "").lower()) if t]
+        )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 3)
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+    return toks.select(
+        "doc_id",
+        F.size("tok").cast("int").alias("n_toks"),
+        F.concat_ws("|", F.slice("tok", 1, 3)).alias("head3"),
+    )

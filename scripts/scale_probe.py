@@ -232,6 +232,9 @@ PROBE = [
     "q132_inline_generator",
     "e28_embedding_outlier_screen",
     "st13_outer_stream_join",
+    "ts39_interval_coverage",
+    "t34_code_detection",
+    "u15_array_return_pandas_udf",
 ]
 
 

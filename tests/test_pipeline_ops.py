@@ -247,6 +247,9 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "q132_inline_generator",
         "e28_embedding_outlier_screen",
         "st13_outer_stream_join",
+        "ts39_interval_coverage",
+        "t34_code_detection",
+        "u15_array_return_pandas_udf",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
