@@ -4679,3 +4679,53 @@ def q132_inline_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("items").alias("n_lines"),
         F.inline("items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — SQL:2016 LISTAGG ... WITHIN GROUP
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q133_listagg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses,
+       string_agg(CAST(o_orderkey AS VARCHAR), '|'
+                  ORDER BY o_totalprice DESC, o_orderkey) FILTER (
+         WHERE o_totalprice > 350000) AS whale_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("sql", "aggregate", "listagg", "orders"),
+    doc="SQL:2016 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the "
+    "standard's ordered string aggregation, native in Spark 4.0 "
+    "(the dialect form of q58's concat_ws-over-sorted-collect "
+    "construction; this row proves the sugar and the construction "
+    "agree): per order priority, the DISTINCT status roster in "
+    "status order, and the FILTERed whale-order id list in "
+    "price-then-key order (deterministic tie-break, the discipline "
+    "every order-sensitive aggregate here follows — an unordered "
+    "LISTAGG is nondeterministic under ANY parallel engine and "
+    "would never pass a hash gate).  DuckDB states the same "
+    "relation with string_agg(ORDER BY).  One partial-agg shuffle "
+    "on the group key; ordered aggregation buffers only each "
+    "group's matching rows.",
+)
+def q133_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q133_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               listagg(CAST(o_orderkey AS STRING), '|')
+                 WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)
+                 FILTER (WHERE o_totalprice > 350000) AS whale_orders
+        FROM q133_orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -898,3 +898,49 @@ def st13_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.col("purchase_id").isNotNull().alias("converted"),
     )
+
+
+@register(
+    "st14_stream_union",
+    oracle="""
+SELECT feed, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT 'feed_a' AS feed, event_type, value FROM events
+  UNION ALL
+  SELECT 'feed_b' AS feed, event_type, value FROM events
+)
+GROUP BY feed, event_type
+""",
+    tags=("streaming", "union", "events"),
+    doc="Multi-SOURCE streaming topology behind the correctness "
+    "gate: two independent readStream file sources (own directories "
+    "and listings, as two real feeds — regions, kafka clusters, "
+    "vendors — would be) union into ONE stateful aggregation, "
+    "tagged with provenance so the gate proves rows neither leak "
+    "across feeds nor drop at the merge.  Streaming union is "
+    "append-only source composition — no state of its own; the "
+    "downstream complete-mode count/exact-decimal-sum aggregate "
+    "carries the state, sized |feeds × event types|.  This is the "
+    "fan-in half of the ingest story (st06 is the fan-out sink "
+    "half): at 100 TB/day per feed the union adds zero shuffles — "
+    "each source's files scan straight into the shared partial "
+    "aggregation.",
+)
+def st14_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, scratch = _events_stream(spark, sf_dir)
+    b, scratch2 = _events_stream(spark, sf_dir)
+    u = a.select(
+        F.lit("feed_a").alias("feed"), "event_type", "value"
+    ).unionByName(b.select(F.lit("feed_b").alias("feed"), "event_type", "value"))
+    agg = u.groupBy("feed", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    try:
+        sink = _drain(agg, scratch, "complete", "st14")
+    finally:
+        shutil.rmtree(scratch2, ignore_errors=True)
+    return sink

@@ -235,6 +235,8 @@ PROBE = [
     "ts39_interval_coverage",
     "t34_code_detection",
     "u15_array_return_pandas_udf",
+    "q133_listagg",
+    "st14_stream_union",
 ]
 
 

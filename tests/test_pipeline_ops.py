@@ -250,6 +250,8 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "ts39_interval_coverage",
         "t34_code_detection",
         "u15_array_return_pandas_udf",
+        "q133_listagg",
+        "st14_stream_union",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
