@@ -4729,3 +4729,99 @@ def q133_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — EXISTS / IN as SELECT-list expressions (ExistenceJoin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q134_exists_projection",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000) AS has_whale_order,
+       c_custkey IN (SELECT o_custkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT') AS has_urgent
+FROM customer c
+WHERE c_custkey <= 500
+""",
+    tags=("sql", "subquery", "existence-join", "customer"),
+    doc="EXISTS and IN as SELECT-LIST expressions — membership as a "
+    "projected BOOLEAN rather than a WHERE filter (the flag-building "
+    "shape feature engineering uses constantly: keep every entity, "
+    "annotate which ones hit).  Catalyst cannot plan these as "
+    "semi/anti joins (no row may drop), so it uses its third join "
+    "flavor — ExistenceJoin, a left join that adds a bool 'matched' "
+    "column with first-match short-circuiting — completing the "
+    "subquery physical-shape matrix next to q38 (semi/anti) and "
+    "q37/q17 (scalar-agg decorrelation).  NULL discipline: the IN "
+    "projection uses a NULL-free inner key (o_custkey is NOT NULL "
+    "in the fixture) so the three-valued trap q65 pins stays out "
+    "of scope here.  Both inner relations aggregate/dedup to "
+    "key-sets far smaller than the probe side — broadcast "
+    "existence joins at any scale.",
+)
+def q134_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("q134_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q134_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               EXISTS(SELECT 1 FROM q134_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000) AS has_whale_order,
+               c_custkey IN (SELECT o_custkey FROM q134_orders
+                             WHERE o_orderpriority = '1-URGENT') AS has_urgent
+        FROM q134_customer c
+        WHERE c_custkey <= 500
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — correlated scalar subquery inside HAVING
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q135_having_subquery",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS spend_cents
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > (SELECT 3 * COUNT(*) // (2 * COUNT(DISTINCT o_custkey))
+                   FROM orders)
+""",
+    tags=("sql", "subquery", "having", "orders"),
+    doc="Scalar subquery inside HAVING — the post-aggregation filter "
+    "compared against a value the query itself computes (customers "
+    "with more than 1.5x the average order count — non-vacuous at "
+    "every fixture SF), completing the "
+    "subquery position matrix: WHERE (q37), SELECT-list (q134), "
+    "FROM/LATERAL (q80), and now HAVING.  Catalyst decorrelates to "
+    "the same one-row-broadcast cross join as q37 — the global "
+    "average is one partial-agg pass, the outer group-by another; "
+    "the HAVING comparison is map-side on the aggregated rows.  "
+    "The threshold is exact integer division (2·n/d in BIGINT "
+    "arithmetic on both engines) — no float crosses the gate.",
+)
+def q135_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q135_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS spend_cents
+        FROM q135_orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) > (SELECT 3 * COUNT(*) DIV (2 * COUNT(DISTINCT o_custkey))
+                           FROM q135_orders)
+        """
+    )

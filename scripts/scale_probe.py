@@ -237,6 +237,8 @@ PROBE = [
     "u15_array_return_pandas_udf",
     "q133_listagg",
     "st14_stream_union",
+    "q134_exists_projection",
+    "q135_having_subquery",
 ]
 
 

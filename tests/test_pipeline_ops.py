@@ -252,6 +252,8 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "u15_array_return_pandas_udf",
         "q133_listagg",
         "st14_stream_union",
+        "q134_exists_projection",
+        "q135_having_subquery",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname
