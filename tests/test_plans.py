@@ -1138,3 +1138,67 @@ def test_q130_shuffle_hash_hint_honored(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q134_existence_join_shape(spark, sf_dir):
+    """EXISTS/IN in the SELECT list must plan as ExistenceJoin (no row
+    may drop) — the third subquery join flavor next to semi/anti."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["q134_exists_projection"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistenceJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e28_broadcast_centroids_no_python(spark, sf_dir):
+    """Outlier screen: the |labels|x8 centroid table joins broadcast;
+    all vector math stays JVM-side."""
+    from flaco_spark.plans import broadcast_join_count, formatted_plan
+
+    df = REGISTRY["e28_embedding_outlier_screen"].builder(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert "BatchEvalPython" not in formatted_plan(df)
+
+
+def test_t34_map_side_only(spark, sf_dir):
+    """Code screen is scan → project: zero exchanges, zero joins."""
+    from flaco_spark.plans import exchange_count, formatted_plan
+
+    df = REGISTRY["t34_code_detection"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_t33_single_source_shuffle(spark, sf_dir):
+    """Gini: the rank window and the per-source reduce share the one
+    source-keyed exchange (partial aggregation handles the rest)."""
+    from flaco_spark.plans import exchange_count, formatted_plan
+
+    df = REGISTRY["t33_length_gini"].builder(spark, sf_dir)
+    assert exchange_count(df) <= 2
+    assert "BatchEvalPython" not in formatted_plan(df)
+
+
+def test_u15_arrow_lane(spark, sf_dir):
+    """The array-returning UDF must take the Arrow (pandas) lane, not
+    row-at-a-time pickling."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["u15_array_return_pandas_udf"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_d32_single_key_pipeline(spark, sf_dir):
+    """Soft-dedup: cluster count and join-back share the md5 key; no
+    python, no cartesian."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["d32_soft_dedup_weights"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
