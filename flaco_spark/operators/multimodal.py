@@ -1155,3 +1155,107 @@ def m13_fft_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(1, spark.sparkContext.defaultParallelism)
     src = d.select("doc_id", "payload").repartition(n)
     return src.mapInPandas(_fft_dominant_batches, schema=M13_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m14 — 2:1 audio downsampling (boxcar decimation) over binary payloads
+# ---------------------------------------------------------------------------
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_in", T.IntegerType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("out_energy", T.LongType()),
+        T.StructField("out_checksum", T.LongType()),
+    ]
+)
+
+
+def _resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """2:1 decimation with a summed-pair (boxcar) anti-alias filter —
+    the integer-exact core of every sample-rate converter: decode
+    little-endian int16 PCM (numpy ``frombuffer``), pair consecutive
+    samples, emit one output sample per pair as the EXACT pair sum
+    (keeping the x2 gain instead of dividing keeps the gate float-free;
+    a trailing odd sample passes through).  Each payload reduces to
+    (n_in, n_out, output energy, position-weighted checksum) so the
+    whole resampled signal is hash-pinned, not just its length."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_in": [], "n_out": [], "out_energy": [], "out_checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            s = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
+            pairs = s[: len(s) // 2 * 2].reshape(-1, 2).sum(axis=1)
+            if len(s) % 2:
+                pairs = np.concatenate([pairs, s[-1:]])
+            out["doc_id"].append(doc_id)
+            out["n_in"].append(len(s))
+            out["n_out"].append(len(pairs))
+            out["out_energy"].append(int((pairs * pairs).sum()))
+            out["out_checksum"].append(int((pairs * (np.arange(len(pairs)) + 1)).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_in": pd.Series(out["n_in"], dtype="int32"),
+                "n_out": pd.Series(out["n_out"], dtype="int32"),
+                "out_energy": pd.Series(out["out_energy"], dtype="int64"),
+                "out_checksum": pd.Series(out["out_checksum"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "m14_audio_resample",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+),
+bytes AS (
+  SELECT doc_id, i, unicode(substr(text, i, 1)) AS b FROM pos
+),
+samples AS (
+  SELECT lo.doc_id,
+         CAST((lo.i - 1) / 2 AS BIGINT) AS k,
+         lo.b + 256 * hi.b - CASE WHEN hi.b >= 128 THEN 65536 ELSE 0 END AS s
+  FROM bytes lo
+  JOIN bytes hi ON lo.doc_id = hi.doc_id AND hi.i = lo.i + 1
+  WHERE lo.i % 2 = 1
+),
+resampled AS (
+  SELECT doc_id,
+         k // 2 AS j,
+         SUM(s) AS v
+  FROM samples GROUP BY doc_id, k // 2
+)
+SELECT r.doc_id,
+       CAST(n.n_in AS INT) AS n_in,
+       CAST(COUNT(*) AS INT) AS n_out,
+       CAST(SUM(v * v) AS BIGINT) AS out_energy,
+       CAST(SUM(v * (j + 1)) AS BIGINT) AS out_checksum
+FROM resampled r
+JOIN (SELECT doc_id, COUNT(*) AS n_in FROM samples GROUP BY doc_id) n
+  ON n.doc_id = r.doc_id
+GROUP BY r.doc_id, n.n_in
+""",
+    tags=("multimodal", "audio", "resample", "udf", "documents"),
+    doc="Audio sample-rate conversion plumbing: 2:1 decimation with a "
+    "summed-pair boxcar filter over opaque binary payloads — the "
+    "mapInPandas stage a 100 TB audio corpus runs to normalize mixed "
+    "sample rates before featurization (m03 frames the OUTPUT of "
+    "this stage in production).  Same Arrow-batch decode as m03 "
+    "(bytes → little-endian int16, numpy, zero-copy) plus the "
+    "resampler's pair-reduce; the oracle re-derives the identical "
+    "resampled signal byte-by-byte in SQL and the position-weighted "
+    "checksum pins every output sample's VALUE AND POSITION, so an "
+    "off-by-one in the pairing, a dropped trailing sample, or a "
+    "wrong filter gain all break the hash.  Map-side only: one "
+    "bounded repartition, no shuffle after the decode.",
+)
+def m14_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_payload(table(spark, sf_dir, "documents"))
+    n = max(1, d.sparkSession.sparkContext.defaultParallelism)
+    src = d.select("doc_id", "payload").repartition(n)
+    return src.mapInPandas(_resample_batches, schema=RESAMPLE_SCHEMA)

@@ -4825,3 +4825,331 @@ def q135_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            FROM q135_orders)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — exact distinct counting via bitmap aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q136_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       true AS merge_consistent
+FROM events GROUP BY event_type
+""",
+    tags=("sql", "bitmap", "distinct", "incremental", "events"),
+    doc="EXACT distinct counting via the bitmap aggregate family "
+    "(bitmap_bucket_number / bitmap_bit_position / "
+    "bitmap_construct_agg / bitmap_or_agg / bitmap_count, Spark "
+    "3.5+) — the exact counterpart of q123's HLL sketches for the "
+    "same incremental topology.  Integer keys bucket into 32k-bit "
+    "bitmaps; per-(group, bucket) bitmaps build map-side and OR "
+    "together associatively, so COUNT(DISTINCT) decomposes into "
+    "partial aggregates that can be PERSISTED and merged across "
+    "jobs (a stored per-day bitmap absorbs tomorrow's increment "
+    "without rescanning history — COUNT(DISTINCT) itself cannot).  "
+    "merge_consistent machine-checks that associativity: the union "
+    "of per-DAY bitmaps must count IDENTICAL to the one-shot "
+    "bitmap, hash-pinned against the oracle's literal true.  "
+    "n_users is exact, so the oracle is plain COUNT(DISTINCT) — no "
+    "error-bound discipline needed.  Scale: two partial-agg "
+    "shuffles on (group, bucket) — never a row-level distinct "
+    "shuffle; bucket fan-out keys are dense integers.",
+)
+def q136_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    direct = (
+        e.groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))
+    )
+    merged = (
+        e.groupBy("event_type", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_merged"))
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "n_users",
+        (F.col("n_users") == F.col("n_merged")).alias("merge_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — linear-regression aggregate family (regr_*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q137_regression_aggregates",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS sxy,
+       CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sxx,
+       CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS syy,
+       true AS slope_ok, true AS intercept_ok, true AS r2_ok, true AS count_ok
+FROM pts GROUP BY l_returnflag
+""",
+    tags=("sql", "aggregate", "regression", "stats", "lineitem"),
+    doc="The SQL:2016 linear-regression aggregate family "
+    "(regr_slope / regr_intercept / regr_r2 / regr_count, Spark "
+    "3.4+) over price-vs-quantity per return flag — the built-in "
+    "OLS surface next to q70's moment statistics.  The builtins "
+    "are double-summation (order-dependent across engines), so the "
+    "gate applies the q123 bound discipline on top of the compat.py "
+    "decimal doctrine: the HASHED columns are the EXACT integer-cent "
+    "moments (n, Σx, Σy as BIGINT; Σxy, Σx², Σy² — which outgrow "
+    "exact-double range — as canonical DIGIT STRINGS of the "
+    "DECIMAL(38,0) sums, closed under sf100), and each builtin is "
+    "machine-checked against the closed form derived from those "
+    "exact moments (slope = (nΣxy-ΣxΣy)/(nΣx²-(Σx)²), intercept "
+    "and r² likewise) within 1e-9 relative — a false in any *_ok "
+    "column breaks the hash against the oracle's literal trues.  "
+    "Scale: one partial-agg shuffle; every moment is map-side "
+    "combinable.",
+)
+def q137_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (money("l_quantity") * 100).cast("bigint").alias("x"),
+        (money("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d38(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("decimal(38,0)").alias("syy"),
+        F.regr_slope(yd, xd).alias("b_slope"),
+        F.regr_intercept(yd, xd).alias("b_intercept"),
+        F.regr_r2(yd, xd).alias("b_r2"),
+        F.regr_count(yd, xd).alias("b_n"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    syy_c = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+    r2 = (num * num) / (den * syy_c)
+
+    def ok(built: F.Column, exact: F.Column) -> F.Column:
+        return F.abs(built - exact) <= F.lit(1e-9) * (F.lit(1.0) + F.abs(exact))
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.col("sx").cast("bigint").alias("sx"),
+        F.col("sy").cast("bigint").alias("sy"),
+        F.col("sxy").cast("string").alias("sxy"),
+        F.col("sxx").cast("string").alias("sxx"),
+        F.col("syy").cast("string").alias("syy"),
+        ok(F.col("b_slope"), slope).alias("slope_ok"),
+        ok(F.col("b_intercept"), intercept).alias("intercept_ok"),
+        ok(F.col("b_r2"), r2).alias("r2_ok"),
+        (F.col("b_n") == F.col("n")).alias("count_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — Luhn checksum validation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q138_luhn_validation",
+    oracle="""
+WITH pans AS (
+  SELECT o_orderkey, o_orderpriority,
+         lpad(CAST((o_orderkey * 37 + o_custkey) % 10000000000 AS VARCHAR),
+              10, '0') || CAST(o_orderkey % 10 AS VARCHAR) AS pan
+  FROM orders
+),
+digits AS (
+  SELECT o_orderkey, o_orderpriority,
+         unnest(generate_series(1, length(pan))) AS i, pan
+  FROM pans
+),
+contrib AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN i % 2 = 0
+              THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+              ELSE d END AS c
+  FROM (SELECT *,
+               CAST(substr(pan, length(pan) - i + 1, 1) AS INT) AS d
+        FROM digits)
+),
+verdicts AS (
+  SELECT o_orderkey, o_orderpriority, SUM(c) % 10 = 0 AS valid
+  FROM contrib GROUP BY o_orderkey, o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE valid) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (WHERE NOT valid) AS BIGINT) AS n_invalid,
+       CAST(COALESCE(SUM(o_orderkey) FILTER (WHERE valid), 0) AS BIGINT)
+         AS valid_key_sum
+FROM verdicts GROUP BY o_orderpriority
+""",
+    tags=("scalar", "luhn", "validation", "orders"),
+    doc="Luhn mod-10 checksum validation (luhn_check, Spark 3.5+) — "
+    "the payment-card / identifier screen a PII or fraud pipeline "
+    "runs map-side.  The q120/q124 known-answer discipline: an "
+    "11-digit PAN is synthesized from each order's own keys, Spark "
+    "validates it with the BUILT-IN luhn_check, and the oracle "
+    "re-derives validity from the mod-10 definition digit by digit "
+    "in SQL (double every second digit from the right, subtract 9 "
+    "above 9, sum ≡ 0 mod 10) — any divergence between the builtin "
+    "and the standard's arithmetic breaks per-priority counts and "
+    "the valid-key checksum.  Pure map-side expression + one "
+    "partial-agg shuffle.",
+)
+def q138_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.concat(
+            F.lpad(
+                ((F.col("o_orderkey") * 37 + F.col("o_custkey")) % 10000000000).cast(
+                    "string"
+                ),
+                10,
+                "0",
+            ),
+            (F.col("o_orderkey") % 10).cast("string"),
+        ).alias("pan"),
+    )
+    v = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("luhn_check(pan)").alias("valid"),
+    )
+    return v.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("valid")).cast("bigint").alias("n_valid"),
+        F.count_if(~F.col("valid")).cast("bigint").alias("n_invalid"),
+        F.coalesce(
+            F.sum(F.when(F.col("valid"), F.col("o_orderkey"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("valid_key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — grid-bucketed spatial radius join
+# ---------------------------------------------------------------------------
+
+_Q139_R = 300_000  # radius in microdegree-ish integer units == grid cell size
+
+
+@register(
+    "q139_grid_radius_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT DISTINCT user_id,
+         (user_id * 2654435761) % 2000001 AS lat,
+         (user_id * 40503 + 12345) % 2000001 AS lon
+  FROM events
+)
+SELECT q.user_id AS qid, p.user_id AS user_id,
+       CAST((p.lat - q.lat) * (p.lat - q.lat)
+          + (p.lon - q.lon) * (p.lon - q.lon) AS BIGINT) AS d2
+FROM pts q JOIN pts p ON p.user_id <> q.user_id
+WHERE q.user_id < 8
+  AND (p.lat - q.lat) * (p.lat - q.lat)
+    + (p.lon - q.lon) * (p.lon - q.lon) <= {_Q139_R * _Q139_R}
+""",
+    tags=("spatial", "join", "grid", "broadcast", "events"),
+    doc="Spatial RADIUS join by grid bucketing — the geo counterpart "
+    "of the LSH-bucketed dedup joins (d04/d10): each entity gets a "
+    "deterministic integer coordinate (derived from its own key, so "
+    "the oracle re-derives it), space is cut into cells exactly one "
+    "radius wide, and each probe point expands to its 3x3 neighbor "
+    "cells — the pigeonhole guarantee that any point within R "
+    "shares one of those 9 cells (cell == R, so coordinates within "
+    "R differ by at most one cell index).  Candidates equi-join on "
+    "(cx, cy) with the 9x-exploded PROBE side broadcast — the "
+    "billion-row point side never shuffles — then the exact "
+    "integer squared distance verifies.  All-integer math end to "
+    "end (no trig, no floats): the same exact-verification "
+    "discipline as the dedup family, hash-safe across engines.  "
+    "The oracle is the brute-force all-pairs definition; the Spark "
+    "plan never materializes it.",
+)
+def q139_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _Q139_R
+    pts = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") * 2654435761) % 2000001).alias("lat"),
+            ((F.col("user_id") * 40503 + 12345) % 2000001).alias("lon"),
+        )
+        .withColumn("cx", F.expr(f"lat DIV {r}"))
+        .withColumn("cy", F.expr(f"lon DIV {r}"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = (
+        pts.filter(F.col("user_id") < 8)
+        .select(
+            F.col("user_id").alias("qid"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+            F.col("cx").alias("qcx"),
+            F.col("cy").alias("qcy"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "qid",
+            "qlat",
+            "qlon",
+            (F.col("qcx") + F.col("o.dx")).alias("cx"),
+            (F.col("qcy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) + (
+        F.col("lon") - F.col("qlon")
+    ) * (F.col("lon") - F.col("qlon"))
+    return (
+        pts.join(F.broadcast(probes), ["cx", "cy"])
+        .filter(F.col("user_id") != F.col("qid"))
+        .select("qid", "user_id", d2.cast("bigint").alias("d2"))
+        .filter(F.col("d2") <= r * r)
+    )

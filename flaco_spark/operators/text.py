@@ -2443,3 +2443,129 @@ def t34_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp_int.alias("code_bp"),
         (bp_int >= 150).alias("looks_like_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t35 — boilerplate removal (the transform t21's report gates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t35_boilerplate_removal",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(t, i, i + {T21_CHUNK - 1}), ' ') AS chunk
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {T21_CHUNK - 1},
+                                            {T21_CHUNK})) AS g(i)
+),
+spread AS (
+  SELECT md5(chunk) AS h FROM chunks
+  GROUP BY md5(chunk) HAVING COUNT(DISTINCT doc_id) > 1
+),
+kept AS (
+  SELECT c.doc_id, c.i, c.chunk
+  FROM chunks c ANTI JOIN spread s ON md5(c.chunk) = s.h
+),
+kept_agg AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY i) AS kept_join,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tails AS (
+  SELECT doc_id, len(t) AS n_toks,
+         COALESCE(array_to_string(
+             list_slice(t, (len(t) // {T21_CHUNK}) * {T21_CHUNK} + 1,
+                        len(t)), ' '), '') AS tail
+  FROM toks
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN ta.n_toks >= {T21_CHUNK}
+                 THEN ta.n_toks // {T21_CHUNK} ELSE 0 END
+            - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(CASE
+             WHEN COALESCE(k.kept_join, '') <> '' AND ta.tail <> ''
+               THEN k.kept_join || ' ' || ta.tail
+             WHEN COALESCE(k.kept_join, '') <> '' THEN k.kept_join
+             ELSE ta.tail
+           END) AS cleaned_md5
+FROM documents d
+JOIN tails ta ON ta.doc_id = d.doc_id
+LEFT JOIN kept_agg k ON k.doc_id = d.doc_id
+""",
+    tags=("text", "dedup", "boilerplate", "documents"),
+    doc="Boilerplate REMOVAL — the transform whose report is t21: "
+    "chunks shared across >1 document (CCNet/Dolma's "
+    "cross-document-repetition rule on the same 10-token "
+    "pseudo-paragraph grid) are STRIPPED and the document is "
+    "reconstructed IN ORDER from its surviving chunks plus the "
+    "sub-chunk tail; the gate hashes md5(cleaned_text) per doc, so "
+    "a misordered chunk, a dropped tail, or a kept boilerplate "
+    "block all break the hash — removal correctness is pinned on "
+    "the reconstructed STRING, not on counts.  Scale shape: "
+    "chunking is map-side; the shared-fingerprint set is one "
+    "wordcount shuffle and is corpus-small (only cross-doc "
+    "repeats), anti-joined by hash; reassembly groups each doc's "
+    "own chunks — partitioned by doc_id, never corpus-wide.  The "
+    "kept-chunk shuffle carries chunk text; the 100 TB variant "
+    "carries (doc_id, i, h) and re-derives text map-side on the "
+    "reassembly pass (same plan shape, documented trade).",
+)
+def t35_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = T21_CHUNK
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", r"\s+").alias("t")
+    )
+    base = d.select("doc_id", "t", F.size("t").alias("n"))
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {k} THEN "
+                f"transform(sequence(1, size(t) - {k - 1}, {k}), "
+                f"i -> struct(i AS i, array_join(slice(t, i, {k}), ' ') AS chunk)) "
+                f"ELSE array() END"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.i").alias("i"), F.col("c.chunk").alias("chunk"))
+    shared = (
+        chunks.groupBy(F.md5("chunk").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    kept = chunks.withColumn("h", F.md5("chunk")).join(shared, "h", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(i, chunk))), "
+            "x -> x.chunk), ' ')"
+        ).alias("kept_join"),
+        F.count("*").alias("n_kept"),
+    )
+    tails = base.select(
+        "doc_id",
+        "n",
+        F.expr(f"array_join(slice(t, (n DIV {k}) * {k} + 1, n), ' ')").alias("tail"),
+    )
+    total = F.when(F.col("n") >= k, F.expr(f"n DIV {k}")).otherwise(F.lit(0))
+    kept_join = F.coalesce(F.col("kept_join"), F.lit(""))
+    cleaned = F.when(
+        (kept_join != "") & (F.col("tail") != ""),
+        F.concat(kept_join, F.lit(" "), F.col("tail")),
+    ).otherwise(F.when(kept_join != "", kept_join).otherwise(F.col("tail")))
+    return (
+        tails.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            (total - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+    )

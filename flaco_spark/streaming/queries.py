@@ -944,3 +944,81 @@ def st14_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch2, ignore_errors=True)
     return sink
+
+
+@register(
+    "st15_stream_observed_metrics",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS value_cents,
+       true AS observed_rows_ok,
+       true AS observed_cents_ok
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "observe", "metrics", "events"),
+    doc="STREAMING observed metrics (df.observe on a readStream + "
+    "StreamingQueryProgress.observedMetrics) behind the correctness "
+    "gate — q122's data-quality counters carried into the streaming "
+    "runtime, where they are the standard in-flight monitoring hook "
+    "(rows/bytes/invariant counters per micro-batch with NO second "
+    "pass over the stream).  The gate machine-checks the metric "
+    "against the data it describes: the map-side observed row count "
+    "and exact-decimal cent total, summed across every micro-batch "
+    "the availableNow drain executes, must equal the same totals "
+    "re-aggregated from the drained sink — observed_rows_ok / "
+    "observed_cents_ok hash-pin that equality against the oracle's "
+    "literal trues.  A metric that dropped a batch, double-counted "
+    "a replay, or raced the commit breaks the hash.  Scale: observe "
+    "is a zero-shuffle piggyback on the existing plan; the drain "
+    "itself is one partial-agg shuffle per micro-batch.",
+)
+def st15_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _events_stream(spark, sf_dir)
+    observed = stream.observe(
+        "st15_obs",
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents_in"),
+    )
+    agg = observed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    name = f"st15_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        obs_rows, obs_cents = 0, 0
+        for progress in q.recentProgress:
+            metrics = progress.observedMetrics.get("st15_obs")
+            if metrics is not None and metrics["n_in"] is not None:
+                obs_rows += metrics["n_in"]
+                # SUM over an all-empty batch is NULL while COUNT is 0
+                if metrics["cents_in"] is not None:
+                    obs_cents += int(metrics["cents_in"])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    sink = spark.table(name)
+    totals = sink.agg(
+        F.sum("n").alias("tn"), F.sum("value_cents").alias("tc")
+    ).first()
+    rows_ok = bool(totals["tn"] == obs_rows)
+    cents_ok = bool(totals["tc"] == obs_cents)
+    return sink.select(
+        "event_type",
+        "n",
+        "value_cents",
+        F.lit(rows_ok).alias("observed_rows_ok"),
+        F.lit(cents_ok).alias("observed_cents_ok"),
+    )

@@ -254,6 +254,13 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "st14_stream_union",
         "q134_exists_projection",
         "q135_having_subquery",
+        "q136_bitmap_distinct",
+        "q137_regression_aggregates",
+        "q138_luhn_validation",
+        "q139_grid_radius_join",
+        "st15_stream_observed_metrics",
+        "m14_audio_resample",
+        "t35_boilerplate_removal",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname

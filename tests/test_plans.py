@@ -1202,3 +1202,60 @@ def test_d32_single_key_pipeline(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q139_broadcast_grid_probe(spark, sf_dir):
+    """Radius join: the 9x-exploded probe side broadcasts; the point
+    side joins without a join-side shuffle (its only exchange is the
+    distinct), and no cartesian product appears."""
+    from flaco_spark.plans import broadcast_join_count, formatted_plan
+
+    df = REGISTRY["q139_grid_radius_join"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q136_bitmap_partial_agg(spark, sf_dir):
+    """Bitmap distinct: no Expand/distinct-expand shuffle — the plan
+    is plain two-level hash aggregation over (group, bucket)."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["q136_bitmap_distinct"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "bitmap_construct_agg" in plan or "bitmap_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q138_map_side_luhn(spark, sf_dir):
+    """Luhn validation is a scan -> project -> single partial agg:
+    exactly one exchange, no Python."""
+    from flaco_spark.plans import exchange_count, formatted_plan
+
+    df = REGISTRY["q138_luhn_validation"].builder(spark, sf_dir)
+    assert exchange_count(df) <= 1
+    assert "BatchEvalPython" not in formatted_plan(df)
+
+
+def test_m14_arrow_batch_lane(spark, sf_dir):
+    """Resampler runs in the Arrow mapInPandas lane with the bounded
+    repartition, never row-at-a-time Python."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["m14_audio_resample"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_t35_shared_set_antijoin(spark, sf_dir):
+    """Boilerplate removal: the shared-fingerprint screen is a
+    LeftAnti join (broadcast or shuffled — AQE's call by size), and
+    reassembly never windows corpus-wide."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["t35_boilerplate_removal"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
