@@ -3214,3 +3214,148 @@ def e28_embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(
         scored, "label", [F.desc("dist"), F.asc("vec_id")], 3
     ).select("label", "vec_id", "dist", "rn")
+
+
+# ---------------------------------------------------------------------------
+# e29 — pairwise cluster separation (Davies–Bouldin components, exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e29_cluster_separation",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))
+                       * 1000000 AS BIGINT)) AS xi
+  FROM embeddings
+),
+dims AS (
+  SELECT label, g.i AS dim, xi[g.i] AS x FROM pts, generate_series(1, 64) AS g(i)
+),
+stats AS (
+  SELECT label, COUNT(DISTINCT vec_id) AS n FROM pts GROUP BY label
+),
+s2 AS (
+  SELECT label, SUM(CAST(x AS HUGEINT) * x) AS s2 FROM dims GROUP BY label
+),
+sx AS (
+  SELECT label, dim, CAST(SUM(x) AS HUGEINT) AS sx FROM dims GROUP BY label, dim
+),
+sqc AS (
+  SELECT label, SUM(sx * sx) AS sqc FROM sx GROUP BY label
+),
+a AS (
+  SELECT st.label, st.n, CAST(st.n AS HUGEINT) * s2.s2 - sqc.sqc AS a
+  FROM stats st JOIN s2 ON s2.label = st.label JOIN sqc ON sqc.label = st.label
+),
+b AS (
+  SELECT l.label AS label_i, r.label AS label_j,
+         SUM((CAST(cj.n AS HUGEINT) * l.sx - CAST(ci.n AS HUGEINT) * r.sx)
+           * (CAST(cj.n AS HUGEINT) * l.sx - CAST(ci.n AS HUGEINT) * r.sx)) AS b
+  FROM sx l
+  JOIN sx r ON r.dim = l.dim AND r.label <> l.label
+  JOIN stats ci ON ci.label = l.label
+  JOIN stats cj ON cj.label = r.label
+  GROUP BY l.label, r.label
+)
+SELECT b.label_i, b.label_j,
+       CAST(ai.n AS BIGINT) AS n_i, CAST(aj.n AS BIGINT) AS n_j,
+       CAST(ai.a * CAST(aj.n AS HUGEINT) * aj.n
+          + aj.a * CAST(ai.n AS HUGEINT) * ai.n AS VARCHAR) AS sep_num,
+       CAST(b.b AS VARCHAR) AS sep_den,
+       CAST((ai.a * CAST(aj.n AS HUGEINT) * aj.n
+           + aj.a * CAST(ai.n AS HUGEINT) * ai.n) // b.b AS BIGINT) AS r_floor
+FROM b JOIN a ai ON ai.label = b.label_i JOIN a aj ON aj.label = b.label_j
+""",
+    tags=("embedding", "cluster", "quality", "exact", "embeddings"),
+    doc="Pairwise cluster-separation audit — the Davies–Bouldin "
+    "(1979) similarity component R_ij = (S_i + S_j) / M_ij for "
+    "every ordered label pair, computed EXACTLY: coordinates "
+    "quantize to integer millionths (the deterministic transform "
+    "both engines state identically), within-cluster scatter and "
+    "between-centroid distance reduce to the integer identities "
+    "n·Σ‖x‖² − ‖Σx‖² and ‖n_j·Σx_i − n_i·Σx_j‖², and the ratio "
+    "ships as an exact num/den pair (digit strings — the q137 "
+    "discipline; magnitudes are DECIMAL(38,0)-closed through sf1) "
+    "plus the exact integer band r_floor = ⌊R_ij⌋ (DIV on the exact "
+    "operands — non-vacuous across the fixture's 31-69 range).  "
+    "This is the index an embedding-quality gate computes after "
+    "e07/e10 clustering; at 100 TB the same two shuffles (per-"
+    "(label,dim) partials, then a |labels|²-row reduce) carry it — "
+    "cluster count, not corpus size, bounds the pairwise stage.  "
+    "Production ratios beyond sf1 use doubles; the gate pins the "
+    "exact-integer form.",
+)
+def e29_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) "
+            "AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+        ).alias("xi"),
+    )
+    dims = pts.select("label", F.posexplode("xi").alias("dim", "x"))
+    stats = pts.groupBy("label").agg(F.count("*").alias("n"))
+    s2 = dims.groupBy("label").agg(
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("s2")
+    )
+    sx = dims.groupBy("label", "dim").agg(F.sum("x").cast(d38).alias("sx"))
+    sqc = sx.groupBy("label").agg(
+        F.sum(F.col("sx") * F.col("sx")).cast(d38).alias("sqc")
+    )
+    a = (
+        stats.join(s2, "label")
+        .join(sqc, "label")
+        .select(
+            "label",
+            "n",
+            (F.col("n").cast(d38) * F.col("s2") - F.col("sqc")).alias("a"),
+        )
+    )
+    ci = F.broadcast(stats.select(F.col("label").alias("li"), F.col("n").alias("ni")))
+    cj = F.broadcast(stats.select(F.col("label").alias("lj"), F.col("n").alias("nj")))
+    pair = (
+        sx.alias("l")
+        .join(
+            sx.alias("r"),
+            (F.col("r.dim") == F.col("l.dim")) & (F.col("r.label") != F.col("l.label")),
+        )
+        .join(ci, F.col("l.label") == F.col("li"))
+        .join(cj, F.col("r.label") == F.col("lj"))
+    )
+    diff = F.col("nj").cast(d38) * F.col("l.sx") - F.col("ni").cast(d38) * F.col("r.sx")
+    b = pair.groupBy(
+        F.col("l.label").alias("label_i"), F.col("r.label").alias("label_j")
+    ).agg(F.sum(diff * diff).cast(d38).alias("b"))
+    ai = a.select(
+        F.col("label").alias("label_i"),
+        F.col("n").alias("n_i"),
+        F.col("a").alias("a_i"),
+    )
+    aj = a.select(
+        F.col("label").alias("label_j"),
+        F.col("n").alias("n_j"),
+        F.col("a").alias("a_j"),
+    )
+    num = (
+        F.col("a_i") * F.col("n_j").cast(d38) * F.col("n_j").cast(d38)
+        + F.col("a_j") * F.col("n_i").cast(d38) * F.col("n_i").cast(d38)
+    ).cast(d38)
+    return (
+        b.join(F.broadcast(ai), "label_i")
+        .join(F.broadcast(aj), "label_j")
+        .withColumn("sep_num_d", num)
+        .select(
+            "label_i",
+            "label_j",
+            F.col("n_i").cast("bigint").alias("n_i"),
+            F.col("n_j").cast("bigint").alias("n_j"),
+            F.col("sep_num_d").cast("string").alias("sep_num"),
+            F.col("b").cast("string").alias("sep_den"),
+            F.expr("CAST(sep_num_d DIV b AS BIGINT)").alias("r_floor"),
+        )
+    )

@@ -687,3 +687,51 @@ def u15_array_return_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tok").cast("int").alias("n_toks"),
         F.concat_ws("|", F.slice("tok", 1, 3)).alias("head3"),
     )
+
+
+@register(
+    "u16_struct_return_pandas_udf",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       substr(text, 1, 8) AS head
+FROM documents
+WHERE doc_id % 25 = 11
+""",
+    tags=("udf", "pandas", "arrow", "struct", "documents"),
+    doc="Pandas UDF RETURNING a struct — the remaining direction of "
+    "the Arrow complex-type transit matrix (u14 takes a struct IN, "
+    "u15 returns an array; this returns ``struct<...>`` as a "
+    "pandas DataFrame whose columns become the struct's fields).  "
+    "The profile struct (token count, char count, 8-char head) is "
+    "re-derivable in pure SQL, and the gate consumes the RETURNED "
+    "struct with native field access (.field projection), proving "
+    "field names, order, and values survive the Arrow round-trip.  "
+    "Keyed 1-in-25 sample: the lane under test is type transit — "
+    "production profiling stays JVM-side (t01/t26).",
+)
+def u16_struct_return_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("struct<n_tokens:int, n_chars:int, head:string>")
+    def profile(text: pd.Series) -> pd.DataFrame:
+        import re
+
+        ws = re.compile(r"\s+")
+        return pd.DataFrame(
+            {
+                "n_tokens": text.map(lambda s: len(ws.split(s or ""))).astype(
+                    "int32"
+                ),
+                "n_chars": text.str.len().astype("int32"),
+                "head": text.str.slice(0, 8),
+            }
+        )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 11)
+    p = d.select("doc_id", profile(F.col("text")).alias("p"))
+    return p.select(
+        "doc_id",
+        F.col("p.n_tokens").alias("n_tokens"),
+        F.col("p.n_chars").alias("n_chars"),
+        F.col("p.head").alias("head"),
+    )

@@ -261,6 +261,8 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         "st15_stream_observed_metrics",
         "m14_audio_resample",
         "t35_boilerplate_removal",
+        "u16_struct_return_pandas_udf",
+        "e29_cluster_separation",
     ):
         out = reg[qname].builder(spark, str(empty_dir))
         assert out.count() == 0, qname

@@ -1259,3 +1259,23 @@ def test_t35_shared_set_antijoin(spark, sf_dir):
     plan = formatted_plan(df)
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_e29_label_bounded_pairwise(spark, sf_dir):
+    """Cluster separation: the pairwise stage joins |labels|x64-row
+    partials (broadcast), never vector rows against vector rows."""
+    from flaco_spark.plans import broadcast_join_count, formatted_plan
+
+    df = REGISTRY["e29_cluster_separation"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_u16_arrow_struct_return(spark, sf_dir):
+    """Struct-returning pandas UDF rides the Arrow lane."""
+    from flaco_spark.plans import formatted_plan
+
+    df = REGISTRY["u16_struct_return_pandas_udf"].builder(spark, sf_dir)
+    assert "ArrowEvalPython" in formatted_plan(df)
