@@ -654,11 +654,21 @@ def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None
     for pid, c in counts:
         offsets[pid] = total
         total += c
-    off_expr = F.lit(0).cast("bigint")
-    for pid, off in offsets.items():
-        off_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("bigint")).otherwise(off_expr)
-    return local.withColumn("_rank", (off_expr + F.col("_lrn")).cast("bigint")).drop(
-        "_pid", "_lrn"
+    # Offsets attach via a BROADCAST join on _pid — a 2-column frame
+    # of ≤ npart rows — not a chained CASE WHEN: at thousands of
+    # partitions an O(npart)-deep when-chain bloats the expression
+    # tree (and codegen) linearly, while the broadcast hash join stays
+    # one plan node at any partition count.
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off bigint"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            "_rank",
+            (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_lrn")).cast("bigint"),
+        )
+        .drop("_pid", "_lrn", "_off")
     ), total
 
 
@@ -4552,9 +4562,9 @@ Q131_PARTS = 8
 
 @register(
     "q131_range_partitioned_sort",
-    oracle=f"""
+    oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST({Q131_PARTS} AS BIGINT) AS n_partitions,
+       true AS partitions_bounded,
        true AS ranges_disjoint,
        true AS sorted_within
 FROM lineitem
@@ -4618,11 +4628,17 @@ def q131_range_partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") > 0)
     rows = per_part.orderBy("pid").collect()
     n_rows = sum(r.n for r in rows)
+    # Contract column, not a hash pin: repartitionByRange may legally
+    # produce FEWER effective ranges than requested (duplicate sampled
+    # boundaries, small or skewed input), so the count is asserted as
+    # a bound — n_nonempty ≤ requested — like ranges_disjoint, rather
+    # than pinning the planner's exact partition arithmetic.
+    partitions_bounded = len(rows) <= Q131_PARTS
     disjoint = all(rows[i].hi <= rows[i + 1].lo for i in range(len(rows) - 1))
     sorted_within = all(r.sorted_flag for r in rows)
     return spark.createDataFrame(
-        [(n_rows, len(rows), disjoint, sorted_within)],
-        "n_rows bigint, n_partitions bigint, ranges_disjoint boolean, sorted_within boolean",
+        [(n_rows, partitions_bounded, disjoint, sorted_within)],
+        "n_rows bigint, partitions_bounded boolean, ranges_disjoint boolean, sorted_within boolean",
     )
 
 

@@ -8,6 +8,8 @@ stream by swapping ``read`` → ``readStream``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -261,7 +263,7 @@ RUNNING_TOTALS_OUTPUT_SCHEMA = "user_id long, n long, sum_micros long"
 _SYSTEM_PROTOBUF_PATH = "/usr/lib/google-cloud-sdk/platform/google_appengine"
 
 
-def ensure_protobuf_worker_env(spark: SparkSession) -> None:
+def ensure_protobuf_worker_env(spark: SparkSession):
     """Make ``google.protobuf`` importable in Python workers.
 
     No-op when protobuf is a real site-package (workers share the
@@ -271,13 +273,23 @@ def ensure_protobuf_worker_env(spark: SparkSession) -> None:
     the gencode pyspark ships by one minor version).  Raises
     :class:`EngineError` when no protobuf runtime exists at all —
     transformWithState is honestly unavailable then, never fake-green.
+
+    Returns a zero-arg ``restore()`` that undoes the
+    ``sc.environment`` mutation — the same save/restore discipline
+    st07/q111 apply to SQL confs.  Worker env is SNAPSHOT into the
+    plan's ``SimplePythonFunction`` at UDF-wrap time
+    (``pyspark.rdd._wrap_function`` → ``_prepare_for_python_RDD``
+    passes the dict to py4j, which copies it into a Java map), so the
+    caller can restore as soon as the stateful DataFrame is BUILT and
+    later UDFs in the session no longer inherit the relaxed
+    version-check.
     """
     import os
 
     try:
         import google.protobuf  # noqa: F401
 
-        return
+        return lambda: None
     except ImportError:
         pass
     if not os.path.isdir(f"{_SYSTEM_PROTOBUF_PATH}/google/protobuf"):
@@ -288,6 +300,7 @@ def ensure_protobuf_worker_env(spark: SparkSession) -> None:
             "(pip package `protobuf`, or a system copy); none found"
         )
     env = spark.sparkContext.environment
+    saved = {k: env.get(k) for k in ("PYTHONPATH", "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")}
     cur = env.get("PYTHONPATH", "")
     if _SYSTEM_PROTOBUF_PATH not in cur:
         # APPEND after any user-provided entries (any PYTHONPATH dir
@@ -298,6 +311,15 @@ def ensure_protobuf_worker_env(spark: SparkSession) -> None:
             f"{cur}:{_SYSTEM_PROTOBUF_PATH}" if cur else _SYSTEM_PROTOBUF_PATH
         )
     env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+
+    def restore() -> None:
+        for k, v in saved.items():
+            if v is None:
+                env.pop(k, None)
+            else:
+                env[k] = v
+
+    return restore
 
 
 class RunningTotalsProcessor:
@@ -349,25 +371,30 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    ensure_protobuf_worker_env(events.sparkSession)
+    restore_env = ensure_protobuf_worker_env(events.sparkSession)
     # subclass dynamically so importing this module never hard-requires
     # the state-v2 API (present in Spark >= 4.0)
     proc = type("_RunningTotals", (RunningTotalsProcessor, StatefulProcessor), {})()
-    return (
-        events.select(
-            "user_id",
-            (F.col("value").cast("decimal(18,6)") * 1_000_000)
-            .cast("bigint")
-            .alias("micros"),
+    try:
+        return (
+            events.select(
+                "user_id",
+                (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                .cast("bigint")
+                .alias("micros"),
+            )
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=proc,
+                outputStructType=RUNNING_TOTALS_OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
         )
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=proc,
-            outputStructType=RUNNING_TOTALS_OUTPUT_SCHEMA,
-            outputMode="append",
-            timeMode="none",
-        )
-    )
+    finally:
+        # the built plan holds its own env snapshot (see the helper's
+        # docstring); the session-global mutation ends with the build
+        restore_env()
 
 
 # ---------------------------------------------------------------------------
@@ -375,48 +402,107 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _snapshot_current(snap_dir: str) -> str | None:
+    """Resolve the snapshot root's CURRENT pointer to a version dir.
+
+    Returns None only when no version has ever been committed (no
+    pointer file).  A pointer naming a missing directory is CORRUPTION
+    — the commit protocol below can never produce it — so it raises
+    loudly instead of silently restarting the merge from scratch.
+    """
+    ptr = os.path.join(snap_dir, "CURRENT")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as f:
+        name = f.read().strip()
+    path = os.path.join(snap_dir, name)
+    if not os.path.isdir(path):
+        from flaco_spark.errors import EngineError
+
+        raise EngineError(
+            f"snapshot pointer {ptr} names missing version {name!r} — "
+            "refusing to rebuild state from one batch"
+        )
+    return path
+
+
+def read_snapshot(spark, snap_dir: str) -> DataFrame:
+    """Read the committed state of a :func:`foreachbatch_upsert` snapshot."""
+    cur = _snapshot_current(snap_dir)
+    if cur is None:
+        from flaco_spark.errors import EngineError
+
+        raise EngineError(f"no committed snapshot under {snap_dir}")
+    return spark.read.parquet(cur)
+
+
 def foreachbatch_upsert(events: DataFrame, snap_dir: str, checkpoint_dir: str):
     """Stream → keyed snapshot via ``foreachBatch`` MERGE: each
     micro-batch upserts latest-record-per-user into a parquet
-    snapshot (rewrite-and-swap, the per-file shape of a Delta/Iceberg
-    MERGE — local parquet has no txn log, so temp-dir + atomic move
-    stands in for the commit).  Batches may arrive in ANY time order:
-    the merge keeps the global (ts, event_id) argmax per key, so the
-    drained snapshot is a pure function of the input set — q69's
-    latest-record relation — independent of batch carving.
+    snapshot.  ``snap_dir`` is a snapshot ROOT: version directories
+    ``v{batch_id}`` plus a ``CURRENT`` pointer file committed by
+    atomic ``os.replace`` — local parquet has no txn log, so the
+    pointer stands in for the Delta/Iceberg commit.  Batches may
+    arrive in ANY time order: the merge keeps the global
+    (ts, event_id) argmax per key, so the drained snapshot is a pure
+    function of the input set — q69's latest-record relation —
+    independent of batch carving.
 
-    Returns the StreamingQuery (caller awaits + reads ``snap_dir``).
-    State posture at 100 TB/day: the snapshot is the state, stored in
-    the lake not the state store; each batch's work is one window over
-    |batch| + a merge against the snapshot (file-pruned to touched
-    keys under a real table format).
+    Failure contract (the exactly-once story, crash at ANY point):
+
+    - "no snapshot yet" is detected by EXPLICIT pointer absence, never
+      by catching read errors — a corrupt or half-written version can
+      therefore never be mistaken for a fresh start and silently drop
+      prior upserts.
+    - the pointer is only advanced AFTER its version dir is fully
+      written, via atomic rename, so a reader always sees a complete
+      snapshot and the previous version survives until the commit.
+    - a crash between the pointer commit and the checkpoint commit
+      replays the same batch_id; the pointer already naming
+      ``v{batch_id}`` short-circuits it (idempotent re-apply).
+
+    Returns the StreamingQuery (caller awaits, then reads via
+    :func:`read_snapshot`).  State posture at 100 TB/day: the snapshot
+    is the state, stored in the lake not the state store; each batch's
+    work is one window over |batch| + a merge against the snapshot
+    (file-pruned to touched keys under a real table format).
     """
     import shutil as _sh
 
     from pyspark.sql import Window as W
 
     latest_w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    os.makedirs(snap_dir, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _snapshot_current(snap_dir)
+        vname = f"v{batch_id}"
+        if cur is not None and os.path.basename(cur) == vname:
+            return  # checkpoint replay of an already-committed batch
         incoming = (
             batch_df.withColumn("rn", F.row_number().over(latest_w))
             .filter(F.col("rn") == 1)
             .select("user_id", "event_id", "ts", "value")
         )
-        try:
-            current = batch_df.sparkSession.read.parquet(snap_dir)
+        if cur is not None:
+            current = batch_df.sparkSession.read.parquet(cur)
             merged = (
                 current.unionByName(incoming)
                 .withColumn("rn", F.row_number().over(latest_w))
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-        except Exception:
+        else:
             merged = incoming
-        tmp_out = snap_dir + f".b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp_out)
-        _sh.rmtree(snap_dir, ignore_errors=True)
-        _sh.move(tmp_out, snap_dir)
+        vdir = os.path.join(snap_dir, vname)
+        merged.write.mode("overwrite").parquet(vdir)
+        ptr = os.path.join(snap_dir, "CURRENT")
+        ptr_tmp = f"{ptr}.tmp.{batch_id}"
+        with open(ptr_tmp, "w", encoding="utf-8") as f:
+            f.write(vname)
+        os.replace(ptr_tmp, ptr)  # the commit: atomic, never leaves no pointer
+        if cur is not None:
+            _sh.rmtree(cur, ignore_errors=True)  # GC; stray dirs are harmless
 
     return (
         events.writeStream.foreachBatch(upsert)

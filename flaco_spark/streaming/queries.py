@@ -533,7 +533,9 @@ def st09_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = foreachbatch_upsert(stream, snap_dir, f"{scratch}/ckpt")
         q.awaitTermination()
-        snap = spark.read.parquet(snap_dir).select(
+        from flaco_spark.streaming.ingest import read_snapshot
+
+        snap = read_snapshot(spark, snap_dir).select(
             "user_id",
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),

@@ -806,3 +806,69 @@ def test_hll_union_is_split_invariant(spark, ids, n_parts):
         .est
     )
     assert direct == merged
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe bucketed graph fold (SCALING.md degree-skew hazard)
+# ---------------------------------------------------------------------------
+
+# Skewed by construction: ~80% of contributions land on one celebrity
+# key, src ids may cluster anywhere in a wide (negative-spanning)
+# domain, and x doubles exercise float non-associativity — any
+# bracketing difference between the chained bucket folds and the flat
+# fold would surface as a bit mismatch here.
+_fold_rows = st.lists(
+    st.tuples(
+        st.sampled_from([0, 0, 0, 0, 1, 2]),  # key (0 = celebrity)
+        st.integers(-10_000, 10_000),  # src (order key)
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, width=64
+        ),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_fold_rows, buckets=st.integers(2, 8))
+def test_bucketed_fold_equals_flat(spark, rows, buckets):
+    """ordered_fold with ANY bucket count must be BIT-IDENTICAL to the
+    flat src-ordered left-fold (and to a driver-side replay of the
+    same addition sequence): range buckets are monotone in src, so
+    chaining per-bucket slices replays the exact flat machine-addition
+    sequence — foldl(z, A ++ B) == foldl(foldl(z, A), B) is an
+    identity, not an approximation.  This is the equality that lets
+    the scale-safe path keep the DuckDB oracles unchanged."""
+    from flaco_spark.operators.graph import ordered_fold
+
+    df = spark.createDataFrame(rows, ["k", "src", "x"])
+    bounds = df.agg(F.min("src").alias("lo"), F.max("src").alias("hi"))
+
+    # driver-side replay of the flat fold's exact addition sequence
+    want: dict[int, float] = {}
+    by_key: dict[int, list] = {}
+    for k, s, x in rows:
+        by_key.setdefault(k, []).append((s, x))
+    for k, pairs in by_key.items():
+        acc = 0.0
+        for _, x in sorted(pairs):
+            acc = acc + x
+        want[k] = acc
+
+    flat = {
+        r.k: r.out
+        for r in ordered_fold(df, "k", "src", bounds, out="out", buckets=1).collect()
+    }
+    chained = {
+        r.k: r.out
+        for r in ordered_fold(
+            df, "k", "src", bounds, out="out", buckets=buckets
+        ).collect()
+    }
+    assert flat == want
+    assert chained == flat
