@@ -61,7 +61,12 @@ FORCE_RECHECK: frozenset[str] = frozenset(
 # evidence): refresh after semantics changes, before stale greens.
 # (The r4 soft set — d04/d05/d07/d14/e07 — keeps its green rows; the
 # r4 plan audit confirmed the rewritten plans, so they rotate normally.)
-SOFT_RECHECK: frozenset[str] = frozenset()
+SOFT_RECHECK: frozenset[str] = frozenset(
+    {
+        "q66_distribution_windows_dist",  # r5: offsets via broadcast join (same rank values)
+        "st07_transform_with_state",  # r5: worker-env save/restore (same relation)
+    }
+)
 
 # Never-checked queries whose EXECUTION PATH is novel (real streaming
 # jobs, multi-batch sinks, flagship compositions): a driver-environment

@@ -70,7 +70,7 @@ def ordered_fold(
     order: str,
     bounds: DataFrame,
     out: str,
-    buckets: int = GRAPH_FOLD_BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Order-deterministic per-``key`` left-fold sum of ``x``, scale-safe.
 
@@ -89,6 +89,8 @@ def ordered_fold(
     Keys with no contributions are absent, matching the flat groupBy;
     callers left-join + coalesce exactly as before.
     """
+    if buckets is None:
+        buckets = GRAPH_FOLD_BUCKETS
     if buckets <= 1:
         return contribs.groupBy(key).agg(
             F.aggregate(
@@ -111,25 +113,45 @@ def ordered_fold(
     # unrolled iterative caller that multi-reference compounds
     # EXPONENTIALLY in the round count (measured: g01's 3 lazy rounds
     # hit 3500+ stages, then a 2 GiB plan string — persist alone does
-    # NOT cut the LOGICAL lineage).  An eager localCheckpoint replaces
-    # the plan with a LogicalRDD scan: one bounded plan per fold, per
-    # round.  On a real cluster use reliable .checkpoint() for fault
-    # tolerance (q129's tool) — same contract, survives executor loss.
-    slices = slices.localCheckpoint(eager=True)
-    acc = slices.select(key).distinct().withColumn(out, F.lit(0.0))
+    # NOT cut the LOGICAL lineage).  Cut it by eagerly
+    # localCheckpoint-ing the fold OUTPUT (node-sized scalars — an
+    # earlier variant checkpointed the slice arrays themselves and
+    # paid ~4 s/query at the 10× probe serializing degree-sized
+    # arrays); `slices` is persisted only WITHIN that one job so its
+    # buckets+1 readers share one computation.  On a real cluster use
+    # reliable .checkpoint() for fault tolerance (q129's tool) — same
+    # contract, survives executor loss.
+    slices = slices.persist()
     empty = F.array().cast("array<double>")
 
     def _chain(a: Column, v: Column) -> Column:
         return a + v
 
-    for b in range(buckets):
+    def _fold_arr(init: Column) -> Column:
+        return F.aggregate(F.coalesce(F.col("_arr"), empty), init, _chain)
+
+    # Chain bucket slices in bucket order via FULL OUTER joins (keys
+    # may appear in any subset of buckets); starting the accumulator
+    # from bucket 0's fold avoids a separate distinct-keys pass.
+    acc = (
+        slices.filter(F.col("_fb") == 0)
+        .select(key, "_arr")
+        .select(key, _fold_arr(F.lit(0.0)).alias(out))
+    )
+    for b in range(1, buckets):
         arr_b = slices.filter(F.col("_fb") == b).select(key, "_arr")
-        acc = acc.join(arr_b, key, "left").select(
+        acc = acc.join(arr_b, key, "full").select(
             key,
-            F.aggregate(
-                F.coalesce(F.col("_arr"), empty), F.col(out), _chain
-            ).alias(out),
+            _fold_arr(F.coalesce(F.col(out), F.lit(0.0))).alias(out),
         )
+    # Eager: one materialization barrier per fold — the standard
+    # per-round job shape of iterative operators (g07's persisted
+    # rounds, kmeans_fit, d09).  A lazy variant measured SLOWER at the
+    # 10× probe (checkpoint storage lands inside the terminal job with
+    # no barrier savings), and leaving the chain fully lazy explodes
+    # the unrolled logical plan exponentially (see above).
+    acc = acc.localCheckpoint(eager=True)
+    slices.unpersist()
     return acc
 
 
@@ -348,13 +370,31 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     )
+    # The md5 coin depends only on (u, v), so it commutes with the
+    # DISTINCT: filtering BEFORE the dedup shuffle moves the 1/4 keep
+    # rate map-side — at the 100× probe the per-order pair fan-out is
+    # a 126M-row relation and this is the difference between
+    # shuffling all of it and a quarter of it.  Same relation either
+    # way (the oracle keeps the distinct-then-sample spelling).
     sampled = (
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
+        .where(coin.isin("0", "1", "2", "3"))
         .select("u", "v")
         .distinct()
-        .where(coin.isin("0", "1", "2", "3"))
     )
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    # The wedge-close references `sampled` THREE times; without a
+    # materialized cache each reference replays the per-order pair
+    # fan-out + dedup (the 100× probe measured g02 at 254 s, ~3× its
+    # generation cost).  Eager single-consumer persist per
+    # SCALING.md lesson 1; the sampled edge list is |E|·p rows —
+    # cache-sized at any corpus scale because the supplier pool, not
+    # the order count, bounds it.
+    sampled = register_cache(sampled.persist())
+    sampled.count()
     p1 = sampled.select(F.col("u").alias("a"), F.col("v").alias("b"))
     p2 = sampled.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     p3 = sampled.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -363,9 +403,6 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
-    from flaco_spark.cachepool import register_cache, release_caches
-
-    release_caches()
     tris = register_cache(tris.persist())
     tot = tris.agg(F.count(F.lit(1)).alias("n_sampled_total"))
     per_node = (
@@ -1033,13 +1070,16 @@ def g08_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     )
     sampled = register_cache(
+        # coin-before-distinct: commutes (coin is a pure (u,v)
+        # function), quarters the dedup shuffle — see g02.
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
+        .where(coin.isin("0", "1", "2", "3"))
         .select("u", "v")
         .distinct()
-        .where(coin.isin("0", "1", "2", "3"))
         .persist()
     )
+    sampled.count()  # eager: 5 consumer branches (SCALING.md lesson 1)
     und = sampled.unionAll(
         sampled.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1142,13 +1182,20 @@ def g09_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     )
-    sampled = (
+    from flaco_spark.cachepool import register_cache, release_caches
+
+    release_caches()
+    sampled = register_cache(
+        # coin-before-distinct: commutes (coin is a pure (u,v)
+        # function), quarters the dedup shuffle — see g02.
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
+        .where(coin.isin("0", "1", "2", "3"))
         .select("u", "v")
         .distinct()
-        .where(coin.isin("0", "1", "2", "3"))
+        .persist()
     )
+    sampled.count()  # eager: und/deg/ed all replay the fan-out otherwise
     und = sampled.unionAll(
         sampled.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

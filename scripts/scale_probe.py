@@ -242,13 +242,13 @@ PROBE = [
 ]
 
 
-def materialize(spark, base: str, out: str) -> None:
+def materialize(spark, base: str, out: str, copies: int = COPIES, n_files: int = 8) -> None:
     for name in VERBATIM:
         shutil.copy(f"{base}/{name}.parquet", f"{out}/{name}.parquet")
     for name, (keys, step) in SHIFTS.items():
         df = spark.read.parquet(f"{base}/{name}.parquet")
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             d = df
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(i * step))
@@ -256,7 +256,7 @@ def materialize(spark, base: str, out: str) -> None:
         union = parts[0]
         for p in parts[1:]:
             union = union.unionAll(p)
-        union.coalesce(8).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        union.coalesce(n_files).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
 
 def main() -> int:

@@ -268,6 +268,17 @@ def test_empty_input_keeps_schema_and_runs(spark, tmp_path):
         assert out.count() == 0, qname
         assert len(out.schema.fields) > 0, qname
 
+    # q131 is a 1-row audit report, so it gets its own contract: on a
+    # zero-row input repartitionByRange may legally produce 0 effective
+    # partitions — the bounded-count boolean (ADVICE r4: a bound, not a
+    # hash pin on the planner's partition arithmetic) must hold there.
+    row = reg["q131_range_partitioned_sort"].builder(spark, str(empty_dir)).collect()
+    assert len(row) == 1
+    assert row[0]["n_rows"] == 0
+    assert row[0]["partitions_bounded"] is True
+    assert row[0]["ranges_disjoint"] is True
+    assert row[0]["sorted_within"] is True
+
 
 def test_chunking_covers_every_token(spark, sf_dir):
     """t10 invariant: chunk windows (size 30, stride 20) cover every

@@ -1279,3 +1279,23 @@ def test_u16_arrow_struct_return(spark, sf_dir):
 
     df = REGISTRY["u16_struct_return_pandas_udf"].builder(spark, sf_dir)
     assert "ArrowEvalPython" in formatted_plan(df)
+
+
+def test_global_rank_offsets_broadcast_not_case_chain(spark, sf_dir):
+    """global_rank attaches per-partition offsets via a BROADCAST join
+    on _pid (one plan node at any partition count), never the old
+    O(#partitions)-deep chained CASE WHEN — at thousands of partitions
+    the when-chain bloats the expression tree and codegen linearly."""
+    from flaco_spark.operators.relational_ext import global_rank
+    from flaco_spark.tables import table
+
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ranked, n = global_rank(s, ["s_acctbal", "s_suppkey"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert n == s.count()
+    # the rank itself must still be the dense global row order
+    rows = ranked.orderBy("_rank").collect()
+    assert [r["_rank"] for r in rows] == list(range(1, n + 1))
+    keys = [(r["s_acctbal"], r["s_suppkey"]) for r in rows]
+    assert keys == sorted(keys)
