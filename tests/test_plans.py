@@ -1299,3 +1299,14 @@ def test_global_rank_offsets_broadcast_not_case_chain(spark, sf_dir):
     assert [r["_rank"] for r in rows] == list(range(1, n + 1))
     keys = [(r["s_acctbal"], r["s_suppkey"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_g01_bucketed_fold_plan_stays_bounded(spark, sf_dir):
+    """The bucketed ordered fold must not regress to the exponential
+    unrolled-plan blowup (measured pre-fix: 3500+ stages, a 2 GiB plan
+    string): after the per-fold localCheckpoint, g01's terminal plan
+    is a handful of joins over LogicalRDD scans, so its optimized-plan
+    string stays small no matter the round count."""
+    df = REGISTRY["g01_pagerank"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 100_000, f"g01 plan string is {len(plan)} chars"
