@@ -172,19 +172,24 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(rev)
 
 
+# MATERIALIZED throughout: every unrolled round references edges /
+# nodes / outdeg again, and DuckDB's default CTE inlining re-evaluates
+# the whole distinct-pair build per reference (the same
+# multi-reference blowup the Spark ordered_fold checkpoints against;
+# g07's un-hinted oracle measured a 100 GiB OOM at sf0.1).
 _G01_EDGES_SQL = """
-cs AS (
+cs AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM cs
   UNION ALL
   SELECT s AS src, c AS dst FROM cs
 ),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
-nstats AS (SELECT COUNT(*) AS n FROM nodes)
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+nstats AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)
 """
 
 
@@ -293,16 +298,20 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", "rank", "rn")
 
 
+# MATERIALIZED: the wedge-close references `sampled` three times —
+# under default CTE inlining DuckDB replays the per-order pair
+# self-join per reference (the oracle-side twin of the unpersisted
+# triple reference the 100× probe caught in the Spark builder).
 _G02_EDGES_SQL = """
-supp AS (
+supp AS MATERIALIZED (
   SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM supp a JOIN supp b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 ),
-sampled AS (
+sampled AS MATERIALIZED (
   SELECT u, v FROM pairs
   WHERE md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR))[1:1]
         IN ('0', '1', '2', '3')
@@ -493,18 +502,18 @@ def label_propagation(edges: DataFrame, rounds: int = G03_ROUNDS) -> DataFrame:
 @register(
     "g03_label_propagation",
     oracle=f"""
-WITH supp AS (
+WITH supp AS MATERIALIZED (
   SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM supp a JOIN supp b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 ),
-sym_edges AS (
+sym_edges AS MATERIALIZED (
   SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
 ),
-lab_0 AS (SELECT DISTINCT u AS node, u AS label FROM sym_edges),
+lab_0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym_edges),
 {",".join(_g03_round_sql(k) for k in range(1, G03_ROUNDS + 1))}
 SELECT l.node, l.label,
        CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT) AS community_size
@@ -761,10 +770,14 @@ G06_ROUNDS = 3
 
 
 def _g06_round_sql(r: int) -> str:
+    # MATERIALIZED: e{r} is referenced twice per round (degree + the
+    # surviving-edge filter) and k{r+1} twice — default inlining
+    # compounds those replays across rounds back to the base
+    # pair-build (measured 94.6 s at sf0.1 un-hinted; seconds hinted).
     return f"""
-d{r} AS (SELECT u AS node, COUNT(*) AS deg FROM e{r} GROUP BY u),
-k{r + 1} AS (SELECT node FROM d{r} WHERE deg >= {G06_K}),
-e{r + 1} AS (
+d{r} AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM e{r} GROUP BY u),
+k{r + 1} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {G06_K}),
+e{r + 1} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{r} e
   JOIN k{r + 1} a ON e.u = a.node
   JOIN k{r + 1} b ON e.v = b.node
@@ -774,15 +787,15 @@ e{r + 1} AS (
 @register(
     "g06_kcore_peel",
     oracle=f"""
-WITH supp AS (
+WITH supp AS MATERIALIZED (
   SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM supp a JOIN supp b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
 ),
 {",".join(_g06_round_sql(r) for r in range(G06_ROUNDS))},
@@ -881,32 +894,43 @@ G07_ITERS = 3
 
 def _g07_round_sql(k: int) -> str:
     """One HITS round: auth = fold(in-hub), hub = fold(out-auth),
-    each max-normalized (MAX over doubles is order-independent)."""
+    each max-normalized (MAX over doubles is order-independent).
+
+    Every CTE is MATERIALIZED: each round references its predecessor
+    2-3 times (fold + max + normalize), and DuckDB's default CTE
+    inlining re-evaluates per reference — across 3 unrolled rounds
+    that compounds into an OOM at its full memory limit (measured at
+    sf0.1: the un-hinted oracle exhausted a 100 GiB budget; the
+    materialized form runs in seconds).  Same plan-explosion failure
+    mode the Spark side hit (ordered_fold's per-fold checkpoint),
+    fixed the same way on the oracle side.  MATERIALIZED changes
+    evaluation, never semantics.
+    """
     return f"""
-auth_{k} AS (
+auth_{k} AS MATERIALIZED (
   SELECT e.s, list_reduce(list_prepend(0.0::DOUBLE, list(h.score ORDER BY e.c)),
                           (acc, v) -> acc + v) AS score
   FROM edges e JOIN hub_{k - 1} h ON e.c = h.c GROUP BY e.s
 ),
-amax_{k} AS (SELECT MAX(score) AS m FROM auth_{k}),
-authn_{k} AS (SELECT s, a.score / x.m AS score FROM auth_{k} a CROSS JOIN amax_{k} x),
-hubr_{k} AS (
+amax_{k} AS MATERIALIZED (SELECT MAX(score) AS m FROM auth_{k}),
+authn_{k} AS MATERIALIZED (SELECT s, a.score / x.m AS score FROM auth_{k} a CROSS JOIN amax_{k} x),
+hubr_{k} AS MATERIALIZED (
   SELECT e.c, list_reduce(list_prepend(0.0::DOUBLE, list(a.score ORDER BY e.s)),
                           (acc, v) -> acc + v) AS score
   FROM edges e JOIN authn_{k} a ON e.s = a.s GROUP BY e.c
 ),
-hmax_{k} AS (SELECT MAX(score) AS m FROM hubr_{k}),
-hub_{k} AS (SELECT c, h.score / x.m AS score FROM hubr_{k} h CROSS JOIN hmax_{k} x)"""
+hmax_{k} AS MATERIALIZED (SELECT MAX(score) AS m FROM hubr_{k}),
+hub_{k} AS MATERIALIZED (SELECT c, h.score / x.m AS score FROM hubr_{k} h CROSS JOIN hmax_{k} x)"""
 
 
 @register(
     "g07_hits",
     oracle=f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
-hub_0 AS (SELECT DISTINCT c, 1.0::DOUBLE AS score FROM edges),
+hub_0 AS MATERIALIZED (SELECT DISTINCT c, 1.0::DOUBLE AS score FROM edges),
 {",".join(_g07_round_sql(k) for k in range(1, G07_ITERS + 1))}
 SELECT node, score, role, rn FROM (
   SELECT c AS node, score, 'hub' AS role,

@@ -4070,17 +4070,35 @@ FROM events GROUP BY event_type
     "instead (the q45/q62 bound discipline, but oracle-matchable): "
     "within_bound — the direct estimate lands within 5% of the "
     "exact distinct (HLL lgK=12 standard error ≈ 1.6%, so 5% is a "
-    "real assertion, not slack) — and merge_consistent — the union "
-    "of per-DAY sketches yields the IDENTICAL estimate to the "
-    "one-shot sketch (register-state max-merge is order- and "
-    "partition-independent), the associativity that makes the "
-    "incremental topology sound.  A false in either column breaks "
-    "the hash against the oracle's literal trues.",
+    "real assertion, not slack) — and merge_consistent — two "
+    "INDEPENDENT carvings of the rows (30 per-day sketches vs 2 "
+    "user-parity sketches) union to the IDENTICAL estimate "
+    "(register-state max-merge is order- and partition-independent "
+    "and every real merge uses the composite estimator; comparing a "
+    "union against the DIRECT sketch's estimate is unsound — a fed "
+    "sketch keeps its HIP estimator state — and first broke at "
+    "sf0.1), the associativity that makes the incremental topology "
+    "sound.  A false in either column breaks the hash against the "
+    "oracle's literal trues.",
 )
 def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.col("ts").cast("date").alias("day")
     )
+    # within_bound uses the direct sketch's own estimate (the HIP
+    # estimator — the best accuracy a single feed gives).
+    # merge_consistent compares the union of TWO INDEPENDENT CARVINGS
+    # of the same rows — 30 per-day sketches vs 2 user-parity
+    # sketches: a merged estimate is a pure function of the max-merged
+    # register state, so it is identical no matter how the stream was
+    # carved into sketches — the soundness claim behind the
+    # incremental topology (yesterday's sketch + today's increment ==
+    # any other carving).  The naive direct-vs-merged equality is NOT
+    # an invariant: a fed sketch keeps its HIP estimator while any
+    # real merge drops it for the composite estimator (measured at
+    # sf0.1: direct 1484, every multi-sketch union 1488 — and a
+    # union of ONE sketch short-circuits to the fed sketch, HIP
+    # included, so it sides with 1484).
     direct = e.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
@@ -4091,14 +4109,20 @@ def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
     )
-    return direct.join(merged, "event_type").select(
+    parity = e.groupBy("event_type", F.pmod("user_id", F.lit(2)).alias("par")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    par_merged = parity.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_par")
+    )
+    return direct.join(merged, "event_type").join(par_merged, "event_type").select(
         "event_type",
         "n_exact",
         (
             F.abs(F.col("est") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact").cast("double")
         ).alias("within_bound"),
-        (F.col("est") == F.col("est_merged")).alias("merge_consistent"),
+        (F.col("est_par") == F.col("est_merged")).alias("merge_consistent"),
     )
 
 
@@ -4400,6 +4424,15 @@ def q128_analyze_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q128_docs_{_uuid.uuid4().hex[:8]}"
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     d.write.mode("overwrite").saveAsTable(name)
+    # ANALYZE's NDV estimator defaults to HLL++ with 5% relative
+    # standard deviation — a 1-SIGMA figure, so a 5% gate bound fails
+    # ~1/3 of the time once the column leaves the exact sparse regime
+    # (first seen at sf0.1: 4671 recorded vs 5000 exact).  Pin the
+    # estimator to 1% rsd for this ANALYZE (saved/restored, st07's
+    # conf discipline) so the 5% bound is a ≥5-sigma claim.
+    ndv_key = "spark.sql.statistics.ndv.maxError"
+    prev_ndv = spark.conf.get(ndv_key, None)
+    spark.conf.set(ndv_key, "0.01")
     try:
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS doc_id")
@@ -4435,6 +4468,10 @@ def q128_analyze_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows bigint, row_stat_matches boolean, ndv_within_bound boolean, size_recorded boolean",
         )
     finally:
+        if prev_ndv is None:
+            spark.conf.unset(ndv_key)
+        else:
+            spark.conf.set(ndv_key, prev_ndv)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
