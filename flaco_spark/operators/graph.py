@@ -379,18 +379,17 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     )
-    # The md5 coin depends only on (u, v), so it commutes with the
-    # DISTINCT: filtering BEFORE the dedup shuffle moves the 1/4 keep
-    # rate map-side — at the 100× probe the per-order pair fan-out is
-    # a 126M-row relation and this is the difference between
-    # shuffling all of it and a quarter of it.  Same relation either
-    # way (the oracle keeps the distinct-then-sample spelling).
+    # Coin AFTER the distinct, deliberately: distinct() partial-
+    # aggregates map-side, so local duplicates collapse before the
+    # wire anyway, and running the md5 coin pre-dedup multiplies its
+    # per-row cost by the fan-out (a coin-first variant measured g09
+    # 1.0 -> 5.1 s at the 10x probe for zero shuffle saved).
     sampled = (
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
-        .where(coin.isin("0", "1", "2", "3"))
         .select("u", "v")
         .distinct()
+        .where(coin.isin("0", "1", "2", "3"))
     )
     from flaco_spark.cachepool import register_cache, release_caches
 
@@ -1094,13 +1093,14 @@ def g08_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     )
     sampled = register_cache(
-        # coin-before-distinct: commutes (coin is a pure (u,v)
-        # function), quarters the dedup shuffle — see g02.
+        # coin after distinct — see g02's note (map-side partial
+        # dedup already bounds the shuffle; pre-dedup md5 only
+        # multiplies coin cost by the fan-out).
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
-        .where(coin.isin("0", "1", "2", "3"))
         .select("u", "v")
         .distinct()
+        .where(coin.isin("0", "1", "2", "3"))
         .persist()
     )
     sampled.count()  # eager: 5 consumer branches (SCALING.md lesson 1)
@@ -1206,20 +1206,19 @@ def g09_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     )
-    from flaco_spark.cachepool import register_cache, release_caches
-
-    release_caches()
-    sampled = register_cache(
-        # coin-before-distinct: commutes (coin is a pure (u,v)
-        # function), quarters the dedup shuffle — see g02.
+    sampled = (
+        # coin after distinct (see g02's note), and NO eager persist,
+        # also deliberately: g09 is a single terminal job and
+        # ReusedExchange dedups the repeated subtree (an eager persist
+        # variant measured slower at the 10x probe - barrier cost for
+        # zero replay saved); g02 needs its persist because the
+        # tot/per-node consumers are SEPARATE jobs.
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
-        .where(coin.isin("0", "1", "2", "3"))
         .select("u", "v")
         .distinct()
-        .persist()
+        .where(coin.isin("0", "1", "2", "3"))
     )
-    sampled.count()  # eager: und/deg/ed all replay the fan-out otherwise
     und = sampled.unionAll(
         sampled.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
