@@ -1310,3 +1310,24 @@ def test_g01_bucketed_fold_plan_stays_bounded(spark, sf_dir):
     df = REGISTRY["g01_pagerank"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 100_000, f"g01 plan string is {len(plan)} chars"
+
+
+def test_iterative_oracles_keep_materialized_ctes():
+    """The unrolled graph oracles must keep their MATERIALIZED CTE
+    hints: DuckDB's default inlining re-evaluates a CTE per reference,
+    which compounds exponentially across unrolled rounds — g07's
+    un-hinted oracle exhausted a 100 GiB DuckDB budget at sf0.1 and
+    the failure cascaded (leaked buffer reservation) over 130 later
+    queries.  A future oracle edit that drops the hints would pass
+    every small-SF gate and only detonate at scale, so pin them here."""
+    for name in (
+        "g01_pagerank",
+        "g02_triangle_count",
+        "g03_label_propagation",
+        "g05_personalized_pagerank",
+        "g06_kcore_peel",
+        "g07_hits",
+        "g08_clustering_coefficient",
+    ):
+        oracle = REGISTRY[name].oracle
+        assert oracle and "MATERIALIZED" in oracle, name
