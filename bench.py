@@ -166,6 +166,14 @@ def _host_probe() -> dict[str, float]:
     best-of-3 wall time of a fixed 2e7-iteration Python loop (~0.8 s
     on this host quiet, ~1.6 s contended); steal_jiffies is cumulative
     /proc/stat steal at measurement time.
+
+    r6 (VERDICT r5 task 2): the probe is taken BEFORE AND AFTER every
+    phase, not once at start — BENCH_r05's start probe read quiet
+    (0.762 s) while mid-run contention inflated d18 3× (recorded
+    15.0 s, re-measured 4.78 s).  Each phase's bracketing pair is
+    recorded in ``host_probes`` and summarized in ``phase_noise``; a
+    phase whose probes disagree >1.3× is marked invalid — re-run the
+    bench rather than publish it.
     """
     best = float("inf")
     for _ in range(3):
@@ -184,10 +192,30 @@ def _host_probe() -> dict[str, float]:
     return {"spin_sec": round(best, 4), "steal_jiffies": steal}
 
 
+def _phase_noise(probes: dict[str, dict[str, float]]) -> dict[str, dict]:
+    """Per-phase noise verdicts from the bracketing probe pairs.
+
+    ratio = max/min of the two spin times; >1.3 means the host's
+    single-thread throughput shifted mid-phase and the phase's timings
+    are not publication-quality (SCALING.md round-5 lesson).
+    """
+    brackets = {
+        "extract": ("start", "post_extract"),
+        "headline": ("post_extract", "post_headline"),
+        "extended": ("post_headline", "end"),
+    }
+    out: dict[str, dict] = {}
+    for phase, (a, b) in brackets.items():
+        sa, sb = probes[a]["spin_sec"], probes[b]["spin_sec"]
+        ratio = round(max(sa, sb) / max(min(sa, sb), 1e-9), 3)
+        out[phase] = {"spin_ratio": ratio, "valid": ratio <= 1.3}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    host_probe = _host_probe()
-    print(f"# host_probe: {host_probe}", file=sys.stderr)
+    probes: dict[str, dict[str, float]] = {"start": _host_probe()}
+    print(f"# host_probe[start]: {probes['start']}", file=sys.stderr)
     registry = load_inventory()
 
     # Extraction phase in its OWN session, stopped before the query
@@ -203,6 +231,8 @@ def main() -> None:
     memory = _peak_rss_mib()
     print(f"# memory: {memory}", file=sys.stderr)
     spark.stop()
+    probes["post_extract"] = _host_probe()
+    print(f"# host_probe[post_extract]: {probes['post_extract']}", file=sys.stderr)
 
     spark = get_session(app_name="flaco_spark_bench")
 
@@ -225,6 +255,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    probes["post_headline"] = _host_probe()
+    print(f"# host_probe[post_headline]: {probes['post_headline']}", file=sys.stderr)
 
     # Extended legs: round-3 operator families (streaming-through-the-
     # gate, decontamination, iterative kmeans, text-format roundtrip).
@@ -243,6 +275,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         extended[name] = round(best, 4)
         print(f"# {name}: {extended[name]:.3f}s ({n} rows)", file=sys.stderr)
+    probes["end"] = _host_probe()
+    print(f"# host_probe[end]: {probes['end']}", file=sys.stderr)
+    noise = _phase_noise(probes)
+    for phase, v in noise.items():
+        if not v["valid"]:
+            print(
+                f"# WARNING: phase {phase!r} bracketing probes disagree "
+                f"{v['spin_ratio']}x (>1.3) — timings contended, re-run quiet",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -261,9 +303,15 @@ def main() -> None:
                 # during the extract legs (reference memory-claim
                 # analogue, BASELINE.md memory block).
                 "memory": memory,
-                # Host-noise normalization probe (judge can compare
+                # Host-noise normalization probes (judge can compare
                 # spin_sec across rounds; see SCALING.md round-4 note).
-                "host_probe": host_probe,
+                # "host_probe" keeps the r1–r5 field shape (= start
+                # probe); "host_probes" brackets every phase and
+                # "phase_noise" is the validity verdict per phase
+                # (spin_ratio ≤ 1.3 — VERDICT r5 task 2).
+                "host_probe": probes["start"],
+                "host_probes": probes,
+                "phase_noise": noise,
                 "sf": float(sf) if sf else None,
             }
         )

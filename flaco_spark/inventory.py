@@ -45,28 +45,50 @@ def register(
 
 
 # Queries whose SEMANTICS or execution path changed since their last
-# driver-green CORRECTNESS row, plus never-checked queries the round-4
-# judge explicitly pinned (q12/q21 are the only §2.2-core-adjacent
-# stragglers, VERDICT r4 task 3): re-check at the very top.
+# driver-green CORRECTNESS row, plus never-checked single stragglers
+# the round-5 judge explicitly pinned (task 1: g11/st06/s03 are the
+# only never-checked members of otherwise-green families; task 4: q66
+# changed execution path in r5 — offsets now attach by broadcast join
+# — and its last green row, r2, describes the old plan).  The r4/r5
+# pins (q12/q21/g01/g07, st07) all earned fresh green rows in
+# CORRECTNESS_r05 and rotate normally again.
 FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        "q12_shipmode_priority",  # never driver-checked since r1 (judge pin)
-        "q21_suppliers_kept_waiting",  # never driver-checked since r1 (judge pin)
-        "g01_pagerank",  # r5: salt-bucketed scale-safe fold (VERDICT task 2)
-        "g07_hits",  # r5: salt-bucketed scale-safe fold (VERDICT task 2)
+        "g11_harmonic_centrality",  # never driver-checked (r5 judge pin)
+        "st06_stream_parquet_sink",  # never driver-checked (r5 judge pin)
+        "s03_hot_cold_split_join",  # never driver-checked (r5 judge pin)
+        "q66_distribution_windows_dist",  # r5 plan change; green row predates it
     }
 )
 
 # Plan-only rewrites (identical results, old rows remain valid
 # evidence): refresh after semantics changes, before stale greens.
-# (The r4 soft set — d04/d05/d07/d14/e07 — keeps its green rows; the
-# r4 plan audit confirmed the rewritten plans, so they rotate normally.)
+# r6: g01/g05/g07 folds are routed per-key (heavy→bucketed chain,
+# tail→flat fold) — bit-identical by the fold-composition identity,
+# but the execution path changed, so refresh once the never-checked
+# burn-down (89 names) clears.
 SOFT_RECHECK: frozenset[str] = frozenset(
     {
-        "q66_distribution_windows_dist",  # r5: offsets via broadcast join (same rank values)
-        "st07_transform_with_state",  # r5: worker-env save/restore (same relation)
+        "g01_pagerank",  # r6: hybrid degree-routed fold (same hashes)
+        "g05_personalized_pagerank",  # r6: hybrid degree-routed fold
+        "g07_hits",  # r6: hybrid degree-routed fold
     }
 )
+
+# r6 burn-down order WITHIN the never-checked tier (VERDICT r5 task 1):
+# the driver samples a 50-row prefix, and in plain registry order the
+# 39 q-extras would crowd out the largest untouched family (ts19–39).
+# Families listed here outrank unlisted never-checked names; unlisted
+# ones (the q-extras) follow in registry order and clear next round.
+_ROTATION_FAMILY_PRIORITY: tuple[str, ...] = ("ts", "e", "m", "u")
+
+
+def _family_rank(name: str) -> int:
+    prefix = name.split("_", 1)[0].rstrip("0123456789")
+    try:
+        return _ROTATION_FAMILY_PRIORITY.index(prefix)
+    except ValueError:
+        return len(_ROTATION_FAMILY_PRIORITY)
 
 # Never-checked queries whose EXECUTION PATH is novel (real streaming
 # jobs, multi-batch sinks, flagship compositions): a driver-environment
@@ -149,7 +171,8 @@ def load_inventory() -> dict[str, QuerySpec]:
     order = list(REGISTRY)
     idx = {name: i for i, name in enumerate(order)}
 
-    def key(n: str) -> tuple[float, int]:
+    def key(n: str) -> tuple[float, int, int]:
+        fam = 0
         if n in FORCE_RECHECK and n not in seen:
             rank = -3.5
         elif n in FORCE_RECHECK:
@@ -161,12 +184,13 @@ def load_inventory() -> dict[str, QuerySpec]:
         elif n not in seen and n in RISKY_NEW:
             rank = -2.5  # novel execution paths: check before plain additions
         elif n not in seen:
-            rank = -2.0  # this round's additions
+            rank = -2.0  # never-checked backlog, burned down by family
+            fam = _family_rank(n)
         elif n in SOFT_RECHECK:
             rank = -1.0  # plan-only rewrite; old row still valid
         else:
             rank = float(seen[n])  # stalest green first
-        return (rank, idx[n])
+        return (rank, fam, idx[n])
 
     order.sort(key=key)
     return {name: REGISTRY[name] for name in order}

@@ -88,9 +88,24 @@ def ordered_fold(
 
     Keys with no contributions are absent, matching the flat groupBy;
     callers left-join + coalesce exactly as before.
+
+    PRECONDITION: the ``x`` column must be non-NULL.  A NULL
+    contribution poisons the flat fold to NULL for its key, while the
+    chained path's ``coalesce(acc, 0.0)`` between buckets would
+    resurrect later buckets to a non-NULL sum — a silent
+    bit-divergence from the identity contract.  Every caller derives
+    ``x`` from non-null arithmetic (rank/od, auth/hub, 1/d); the
+    guard below makes a violation loud instead of silently divergent.
     """
     if buckets is None:
         buckets = GRAPH_FOLD_BUCKETS
+    contribs = contribs.withColumn(
+        "x",
+        F.when(
+            F.col("x").isNull(),
+            F.raise_error(F.lit("ordered_fold: NULL contribution in 'x'")),
+        ).otherwise(F.col("x")),
+    )
     if buckets <= 1:
         return contribs.groupBy(key).agg(
             F.aggregate(

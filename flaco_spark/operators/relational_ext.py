@@ -4078,7 +4078,10 @@ FROM events GROUP BY event_type
     "union against the DIRECT sketch's estimate is unsound — a fed "
     "sketch keeps its HIP estimator state — and first broke at "
     "sf0.1), the associativity that makes the incremental topology "
-    "sound.  A false in either column breaks the hash against the "
+    "sound.  Each carving key is used only where it yields ≥2 "
+    "non-empty groups (else a min-user split), so neither side can "
+    "silently collapse to a 1-sketch HIP union on adversarial data.  "
+    "A false in either column breaks the hash against the "
     "oracle's literal trues.",
 )
 def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4103,13 +4106,39 @@ def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_exact"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
     )
-    daily = e.groupBy("event_type", "day").agg(
+    # Degeneracy guard (measured: a 1-group carving's union
+    # short-circuits to the fed sketch — HIP estimator kept — while a
+    # ≥2-group union re-estimates composite; at 1500 distinct that is
+    # 1487 vs 1497, so a carving whose groups collapse to one side
+    # would flip merge_consistent false on sound data).  Carve by
+    # day/parity only where that key actually yields ≥2 non-empty
+    # groups; otherwise fall back to a min-user split, which has
+    # exactly 2 non-empty groups whenever ≥2 distinct users exist.
+    # With 1 distinct user BOTH carvings degenerate to the SAME single
+    # fed sketch (HIP on both sides — still equal).  One extra
+    # map-side-combined agg per event_type, broadcast back.
+    stats = e.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days"),
+        F.countDistinct(F.pmod("user_id", F.lit(2))).alias("n_par"),
+        F.min("user_id").alias("u_min"),
+    )
+    ej = e.join(F.broadcast(stats), "event_type")
+    min_split = F.when(F.col("user_id") == F.col("u_min"), F.lit("lo")).otherwise(
+        F.lit("hi")
+    )
+    day_key = F.when(F.col("n_days") >= 2, F.col("day").cast("string")).otherwise(
+        min_split
+    )
+    par_key = F.when(
+        F.col("n_par") >= 2, F.pmod("user_id", F.lit(2)).cast("string")
+    ).otherwise(min_split)
+    daily = ej.groupBy("event_type", day_key.alias("carve")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
     )
-    parity = e.groupBy("event_type", F.pmod("user_id", F.lit(2)).alias("par")).agg(
+    parity = ej.groupBy("event_type", par_key.alias("carve")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
     par_merged = parity.groupBy("event_type").agg(

@@ -467,42 +467,10 @@ def foreachbatch_upsert(events: DataFrame, snap_dir: str, checkpoint_dir: str):
     work is one window over |batch| + a merge against the snapshot
     (file-pruned to touched keys under a real table format).
     """
-    import shutil as _sh
-
-    from pyspark.sql import Window as W
-
-    latest_w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     os.makedirs(snap_dir, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        cur = _snapshot_current(snap_dir)
-        vname = f"v{batch_id}"
-        if cur is not None and os.path.basename(cur) == vname:
-            return  # checkpoint replay of an already-committed batch
-        incoming = (
-            batch_df.withColumn("rn", F.row_number().over(latest_w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "ts", "value")
-        )
-        if cur is not None:
-            current = batch_df.sparkSession.read.parquet(cur)
-            merged = (
-                current.unionByName(incoming)
-                .withColumn("rn", F.row_number().over(latest_w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-        else:
-            merged = incoming
-        vdir = os.path.join(snap_dir, vname)
-        merged.write.mode("overwrite").parquet(vdir)
-        ptr = os.path.join(snap_dir, "CURRENT")
-        ptr_tmp = f"{ptr}.tmp.{batch_id}"
-        with open(ptr_tmp, "w", encoding="utf-8") as f:
-            f.write(vname)
-        os.replace(ptr_tmp, ptr)  # the commit: atomic, never leaves no pointer
-        if cur is not None:
-            _sh.rmtree(cur, ignore_errors=True)  # GC; stray dirs are harmless
+        apply_upsert_batch(batch_df, batch_id, snap_dir)
 
     return (
         events.writeStream.foreachBatch(upsert)
@@ -510,3 +478,47 @@ def foreachbatch_upsert(events: DataFrame, snap_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_upsert_batch(batch_df: DataFrame, batch_id: int, snap_dir: str) -> bool:
+    """One micro-batch of :func:`foreachbatch_upsert`'s MERGE protocol.
+
+    Module-level (not a closure) so the checkpoint-replay short-circuit
+    is directly unit-testable: re-applying an already-committed
+    ``batch_id`` must return False and leave the snapshot untouched.
+    Returns True when a new version was committed.
+    """
+    import shutil as _sh
+
+    from pyspark.sql import Window as W
+
+    latest_w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    cur = _snapshot_current(snap_dir)
+    vname = f"v{batch_id}"
+    if cur is not None and os.path.basename(cur) == vname:
+        return False  # checkpoint replay of an already-committed batch
+    incoming = (
+        batch_df.withColumn("rn", F.row_number().over(latest_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    if cur is not None:
+        current = batch_df.sparkSession.read.parquet(cur)
+        merged = (
+            current.unionByName(incoming)
+            .withColumn("rn", F.row_number().over(latest_w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    else:
+        merged = incoming
+    vdir = os.path.join(snap_dir, vname)
+    merged.write.mode("overwrite").parquet(vdir)
+    ptr = os.path.join(snap_dir, "CURRENT")
+    ptr_tmp = f"{ptr}.tmp.{batch_id}"
+    with open(ptr_tmp, "w", encoding="utf-8") as f:
+        f.write(vname)
+    os.replace(ptr_tmp, ptr)  # the commit: atomic, never leaves no pointer
+    if cur is not None:
+        _sh.rmtree(cur, ignore_errors=True)  # GC; stray dirs are harmless
+    return True

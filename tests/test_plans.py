@@ -579,14 +579,23 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_streaming_foreachbatch_upsert_converges(spark, sf_dir, tmp_path):
-    """foreachBatch exactly-once MERGE sink: streaming micro-batches
-    upsert a keyed snapshot (latest record per user wins within and
-    across batches); after the stream drains, the snapshot equals the
-    batch latest-record query (q69 semantics).  Completes the CDC
-    lane: q67 MERGE (batch) + q69 compaction + this streaming apply."""
+    """foreachBatch exactly-once MERGE sink, exercised through the
+    PRODUCTION protocol (flaco_spark.streaming.ingest.foreachbatch_upsert
+    + read_snapshot — the versioned CURRENT-pointer commit, not a
+    test-local copy): after the stream drains, the committed snapshot
+    equals the batch latest-record query (q69 semantics), and
+    re-applying the committed batch_id (a crash-between-commit-and-
+    checkpoint replay) short-circuits without touching the snapshot.
+    Completes the CDC lane: q67 MERGE (batch) + q69 compaction + this
+    streaming apply."""
+    import os
     import shutil
 
-    from flaco_spark.inventory import load_inventory
+    from flaco_spark.streaming.ingest import (
+        apply_upsert_batch,
+        foreachbatch_upsert,
+        read_snapshot,
+    )
     from flaco_spark.tables import convert_event_ts, table as _table
 
     src_dir = tmp_path / "src"
@@ -595,51 +604,21 @@ def test_streaming_foreachbatch_upsert_converges(spark, sf_dir, tmp_path):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     snap_dir = str(tmp_path / "snapshot")
 
-    from pyspark.sql import Window as W
-
-    def upsert(batch_df, batch_id):
-        latest_w = W.partitionBy("user_id").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        incoming = (
-            batch_df.withColumn("rn", F.row_number().over(latest_w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "ts", "value")
-        )
-        try:
-            current = batch_df.sparkSession.read.parquet(snap_dir)
-            merged = (
-                current.unionByName(incoming)
-                .withColumn("rn", F.row_number().over(latest_w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-        except Exception:
-            merged = incoming
-        # rewrite-snapshot MERGE (what Delta/Iceberg do per-file); local
-        # parquet has no txn log, so write to a temp dir then swap
-        tmp_out = snap_dir + f".b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp_out)
-        import shutil as sh
-
-        sh.rmtree(snap_dir, ignore_errors=True)
-        sh.move(tmp_out, snap_dir)
-
     stream = convert_event_ts(
-        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
     ).select("user_id", "event_id", "ts", "value")
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = foreachbatch_upsert(stream, snap_dir, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
+    snapshot = read_snapshot(spark, snap_dir)
     got = {
         (r.user_id, r.event_id)
-        for r in spark.read.parquet(snap_dir).select("user_id", "event_id").collect()
+        for r in snapshot.select("user_id", "event_id").collect()
     }
+    from pyspark.sql import Window as W
+
     e = _table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     want = {
@@ -650,6 +629,27 @@ def test_streaming_foreachbatch_upsert_converges(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+    # Checkpoint replay: crash AFTER the pointer commit but BEFORE the
+    # checkpoint commit re-delivers the last batch_id — the idempotence
+    # short-circuit must refuse it and leave the snapshot untouched.
+    with open(os.path.join(snap_dir, "CURRENT"), encoding="utf-8") as f:
+        committed = int(f.read().strip().lstrip("v"))
+    vdir = os.path.join(snap_dir, f"v{committed}")
+    mtime_before = os.path.getmtime(vdir)
+    replayed = apply_upsert_batch(
+        snapshot.limit(5), committed, snap_dir
+    )  # any frame: a committed id must short-circuit before reading it
+    assert replayed is False
+    assert os.path.getmtime(vdir) == mtime_before
+    with open(os.path.join(snap_dir, "CURRENT"), encoding="utf-8") as f:
+        assert f.read().strip() == f"v{committed}"
+    # ... while a NEW batch_id advances the pointer (normal progress).
+    n_before = snapshot.count()  # materialize before v{committed} is GC'd
+    assert apply_upsert_batch(snapshot.limit(0), committed + 1, snap_dir) is True
+    assert (
+        read_snapshot(spark, snap_dir).count() == n_before
+    )  # empty increment: same relation, new committed version
 
 
 def test_lateral_topn_decorrelates(spark, sf_dir):
