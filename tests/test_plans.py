@@ -1301,15 +1301,21 @@ def test_global_rank_offsets_broadcast_not_case_chain(spark, sf_dir):
     assert keys == sorted(keys)
 
 
-def test_g01_bucketed_fold_plan_stays_bounded(spark, sf_dir):
-    """The bucketed ordered fold must not regress to the exponential
-    unrolled-plan blowup (measured pre-fix: 3500+ stages, a 2 GiB plan
-    string): after the per-fold localCheckpoint, g01's terminal plan
-    is a handful of joins over LogicalRDD scans, so its optimized-plan
-    string stays small no matter the round count."""
+def test_g01_quantized_sum_plan(spark, sf_dir):
+    """g01's inflow aggregation must stay the scale-safe shape: a
+    map-side-combining partial_sum over quantized integers (r6,
+    SCALING.md) — NO collect_list anywhere in the physical plan (a
+    collect_list fold materializes a celebrity node's whole
+    in-neighborhood in one grouped row: the 100 TB OOM this design
+    dissolved) — and the unrolled 3-round optimized plan must stay
+    bounded (the r5 multi-reference chain measured a 2 GiB plan
+    string before its lineage cut)."""
     df = REGISTRY["g01_pagerank"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert len(plan) < 100_000, f"g01 plan string is {len(plan)} chars"
+    assert len(plan) < 150_000, f"g01 plan string is {len(plan)} chars"
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in phys
+    assert "partial_sum(cast(FLOOR(" in phys, "map-side combine missing"
 
 
 def test_iterative_oracles_keep_materialized_ctes():

@@ -817,21 +817,17 @@ def test_hll_union_is_split_invariant(spark, ids, n_a, n_b):
 
 
 # ---------------------------------------------------------------------------
-# Scale-safe bucketed graph fold (SCALING.md degree-skew hazard)
+# Bit-deterministic quantized graph sum (SCALING.md degree-skew hazard)
 # ---------------------------------------------------------------------------
 
 # Skewed by construction: ~80% of contributions land on one celebrity
-# key, src ids may cluster anywhere in a wide (negative-spanning)
-# domain, and x doubles exercise float non-associativity — any
-# bracketing difference between the chained bucket folds and the flat
-# fold would surface as a bit mismatch here.
-_fold_rows = st.lists(
+# key, and x doubles exercise float non-associativity — under a NAIVE
+# float sum the result would depend on partitioning; the quantized
+# sum must not, bit-for-bit.
+_qsum_rows = st.lists(
     st.tuples(
         st.sampled_from([0, 0, 0, 0, 1, 2]),  # key (0 = celebrity)
-        st.integers(-10_000, 10_000),  # src (order key)
-        st.floats(
-            min_value=-1e6, max_value=1e6, allow_nan=False, width=64
-        ),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=64),
     ),
     min_size=1,
     max_size=120,
@@ -843,40 +839,43 @@ _fold_rows = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(rows=_fold_rows, buckets=st.integers(2, 8))
-def test_bucketed_fold_equals_flat(spark, rows, buckets):
-    """ordered_fold with ANY bucket count must be BIT-IDENTICAL to the
-    flat src-ordered left-fold (and to a driver-side replay of the
-    same addition sequence): range buckets are monotone in src, so
-    chaining per-bucket slices replays the exact flat machine-addition
-    sequence — foldl(z, A ++ B) == foldl(foldl(z, A), B) is an
-    identity, not an approximation.  This is the equality that lets
-    the scale-safe path keep the DuckDB oracles unchanged."""
-    from flaco_spark.operators.graph import ordered_fold
+@given(rows=_qsum_rows, nparts=st.integers(1, 9), bits=st.sampled_from([26, 40]))
+def test_quantized_sum_partition_invariant(spark, rows, nparts, bits):
+    """quantized_sum must be BIT-IDENTICAL to a driver-side exact
+    integer replay — sum(floor(x·2^bits)) descaled — for EVERY
+    partitioning of the input: quantization moves the aggregation
+    into exact integer arithmetic, where addition is associative and
+    commutative, so task order and combine-tree shape cannot change a
+    single bit.  This is the invariant that lets g01/g05/g07 use a
+    plain map-side-combining groupBy().sum() (no collect_list, no
+    degree-sized rows) while still hash-matching the DuckDB oracle."""
+    import math
 
-    df = spark.createDataFrame(rows, ["k", "src", "x"])
-    bounds = df.agg(F.min("src").alias("lo"), F.max("src").alias("hi"))
+    from flaco_spark.operators.graph import quantized_sum
 
-    # driver-side replay of the flat fold's exact addition sequence
+    scale = float(2**bits)
     want: dict[int, float] = {}
-    by_key: dict[int, list] = {}
-    for k, s, x in rows:
-        by_key.setdefault(k, []).append((s, x))
-    for k, pairs in by_key.items():
-        acc = 0.0
-        for _, x in sorted(pairs):
-            acc = acc + x
-        want[k] = acc
+    acc: dict[int, int] = {}
+    for k, x in rows:
+        acc[k] = acc.get(k, 0) + math.floor(x * scale)
+    for k, total in acc.items():
+        # float(int) rounds half-even — the same rounding the
+        # engines apply casting the exact DECIMAL sum to double
+        want[k] = float(total) / scale
 
-    flat = {
+    df = spark.createDataFrame(rows, ["k", "x"])
+    got = {
         r.k: r.out
-        for r in ordered_fold(df, "k", "src", bounds, out="out", buckets=1).collect()
-    }
-    chained = {
-        r.k: r.out
-        for r in ordered_fold(
-            df, "k", "src", bounds, out="out", buckets=buckets
+        for r in quantized_sum(
+            df.repartition(nparts), "k", out="out", bits=bits
         ).collect()
     }
-    assert flat == want
-    assert chained == flat
+    # a second, different partitioning must give the same bits
+    got2 = {
+        r.k: r.out
+        for r in quantized_sum(
+            df.repartition(max(1, 10 - nparts), "k"), "k", out="out", bits=bits
+        ).collect()
+    }
+    assert got == want
+    assert got2 == want
