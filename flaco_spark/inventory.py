@@ -71,8 +71,20 @@ FORCE_RECHECK: frozenset[str] = frozenset(
 
 # Plan-only rewrites (identical results, old rows remain valid
 # evidence): refresh after semantics changes, before stale greens.
-# r6: empty — every r6 rewrite changed values (see FORCE_RECHECK).
-SOFT_RECHECK: frozenset[str] = frozenset()
+# r6: the staleness audit (scripts/staleness_report.py, VERDICT r5
+# task 8) flagged these five — their builders were rewritten after
+# their r3 green rows (the r4 vector-family map-side campaign; local
+# oracle parity stayed green throughout, so values are unchanged) but
+# no driver row describes the shipped plans yet.
+SOFT_RECHECK: frozenset[str] = frozenset(
+    {
+        "e01_knn_bruteforce",
+        "e03_ann_sign_lsh",
+        "e06_lsh_recall",
+        "e07_kmeans_iteration",
+        "ts10_gap_detection",
+    }
+)
 
 # r6 burn-down order WITHIN the never-checked tier (VERDICT r5 task 1):
 # the driver samples a 50-row prefix, and in plain registry order the

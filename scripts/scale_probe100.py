@@ -7,10 +7,10 @@ the slow tail stay (sub-)linear from 10× to 100×?  It materializes a
 key-shifted 100-copy union of sf0.1 (60M lineitem rows, 5M document
 rows / 500k distinct texts ×100 copies, 2M vectors) and times ONLY
 the families the 10× probe ranked slowest: the iterative graph ops
-(g01/g02/g03/g05/g07 — now on the bucketed ordered fold), the
+(g01/g02/g03/g05/g07 — quantized exact sums since r6), the
 inverted-index dedups (d08/d09), the PQ pair (e11/e15), the XML
-round-trip (q112 — exempt from the linearity bar: text-format I/O is
-linear-but-heavy by nature), and the two wordcount-shaped text passes
+round-trip (q112 — probed on a bounded shard and linearly
+extrapolated; its full-scale linearity was established in r5), and the two wordcount-shaped text passes
 (t18/t19).
 
 One timed run per query, no warm-up pass: at this scale the
@@ -49,9 +49,17 @@ PROBE_100X = [
     "g05_personalized_pagerank",
     "t18_char_bigram_lm",
     "g03_label_propagation",
-    "q112_xml_roundtrip",
     "g07_hits",
 ]
+
+# q112 runtime cap (VERDICT r5 task 7): XML text serialization is
+# MEASURED linear (SCALE_PROBE_r05: 110.2 s at 100x, 10.7x/decade) —
+# re-proving a known-linear pure-I/O cost at full probe scale burns
+# ~2 min per run and would burn ~20 at a future 1000x.  The standing
+# probe therefore runs q112 on a bounded 10-copy shard and
+# extrapolates linearly; the row records both the measured shard time
+# and the extrapolation so the cap is visible, never silent.
+Q112_SHARD_COPIES = 10
 
 
 def main() -> int:
@@ -82,6 +90,34 @@ def main() -> int:
                 row["growth_vs_10x"] = round(sec / base10, 2)
             results[name] = row
             print(f"# {name}: {sec:.2f}s ({rows} rows, x{row.get('growth_vs_10x', '?')})", file=sys.stderr)
+
+        # Bounded q112 shard (see Q112_SHARD_COPIES note above).
+        shard = tempfile.mkdtemp(prefix="flaco_scale_q112_")
+        try:
+            materialize(spark, base, shard, copies=Q112_SHARD_COPIES, n_files=32)
+            t0 = time.perf_counter()
+            rows = registry["q112_xml_roundtrip"].builder(spark, shard).count()
+            sec = round(time.perf_counter() - t0, 2)
+            factor = 100 // Q112_SHARD_COPIES
+            row = {
+                "sec_shard": sec,
+                "shard_copies": Q112_SHARD_COPIES,
+                "sec": round(sec * factor, 2),
+                "extrapolated": True,
+                "rows": rows,
+            }
+            base10 = (ref10.get("q112_xml_roundtrip") or {}).get("sec")
+            if base10:
+                row["sec_10x_r04"] = base10
+                row["growth_vs_10x"] = round(row["sec"] / base10, 2)
+            results["q112_xml_roundtrip"] = row
+            print(
+                f"# q112_xml_roundtrip: {sec:.2f}s on {Q112_SHARD_COPIES}x shard "
+                f"(-> {row['sec']:.2f}s linear-extrapolated 100x)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(shard, ignore_errors=True)
         line = json.dumps(
             {"scale": "100x_sf0.1", "build_sec": build_s, "queries": results}
         )

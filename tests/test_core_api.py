@@ -168,21 +168,54 @@ def test_jdbc_end_to_end_custom_schema_casts(spark, derby_db):
 
 def test_jdbc_end_to_end_partitioned_extract(spark, derby_db):
     """partitionColumn/bounds open N parallel cursors with disjoint
-    predicates (the reference is one connection, one thread) — every
-    row arrives exactly once across the partitions."""
+    predicates (the reference is one connection, one thread,
+    src/lib.rs:77-85) — every row arrives EXACTLY once across the
+    partitions: the partitioned union must equal the single-cursor
+    read row-for-row, including rows OUTSIDE [lowerBound, upperBound]
+    (Spark's bound semantics stripe rows, never filter them), and
+    each cursor's rows must be disjoint."""
     from flaco_spark.sources.jdbc import jdbc_reader
 
-    p = jdbc_reader(
-        spark,
-        derby_db,
-        "SELECT id, name FROM items",
-        partition_column="id",
-        num_partitions=2,
-        lower_bound=1,
-        upper_bound=3,
-    ).load()
-    assert p.rdd.getNumPartitions() == 2
-    assert sorted(r.ID for r in p.collect()) == [1, 2, 3]
+    # a wider table than the 3-row fixture: 50 rows, ids 1..50
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        derby_db + ";create=true"
+    )
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE wide_items (id INT NOT NULL, val VARCHAR(10))")
+    for i in range(1, 51):
+        st.executeUpdate(f"INSERT INTO wide_items VALUES ({i}, 'v{i}')")
+    st.close()
+    conn.close()
+    try:
+        stmt = "SELECT id, val FROM wide_items"
+        single = jdbc_reader(spark, derby_db, stmt).load()
+        part = jdbc_reader(
+            spark,
+            derby_db,
+            stmt,
+            partition_column="id",
+            num_partitions=4,
+            # bounds narrower than the data on purpose: rows below 10
+            # and above 40 must still arrive via the edge cursors
+            lower_bound=10,
+            upper_bound=40,
+        ).load()
+        assert part.rdd.getNumPartitions() == 4
+        got = sorted((r.ID, r.VAL) for r in part.collect())
+        want = sorted((r.ID, r.VAL) for r in single.collect())
+        assert got == want and len(want) == 50  # union == full read
+        # disjointness: per-cursor row sets must not overlap
+        per_part = part.rdd.glom().collect()
+        ids = [r.ID for chunk in per_part for r in chunk]
+        assert len(ids) == len(set(ids)) == 50
+        assert sum(1 for chunk in per_part if chunk) >= 2  # really parallel
+    finally:
+        conn = jvm.java.sql.DriverManager.getConnection(derby_db)
+        st = conn.createStatement()
+        st.executeUpdate("DROP TABLE wide_items")
+        st.close()
+        conn.close()
 
 
 # ---- F1: groupby equivalence through sink round-trip --------------------
