@@ -521,3 +521,31 @@ def test_business_day_formula_matches_python(spark, sf_dir):
             if (d0 + dt.timedelta(days=i)).weekday() < 5
         )
         assert r.business_days == want, (r.order_date, r.business_days, want)
+
+
+def test_q123_merge_consistent_survives_degenerate_carvings(spark, tmp_path):
+    """ADVICE r5: if every distinct user of an event_type falls in ONE
+    parity class (and one day), both of q123's carvings collapse to a
+    single sketch, whose union short-circuits to the fed sketch's HIP
+    estimator while a multi-group union re-estimates composite —
+    measured divergence 1487 vs 1497 at 1500 distinct — flipping
+    merge_consistent false on sound data.  The min-user fallback
+    carving (used whenever a carving key would yield <2 groups) must
+    keep the invariant true on exactly that adversarial shape."""
+    from flaco_spark.inventory import load_inventory
+
+    REGISTRY = load_inventory()
+
+    # 1500 distinct ALL-EVEN user ids, all events on one single day
+    spark.range(1500).selectExpr(
+        "'z' AS event_type",
+        "id * 2 AS user_id",
+        "timestamp_ntz'2024-01-01 00:00:00' AS ts",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = REGISTRY["q123_hll_sketch"].builder(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].n_exact == 1500
+    assert rows[0].within_bound is True
+    assert rows[0].merge_consistent is True, (
+        "degenerate carving regressed to a 1-sketch HIP union"
+    )
