@@ -208,7 +208,14 @@ def _phase_noise(probes: dict[str, dict[str, float]]) -> dict[str, dict]:
     for phase, (a, b) in brackets.items():
         sa, sb = probes[a]["spin_sec"], probes[b]["spin_sec"]
         ratio = round(max(sa, sb) / max(min(sa, sb), 1e-9), 3)
-        out[phase] = {"spin_ratio": ratio, "valid": ratio <= 1.3}
+        out[phase] = {
+            "spin_ratio": ratio,
+            # ratio catches MID-phase shifts; "quiet" catches a phase
+            # that was evenly contended at both ends (this host idles
+            # at ~0.75-0.85 s spin, ~1.6-2.2 s under contention)
+            "quiet": max(sa, sb) <= 0.9,
+            "valid": ratio <= 1.3,
+        }
     return out
 
 
@@ -239,8 +246,11 @@ def main() -> None:
     # Warm-up: execute each plan once untimed (JVM/JIT/codegen warm-up —
     # BASELINE.md: session fixed overhead is excluded; steady-state
     # per-query latency is the comparable quantity).
+    from flaco_spark.cachepool import release_caches as _release
+
     for name in HEADLINE:
         registry[name].builder(spark, sf_dir).count()
+        _release()  # cache hygiene — see the extended-phase note below
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -254,6 +264,7 @@ def main() -> None:
             n = df.count()  # full execution; count() drains every operator
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        _release()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     probes["post_headline"] = _host_probe()
     print(f"# host_probe[post_headline]: {probes['post_headline']}", file=sys.stderr)
@@ -263,8 +274,18 @@ def main() -> None:
     # Same methodology as the headline legs (untimed warm-up pass,
     # then best-of-3) but kept OUT of `value`/`queries` so the
     # headline total stays comparable across rounds.
+    # Cache hygiene between queries: cachepool registrations persist
+    # until the NEXT cache-using builder releases them, so without an
+    # explicit release each measurement runs under the previous
+    # query's leftover executor memory (measured: p01 3.1 s isolated
+    # vs 6.5 s late in the r6 extended sequence on a probe-validated
+    # quiet host).  Releasing between queries makes each number the
+    # query's own.
+    from flaco_spark.cachepool import release_caches
+
     for name in EXTENDED:
         registry[name].builder(spark, sf_dir).count()
+        release_caches()
     extended: dict[str, float] = {}
     for name in EXTENDED:
         spec = registry[name]
@@ -274,6 +295,7 @@ def main() -> None:
             n = spec.builder(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         extended[name] = round(best, 4)
+        release_caches()
         print(f"# {name}: {extended[name]:.3f}s ({n} rows)", file=sys.stderr)
     probes["end"] = _host_probe()
     print(f"# host_probe[end]: {probes['end']}", file=sys.stderr)
