@@ -154,7 +154,7 @@ nstats AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)
 
 
 def _g01_iter_sql(k: int) -> str:
-    """One unrolled PageRank round: r_k = jump/N + damp·fold(inflow)."""
+    """One unrolled PageRank round: r_k = jump/N + damp·qsum(inflow)."""
     return f"""
 contrib_{k} AS (
   SELECT e.dst, e.src, r.rank / CAST(d.od AS DOUBLE) AS x
@@ -858,7 +858,7 @@ def _g07_round_sql(k: int) -> str:
     each max-normalized (MAX over doubles is order-independent).
 
     Every CTE is MATERIALIZED: each round references its predecessor
-    2-3 times (fold + max + normalize), and DuckDB's default CTE
+    2-3 times (sum + max + normalize), and DuckDB's default CTE
     inlining re-evaluates per reference — across 3 unrolled rounds
     that compounds into an OOM at its full memory limit (measured at
     sf0.1: the un-hinted oracle exhausted a 100 GiB budget; the
@@ -934,7 +934,7 @@ def g07_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are <= 1 each, so a node's raw authority is <= its in-degree):
     # Q=26 keeps sum * 2^Q under 2^53 up to degree ~1.3e8 (see
     # QUANT_BITS_DEGREE for the production lever beyond that).
-    def fold(col_pairs: DataFrame, key: str) -> DataFrame:
+    def qsum(col_pairs: DataFrame, key: str) -> DataFrame:
         return quantized_sum(col_pairs, key, out="score", bits=QUANT_BITS_DEGREE)
 
     hub = edges.select("c").distinct().withColumn("score", F.lit(1.0))
@@ -954,13 +954,13 @@ def g07_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes each round eagerly, cutting the quadratic
         # recompute persist alone cannot (97 s vs ~8 s at the 10x
         # probe).
-        auth = register_cache(fold(contrib_a, "s").persist())
+        auth = register_cache(qsum(contrib_a, "s").persist())
         amax = auth.agg(F.max("score")).first()[0]
         auth = auth.select("s", (F.col("score") / F.lit(amax)).alias("score"))
         contrib_h = edges.join(auth.withColumnRenamed("score", "a"), "s").select(
             "c", F.col("a").alias("x")
         )
-        hub = register_cache(fold(contrib_h, "c").persist())
+        hub = register_cache(qsum(contrib_h, "c").persist())
         hmax = hub.agg(F.max("score")).first()[0]
         hub = hub.select("c", (F.col("score") / F.lit(hmax)).alias("score"))
     from pyspark.sql import Window as W
