@@ -1315,7 +1315,7 @@ def test_g01_quantized_sum_plan(spark, sf_dir):
     assert len(plan) < 150_000, f"g01 plan string is {len(plan)} chars"
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in phys
-    assert "partial_sum(cast(FLOOR(" in phys, "map-side combine missing"
+    assert "partial_sum(FLOOR(" in phys, "map-side combine missing"
 
 
 def test_iterative_oracles_keep_materialized_ctes():
