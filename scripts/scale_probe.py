@@ -259,6 +259,22 @@ def materialize(spark, base: str, out: str, copies: int = COPIES, n_files: int =
         union.coalesce(n_files).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
 
+def _spin() -> float:
+    """Single-thread host-noise probe (bench.py's discipline): ~0.8 s
+    quiet on this host, 1.6-2.2 s contended.  Recorded every 25
+    queries so a contention window mid-run is attributable instead of
+    reading as a per-query regression (the r6 first run recorded g08
+    at 15.2 s vs 4.7 s isolated-quiet for exactly this reason)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(20_000_000):
+            x += i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session(app_name="scale_probe")
@@ -270,8 +286,9 @@ def main() -> int:
         build_s = round(time.perf_counter() - t0, 1)
         print(f"# materialized 10x tables in {build_s}s -> {out}", file=sys.stderr)
 
+        probes: dict[str, float] = {"start": _spin()}
         results: dict[str, dict] = {}
-        for name in PROBE:
+        for i, name in enumerate(PROBE):
             spec = registry[name]
             spec.builder(spark, out).count()  # warm
             best, rows = float("inf"), 0
@@ -281,7 +298,18 @@ def main() -> int:
                 best = min(best, time.perf_counter() - t0)
             results[name] = {"sec": round(best, 2), "rows": rows}
             print(f"# {name}: {best:.2f}s ({rows} rows)", file=sys.stderr)
-        line = json.dumps({"scale": "10x_sf0.1", "build_sec": build_s, "queries": results})
+            if (i + 1) % 25 == 0:
+                probes[f"after_{i + 1}"] = _spin()
+        probes["end"] = _spin()
+        print(f"# host_probes: {probes}", file=sys.stderr)
+        line = json.dumps(
+            {
+                "scale": "10x_sf0.1",
+                "build_sec": build_s,
+                "host_probes": probes,
+                "queries": results,
+            }
+        )
         print(line)
         if len(sys.argv) > 2:
             Path(sys.argv[2]).write_text(line + "\n")
