@@ -66,10 +66,19 @@ def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session(app_name="scale_probe_100x")
     registry = load_inventory()
+    # Growth denominator: the NEWEST recorded 10x probe, so queries
+    # rewritten since r4 (the quantized-sum graph family) divide by
+    # the numbers their shipped plans actually produce at 10x.
     ref10 = {}
-    r4 = Path(__file__).resolve().parents[1] / "SCALE_PROBE_r04.json"
-    if r4.is_file():
-        ref10 = json.loads(r4.read_text()).get("queries", {})
+    root = Path(__file__).resolve().parents[1]
+    candidates = sorted(root.glob("SCALE_PROBE_r*_10x.json"), reverse=True) + [
+        root / "SCALE_PROBE_r04.json"
+    ]
+    for ref_path in candidates:
+        if ref_path.is_file():
+            ref10 = json.loads(ref_path.read_text()).get("queries", {})
+            print(f"# 10x baseline: {ref_path.name}", file=sys.stderr)
+            break
     out = tempfile.mkdtemp(prefix="flaco_scale100_")
     try:
         t0 = time.perf_counter()
