@@ -10,14 +10,20 @@ the families the 10× probe ranked slowest: the iterative graph ops
 (g01/g02/g03/g05/g07 — quantized exact sums since r6), the
 inverted-index dedups (d08/d09), the PQ pair (e11/e15), the XML
 round-trip (q112 — probed on a bounded shard and linearly
-extrapolated; its full-scale linearity was established in r5), and the two wordcount-shaped text passes
-(t18/t19).
+extrapolated; its full-scale linearity was established in r5), and
+the two wordcount-shaped text passes (t18/t19).
 
-One timed run per query, no warm-up pass: at this scale the
-data-dependent term dominates and a warm-up would double a
-multi-minute run for a few hundred ms of codegen.  Curvature is
-reported as sec_per_10x = sec / the SCALE_PROBE_r04 10× second —
-≤ ~10 means linear-or-better in the 10×→100× decade.
+EVERY QUERY RUNS IN ITS OWN FRESH SparkSession (r6 change): at 100×
+a long shared session ages — shuffle files, codegen caches, and GC
+pressure accumulate, measured as g05 creeping 33.4 → 44.7 → 56.2 s
+over back-to-back identical runs on a spin-verified quiet host, and
+as g07 recording 84 s mid-sequence vs 18.8 s isolated.  One session
+per query makes each number position-independent and matches how a
+production job actually runs (one application per job).  One timed
+run per query, cold engine, with a spin probe bracketing each —
+recorded in the JSON so a contention window is attributable.
+Curvature is reported as growth_vs_10x = sec / the newest 10× probe
+second; ≤ ~10 means linear-or-better in the 10×→100× decade.
 
 Usage:
     python scripts/scale_probe100.py [base_sf_dir] [out_json]
@@ -62,80 +68,115 @@ PROBE_100X = [
 Q112_SHARD_COPIES = 10
 
 
-def main() -> int:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_session(app_name="scale_probe_100x")
-    registry = load_inventory()
-    # Growth denominator: the NEWEST recorded 10x probe, so queries
-    # rewritten since r4 (the quantized-sum graph family) divide by
-    # the numbers their shipped plans actually produce at 10x.
-    ref10 = {}
-    root = Path(__file__).resolve().parents[1]
+def _spin() -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(20_000_000):
+            x += i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _newest_10x_baseline(root: Path) -> dict:
+    """Growth denominator: the NEWEST recorded 10× probe, so queries
+    rewritten since r4 (the quantized-sum graph family) divide by the
+    numbers their shipped plans actually produce at 10×."""
     candidates = sorted(root.glob("SCALE_PROBE_r*_10x.json"), reverse=True) + [
         root / "SCALE_PROBE_r04.json"
     ]
     for ref_path in candidates:
         if ref_path.is_file():
-            ref10 = json.loads(ref_path.read_text()).get("queries", {})
             print(f"# 10x baseline: {ref_path.name}", file=sys.stderr)
-            break
-    out = tempfile.mkdtemp(prefix="flaco_scale100_")
+            return json.loads(ref_path.read_text()).get("queries", {})
+    return {}
+
+
+def _timed_run(name: str, sf_dir: str, app: str) -> tuple[float, int, dict]:
+    """One cold run of ``name`` against ``sf_dir`` in a fresh session."""
+    spark = get_session(app_name=app)
     try:
+        registry = load_inventory()
+        probes = {"pre": _spin()}
+        t0 = time.perf_counter()
+        rows = registry[name].builder(spark, sf_dir).count()
+        sec = round(time.perf_counter() - t0, 2)
+        probes["post"] = _spin()
+        return sec, rows, probes
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    root = Path(__file__).resolve().parents[1]
+    ref10 = _newest_10x_baseline(root)
+
+    out = tempfile.mkdtemp(prefix="flaco_scale100_")
+    shard = tempfile.mkdtemp(prefix="flaco_scale_q112_")
+    try:
+        # Materialize both fixtures in one throwaway session, then
+        # stop it — measurements never share a session with the build.
+        spark = get_session(app_name="scale_probe_100x_build")
         t0 = time.perf_counter()
         materialize(spark, base, out, copies=100, n_files=32)
+        materialize(spark, base, shard, copies=Q112_SHARD_COPIES, n_files=32)
         build_s = round(time.perf_counter() - t0, 1)
-        print(f"# materialized 100x tables in {build_s}s -> {out}", file=sys.stderr)
+        spark.stop()
+        print(f"# materialized 100x + shard tables in {build_s}s", file=sys.stderr)
 
         results: dict[str, dict] = {}
         for name in PROBE_100X:
-            spec = registry[name]
-            t0 = time.perf_counter()
-            rows = spec.builder(spark, out).count()
-            sec = round(time.perf_counter() - t0, 2)
-            row: dict = {"sec": sec, "rows": rows}
+            sec, rows, probes = _timed_run(name, out, f"probe100_{name}")
+            row: dict = {"sec": sec, "rows": rows, "spin": probes}
             base10 = (ref10.get(name) or {}).get("sec")
             if base10:
-                row["sec_10x_r04"] = base10
+                row["sec_10x"] = base10
                 row["growth_vs_10x"] = round(sec / base10, 2)
             results[name] = row
-            print(f"# {name}: {sec:.2f}s ({rows} rows, x{row.get('growth_vs_10x', '?')})", file=sys.stderr)
-
-        # Bounded q112 shard (see Q112_SHARD_COPIES note above).
-        shard = tempfile.mkdtemp(prefix="flaco_scale_q112_")
-        try:
-            materialize(spark, base, shard, copies=Q112_SHARD_COPIES, n_files=32)
-            t0 = time.perf_counter()
-            rows = registry["q112_xml_roundtrip"].builder(spark, shard).count()
-            sec = round(time.perf_counter() - t0, 2)
-            factor = 100 // Q112_SHARD_COPIES
-            row = {
-                "sec_shard": sec,
-                "shard_copies": Q112_SHARD_COPIES,
-                "sec": round(sec * factor, 2),
-                "extrapolated": True,
-                "rows": rows,
-            }
-            base10 = (ref10.get("q112_xml_roundtrip") or {}).get("sec")
-            if base10:
-                row["sec_10x_r04"] = base10
-                row["growth_vs_10x"] = round(row["sec"] / base10, 2)
-            results["q112_xml_roundtrip"] = row
             print(
-                f"# q112_xml_roundtrip: {sec:.2f}s on {Q112_SHARD_COPIES}x shard "
-                f"(-> {row['sec']:.2f}s linear-extrapolated 100x)",
+                f"# {name}: {sec:.2f}s ({rows} rows, "
+                f"x{row.get('growth_vs_10x', '?')}, spin {probes})",
                 file=sys.stderr,
             )
-        finally:
-            shutil.rmtree(shard, ignore_errors=True)
+
+        # Bounded q112 shard (see Q112_SHARD_COPIES note above).
+        sec, rows, probes = _timed_run("q112_xml_roundtrip", shard, "probe100_q112")
+        factor = 100 // Q112_SHARD_COPIES
+        row = {
+            "sec_shard": sec,
+            "shard_copies": Q112_SHARD_COPIES,
+            "sec": round(sec * factor, 2),
+            "extrapolated": True,
+            "rows": rows,
+            "spin": probes,
+        }
+        base10 = (ref10.get("q112_xml_roundtrip") or {}).get("sec")
+        if base10:
+            row["sec_10x"] = base10
+            row["growth_vs_10x"] = round(row["sec"] / base10, 2)
+        results["q112_xml_roundtrip"] = row
+        print(
+            f"# q112_xml_roundtrip: {sec:.2f}s on {Q112_SHARD_COPIES}x shard "
+            f"(-> {row['sec']:.2f}s linear-extrapolated 100x)",
+            file=sys.stderr,
+        )
+
         line = json.dumps(
-            {"scale": "100x_sf0.1", "build_sec": build_s, "queries": results}
+            {
+                "scale": "100x_sf0.1",
+                "build_sec": build_s,
+                "isolation": "one fresh SparkSession per query",
+                "queries": results,
+            }
         )
         print(line)
         if len(sys.argv) > 2:
             Path(sys.argv[2]).write_text(line + "\n")
     finally:
         shutil.rmtree(out, ignore_errors=True)
-        spark.stop()
+        shutil.rmtree(shard, ignore_errors=True)
     return 0
 
 
