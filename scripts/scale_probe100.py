@@ -93,17 +93,28 @@ def _newest_10x_baseline(root: Path) -> dict:
     return {}
 
 
-def _timed_run(name: str, sf_dir: str, app: str) -> tuple[float, int, dict]:
-    """One cold run of ``name`` against ``sf_dir`` in a fresh session."""
+def _timed_run(
+    name: str, sf_dir: str, app: str, runs: int = 1
+) -> tuple[float, int, dict]:
+    """Best of ``runs`` executions of ``name`` in a fresh session.
+
+    runs=1 (the 100× default): cold-engine single shot — at full
+    scale the data term dwarfs session warm-up.  runs=2 (the q112
+    shard): the shard is only 10×, where the first run's fixed
+    session warm-up is NOT negligible, and extrapolating a fixed cost
+    ×10 would fabricate growth (a cold shard read measured 29.6 s vs
+    10.6 s warm — the warm number is the one that scales)."""
     spark = get_session(app_name=app)
     try:
         registry = load_inventory()
         probes = {"pre": _spin()}
-        t0 = time.perf_counter()
-        rows = registry[name].builder(spark, sf_dir).count()
-        sec = round(time.perf_counter() - t0, 2)
+        best, rows = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            rows = registry[name].builder(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
         probes["post"] = _spin()
-        return sec, rows, probes
+        return round(best, 2), rows, probes
     finally:
         spark.stop()
 
@@ -141,8 +152,12 @@ def main() -> int:
                 file=sys.stderr,
             )
 
-        # Bounded q112 shard (see Q112_SHARD_COPIES note above).
-        sec, rows, probes = _timed_run("q112_xml_roundtrip", shard, "probe100_q112")
+        # Bounded q112 shard (see Q112_SHARD_COPIES note above);
+        # best-of-2 so the extrapolation scales the data term, not
+        # the session warm-up.
+        sec, rows, probes = _timed_run(
+            "q112_xml_roundtrip", shard, "probe100_q112", runs=2
+        )
         factor = 100 // Q112_SHARD_COPIES
         row = {
             "sec_shard": sec,
