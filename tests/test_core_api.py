@@ -451,3 +451,47 @@ def test_coverage_doc_matches_registry():
             mentioned.add(f"{pre}{i:0{width}d}")
     missing = [n for n in inv if n.split("_")[0] not in mentioned]
     assert not missing, f"registry queries absent from COVERAGE.md: {missing}"
+
+
+def test_rotation_ordering_invariants():
+    """The driver samples a PREFIX of load_inventory(), so the sort
+    IS the verification strategy.  Pin its invariants (not the
+    concrete round-N prefix, which legitimately shifts as CORRECTNESS
+    rows land): forced rechecks sort before everything, never-checked
+    queries sort before any green query, never-checked names follow
+    the family burn-down priority, and soft rechecks outrank ordinary
+    stale greens."""
+    from flaco_spark.inventory import (
+        FORCE_RECHECK,
+        SOFT_RECHECK,
+        _family_rank,
+        _last_green_round,
+        load_inventory,
+    )
+
+    order = list(load_inventory())
+    seen = _last_green_round()
+    pos = {n: i for i, n in enumerate(order)}
+
+    forced = [pos[n] for n in FORCE_RECHECK]
+    assert forced, "FORCE_RECHECK should never be empty mid-burn-down"
+    rest = [i for n, i in pos.items() if n not in FORCE_RECHECK]
+    assert max(forced) < min(rest)
+
+    never = [n for n in order if n not in seen and n not in FORCE_RECHECK]
+    green = [
+        n
+        for n in order
+        if n in seen and n not in FORCE_RECHECK and n not in SOFT_RECHECK
+    ]
+    if never and green:
+        assert max(pos[n] for n in never) < min(pos[n] for n in green)
+    # family priority is non-decreasing across the never-checked block
+    ranks = [_family_rank(n) for n in never]
+    assert ranks == sorted(ranks), "family burn-down order violated"
+    # soft rechecks sit between never-checked and ordinary greens
+    for n in SOFT_RECHECK:
+        if never:
+            assert pos[n] > max(pos[m] for m in never)
+        if green:
+            assert pos[n] < min(pos[m] for m in green)
