@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flaco_spark.errors import EngineError
 from flaco_spark.inventory import register
 from flaco_spark.tables import table
 
@@ -108,6 +109,17 @@ def quantized_sum(
     # already required for cross-engine equality.  The DuckDB oracle
     # keeps its DECIMAL(38,0) pipeline: both accumulators are exact
     # integers, so the descaled doubles are identical.
+    #
+    # The overflow-is-loud claim depends on ANSI mode, which
+    # get_session/configure_runtime pin but a caller-provided session
+    # might not carry — check rather than assume (r6 ADVICE).
+    if contribs.sparkSession.conf.get("spark.sql.ansi.enabled", "true") != "true":
+        raise EngineError(
+            "quantized_sum requires spark.sql.ansi.enabled=true: with ANSI "
+            "off a >2^63 long-sum overflow would WRAP silently instead of "
+            "erroring, voiding the exactness guarantee (run "
+            "flaco_spark.session.configure_runtime on this session)"
+        )
     q = F.floor(F.col("x") * F.lit(scale))
     return contribs.groupBy(key).agg(
         (F.sum(q).cast("double") / F.lit(scale)).alias(out)
@@ -927,6 +939,10 @@ SELECT node, score, role, rn FROM (
     "rounds, normalization constants are 1-row broadcasts.",
 )
 def g07_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: unlike every other builder, this one is EAGER — each
+    # round's max-normalizer is a bounded 1-value collect, so Spark
+    # jobs run at plan-CONSTRUCTION time (plan-only tooling that calls
+    # the builder without collecting still pays G07_ITERS round jobs).
     from flaco_spark.cachepool import register_cache, release_caches
 
     release_caches()
@@ -965,12 +981,22 @@ def g07_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # probe).
         auth = register_cache(qsum(contrib_a, "s").persist())
         amax = auth.agg(F.max("score")).first()[0]
+        if amax is None or amax <= 0.0:
+            raise EngineError(
+                "g07_hits: empty edge set (no authority contributions) — "
+                "max-normalization is undefined on a graph with no edges"
+            )
         auth = auth.select("s", (F.col("score") / F.lit(amax)).alias("score"))
         contrib_h = edges.join(auth.withColumnRenamed("score", "a"), "s").select(
             "c", F.col("a").alias("x")
         )
         hub = register_cache(qsum(contrib_h, "c").persist())
         hmax = hub.agg(F.max("score")).first()[0]
+        if hmax is None or hmax <= 0.0:
+            raise EngineError(
+                "g07_hits: empty edge set (no hub contributions) — "
+                "max-normalization is undefined on a graph with no edges"
+            )
         hub = hub.select("c", (F.col("score") / F.lit(hmax)).alias("score"))
     from pyspark.sql import Window as W
 

@@ -4078,9 +4078,12 @@ FROM events GROUP BY event_type
     "union against the DIRECT sketch's estimate is unsound — a fed "
     "sketch keeps its HIP estimator state — and first broke at "
     "sf0.1), the associativity that makes the incremental topology "
-    "sound.  Each carving key is used only where it yields ≥2 "
-    "non-empty groups (else a min-user split), so neither side can "
-    "silently collapse to a 1-sketch HIP union on adversarial data.  "
+    "sound.  The carvings are mode-matched for every data shape: "
+    "with <2 distinct users BOTH sides pin to the same single fed "
+    "sketch (HIP both — a day carve alone would go composite while "
+    "parity stayed HIP, r6 ADVICE); otherwise each key is used only "
+    "where it yields ≥2 non-empty groups (else a min-user split), "
+    "so both sides are composite unions of ≥2 sketches.  "
     "A false in either column breaks the hash against the "
     "oracle's literal trues.",
 )
@@ -4109,15 +4112,22 @@ def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Degeneracy guard (measured: a 1-group carving's union
     # short-circuits to the fed sketch — HIP estimator kept — while a
     # ≥2-group union re-estimates composite; at 1500 distinct that is
-    # 1487 vs 1497, so a carving whose groups collapse to one side
-    # would flip merge_consistent false on sound data).  Carve by
-    # day/parity only where that key actually yields ≥2 non-empty
-    # groups; otherwise fall back to a min-user split, which has
-    # exactly 2 non-empty groups whenever ≥2 distinct users exist.
-    # With 1 distinct user BOTH carvings degenerate to the SAME single
-    # fed sketch (HIP on both sides — still equal).  One extra
-    # map-side-combined agg per event_type, broadcast back.
+    # 1487 vs 1497, so the invariant holds on sound data only when
+    # BOTH carvings land in the SAME estimator mode).  Gate on
+    # n_users first (r6 ADVICE: with 1 user on ≥2 days, a day carve
+    # is a 2-sketch composite union while the parity carve collapses
+    # to a 1-sketch HIP union — equal at tiny cardinality only by
+    # LIST-mode accident, not by the register-state argument):
+    #   n_users == 1 → BOTH carves use one constant group — the same
+    #     single fed sketch, HIP on both sides, trivially equal;
+    #   n_users ≥ 2 → carve by day/parity where that key yields ≥2
+    #     non-empty groups, else the min-user split (exactly 2
+    #     non-empty groups given ≥2 users) — BOTH sides are then
+    #     multi-sketch composite unions, and merged register state is
+    #     carve-independent.
+    # One extra map-side-combined agg per event_type, broadcast back.
     stats = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("day").alias("n_days"),
         F.countDistinct(F.pmod("user_id", F.lit(2))).alias("n_par"),
         F.min("user_id").alias("u_min"),
@@ -4126,12 +4136,16 @@ def q123_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_split = F.when(F.col("user_id") == F.col("u_min"), F.lit("lo")).otherwise(
         F.lit("hi")
     )
-    day_key = F.when(F.col("n_days") >= 2, F.col("day").cast("string")).otherwise(
-        min_split
+    day_key = (
+        F.when(F.col("n_users") < 2, F.lit("all"))
+        .when(F.col("n_days") >= 2, F.col("day").cast("string"))
+        .otherwise(min_split)
     )
-    par_key = F.when(
-        F.col("n_par") >= 2, F.pmod("user_id", F.lit(2)).cast("string")
-    ).otherwise(min_split)
+    par_key = (
+        F.when(F.col("n_users") < 2, F.lit("all"))
+        .when(F.col("n_par") >= 2, F.pmod("user_id", F.lit(2)).cast("string"))
+        .otherwise(min_split)
+    )
     daily = ej.groupBy("event_type", day_key.alias("carve")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )

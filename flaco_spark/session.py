@@ -57,6 +57,10 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # quantized_sum's overflow-is-loud guarantee (a >2^63 long sum
+        # errors instead of wrapping) relies on ANSI mode — pin it
+        # rather than depend on the Spark 4 default.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
@@ -85,4 +89,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # See get_session: quantized_sum's long accumulate must error
+    # loudly past 2^63, which only ANSI mode guarantees.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     return spark

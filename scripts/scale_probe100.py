@@ -32,6 +32,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import re
 import shutil
 import sys
 import tempfile
@@ -83,9 +84,16 @@ def _newest_10x_baseline(root: Path) -> dict:
     """Growth denominator: the NEWEST recorded 10× probe, so queries
     rewritten since r4 (the quantized-sum graph family) divide by the
     numbers their shipped plans actually produce at 10×."""
-    candidates = sorted(root.glob("SCALE_PROBE_r*_10x.json"), reverse=True) + [
-        root / "SCALE_PROBE_r04.json"
-    ]
+    # Sort by round NUMBER, not filename: lexicographic order breaks
+    # the moment zero-padding runs out (r9_10x > r10_10x), same regex
+    # discipline as snapshot_commits()/_last_green_round().
+    def _round_no(p: Path) -> int:
+        m = re.search(r"SCALE_PROBE_r(\d+)_10x", p.name)
+        return int(m.group(1)) if m else -1
+
+    candidates = sorted(
+        root.glob("SCALE_PROBE_r*_10x.json"), key=_round_no, reverse=True
+    ) + [root / "SCALE_PROBE_r04.json"]
     for ref_path in candidates:
         if ref_path.is_file():
             print(f"# 10x baseline: {ref_path.name}", file=sys.stderr)

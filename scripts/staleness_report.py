@@ -43,7 +43,21 @@ from flaco_spark.inventory import (  # noqa: E402
 
 
 def snapshot_commits() -> dict[int, str]:
-    """round number -> end-of-round snapshot commit hash."""
+    """round number -> commit whose tree the round's greens describe.
+
+    Primary anchor: the explicit ``round N: end-of-round snapshot``
+    commit — the tree at builder-session end, which is what the
+    driver's CORRECTNESS run measures.  Fallback, for rounds with no
+    snapshot commit (r1, r2, r6 — before r7 their rows were silently
+    SKIPPED): the first parent of the driver's ``round N:
+    verdict/advice/correctness/bench`` commit.  The fallback can be
+    slightly LATE — judging runs for hours and the next round's
+    builder may commit in that window (r3's verdict parent is 6 h of
+    r4 work past its snapshot), which would hide a rewrite landing in
+    the overlap; for the fallback rounds that window is 0 commits
+    (r6) to ≤2 new-query-only commits (r1/r2), so the residual risk
+    is documented rather than material.
+    """
     log = subprocess.run(
         ["git", "log", "--format=%H %s"],
         cwd=ROOT,
@@ -52,11 +66,25 @@ def snapshot_commits() -> dict[int, str]:
         check=True,
     ).stdout
     out: dict[int, str] = {}
+    fallback: dict[int, str] = {}
     for line in log.splitlines():
         sha, _, subject = line.partition(" ")
         m = re.match(r"round (\d+): end-of-round snapshot", subject)
         if m:
             out.setdefault(int(m.group(1)), sha)  # first seen = latest
+            continue
+        m = re.match(r"round (\d+): verdict/", subject)
+        if m:
+            parent = subprocess.run(
+                ["git", "rev-parse", f"{sha}^"],
+                cwd=ROOT,
+                capture_output=True,
+                text=True,
+            )
+            if parent.returncode == 0:
+                fallback.setdefault(int(m.group(1)), parent.stdout.strip())
+    for rnd, sha in fallback.items():
+        out.setdefault(rnd, sha)
     return out
 
 

@@ -457,14 +457,15 @@ def test_rotation_ordering_invariants():
     """The driver samples a PREFIX of load_inventory(), so the sort
     IS the verification strategy.  Pin its invariants (not the
     concrete round-N prefix, which legitimately shifts as CORRECTNESS
-    rows land): forced rechecks sort before everything, never-checked
-    queries sort before any green query, never-checked names follow
-    the family burn-down priority, and soft rechecks outrank ordinary
-    stale greens."""
+    rows land): forced rechecks (when any exist) sort before
+    everything, never-checked queries sort before any green query and
+    follow registry order within their tier, soft rechecks sit
+    between never-checked and ordinary greens, and greens sort
+    oldest-round-first so rotation freshness is automatic."""
     from flaco_spark.inventory import (
         FORCE_RECHECK,
+        REGISTRY,
         SOFT_RECHECK,
-        _family_rank,
         _last_green_round,
         load_inventory,
     )
@@ -472,11 +473,17 @@ def test_rotation_ordering_invariants():
     order = list(load_inventory())
     seen = _last_green_round()
     pos = {n: i for i, n in enumerate(order)}
+    reg_idx = {n: i for i, n in enumerate(REGISTRY)}
 
-    forced = [pos[n] for n in FORCE_RECHECK]
-    assert forced, "FORCE_RECHECK should never be empty mid-burn-down"
-    rest = [i for n, i in pos.items() if n not in FORCE_RECHECK]
-    assert max(forced) < min(rest)
+    # A pin must be removed once it earns its green row (the r6 judge's
+    # "rotation footgun"): post-green members would outrank the
+    # never-checked backlog and silently burn driver slots.
+    satisfied = [n for n in FORCE_RECHECK if n in seen]
+    assert not satisfied, f"satisfied FORCE_RECHECK pins must be dropped: {satisfied}"
+    if FORCE_RECHECK:
+        forced = [pos[n] for n in FORCE_RECHECK]
+        rest = [i for n, i in pos.items() if n not in FORCE_RECHECK]
+        assert max(forced) < min(rest)
 
     never = [n for n in order if n not in seen and n not in FORCE_RECHECK]
     green = [
@@ -486,12 +493,23 @@ def test_rotation_ordering_invariants():
     ]
     if never and green:
         assert max(pos[n] for n in never) < min(pos[n] for n in green)
-    # family priority is non-decreasing across the never-checked block
-    ranks = [_family_rank(n) for n in never]
-    assert ranks == sorted(ranks), "family burn-down order violated"
+    # never-checked names keep registry order within each risk tier
+    # (registry order is the single source of rotation truth now that
+    # the r6 family-priority tuple is retired)
+    from flaco_spark.inventory import RISKY_NEW
+
+    for tier in (
+        [n for n in never if n in RISKY_NEW],
+        [n for n in never if n not in RISKY_NEW],
+    ):
+        idxs = [reg_idx[n] for n in tier]
+        assert idxs == sorted(idxs), "never-checked tier violates registry order"
     # soft rechecks sit between never-checked and ordinary greens
     for n in SOFT_RECHECK:
         if never:
             assert pos[n] > max(pos[m] for m in never)
         if green:
             assert pos[n] < min(pos[m] for m in green)
+    # greens rotate oldest-first
+    rounds = [seen[n] for n in green]
+    assert rounds == sorted(rounds), "green queries must sort stalest-first"

@@ -549,3 +549,30 @@ def test_q123_merge_consistent_survives_degenerate_carvings(spark, tmp_path):
     assert rows[0].merge_consistent is True, (
         "degenerate carving regressed to a 1-sketch HIP union"
     )
+
+
+def test_q123_merge_consistent_single_user_multi_day(spark, tmp_path):
+    """ADVICE r6: ONE distinct user active on ≥2 days.  The day key
+    alone would carve a 2-sketch composite union while the parity key
+    (one parity class, min-split collapses to one group for a single
+    user) stays a 1-sketch HIP union — equal at tiny cardinality only
+    because DataSketches is still in exact LIST mode, not because of
+    the register-state argument.  The n_users gate must pin BOTH
+    carvings to the same single fed sketch on this shape."""
+    from flaco_spark.inventory import load_inventory
+
+    REGISTRY = load_inventory()
+
+    # one user, 30 distinct days
+    spark.range(30).selectExpr(
+        "'z' AS event_type",
+        "42 AS user_id",
+        "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,id) AS ts",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = REGISTRY["q123_hll_sketch"].builder(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].n_exact == 1
+    assert rows[0].within_bound is True
+    assert rows[0].merge_consistent is True, (
+        "single-user multi-day shape split the carvings across estimator modes"
+    )

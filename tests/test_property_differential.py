@@ -879,3 +879,46 @@ def test_quantized_sum_partition_invariant(spark, rows, nparts, bits):
     }
     assert got == want
     assert got2 == want
+
+
+def test_quantized_sum_rejects_ansi_off(spark):
+    """quantized_sum's overflow-is-loud guarantee (a >2^63 long sum
+    errors instead of wrapping) holds only under ANSI mode; a
+    harness-provided session with ANSI off must be refused, not
+    silently trusted (r6 ADVICE)."""
+    import pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.operators.graph import quantized_sum
+
+    df = spark.createDataFrame([(1, 0.5)], ["k", "x"])
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(EngineError, match="ansi"):
+            quantized_sum(df, "k", out="out")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    # restored session works again
+    assert quantized_sum(df, "k", out="out").collect()[0].out == 0.5
+
+
+def test_g07_fails_fast_on_empty_edges(spark, tmp_path):
+    """g07's per-round max-normalizer is a bounded 1-value collect;
+    on an empty edge set it must fail with a clear EngineError, not
+    an opaque None-division (r6 ADVICE).  Also documents the eager
+    builder: the error surfaces at plan-CONSTRUCTION time."""
+    import pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.inventory import load_inventory
+
+    REGISTRY = load_inventory()
+    # empty orders/lineitem → zero edges
+    spark.range(0).selectExpr(
+        "id AS o_orderkey", "id AS o_custkey"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.range(0).selectExpr(
+        "id AS l_orderkey", "id AS l_suppkey"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(EngineError, match="empty edge set"):
+        REGISTRY["g07_hits"].builder(spark, str(tmp_path))
