@@ -42,6 +42,14 @@ class FileFormat(enum.Enum):
     Parquet = "parquet"
 
 
+def _pg_jdbc_driver_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.postgresql.Driver")
+        return True
+    except Exception:  # noqa: BLE001 — ClassNotFound arrives as Py4JError
+        return False
+
+
 def read_sql(
     uri: str,
     stmt: str,
@@ -51,17 +59,49 @@ def read_sql(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     fetchsize: int = 10_000,
+    via: str = "auto",
 ) -> DataFrame:
     """Whole-query pushdown scan, the moral equivalent of the
     reference's ``client.query_raw(sql)`` (src/lib.rs:188-195).
 
-    The SQL string executes on the server verbatim (JDBC ``query``
-    option).  With ``partition_column`` + bounds, Spark opens
-    ``num_partitions`` parallel cursors with disjoint ranges — the
-    100 TB upgrade over the reference's single connection.
+    The SQL string executes on the server verbatim.  With
+    ``partition_column`` + bounds, the read opens ``num_partitions``
+    parallel cursors with disjoint ranges — the 100 TB upgrade over
+    the reference's single connection.
+
+    ``via`` picks the transport: ``"jdbc"`` (Spark's JDBC source),
+    ``"pgwire"`` (the pure-stdlib wire-protocol DataSource,
+    :mod:`flaco_spark.sources.pgwire` — no driver jar needed), or
+    ``"auto"`` (default): JDBC when the URI is a raw ``jdbc:`` URL or
+    the PostgreSQL driver jar is on the classpath, else pgwire for
+    ``postgresql://`` URIs — so a flaco user's script runs verbatim
+    on a cluster with no PG jar installed.  ``fetchsize`` applies to
+    the JDBC transport only.
     """
     spark = spark or get_session()
+    if via not in ("auto", "jdbc", "pgwire"):
+        raise EngineError(f"unknown transport {via!r} (auto|jdbc|pgwire)")
+    is_pg_uri = uri.startswith(("postgresql://", "postgres://"))
+    use_wire = via == "pgwire" or (
+        via == "auto" and is_pg_uri and not _pg_jdbc_driver_available(spark)
+    )
     try:
+        if use_wire:
+            if not is_pg_uri:
+                raise EngineError(
+                    f"pgwire transport needs a postgresql:// URI, got {uri!r}"
+                )
+            from flaco_spark.sources.pgwire import read_sql_wire
+
+            return read_sql_wire(
+                spark,
+                uri,
+                stmt,
+                partition_column=partition_column,
+                num_partitions=num_partitions,
+                lower_bound=lower_bound,
+                upper_bound=upper_bound,
+            )
         reader = jdbc_reader(
             spark,
             uri,

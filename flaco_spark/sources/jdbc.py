@@ -14,14 +14,19 @@ three structural upgrades:
 - ``fetchsize`` keeps the cursor streaming (same memory posture as
   the reference's row-at-a-time loop, src/lib.rs:189-194).
 
-No live PostgreSQL exists in the test environment, so the
+The runtime ships no PostgreSQL JDBC driver jar, so THIS reader's
 PG-specific arms (URI translation, OID typemap) are exercised through
-their option plumbing — but the READER ITSELF is exercised end-to-end
+their option plumbing, while the READER ITSELF is exercised end-to-end
 against the embedded Apache Derby engine bundled with Spark (raw
 ``jdbc:`` URLs pass through untranslated): a real ``load()`` over a
-real JDBC cursor, mirroring what the reference's test suite does
-against live PostgreSQL (``/root/reference/tests/test_general.py:10-46``
-— CI boots postgres:12 and round-trips every query through it).
+real JDBC cursor.  The live-PostgreSQL behavior itself — typed decode,
+auth, TLS, partitioned cursors — IS exercised end-to-end since round 7
+via the jar-free wire-protocol twin (:mod:`flaco_spark.sources.pgwire`
++ ``tests/test_live_pg.py`` against a locally-spawned PG 15),
+mirroring what the reference's test suite does
+(``/root/reference/tests/test_general.py:10-46`` — CI boots
+postgres:12 and round-trips every query through it);
+:func:`flaco_spark.core.read_sql` auto-routes between the two.
 """
 
 from __future__ import annotations

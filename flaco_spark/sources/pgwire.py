@@ -400,7 +400,14 @@ class PgWireConnection:
             else:  # require: encrypt, no chain verification (libpq semantics)
                 ctx.check_hostname = False
                 ctx.verify_mode = ssl.CERT_NONE
-            self._sock = ctx.wrap_socket(raw, server_hostname=info.host)
+            try:
+                self._sock = ctx.wrap_socket(raw, server_hostname=info.host)
+            except ssl.SSLError as exc:
+                raw.close()
+                raise EngineError(
+                    f"TLS handshake with {info.host}:{info.port} failed "
+                    f"(sslmode={info.sslmode}): {exc}"
+                ) from exc
             self.tls_active = True
         elif info.sslmode not in ("disable",):
             raise EngineError(f"unsupported sslmode {info.sslmode!r}")

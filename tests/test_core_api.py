@@ -475,10 +475,40 @@ def test_rotation_ordering_invariants():
     pos = {n: i for i, n in enumerate(order)}
     reg_idx = {n: i for i, n in enumerate(REGISTRY)}
 
-    # A pin must be removed once it earns its green row (the r6 judge's
-    # "rotation footgun"): post-green members would outrank the
-    # never-checked backlog and silently burn driver slots.
-    satisfied = [n for n in FORCE_RECHECK if n in seen]
+    # A pin must be removed once it earns its FRESH green row (the r6
+    # judge's "rotation footgun"): post-green members would outrank
+    # the never-checked backlog and silently burn driver slots.  A pin
+    # is satisfied exactly when its builder source is UNCHANGED since
+    # its green round's snapshot — the staleness audit's own test (a
+    # green row older than the rewrite, like q45's r1 row, keeps the
+    # pin legitimate).
+    import ast
+    import inspect
+    import subprocess
+    from pathlib import Path
+
+    from scripts.staleness_report import ROOT, fn_source, snapshot_commits
+
+    snaps = snapshot_commits()
+    satisfied = []
+    for n in FORCE_RECHECK:
+        if n not in seen or seen[n] not in snaps:
+            continue
+        fn = load_inventory()[n].builder
+        file = Path(inspect.getsourcefile(fn)).resolve()
+        cur_src = file.read_text()
+        cur = fn_source(ast.parse(cur_src), cur_src, fn.__name__)
+        old_blob = subprocess.run(
+            ["git", "show", f"{snaps[seen[n]]}:{file.relative_to(ROOT)}"],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+        )
+        if old_blob.returncode != 0:
+            continue
+        old = fn_source(ast.parse(old_blob.stdout), old_blob.stdout, fn.__name__)
+        if old == cur:
+            satisfied.append(n)
     assert not satisfied, f"satisfied FORCE_RECHECK pins must be dropped: {satisfied}"
     if FORCE_RECHECK:
         forced = [pos[n] for n in FORCE_RECHECK]
