@@ -58,7 +58,20 @@ def register(
 # SCHEMA changed after its r1 green row (the r2 bound-discipline
 # rework added rel_err_*/within_bound columns), and as a rows-only
 # query it has no oracle hash backstopping the change locally.
-FORCE_RECHECK: frozenset[str] = frozenset({"q45_approx_distinct"})
+#
+# r7 also flipped the session gap-boundary in the ts03/st11 oracles
+# (hypothesis falsifier [(0,0),(0,30)]: Spark's session_window merge
+# is CLOSED at the boundary, delta == gap joins; the oracles split at
+# >= since birth and stayed green only because the fixtures never
+# produce an exact 30:00.000000 delta).  Oracle semantics changed →
+# the old green rows describe a superseded contract.
+FORCE_RECHECK: frozenset[str] = frozenset(
+    {
+        "q45_approx_distinct",
+        "ts03_session_window",
+        "st11_session_window_agg",
+    }
+)
 
 # Plan-only rewrites (identical results, old rows remain valid
 # evidence): refresh after semantics changes, before stale greens.

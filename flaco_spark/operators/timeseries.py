@@ -128,7 +128,7 @@ def ts02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -150,7 +150,13 @@ GROUP BY user_id, session_id
     tags=("timeseries", "session", "events"),
     doc="Session windows (30-minute gap) via F.session_window — the "
     "stateful-streaming sessionization construct, checked against a "
-    "lag/cumsum oracle.",
+    "lag/cumsum oracle.  Gap-boundary semantics measured, not "
+    "assumed (r7 property-test find): session_window's merge is "
+    "CLOSED at the boundary — an event at exactly last + gap JOINS "
+    "the session (only delta > gap splits; deltas of 29/30/31 min "
+    "against a 30-min gap give 1/1/2 sessions, pinned in "
+    "tests/test_property_differential.py) — so the oracle splits on "
+    "strict >.",
 )
 def ts03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")

@@ -1,0 +1,537 @@
+"""Pure-stdlib Apache Avro Object Container File source & sink.
+
+This runtime ships Avro's core JAVA jars (avro-1.12.1) but NOT the
+``spark-avro`` data-source module, so ``df.write.format("avro")``
+fails — the one hole left in the engine's format matrix
+(parquet/feather/CSV/JSONL/ORC/text/XML, COVERAGE.md).  The Avro
+Object Container File format is a public specification (Apache Avro
+spec §"Object Container Files": zigzag-varint primitives, JSON
+schema in the header, sync-marker-delimited blocks, null/deflate
+codecs — deflate is stdlib ``zlib``), so this module closes the gap
+the same way pgwire closed the PostgreSQL one: speak the format
+directly, no new dependency.
+
+Honesty contract: the codec is NOT a reimplementation from skimming
+other readers — it is verified against the Apache Java reference
+implementation that IS on the classpath: the test suite writes files
+with this codec and reads them back through
+``org.apache.avro.file.DataFileReader`` via the Spark JVM (and the
+reverse direction, Java-written → here), see
+``tests/test_core_api.py::test_avro_cross_implementation``.
+
+Supported schema surface (flat analytics rows — the same scope as the
+CSV/XML round-trips): null, boolean, int, long, float, double, bytes,
+string; nullable ``["null", X]`` unions; logical types decimal
+(bytes), date (int), timestamp-micros (long), timestamp-millis read
+path.  Arrays/maps/nested records are out of scope and raise
+``EngineError`` loudly (the format matrix contract is flat-table
+value fidelity, not generic Avro).
+
+Scale posture mirrors the Feather pair: the WRITER runs one task per
+partition via ``mapInArrow`` (each executor streams its own container
+file; no driver funnel), the READER is a partition-per-file Python
+DataSource (``avro_dir``) — listing at plan time, one file per task,
+schema probed from one header without reading data blocks.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+
+from flaco_spark.errors import EngineError
+
+MAGIC = b"Obj\x01"
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+# ---------------------------------------------------------------------------
+# Primitive encode/decode (Avro spec: zigzag varints, IEEE754 LE)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    # spec: (n << 1) ^ (n >> 63) on 64-bit two's complement; on
+    # Python's unbounded ints the equivalent closed form is below
+    u = (n << 1) if n >= 0 else ((-n << 1) - 1)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: io.BytesIO) -> int:
+    shift = 0
+    u = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise EngineError("truncated Avro varint")
+        b = raw[0]
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1)
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    out += _zigzag_encode(len(b))
+    out += b
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _zigzag_decode(buf)
+    b = buf.read(n)
+    if len(b) != n:
+        raise EngineError("truncated Avro bytes value")
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Schema: Spark StructType ⇄ Avro record schema (flat)
+# ---------------------------------------------------------------------------
+
+
+def avro_schema_for(spark_schema, name: str = "flaco_row") -> dict:
+    """Flat Spark schema → Avro record schema (every field nullable,
+    matching Spark's semantics)."""
+    from pyspark.sql import types as T
+
+    def field_type(dt) -> object:
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        raise EngineError(
+            f"avro_ocf supports flat analytics rows only; no mapping for {dt}"
+        )
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", field_type(f.dataType)]}
+            for f in spark_schema.fields
+        ],
+    }
+
+
+def spark_schema_for(avro_schema: dict):
+    """Avro record schema → Spark StructType (the read-path inverse)."""
+    from pyspark.sql import types as T
+
+    def branch(t) -> tuple:
+        if isinstance(t, list):  # union
+            non_null = [x for x in t if x != "null"]
+            if len(non_null) != 1:
+                raise EngineError(f"unsupported Avro union {t!r}")
+            inner, _ = branch(non_null[0])
+            return inner, True
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            if lt == "decimal":
+                return T.DecimalType(t["precision"], t.get("scale", 0)), False
+            if lt == "date":
+                return T.DateType(), False
+            if lt in ("timestamp-micros", "timestamp-millis"):
+                return T.TimestampNTZType(), False
+            return branch(t["type"])
+        prim = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "bytes": T.BinaryType(),
+        }.get(t)
+        if prim is None:
+            raise EngineError(f"unsupported Avro type {t!r} (flat rows only)")
+        return prim, False
+
+    if avro_schema.get("type") != "record":
+        raise EngineError("avro_ocf reads record-typed container files only")
+    fields = []
+    for f in avro_schema["fields"]:
+        dt, _ = branch(f["type"])
+        fields.append(T.StructField(f["name"], dt, True))
+    return T.StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# Value encode/decode per Avro field type
+# ---------------------------------------------------------------------------
+
+
+def _unscaled_to_bytes(unscaled: int) -> bytes:
+    length = max(1, (unscaled.bit_length() + 8) // 8)  # +8: room for sign
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def _encoder_for(ftype: dict | str):
+    """Returns fn(out: bytearray, value) for ONE union branch type."""
+    if isinstance(ftype, dict):
+        lt = ftype.get("logicalType")
+        if lt == "decimal":
+            scale = ftype.get("scale", 0)
+
+            def enc_dec(out, v):
+                q = Decimal(v).scaleb(scale)
+                unscaled = int(q)
+                if q != unscaled:
+                    raise EngineError(
+                        f"decimal {v} does not fit scale {scale} losslessly"
+                    )
+                _write_bytes(out, _unscaled_to_bytes(unscaled))
+
+            return enc_dec
+        if lt == "date":
+            return lambda out, v: out.extend(
+                _zigzag_encode((v - _EPOCH_DATE).days)
+            )
+        if lt == "timestamp-micros":
+
+            def enc_ts(out, v):
+                if v.tzinfo is None:
+                    delta = v - _EPOCH_DT.replace(tzinfo=None)
+                else:
+                    delta = v - _EPOCH_DT
+                out.extend(
+                    _zigzag_encode(
+                        (delta.days * 86_400 + delta.seconds) * 1_000_000
+                        + delta.microseconds
+                    )
+                )
+
+            return enc_ts
+        return _encoder_for(ftype["type"])
+    if ftype in ("int", "long"):
+        return lambda out, v: out.extend(_zigzag_encode(int(v)))
+    if ftype == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    if ftype == "float":
+        return lambda out, v: out.extend(struct.pack("<f", float(v)))
+    if ftype == "double":
+        return lambda out, v: out.extend(struct.pack("<d", float(v)))
+    if ftype == "string":
+        return lambda out, v: _write_bytes(out, v.encode("utf-8"))
+    if ftype == "bytes":
+        return lambda out, v: _write_bytes(out, bytes(v))
+    raise EngineError(f"unsupported Avro type {ftype!r} (flat rows only)")
+
+
+def _decoder_for(ftype: dict | str):
+    if isinstance(ftype, dict):
+        lt = ftype.get("logicalType")
+        if lt == "decimal":
+            scale = ftype.get("scale", 0)
+
+            def dec_dec(buf):
+                unscaled = int.from_bytes(_read_bytes(buf), "big", signed=True)
+                return Decimal(unscaled).scaleb(-scale)
+
+            return dec_dec
+        if lt == "date":
+            return lambda buf: _EPOCH_DATE + timedelta(days=_zigzag_decode(buf))
+        if lt == "timestamp-micros":
+            return lambda buf: _EPOCH_DT.replace(tzinfo=None) + timedelta(
+                microseconds=_zigzag_decode(buf)
+            )
+        if lt == "timestamp-millis":
+            return lambda buf: _EPOCH_DT.replace(tzinfo=None) + timedelta(
+                milliseconds=_zigzag_decode(buf)
+            )
+        return _decoder_for(ftype["type"])
+    if ftype in ("int", "long"):
+        return _zigzag_decode
+    if ftype == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if ftype == "float":
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if ftype == "double":
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if ftype == "string":
+        return lambda buf: _read_bytes(buf).decode("utf-8")
+    if ftype == "bytes":
+        return lambda buf: _read_bytes(buf)
+    raise EngineError(f"unsupported Avro type {ftype!r} (flat rows only)")
+
+
+def _union_codecs(fields: list[dict], build):
+    """Per-field (null_index, value_index, codec) for ["null", X]-style
+    unions (plain non-union field types get index None)."""
+    out = []
+    for f in fields:
+        t = f["type"]
+        if isinstance(t, list):
+            if "null" not in t or len(t) != 2:
+                raise EngineError(f"unsupported Avro union {t!r}")
+            null_idx = t.index("null")
+            val_idx = 1 - null_idx
+            out.append((null_idx, val_idx, build(t[val_idx])))
+        else:
+            out.append((None, None, build(t)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Container file write / read
+# ---------------------------------------------------------------------------
+
+
+def write_container(
+    fd,
+    schema: dict,
+    rows,
+    codec: str = "null",
+    sync: bytes | None = None,
+    block_rows: int = 4096,
+) -> int:
+    """Serialize ``rows`` (sequences ordered like schema fields) into an
+    Object Container File on ``fd``.  Returns the row count."""
+    if codec not in ("null", "deflate"):
+        raise EngineError(f"unsupported Avro codec {codec!r} (null|deflate)")
+    sync = sync or os.urandom(16)
+    header = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    header += _zigzag_encode(len(meta))
+    for k, v in meta.items():
+        _write_bytes(header, k.encode())
+        _write_bytes(header, v)
+    header += _zigzag_encode(0)  # end of metadata map
+    header += sync
+    fd.write(bytes(header))
+
+    encs = _union_codecs(schema["fields"], _encoder_for)
+    total = 0
+    block = bytearray()
+    in_block = 0
+
+    def flush():
+        nonlocal block, in_block
+        if not in_block:
+            return
+        payload = zlib.compress(bytes(block))[2:-4] if codec == "deflate" else bytes(block)
+        # (deflate codec = RAW deflate stream: zlib header/checksum
+        # stripped, per the Avro spec)
+        fd.write(_zigzag_encode(in_block))
+        fd.write(_zigzag_encode(len(payload)))
+        fd.write(payload)
+        fd.write(sync)
+        block, in_block = bytearray(), 0
+
+    for row in rows:
+        for v, (null_idx, val_idx, enc) in zip(row, encs):
+            if null_idx is not None:
+                if v is None:
+                    block += _zigzag_encode(null_idx)
+                    continue
+                block += _zigzag_encode(val_idx)
+            elif v is None:
+                raise EngineError("NULL in a non-nullable Avro field")
+            enc(block, v)
+        in_block += 1
+        total += 1
+        if in_block >= block_rows:
+            flush()
+    flush()
+    return total
+
+
+def _read_meta_map(buf: io.BytesIO) -> dict[str, bytes]:
+    """Avro map blocks: count (negative count = followed by a byte
+    size, then |count| entries), terminated by a 0 block."""
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _zigzag_decode(buf)
+        if n == 0:
+            return meta
+        if n < 0:
+            _zigzag_decode(buf)  # block byte size — unused here
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode()
+            meta[k] = _read_bytes(buf)
+
+
+def read_container(fd) -> tuple[dict, list[tuple]]:
+    """Parse an Object Container File: (schema, rows)."""
+    if fd.read(4) != MAGIC:
+        raise EngineError("not an Avro Object Container File (bad magic)")
+    buf = io.BytesIO(fd.read())
+    meta = _read_meta_map(buf)
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise EngineError(f"unsupported Avro codec {codec!r}")
+    decs = _union_codecs(schema["fields"], _decoder_for)
+
+    rows: list[tuple] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        count = _zigzag_decode(buf)
+        size = _zigzag_decode(buf)
+        payload = buf.read(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        if buf.read(16) != sync:
+            raise EngineError("Avro sync marker mismatch (corrupt block)")
+        b = io.BytesIO(payload)
+        for _ in range(count):
+            row = []
+            for null_idx, val_idx, dec in decs:
+                if null_idx is not None:
+                    idx = _zigzag_decode(b)
+                    if idx == null_idx:
+                        row.append(None)
+                        continue
+                    if idx != val_idx:
+                        raise EngineError(f"union index {idx} out of range")
+                row.append(dec(b))
+            rows.append(tuple(row))
+    return schema, rows
+
+
+# ---------------------------------------------------------------------------
+# Spark sink: one container file per partition (mapInArrow — the
+# feather.py distributed-write topology; no driver funnel)
+# ---------------------------------------------------------------------------
+
+
+def write_avro(df, path: str, codec: str = "deflate") -> None:
+    os.makedirs(path, exist_ok=True)
+    schema = avro_schema_for(df.schema)
+    spark_schema = df.schema
+
+    def _write_partition(batches):
+        import uuid
+
+        import pyarrow as pa
+
+        rows_iter = (
+            tuple(rec.values())
+            for batch in batches
+            for rec in batch.to_pylist()
+        )
+        out = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        with open(out, "wb") as fd:
+            n = write_container(fd, schema, rows_iter, codec=codec)
+        if n == 0:
+            os.remove(out)  # empty partition: no file (header-only noise)
+        yield pa.record_batch([pa.array([n], type=pa.int64())], names=["rows_written"])
+
+    counts = df.mapInArrow(_write_partition, schema="rows_written bigint")
+    total = counts.groupBy().sum("rows_written").collect()[0][0]
+    if not total:
+        # zero-row result: still persist the schema (§7.5(1) discipline)
+        with open(os.path.join(path, "part-empty.avro"), "wb") as fd:
+            write_container(fd, schema, [])
+    _ = spark_schema  # (kept for symmetry/debugging)
+
+
+# ---------------------------------------------------------------------------
+# Spark source: partition-per-file Python DataSource (pyds.py topology)
+# ---------------------------------------------------------------------------
+
+
+def _avro_files(path: str) -> list[str]:
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+    )
+    if not files:
+        raise EngineError(f"no .avro files under {path!r}")
+    return files
+
+
+def _datasource_class():
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _AvroFilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class AvroDirReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def partitions(self):
+            return [_AvroFilePartition(f) for f in _avro_files(self.path)]
+
+        def read(self, partition: "_AvroFilePartition"):
+            with open(partition.path, "rb") as fd:
+                _, rows = read_container(fd)
+            yield from rows
+
+    class AvroDirDataSource(DataSource):
+        """``spark.read.format("avro_dir").option("path", dir)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "avro_dir"
+
+        def schema(self):
+            first = _avro_files(self.options["path"])[0]
+            # header-only probe: stop before any data block
+            with open(first, "rb") as fd:
+                if fd.read(4) != MAGIC:
+                    raise EngineError(f"{first!r}: bad Avro magic")
+                meta = _read_meta_map(io.BytesIO(fd.read(1 << 20)))
+            return spark_schema_for(json.loads(meta["avro.schema"].decode()))
+
+        def reader(self, schema):
+            return AvroDirReader(self.options)
+
+    return AvroDirDataSource
+
+
+def register_avro_source(spark) -> None:
+    """Idempotently register the avro_dir source on a session."""
+    try:
+        spark.dataSource.register(_datasource_class())
+    except Exception:
+        pass  # already registered on this session
+
+
+def read_avro(spark, path: str):
+    register_avro_source(spark)
+    return spark.read.format("avro_dir").option("path", path).load()

@@ -616,7 +616,7 @@ def st10_chained_stream_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -652,10 +652,14 @@ FROM agg
     "final one (st04's append-mode contract must withhold those), "
     "so the oracle is the full gaps-and-islands relation with the "
     "session end extended by the gap — exactly session_window's "
-    "[first_event, last_event + gap) window.  Gap-boundary "
-    "semantics are pinned: an event at exactly start + gap falls "
-    "OUTSIDE the half-open window, so the oracle opens a new "
-    "session when the delta is >= the gap, not >.  100 TB posture: "
+    "[first_event, last_event + gap] window.  Gap-boundary "
+    "semantics are MEASURED, not assumed (r7 property-test find, "
+    "reversing this doc's earlier half-open claim): the state "
+    "store's session merge is closed at the boundary — an event at "
+    "exactly last + gap JOINS the session — so the oracle opens a "
+    "new session only when the delta is strictly > the gap "
+    "(deterministic 29/30/31-min probes pinned in "
+    "tests/test_property_differential.py).  100 TB posture: "
     "state is |open sessions| per user (rate-independent); "
     "production uses append mode + watermark to evict closed "
     "sessions, complete mode here is the bounded-replay gate "

@@ -745,8 +745,12 @@ def test_linear_interpolation_matches_python(spark, obs):
 def test_session_window_matches_python_sessionizer(spark, rows):
     """F.session_window (batch form — same merge semantics as st11's
     streaming run) equals a pure-Python gap sessionizer, pinning the
-    half-open boundary: an event at exactly start + gap begins a NEW
-    session (delta >= gap splits)."""
+    CLOSED boundary: an event at exactly last + gap JOINS the session
+    (only delta > gap splits).  The original version of this test
+    asserted the opposite (>= splits) and hypothesis found the
+    falsifier [(0, 0), (0, 30)] in round 7 — Spark merged them — so
+    the ts03/st11 oracles were flipped to strict > and both queries
+    FORCE_RECHECK'd."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1)
@@ -768,7 +772,7 @@ def test_session_window_matches_python_sessionizer(spark, rows):
         start, last, n = times[0], times[0], 1
         gap = dt.timedelta(minutes=30)
         for t in times[1:]:
-            if t - last >= gap:  # boundary event starts a new session
+            if t - last > gap:  # closed boundary: == gap merges
                 want.append((u, start, last + gap, n))
                 start, n = t, 1
             else:
@@ -776,6 +780,26 @@ def test_session_window_matches_python_sessionizer(spark, rows):
             last = t
         want.append((u, start, last + gap, n))
     assert got == sorted(want)
+
+
+def test_session_window_boundary_is_closed(spark):
+    """Deterministic pin of the r7 find: 29/30/31-minute deltas against
+    a 30-minute gap produce 1/1/2 sessions — the ts03/st11 oracle
+    boundary (strict >) mirrors the engine, measured not assumed."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    for delta_min, want_sessions in ((29, 1), (30, 1), (31, 2)):
+        df = spark.createDataFrame(
+            [(0, base), (0, base + dt.timedelta(minutes=delta_min))],
+            ["user_id", "ts"],
+        )
+        n = (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .count()
+            .count()
+        )
+        assert n == want_sessions, (delta_min, n)
 
 
 @settings(
