@@ -23,60 +23,19 @@ binaries and a real e2e here.
 
 from __future__ import annotations
 
-import os
-import pwd
-import shutil
-import socket
 import subprocess
-import tempfile
-import time as time_mod
-import uuid
+import sys
+from pathlib import Path
 
 import pytest
 
-# ---------------------------------------------------------------------------
-# Local-binary harness
-# ---------------------------------------------------------------------------
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def _pg_binaries_reason() -> str | None:
-    for b in ("initdb", "pg_ctl", "postgres", "psql"):
-        if shutil.which(b) is None:
-            return f"no `{b}` binary on PATH"
-    return None
-
-
-def _run_user() -> list[str] | None:
-    """Command prefix that runs PG as a non-root user, or None if
-    impossible.  PG refuses to run as root; when root, privilege-drop
-    to the ``postgres`` system user via runuser."""
-    if os.geteuid() != 0:
-        return []
-    try:
-        pwd.getpwnam("postgres")
-    except KeyError:
-        return None
-    if shutil.which("runuser") is None:
-        return None
-    return ["runuser", "-u", "postgres", "--"]
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
-def _sql(port: int, sql: str, user: str = "postgres") -> str:
-    p = subprocess.run(
-        ["psql", "-h", "127.0.0.1", "-p", str(port), "-U", user, "-X",
-         "-v", "ON_ERROR_STOP=1", "-At", "-c", sql],
-        capture_output=True,
-        text=True,
-    )
-    if p.returncode != 0:
-        raise RuntimeError(f"psql failed: {p.stderr[-500:]}")
-    return p.stdout.strip()
+from scripts.pg_harness import (  # noqa: E402
+    HarnessUnavailable,
+    local_postgres,
+    psql as _sql_port,
+)
 
 
 SEED_DDL = """
@@ -115,96 +74,14 @@ CREATE TABLE series AS
 
 @pytest.fixture(scope="module")
 def pg_local():
-    """Throwaway local PostgreSQL with TLS + trust/md5/scram auth."""
-    reason = _pg_binaries_reason()
-    if reason:
-        pytest.skip(f"live-PG e2e needs local PostgreSQL binaries: {reason}")
-    prefix = _run_user()
-    if prefix is None:
-        pytest.skip(
-            "running as root with no `postgres` system user / runuser "
-            "to privilege-drop to"
-        )
-    base = tempfile.mkdtemp(prefix="flaco_pg_")
-    data = os.path.join(base, "data")
-    port = _free_port()
+    """Throwaway local PostgreSQL with TLS + trust/md5/scram auth
+    (scripts/pg_harness.py — shared with scripts/bench_wire.py)."""
     try:
-        if prefix:
-            shutil.chown(base, user="postgres")
-        r = subprocess.run(
-            [*prefix, "initdb", "-D", data, "-A", "trust", "-U", "postgres"],
-            capture_output=True,
-            text=True,
-        )
-        if r.returncode != 0:
-            pytest.skip(f"initdb failed: {r.stderr[-300:]}")
-
-        # self-signed TLS cert (CN must exist; hostname is not checked
-        # in verify-ca mode, matching libpq semantics)
-        crt, key = os.path.join(base, "server.crt"), os.path.join(base, "server.key")
-        subprocess.run(
-            ["openssl", "req", "-new", "-x509", "-days", "2", "-nodes",
-             "-subj", "/CN=localhost", "-keyout", key, "-out", crt],
-            check=True,
-            capture_output=True,
-        )
-        os.chmod(key, 0o600)
-        if prefix:
-            shutil.chown(crt, user="postgres")
-            shutil.chown(key, user="postgres")
-
-        with open(os.path.join(data, "postgresql.conf"), "a") as f:
-            f.write(
-                f"\nlisten_addresses = '127.0.0.1'\nport = {port}\n"
-                f"unix_socket_directories = '{base}'\n"
-                f"ssl = on\nssl_cert_file = '{crt}'\nssl_key_file = '{key}'\n"
-            )
-        # first match wins: per-user auth methods, then blanket trust
-        with open(os.path.join(data, "pg_hba.conf"), "w") as f:
-            f.write(
-                "local   all all                trust\n"
-                "host    all scramuser 127.0.0.1/32 scram-sha-256\n"
-                "host    all md5user   127.0.0.1/32 md5\n"
-                "host    all all       127.0.0.1/32 trust\n"
-            )
-
-        r = subprocess.run(
-            [*prefix, "pg_ctl", "-D", data, "-l", os.path.join(base, "log"),
-             "-w", "-t", "60", "start"],
-            capture_output=True,
-            text=True,
-        )
-        if r.returncode != 0:
-            log = ""
-            try:
-                log = open(os.path.join(base, "log")).read()[-300:]
-            except OSError:
-                pass
-            pytest.skip(f"pg_ctl start failed: {r.stderr[-200:]} {log}")
-
-        for _ in range(50):
-            try:
-                _sql(port, "SELECT 1")
-                break
-            except RuntimeError:
-                time_mod.sleep(0.2)
-        else:
-            pytest.skip("local PostgreSQL never became ready")
-
-        _sql(port, "SET password_encryption='scram-sha-256'; "
-                   "CREATE ROLE scramuser LOGIN PASSWORD 'scr@m pw'")
-        _sql(port, "SET password_encryption='md5'; "
-                   "CREATE ROLE md5user LOGIN PASSWORD 'm5pw'")
-        _sql(port, SEED_DDL)
-        _sql(port, "GRANT SELECT ON typed, series TO scramuser, md5user")
-
-        yield {"port": port, "cert": crt, "base": base}
-    finally:
-        subprocess.run(
-            [*(prefix or []), "pg_ctl", "-D", data, "-m", "immediate", "stop"],
-            capture_output=True,
-        )
-        shutil.rmtree(base, ignore_errors=True)
+        with local_postgres(seed_sql=SEED_DDL) as pg:
+            _sql_port(pg["port"], "GRANT SELECT ON typed, series TO scramuser, md5user")
+            yield pg
+    except HarnessUnavailable as exc:
+        pytest.skip(f"live-PG e2e unavailable: {exc}")
 
 
 def _uri(pg, user="postgres", password=None, **params) -> str:
