@@ -620,30 +620,46 @@ def _error_text(body: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _spark_schema_for(fields: list[tuple[str, int]]):
+def _spark_schema_for(fields: list[tuple[str, int]], ds_safe: bool = False):
     from pyspark.sql import types as T
 
     from flaco_spark.typemap import spark_type_for
 
+    def resolve(oid: int):
+        dt = spark_type_for(oid_type_name(oid))
+        # The Python DataSource path rejects Spark 4.1's TimeType
+        # ([UNSUPPORTED_TIME_TYPE]); fall back to the typemap's own
+        # documented older-runtime mapping: µs since midnight as LONG.
+        if ds_safe and hasattr(T, "TimeType") and isinstance(dt, T.TimeType):
+            return T.LongType()
+        return dt
+
     return T.StructType(
-        [
-            T.StructField(name, spark_type_for(oid_type_name(oid)), True)
-            for name, oid in fields
-        ]
+        [T.StructField(name, resolve(oid), True) for name, oid in fields]
     )
 
 
-def _rows_to_arrow(fields: list[tuple[str, int]], rows: list[list[str | None]]):
+def _time_to_micros(t):
+    return ((t.hour * 60 + t.minute) * 60 + t.second) * 1_000_000 + t.microsecond
+
+
+def _rows_to_arrow(
+    fields: list[tuple[str, int]],
+    rows: list[list[str | None]],
+    ds_safe: bool = False,
+):
     """Decode text rows into a pyarrow Table typed per the OID map."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    arrow_schema = to_arrow_schema(_spark_schema_for(fields))
+    arrow_schema = to_arrow_schema(_spark_schema_for(fields, ds_safe=ds_safe))
     names = [name for name, _ in fields]
     type_names = [oid_type_name(oid) for _, oid in fields]
     columns = []
     for i, tname in enumerate(type_names):
         vals = [decode_value(tname, row[i]) for row in rows]
+        if ds_safe and tname in ("time", "timetz"):
+            vals = [None if v is None else _time_to_micros(v) for v in vals]
         columns.append(pa.array(vals, type=arrow_schema.field(i).type))
     return pa.table(dict(zip(names, columns)), schema=arrow_schema)
 
@@ -735,7 +751,7 @@ def _wire_datasource_classes():
             with PgWireConnection(info) as conn:
                 fields, rows = conn.query(stmt)
                 if fields:
-                    table = _rows_to_arrow(fields, rows)
+                    table = _rows_to_arrow(fields, rows, ds_safe=True)
                     yield from table.to_batches(max_chunksize=8192)
 
     class PgWireDataSource(DataSource):
@@ -763,7 +779,7 @@ def _wire_datasource_classes():
                 fields, _ = conn.query(
                     f"SELECT * FROM ({stmt}) flaco_schema_probe LIMIT 0"
                 )
-            return _spark_schema_for(fields)
+            return _spark_schema_for(fields, ds_safe=True)
 
         def reader(self, schema) -> DataSourceReader:
             return PgWireReader(self.options)

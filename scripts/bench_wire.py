@@ -81,11 +81,13 @@ def _spin() -> float:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     out_file = None
-    if "--out" in sys.argv:
-        out_file = sys.argv[sys.argv.index("--out") + 1]
-    row_counts = [int(a) for a in args] or [100_000, 600_000]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_file = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    row_counts = [int(a) for a in argv] or [100_000, 600_000]
 
     import shutil
     import tempfile
