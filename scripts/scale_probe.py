@@ -239,6 +239,11 @@ PROBE = [
     "st14_stream_union",
     "q134_exists_projection",
     "q135_having_subquery",
+    # round-7 addition: the Avro round-trip's pure-Python codec is the
+    # one format leg whose per-row cost lives in Python (mapInArrow
+    # write + DataSource read) — probe it so codec-cost regressions
+    # surface the same way q112's XML text costs do.
+    "q140_avro_roundtrip",
 ]
 
 
