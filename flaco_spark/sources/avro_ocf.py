@@ -447,17 +447,25 @@ def write_avro(df, path: str, codec: str = "deflate") -> None:
         import uuid
 
         import pyarrow as pa
+        from pyspark import TaskContext
 
         rows_iter = (
             tuple(rec.values())
             for batch in batches
             for rec in batch.to_pylist()
         )
-        out = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-        with open(out, "wb") as fd:
+        # Partition-deterministic name + tmp-then-rename (feather.py's
+        # contract): a retried/speculative attempt replaces the file
+        # rather than duplicating the partition's rows.
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = os.path.join(path, f".part-{pid:05d}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as fd:
             n = write_container(fd, schema, rows_iter, codec=codec)
         if n == 0:
-            os.remove(out)  # empty partition: no file (header-only noise)
+            os.remove(tmp)  # empty partition: no file (header-only noise)
+        else:
+            os.replace(tmp, out)
         yield pa.record_batch([pa.array([n], type=pa.int64())], names=["rows_written"])
 
     counts = df.mapInArrow(_write_partition, schema="rows_written bigint")

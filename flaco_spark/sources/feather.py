@@ -45,17 +45,25 @@ def write_feather(df: DataFrame, path: str, single_file: bool = True) -> None:
 
         import pyarrow as pa
         import pyarrow.ipc as ipc
+        from pyspark import TaskContext
 
-        out = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        # Partition-deterministic name + tmp-then-rename: a retried or
+        # speculative task attempt REPLACES the partition's file instead
+        # of adding a duplicate (uuid names would double the data on any
+        # task retry — the sink-level twin of st09's atomic-swap commit).
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.arrow")
+        tmp = os.path.join(path, f".part-{pid:05d}.{uuid.uuid4().hex}.tmp")
         writer = None
         n = 0
         for batch in batches:
             if writer is None:
-                writer = ipc.new_file(out, batch.schema)
+                writer = ipc.new_file(tmp, batch.schema)
             writer.write_batch(batch)
             n += batch.num_rows
         if writer is not None:
             writer.close()
+            os.replace(tmp, out)
         counts = pa.record_batch([pa.array([n], type=pa.int64())], names=["rows_written"])
         yield counts
 

@@ -27,13 +27,19 @@ upgrades the reference on every §7.5 axis:
   opens its OWN server cursor, where the reference is one connection
   on one thread.
 
-Scale posture: rows stream off the socket and are batched into Arrow
-RecordBatches of bounded size; nothing is materialized per-connection
-beyond one batch.  The slow path (text-format parse in Python) is the
-same per-row cost profile as the reference's row loop; for bulk
-extraction at cluster scale the JDBC source (with its jar) remains
-the preferred reader, and :func:`flaco_spark.core.read_sql` picks it
-automatically when present.
+Scale posture: the distributed reader pages every partition through a
+server-side cursor (``DECLARE … FETCH FORWARD fetchSize``,
+:meth:`PgWireConnection.query_paged`), so an executor task holds at
+most ONE page of text rows plus one Arrow batch at a time — a
+degenerate single-partition read of a billion-row table stays flat in
+task memory where the reference materializes the entire result
+(src/lib.rs:75,124).  The driver-side one-shot
+(:func:`wire_query_to_arrow`) deliberately mirrors the reference's
+whole-result shape instead.  The slow path (text-format parse in
+Python) is the same per-row cost profile as the reference's row loop;
+for bulk extraction at cluster scale the JDBC source (with its jar)
+remains the preferred reader, and :func:`flaco_spark.core.read_sql`
+picks it automatically when present.
 """
 
 from __future__ import annotations
@@ -555,6 +561,33 @@ class PgWireConnection:
             raise EngineError(f"server error: {error}")
         return fields, rows
 
+    def query_paged(self, sql: str, fetch_rows: int = 10_000):
+        """Server-cursor paging: yields ``(fields, text_rows)`` chunks of
+        at most ``fetch_rows`` rows.
+
+        This is what keeps the DataSource read path bounded-memory: the
+        cursor lives server-side inside a READ ONLY transaction and each
+        ``FETCH FORWARD`` round-trip delivers one page, so task memory is
+        O(fetch_rows) regardless of partition row count."""
+        if fetch_rows < 1:
+            raise EngineError("fetch_rows must be >= 1")
+        self.query("BEGIN READ ONLY")
+        try:
+            self.query(f"DECLARE flaco_cur NO SCROLL CURSOR FOR {sql}")
+            while True:
+                fields, rows = self.query(
+                    f"FETCH FORWARD {fetch_rows} FROM flaco_cur"
+                )
+                if rows:
+                    yield fields, rows
+                if len(rows) < fetch_rows:
+                    return
+        finally:
+            try:
+                self.query("ROLLBACK")
+            except (EngineError, OSError):
+                pass  # connection is being torn down anyway
+
     def close(self) -> None:
         if self._sock is not None:
             try:
@@ -714,10 +747,13 @@ def _wire_datasource_classes():
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _PgPartition(InputPartition):
-        def __init__(self, uri: str, stmt: str, predicate: str) -> None:
+        def __init__(
+            self, uri: str, stmt: str, predicate: str, fetch_rows: int
+        ) -> None:
             self.uri = uri
             self.stmt = stmt
             self.predicate = predicate
+            self.fetch_rows = fetch_rows
 
     class PgWireReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
@@ -727,30 +763,35 @@ def _wire_datasource_classes():
             self.num_partitions = int(options.get("numpartitions", "1"))
             self.lower = options.get("lowerbound")
             self.upper = options.get("upperbound")
+            self.fetch_rows = int(options.get("fetchsize", "10000"))
 
         def partitions(self):
             if self.partition_column is None or self.num_partitions <= 1:
-                return [_PgPartition(self.uri, self.stmt, "TRUE")]
+                return [_PgPartition(self.uri, self.stmt, "TRUE", self.fetch_rows)]
             preds = range_predicates(
                 self.partition_column,
                 self.num_partitions,
                 int(self.lower),
                 int(self.upper),
             )
-            return [_PgPartition(self.uri, self.stmt, p) for p in preds]
+            return [
+                _PgPartition(self.uri, self.stmt, p, self.fetch_rows)
+                for p in preds
+            ]
 
         def read(self, partition: "_PgPartition"):
-            # Executor-side: this task's OWN server cursor — the
-            # distribution upgrade over the reference's single
-            # connection (src/lib.rs:46).
+            # Executor-side: this task's OWN server cursor, paged with
+            # FETCH FORWARD so task memory is O(fetchSize) — the
+            # distribution + boundedness upgrade over the reference's
+            # single connection materializing everything
+            # (src/lib.rs:46,75,124).
             stmt = (
                 f"SELECT * FROM ({partition.stmt}) flaco_subq "
                 f"WHERE {partition.predicate}"
             )
             info = parse_pg_uri(partition.uri)
             with PgWireConnection(info) as conn:
-                fields, rows = conn.query(stmt)
-                if fields:
+                for fields, rows in conn.query_paged(stmt, partition.fetch_rows):
                     table = _rows_to_arrow(fields, rows, ds_safe=True)
                     yield from table.to_batches(max_chunksize=8192)
 

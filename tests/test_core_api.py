@@ -266,12 +266,22 @@ def test_feather_roundtrip_single_file(spark, simple_table, tmp_path):
 
 
 def test_feather_roundtrip_distributed(spark, simple_table, tmp_path):
+    import os
+
     path = str(tmp_path / "f1_dir")
     write_feather(simple_table.repartition(4), path, single_file=False)
     back = read_feather(spark, path)
     assert back.count() == 10_000
     assert set(back.columns) == {"col1", "col2", "col3"}
     assert _groupby_fingerprint(back) == _groupby_fingerprint(simple_table)
+
+    # retry-idempotent naming: a rewrite replaces partition files in
+    # place (partition-deterministic names, tmp-then-os.replace) — the
+    # behavior a retried or speculative task attempt relies on
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".arrow"))
+    write_feather(simple_table.repartition(4), path, single_file=False)
+    assert sorted(f for f in os.listdir(path) if f.endswith(".arrow")) == parts
+    assert read_feather(spark, path).count() == 10_000
 
 
 # ---- F2: NULLs stay NULL through round-trip (no NaN coercion) -----------
@@ -638,6 +648,14 @@ def test_avro_spark_roundtrip_distributed(spark, tmp_path):
     assert got[500].money == Decimal("500.00")
     assert got[0].d == dt.date(2024, 1, 1)
     assert got[0].ts == dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    # retry-idempotent naming: writing the same frame again REPLACES the
+    # partition files (a retried/speculative task must not duplicate
+    # rows — part names are partition-deterministic, not uuid-fresh)
+    write_avro(df, out)
+    parts2 = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert parts2 == sorted(parts)
+    assert read_avro(spark, out).count() == 1000
 
 
 def test_avro_zero_row_schema_survives(spark, tmp_path):

@@ -322,6 +322,51 @@ def test_wire_partition_predicates_cover_out_of_bounds(spark, pg_local):
     assert df.count() == 5000  # nothing lost
 
 
+def test_wire_cursor_paging_is_bounded(pg_local):
+    """The executor read path pages through a server-side cursor
+    (DECLARE … FETCH FORWARD): every chunk is <= fetch_rows, the union
+    is exact, and an exact-multiple row count does not cost a phantom
+    empty page being yielded."""
+    from flaco_spark.sources.pgwire import PgWireConnection, parse_pg_uri
+
+    with PgWireConnection(parse_pg_uri(_uri(pg_local))) as conn:
+        chunks = list(
+            conn.query_paged("SELECT id FROM series ORDER BY id", fetch_rows=999)
+        )
+        assert [len(rows) for _, rows in chunks] == [999, 999, 999, 999, 999, 5]
+        ids = [int(r[0]) for _, rows in chunks for r in rows]
+        assert ids == list(range(1, 5001))
+
+        # exact multiple: 5000 rows / 1000 per page = 5 non-empty pages
+        chunks = list(
+            conn.query_paged("SELECT id FROM series", fetch_rows=1000)
+        )
+        assert [len(rows) for _, rows in chunks] == [1000] * 5
+
+        # the cursor's transaction must be cleaned up: the connection
+        # still serves fresh queries afterwards
+        _, rows = conn.query("SELECT count(*) FROM series")
+        assert rows == [["5000"]]
+
+
+def test_wire_datasource_fetchsize_option(spark, pg_local):
+    """A fetchSize far below the partition row count changes the paging
+    cadence, never the result."""
+    from flaco_spark.sources.pgwire import register_pgwire_source
+
+    register_pgwire_source(spark)
+    df = (
+        spark.read.format("pgwire")
+        .option("uri", _uri(pg_local))
+        .option("query", "SELECT id FROM series")
+        .option("fetchSize", "137")
+        .load()
+    )
+    got = df.groupBy().agg({"id": "sum", "*": "count"}).collect()[0]
+    assert got["count(1)"] == 5000
+    assert got["sum(id)"] == 5000 * 5001 // 2
+
+
 def test_read_sql_auto_falls_back_to_wire(spark, pg_local, tmp_path):
     """The flaco-parity API end-to-end over the live wire: with no
     PostgreSQL JDBC jar on the classpath, ``read_sql``/
