@@ -946,3 +946,82 @@ def test_g07_fails_fast_on_empty_edges(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
     with pytest.raises(EngineError, match="empty edge set"):
         REGISTRY["g07_hits"].builder(spark, str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF codec: property-based round-trip identity.  The r7 hot-loop
+# rewrite (varint table + inlined emits on encode, bytes-cursor +
+# raw-byte union dispatch on decode) is exactly the kind of change a
+# fixed-fixture test can pass while an edge case regresses — hypothesis
+# walks varint width boundaries (2^13/2^14 table edge, multi-byte
+# continuation), NULL runs, empty strings/bytes, negative unscaled
+# decimals, and block-boundary row counts.
+# ---------------------------------------------------------------------------
+
+_AVRO_PROP_SCHEMA = {
+    "type": "record",
+    "name": "prop",
+    "fields": [
+        {"name": "i", "type": ["null", "long"]},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "by", "type": ["null", "bytes"]},
+        {"name": "dec", "type": ["null", {"type": "bytes",
+         "logicalType": "decimal", "precision": 20, "scale": 3}]},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "b", "type": ["null", "boolean"]},
+    ],
+}
+
+_avro_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    st.one_of(st.none(), st.text(max_size=40)),
+    st.one_of(st.none(), st.binary(max_size=40)),
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-(10**17), max_value=10**17).map(
+            lambda n: __import__("decimal").Decimal(n).scaleb(-3)
+        ),
+    ),
+    st.one_of(st.none(), st.floats(allow_nan=False)),
+    st.one_of(st.none(), st.booleans()),
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(_avro_row, max_size=60),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_rows=st.sampled_from([1, 7, 4096]),
+)
+def test_avro_codec_roundtrip_property(rows, codec, block_rows):
+    import io
+
+    from flaco_spark.sources.avro_ocf import read_container, write_container
+
+    fd = io.BytesIO()
+    n = write_container(
+        fd, _AVRO_PROP_SCHEMA, rows, codec=codec, block_rows=block_rows
+    )
+    assert n == len(rows)
+    fd.seek(0)
+    schema, back = read_container(fd)
+    assert schema == _AVRO_PROP_SCHEMA
+    assert back == [tuple(r) for r in rows]
+
+
+@given(n=st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_avro_zigzag_identity(n):
+    import io
+
+    from flaco_spark.sources.avro_ocf import (
+        _zigzag_decode,
+        _zigzag_encode,
+        _zz_read,
+    )
+
+    enc = _zigzag_encode(n)
+    assert _zigzag_decode(io.BytesIO(enc)) == n
+    val, pos = _zz_read(enc, 0)
+    assert (val, pos) == (n, len(enc))
