@@ -836,6 +836,28 @@ def register_pgwire_source(spark) -> None:
         pass  # already registered on this session
 
 
+def probe_bounds(uri: str, stmt: str, partition_column: str) -> tuple[int, int]:
+    """Planning-time MIN/MAX probe for the partition column — one
+    driver-side aggregate the server answers from an index when one
+    exists.  Spark's JDBC source makes the caller supply bounds by
+    hand (guessing wrong skews every task); here ``lower_bound=None``
+    means "ask the server", the same convenience psql users get from
+    ``\\d``.  Returns a half-open-compatible pair (max+1 upper) so the
+    probed bounds partition the column's full range."""
+    with PgWireConnection(parse_pg_uri(uri)) as conn:
+        fields, rows = conn.query(
+            f"SELECT MIN({partition_column}), MAX({partition_column}) "
+            f"FROM ({stmt}) flaco_bounds_probe"
+        )
+        lo, hi = rows[0]
+        if lo is None or hi is None:
+            raise EngineError(
+                f"cannot auto-probe bounds: {partition_column!r} is all-NULL "
+                "or the query returns no rows — pass bounds explicitly"
+            )
+        return int(lo), int(hi) + 1
+
+
 def read_sql_wire(
     spark,
     uri: str,
@@ -846,14 +868,23 @@ def read_sql_wire(
     upper_bound: int | None = None,
 ):
     """Distributed wire-protocol scan as a DataFrame — the jdbc-free
-    twin of :func:`flaco_spark.core.read_sql` (same signature shape)."""
+    twin of :func:`flaco_spark.core.read_sql` (same signature shape).
+
+    With ``partition_column`` set and bounds omitted, the bounds are
+    auto-probed at plan time (:func:`probe_bounds`)."""
     register_pgwire_source(spark)
     reader = spark.read.format("pgwire").option("uri", uri).option("query", stmt)
     if partition_column is not None:
-        if num_partitions is None or lower_bound is None or upper_bound is None:
+        if num_partitions is None:
             raise EngineError(
-                "partitioned extract needs partition_column, num_partitions, "
-                "lower_bound and upper_bound together"
+                "partitioned extract needs num_partitions with partition_column"
+            )
+        if lower_bound is None and upper_bound is None:
+            lower_bound, upper_bound = probe_bounds(uri, stmt, partition_column)
+        if lower_bound is None or upper_bound is None:
+            raise EngineError(
+                "pass BOTH lower_bound and upper_bound, or NEITHER "
+                "(auto-probe) — a single bound is ambiguous"
             )
         reader = (
             reader.option("partitionColumn", partition_column)

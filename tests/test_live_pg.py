@@ -349,6 +349,47 @@ def test_wire_cursor_paging_is_bounded(pg_local):
         assert rows == [["5000"]]
 
 
+def test_wire_auto_probed_bounds(spark, pg_local):
+    """partition_column with NO bounds auto-probes MIN/MAX at plan time
+    and still covers every row (max+1 upper keeps the range half-open);
+    a single bound is rejected as ambiguous."""
+    import pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.pgwire import read_sql_wire
+
+    df = read_sql_wire(
+        spark,
+        _uri(pg_local),
+        "SELECT id FROM series",
+        partition_column="id",
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = df.groupBy().agg({"id": "sum", "*": "count"}).collect()[0]
+    assert got["count(1)"] == 5000
+    assert got["sum(id)"] == 5000 * 5001 // 2
+
+    with pytest.raises(EngineError, match="ambiguous"):
+        read_sql_wire(
+            spark,
+            _uri(pg_local),
+            "SELECT id FROM series",
+            partition_column="id",
+            num_partitions=4,
+            lower_bound=1,
+        )
+
+    with pytest.raises(EngineError, match="auto-probe"):
+        read_sql_wire(
+            spark,
+            _uri(pg_local),
+            "SELECT id FROM series WHERE id < 0",
+            partition_column="id",
+            num_partitions=4,
+        )
+
+
 def test_wire_datasource_fetchsize_option(spark, pg_local):
     """A fetchSize far below the partition row count changes the paging
     cadence, never the result."""
