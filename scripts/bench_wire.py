@@ -109,10 +109,26 @@ def main() -> int:
                     stmt = "SELECT * FROM bench_wide"
                     leg: dict = {"spin_pre": _spin()}
 
-                    t0 = time.perf_counter()
-                    table = wire_query_to_arrow(uri, stmt)
-                    leg["wire_single_sec"] = round(time.perf_counter() - t0, 3)
-                    assert table.num_rows == rows
+                    # best-of-3 per timed leg (1 untimed warm first):
+                    # single runs drift ±30% on 32 concurrent backends
+                    # (scheduler + PG buffer state) — min over repeats
+                    # is the probe protocol's estimator
+                    import gc
+
+                    wire_query_to_arrow(uri, stmt)  # warm
+                    gc.collect()
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        table = wire_query_to_arrow(uri, stmt)
+                        best = min(best, time.perf_counter() - t0)
+                        assert table.num_rows == rows
+                        # release the table + its 6M python objects
+                        # between reps: a bloated driver heap slows
+                        # every later leg (COW'd python workers)
+                        del table
+                        gc.collect()
+                    leg["wire_single_sec"] = round(best, 3)
 
                     n_parts = 32
                     df = read_sql_wire(
@@ -123,9 +139,12 @@ def main() -> int:
                         upper_bound=rows + 1,
                     )
                     df.count()  # warm (DataSource registration, schema probe)
-                    t0 = time.perf_counter()
-                    got = df.count()
-                    leg["wire_partitioned_sec"] = round(time.perf_counter() - t0, 3)
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        got = df.count()
+                        best = min(best, time.perf_counter() - t0)
+                    leg["wire_partitioned_sec"] = round(best, 3)
                     leg["partitions"] = n_parts
                     assert got == rows
 

@@ -322,10 +322,11 @@ def test_wire_partition_predicates_cover_out_of_bounds(spark, pg_local):
     assert df.count() == 5000  # nothing lost
 
 
-def test_wire_cursor_paging_is_bounded(pg_local):
-    """The executor read path pages through a server-side cursor
-    (DECLARE … FETCH FORWARD): every chunk is <= fetch_rows, the union
-    is exact, and an exact-multiple row count does not cost a phantom
+def test_wire_portal_paging_is_bounded(pg_local):
+    """The executor read path pages through a server-side portal
+    (extended protocol, Execute(max_rows=fetch_rows), binary results):
+    every chunk is <= fetch_rows, values arrive decoded, the union is
+    exact, and an exact-multiple row count does not cost a phantom
     empty page being yielded."""
     from flaco_spark.sources.pgwire import PgWireConnection, parse_pg_uri
 
@@ -334,8 +335,8 @@ def test_wire_cursor_paging_is_bounded(pg_local):
             conn.query_paged("SELECT id FROM series ORDER BY id", fetch_rows=999)
         )
         assert [len(rows) for _, rows in chunks] == [999, 999, 999, 999, 999, 5]
-        ids = [int(r[0]) for _, rows in chunks for r in rows]
-        assert ids == list(range(1, 5001))
+        ids = [r[0] for _, rows in chunks for r in rows]
+        assert ids == list(range(1, 5001))  # binary decode: real ints
 
         # exact multiple: 5000 rows / 1000 per page = 5 non-empty pages
         chunks = list(
@@ -343,10 +344,63 @@ def test_wire_cursor_paging_is_bounded(pg_local):
         )
         assert [len(rows) for _, rows in chunks] == [1000] * 5
 
-        # the cursor's transaction must be cleaned up: the connection
-        # still serves fresh queries afterwards
+        # abandoned mid-iteration: the finally-Sync must leave the
+        # connection reusable
+        gen = conn.query_paged("SELECT id FROM series", fetch_rows=10)
+        next(gen)
+        gen.close()
+
+        # portal state cleaned up: fresh simple queries still work
         _, rows = conn.query("SELECT count(*) FROM series")
         assert rows == [["5000"]]
+
+
+def test_wire_binary_text_paths_agree(pg_local):
+    """Differential: the binary extended path (wire_query_to_arrow →
+    query_paged) and the simple-query text path (_rows_to_arrow over
+    conn.query) must produce IDENTICAL Arrow tables over every OID arm
+    — including NaN floats, exact NUMERIC, tz normalization, intervals
+    and arrays."""
+    from flaco_spark.sources.pgwire import (
+        PgWireConnection,
+        _rows_to_arrow,
+        parse_pg_uri,
+        wire_query_to_arrow,
+    )
+
+    stmt = "SELECT * FROM typed ORDER BY id"
+    t_bin = wire_query_to_arrow(_uri(pg_local), stmt)
+    with PgWireConnection(parse_pg_uri(_uri(pg_local))) as conn:
+        fields, rows = conn.query(stmt)
+        t_txt = _rows_to_arrow(fields, rows)
+    assert t_bin.schema == t_txt.schema
+    # NaN != NaN under Arrow equals; compare via pylist with math.isnan
+    import math
+
+    for c in t_bin.column_names:
+        a, b = t_bin[c].to_pylist(), t_txt[c].to_pylist()
+        for x, y in zip(a, b):
+            if isinstance(x, float) and math.isnan(x):
+                assert math.isnan(y), c
+            else:
+                assert x == y, (c, x, y)
+
+
+def test_wire_timetz_text_fallback(pg_local):
+    """timetz has no binary decoder: the Bind must request text format
+    for THAT column only (binary for the rest), and the decoded value
+    still normalizes to UTC."""
+    import datetime as dt
+
+    from flaco_spark.sources.pgwire import wire_query_to_arrow
+
+    t = wire_query_to_arrow(
+        _uri(pg_local),
+        "SELECT 1::int8 AS i, '12:30:00+02'::timetz AS tt",
+    )
+    rows = t.to_pylist()
+    assert rows[0]["i"] == 1
+    assert rows[0]["tt"] == dt.time(10, 30, 0)
 
 
 def test_wire_auto_probed_bounds(spark, pg_local):
