@@ -35,8 +35,6 @@ ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 from flaco_spark.inventory import (  # noqa: E402
-    FORCE_RECHECK,
-    SOFT_RECHECK,
     _last_green_round,
     load_inventory,
 )
@@ -144,17 +142,24 @@ def main() -> int:
         elif old != cur:
             stale.append((name, rnd, "builder source changed since green row"))
 
+    # "queued" means the pin is ACTIVE: a pin already satisfied by a
+    # green row in a round >= its pin round no longer rotates the
+    # query forward, so a stale green behind such a pin counts as
+    # unqueued (it needs a NEW pin with the current round number).
+    from flaco_spark.inventory import active_pins
+
+    force_active, soft_active = active_pins(seen)
     for name, rnd, why in stale:
         queued = (
             "FORCE_RECHECK"
-            if name in FORCE_RECHECK
+            if name in force_active
             else "SOFT_RECHECK"
-            if name in SOFT_RECHECK
+            if name in soft_active
             else "NOT QUEUED"
         )
         print(f"stale: {name} (green r{rnd}) — {why} [{queued}]")
     unqueued = [
-        n for n, _, _ in stale if n not in FORCE_RECHECK and n not in SOFT_RECHECK
+        n for n, _, _ in stale if n not in force_active and n not in soft_active
     ]
     n_green = len([n for n in registry if n in seen])
     print(

@@ -480,56 +480,43 @@ def test_rotation_ordering_invariants():
         load_inventory,
     )
 
+    from flaco_spark.inventory import active_pins
+
     order = list(load_inventory())
     seen = _last_green_round()
     pos = {n: i for i, n in enumerate(order)}
     reg_idx = {n: i for i, n in enumerate(REGISTRY)}
+    force_active, soft_active = active_pins(seen)
 
-    # A pin must be removed once it earns its FRESH green row (the r6
-    # judge's "rotation footgun"): post-green members would outrank
-    # the never-checked backlog and silently burn driver slots.  A pin
-    # is satisfied exactly when its builder source is UNCHANGED since
-    # its green round's snapshot — the staleness audit's own test (a
-    # green row older than the rewrite, like q45's r1 row, keeps the
-    # pin legitimate).
-    import ast
-    import inspect
-    import subprocess
-    from pathlib import Path
+    # Pins are SELF-RETIRING (the r6 judge's "rotation footgun" made
+    # structurally impossible): each pin records the round it was set,
+    # and a green row in a round >= that retires it.  A retired pin
+    # must rank like an ordinary green/never row, NOT ahead of the
+    # never-checked backlog.
+    for n, since in FORCE_RECHECK.items():
+        if seen.get(n, -1) >= since:
+            assert n not in force_active
+            never_idx = [
+                pos[m] for m in order if m not in seen and m not in force_active
+            ]
+            if never_idx:
+                assert pos[n] > max(never_idx), (
+                    f"retired pin {n} still outranks never-checked names"
+                )
+    # every ACTIVE pin round must be a real round (sanity: ints >= 1)
+    for d in (FORCE_RECHECK, SOFT_RECHECK):
+        assert all(isinstance(v, int) and v >= 1 for v in d.values())
 
-    from scripts.staleness_report import ROOT, fn_source, snapshot_commits
-
-    snaps = snapshot_commits()
-    satisfied = []
-    for n in FORCE_RECHECK:
-        if n not in seen or seen[n] not in snaps:
-            continue
-        fn = load_inventory()[n].builder
-        file = Path(inspect.getsourcefile(fn)).resolve()
-        cur_src = file.read_text()
-        cur = fn_source(ast.parse(cur_src), cur_src, fn.__name__)
-        old_blob = subprocess.run(
-            ["git", "show", f"{snaps[seen[n]]}:{file.relative_to(ROOT)}"],
-            cwd=ROOT,
-            capture_output=True,
-            text=True,
-        )
-        if old_blob.returncode != 0:
-            continue
-        old = fn_source(ast.parse(old_blob.stdout), old_blob.stdout, fn.__name__)
-        if old == cur:
-            satisfied.append(n)
-    assert not satisfied, f"satisfied FORCE_RECHECK pins must be dropped: {satisfied}"
-    if FORCE_RECHECK:
-        forced = [pos[n] for n in FORCE_RECHECK]
-        rest = [i for n, i in pos.items() if n not in FORCE_RECHECK]
+    if force_active:
+        forced = [pos[n] for n in force_active]
+        rest = [i for n, i in pos.items() if n not in force_active]
         assert max(forced) < min(rest)
 
-    never = [n for n in order if n not in seen and n not in FORCE_RECHECK]
+    never = [n for n in order if n not in seen and n not in force_active]
     green = [
         n
         for n in order
-        if n in seen and n not in FORCE_RECHECK and n not in SOFT_RECHECK
+        if n in seen and n not in force_active and n not in soft_active
     ]
     if never and green:
         assert max(pos[n] for n in never) < min(pos[n] for n in green)
@@ -545,7 +532,7 @@ def test_rotation_ordering_invariants():
         idxs = [reg_idx[n] for n in tier]
         assert idxs == sorted(idxs), "never-checked tier violates registry order"
     # soft rechecks sit between never-checked and ordinary greens
-    for n in SOFT_RECHECK:
+    for n in soft_active:
         if never:
             assert pos[n] > max(pos[m] for m in never)
         if green:
@@ -553,6 +540,16 @@ def test_rotation_ordering_invariants():
     # greens rotate oldest-first
     rounds = [seen[n] for n in green]
     assert rounds == sorted(rounds), "green queries must sort stalest-first"
+
+    # retirement is a pure function of CORRECTNESS history: simulate
+    # every pin earning a green row in its own pin round — all pins
+    # must deactivate and the ordering must collapse to the plain
+    # never/soft-free shape
+    sim_seen = dict(seen)
+    for n, since in {**FORCE_RECHECK, **SOFT_RECHECK}.items():
+        sim_seen[n] = max(sim_seen.get(n, -1), since)
+    f2, s2 = active_pins(sim_seen)
+    assert not f2 and not s2, "pins must self-retire on a fresh green row"
 
 
 # ---------------------------------------------------------------------------
