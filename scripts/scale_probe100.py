@@ -59,14 +59,17 @@ PROBE_100X = [
     "g07_hits",
 ]
 
-# q112 runtime cap (VERDICT r5 task 7): XML text serialization is
-# MEASURED linear (SCALE_PROBE_r05: 110.2 s at 100x, 10.7x/decade) —
-# re-proving a known-linear pure-I/O cost at full probe scale burns
-# ~2 min per run and would burn ~20 at a future 1000x.  The standing
-# probe therefore runs q112 on a bounded 10-copy shard and
-# extrapolates linearly; the row records both the measured shard time
-# and the extrapolation so the cap is visible, never silent.
-Q112_SHARD_COPIES = 10
+# Format-ingest runtime cap (VERDICT r5 task 7): per-row text/codec
+# serialization is MEASURED linear (q112: SCALE_PROBE_r05 110.2 s at
+# 100x, 10.7x/decade) — re-proving a known-linear pure-I/O cost at
+# full probe scale burns ~2 min per run and would burn ~20 at a
+# future 1000x.  The standing probe therefore runs these rows on a
+# bounded 10-copy shard and extrapolates linearly; each row records
+# both the measured shard time and the extrapolation so the cap is
+# visible, never silent.  r7 adds q140: the Avro round-trip's pure-
+# Python codec is the same per-row cost class as q112's XML text.
+SHARD_COPIES = 10
+SHARDED = ["q112_xml_roundtrip", "q140_avro_roundtrip"]
 
 
 def _spin() -> float:
@@ -138,14 +141,14 @@ def main() -> int:
     ref10 = _newest_10x_baseline(root)
 
     out = tempfile.mkdtemp(prefix="flaco_scale100_")
-    shard = tempfile.mkdtemp(prefix="flaco_scale_q112_")
+    shard = tempfile.mkdtemp(prefix="flaco_scale_shard_")
     try:
         # Materialize both fixtures in one throwaway session, then
         # stop it — measurements never share a session with the build.
         spark = get_session(app_name="scale_probe_100x_build")
         t0 = time.perf_counter()
         materialize(spark, base, out, copies=100, n_files=32)
-        materialize(spark, base, shard, copies=Q112_SHARD_COPIES, n_files=32)
+        materialize(spark, base, shard, copies=SHARD_COPIES, n_files=32)
         build_s = round(time.perf_counter() - t0, 1)
         spark.stop()
         print(f"# materialized 100x + shard tables in {build_s}s", file=sys.stderr)
@@ -174,32 +177,33 @@ def main() -> int:
                 file=sys.stderr,
             )
 
-        # Bounded q112 shard (see Q112_SHARD_COPIES note above);
+        # Bounded format-ingest shards (see SHARD_COPIES note above);
         # warm run so the extrapolation scales the data term, not
         # the session warm-up.
-        times, rows, probes = _timed_run(
-            "q112_xml_roundtrip", shard, "probe100_q112", runs=2
-        )
-        sec = min(times)
-        factor = 100 // Q112_SHARD_COPIES
-        row = {
-            "sec_shard": sec,
-            "shard_copies": Q112_SHARD_COPIES,
-            "sec": round(sec * factor, 2),
-            "extrapolated": True,
-            "rows": rows,
-            "spin": probes,
-        }
-        base10 = (ref10.get("q112_xml_roundtrip") or {}).get("sec")
-        if base10:
-            row["sec_10x"] = base10
-            row["growth_vs_10x"] = round(row["sec"] / base10, 2)
-        results["q112_xml_roundtrip"] = row
-        print(
-            f"# q112_xml_roundtrip: {sec:.2f}s on {Q112_SHARD_COPIES}x shard "
-            f"(-> {row['sec']:.2f}s linear-extrapolated 100x)",
-            file=sys.stderr,
-        )
+        for name in SHARDED:
+            times, rows, probes = _timed_run(
+                name, shard, f"probe100_{name}", runs=2
+            )
+            sec = min(times)
+            factor = 100 // SHARD_COPIES
+            row = {
+                "sec_shard": sec,
+                "shard_copies": SHARD_COPIES,
+                "sec": round(sec * factor, 2),
+                "extrapolated": True,
+                "rows": rows,
+                "spin": probes,
+            }
+            base10 = (ref10.get(name) or {}).get("sec")
+            if base10:
+                row["sec_10x"] = base10
+                row["growth_vs_10x"] = round(row["sec"] / base10, 2)
+            results[name] = row
+            print(
+                f"# {name}: {sec:.2f}s on {SHARD_COPIES}x shard "
+                f"(-> {row['sec']:.2f}s linear-extrapolated 100x)",
+                file=sys.stderr,
+            )
 
         line = json.dumps(
             {
