@@ -157,8 +157,10 @@ def main() -> int:
         for name in PROBE_100X:
             # g02 records cold AND warm (VERDICT r6 task 5): its scan
             # dominates, so the cold number measures page-cache state,
-            # the warm one the plan — growth is judged on warm.
-            runs = 2 if name == "g02_triangle_count" else 1
+            # the warm one the plan — growth is judged on warm.  g07
+            # joined in r7: back-to-back quiet-host runs read 35.8 s
+            # vs 16.3 s cold / 13.4 s warm — the same I/O bistability.
+            runs = 2 if name in ("g02_triangle_count", "g07_hits") else 1
             times, rows, probes = _timed_run(name, out, f"probe100_{name}", runs=runs)
             sec = times[-1] if runs > 1 else times[0]
             row: dict = {"sec": sec, "rows": rows, "spin": probes}
