@@ -355,6 +355,30 @@ def test_wire_portal_paging_is_bounded(pg_local):
         assert rows == [["5000"]]
 
 
+def test_wire_paging_midstream_error_surfaces_and_recovers(pg_local):
+    """A server error AFTER rows have already streamed (division by
+    zero at row 2500) must raise EngineError — not truncate silently —
+    and the finally-Sync must leave the connection reusable."""
+    import pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.pgwire import PgWireConnection, parse_pg_uri
+
+    with PgWireConnection(parse_pg_uri(_uri(pg_local))) as conn:
+        got = 0
+        # no ORDER BY: a sort would materialize (and fail) before the
+        # first row ships; a streaming seqscan errors mid-portal
+        with pytest.raises(EngineError, match="division by zero"):
+            for _, rows in conn.query_paged(
+                "SELECT 1000 / (id - 2500) FROM series",
+                fetch_rows=500,
+            ):
+                got += len(rows)
+        assert got >= 500  # at least one page streamed before the poison
+        _, rows = conn.query("SELECT count(*) FROM series")
+        assert rows == [["5000"]]  # connection recovered
+
+
 def test_wire_binary_text_paths_agree(pg_local):
     """Differential: the binary extended path (wire_query_to_arrow →
     query_paged) and the simple-query text path (_rows_to_arrow over
