@@ -39,12 +39,15 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import zlib
 from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 
 from flaco_spark.errors import EngineError
+
+_AVRO_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 MAGIC = b"Obj\x01"
 _EPOCH_DATE = date(1970, 1, 1)
@@ -142,12 +145,26 @@ def avro_schema_for(spark_schema, name: str = "flaco_row") -> dict:
             }
         if isinstance(dt, T.DateType):
             return {"type": "int", "logicalType": "date"}
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(dt, T.TimestampType):
+            # Instant semantics (Avro spec / spark-avro parity).
             return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            # Wall-clock semantics: local-timestamp-micros, so Java /
+            # spark-avro consumers do not reinterpret NTZ as UTC.
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
         raise EngineError(
             f"avro_ocf supports flat analytics rows only; no mapping for {dt}"
         )
 
+    for f in spark_schema.fields:
+        # Avro name grammar ([A-Za-z_][A-Za-z0-9_]*): a column like
+        # ``sum(x)`` would write a container our reader accepts but
+        # the Java reference reader rejects — fail at write time.
+        if not _AVRO_NAME_RE.match(f.name):
+            raise EngineError(
+                f"column name {f.name!r} is not a valid Avro field name "
+                "([A-Za-z_][A-Za-z0-9_]*); alias it before writing Avro"
+            )
     return {
         "type": "record",
         "name": name,
@@ -176,6 +193,8 @@ def spark_schema_for(avro_schema: dict):
             if lt == "date":
                 return T.DateType(), False
             if lt in ("timestamp-micros", "timestamp-millis"):
+                return T.TimestampType(), False
+            if lt in ("local-timestamp-micros", "local-timestamp-millis"):
                 return T.TimestampNTZType(), False
             return branch(t["type"])
         prim = {
@@ -227,13 +246,28 @@ def _encoder_for(ftype: dict | str):
             scale = ftype.get("scale", 0)
 
             def enc_dec(out, v):
-                # v is already a Decimal off Arrow; scaleb is exact
-                q = v.scaleb(scale) if isinstance(v, Decimal) else Decimal(v).scaleb(scale)
-                unscaled = int(q)
-                if q != unscaled:
-                    raise EngineError(
-                        f"decimal {v} does not fit scale {scale} losslessly"
-                    )
+                # Exact integer scaling via as_tuple: scaleb under the
+                # default 28-digit context silently ROUNDS >28-digit
+                # values before any lossless guard can fire (Spark
+                # decimals go to 38 digits), corrupting the unscaled
+                # bytes. coeff * 10^(exp+scale) never touches context.
+                if not isinstance(v, Decimal):
+                    v = Decimal(v)
+                sign, digits, exp = v.as_tuple()
+                if not isinstance(exp, int):
+                    raise EngineError(f"non-finite decimal {v} is not encodable")
+                coeff = int("".join(map(str, digits)))
+                shift = exp + scale
+                if shift >= 0:
+                    unscaled = coeff * 10**shift
+                else:
+                    unscaled, rem = divmod(coeff, 10 ** -shift)
+                    if rem:
+                        raise EngineError(
+                            f"decimal {v} does not fit scale {scale} losslessly"
+                        )
+                if sign:
+                    unscaled = -unscaled
                 b = unscaled.to_bytes(
                     (unscaled.bit_length() + 8) // 8 or 1, "big", signed=True
                 )
@@ -243,7 +277,7 @@ def _encoder_for(ftype: dict | str):
             return enc_dec
         if lt == "date":
             return lambda out, v: out.__iadd__(zz(v.toordinal() - _EPOCH_ORDINAL))
-        if lt == "timestamp-micros":
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
             epoch_naive = _EPOCH_DT.replace(tzinfo=None)
 
             def enc_ts(out, v):
@@ -317,7 +351,10 @@ def _decoder_for(ftype: dict | str):
                 n, pos = zzr(data, pos)
                 end = pos + n
                 unscaled = int.from_bytes(data[pos:end], "big", signed=True)
-                return Decimal(unscaled).scaleb(-scale), end
+                # Tuple construction is context-free (exact at any
+                # precision); scaleb would re-round >28-digit values.
+                sign, digits, _ = Decimal(unscaled).as_tuple()
+                return Decimal((sign, digits, -scale)), end
 
             return dec_dec
         if lt == "date":
@@ -328,13 +365,21 @@ def _decoder_for(ftype: dict | str):
                 return fromordinal(_EPOCH_ORDINAL + days), pos
 
             return dec_date
-        if lt in ("timestamp-micros", "timestamp-millis"):
-            unit = 1 if lt == "timestamp-micros" else 1000
-            epoch_naive = _EPOCH_DT.replace(tzinfo=None)
+        if lt in (
+            "timestamp-micros",
+            "timestamp-millis",
+            "local-timestamp-micros",
+            "local-timestamp-millis",
+        ):
+            unit = 1000 if lt.endswith("millis") else 1
+            # Instant types decode tz-aware (UTC) so the Arrow batch
+            # build is unambiguous for TimestampType; local-* stays
+            # naive wall-clock for TimestampNTZType.
+            epoch = _EPOCH_DT.replace(tzinfo=None) if lt.startswith("local") else _EPOCH_DT
 
             def dec_ts(data, pos):
                 n, pos = zzr(data, pos)
-                return epoch_naive + timedelta(microseconds=n * unit), pos
+                return epoch + timedelta(microseconds=n * unit), pos
 
             return dec_ts
         return _decoder_for(ftype["type"])

@@ -331,6 +331,12 @@ def _bdec_numeric(b: bytes):
     nd, weight, sign, dscale = struct.unpack_from("!hhHH", b, 0)
     if sign == 0xC000:
         return None  # NaN — same documented divergence as the text path
+    if sign in (0xD000, 0xF000):
+        # PG 14+ numeric +/-Infinity (nd=0): map to None like the text
+        # path maps 'Infinity', instead of silently decoding as 0.
+        return None
+    if sign not in (0x0000, 0x4000):
+        raise EngineError(f"unknown numeric sign word 0x{sign:04X}")
     digits = struct.unpack_from(f"!{nd}h", b, 8) if nd else ()
     num = 0
     for d in digits:
@@ -346,7 +352,10 @@ def _bdec_numeric(b: bytes):
         unscaled = q
     if sign == 0x4000:
         unscaled = -unscaled
-    return Decimal(unscaled).scaleb(-dscale)
+    # Tuple construction is context-free: scaleb under the default
+    # 28-digit context would silently round >28-digit numerics.
+    dsign, ddigits, _ = Decimal(unscaled).as_tuple()
+    return Decimal((dsign, ddigits, -dscale))
 
 
 def _bdec_date(b: bytes):
@@ -1099,6 +1108,12 @@ def _wire_datasource_classes():
         def partitions(self):
             if self.partition_column is None or self.num_partitions <= 1:
                 return [_PgPartition(self.uri, self.stmt, "TRUE", self.fetch_rows)]
+            if self.lower is None or self.upper is None:
+                # Match read_sql_wire: plan-time MIN/MAX probe instead
+                # of an opaque executor-side TypeError on int(None).
+                self.lower, self.upper = probe_bounds(
+                    self.uri, self.stmt, self.partition_column
+                )
             preds = range_predicates(
                 self.partition_column,
                 self.num_partitions,

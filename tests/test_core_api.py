@@ -583,12 +583,18 @@ def test_avro_pure_codec_roundtrip():
              "logicalType": "timestamp-micros"}]},
         ],
     }
+    from datetime import timezone as _tz
+
+    # timestamp-micros is INSTANT-typed (r8 spec fix): values are
+    # tz-aware UTC on both sides of the codec.
     rows = [
         (1, "üñí", 2.25, True, b"\x00\x01", Decimal("1234567890123.45"),
-         date(2024, 3, 1), datetime(2024, 3, 1, 6, 15, 30, 123456)),
+         date(2024, 3, 1),
+         datetime(2024, 3, 1, 6, 15, 30, 123456, tzinfo=_tz.utc)),
         (None,) * 8,
         (-9007199254740993, "x", float("nan"), False, b"", Decimal("-0.01"),
-         date(1969, 12, 31), datetime(1969, 12, 31, 23, 59, 59, 999999)),
+         date(1969, 12, 31),
+         datetime(1969, 12, 31, 23, 59, 59, 999999, tzinfo=_tz.utc)),
     ]
     for codec in ("null", "deflate"):
         fd = io.BytesIO()
@@ -625,6 +631,7 @@ def test_avro_spark_roundtrip_distributed(spark, tmp_path):
             F.col("id").cast("decimal(12,2)").alias("money"),
             F.to_date(F.lit("2024-01-01")).alias("d"),
             F.to_timestamp(F.lit("2024-01-01 12:00:00")).alias("ts"),
+            F.lit("2024-01-01 12:00:00").cast("timestamp_ntz").alias("ts_ntz"),
         )
     )
     out = str(tmp_path / "avro_out")
@@ -635,8 +642,13 @@ def test_avro_spark_roundtrip_distributed(spark, tmp_path):
     assert len(parts) == 4  # one container file per partition
     back = read_avro(spark, out)
     assert back.rdd.getNumPartitions() == 4  # one task per file
+    # r8: TimestampType round-trips as TimestampType (timestamp-micros,
+    # instant semantics) and NTZ as NTZ (local-timestamp-micros) — the
+    # r7 mapping collapsed both to timestamp_ntz, diverging from
+    # spark-avro and the Avro spec.
     assert [f.dataType.simpleString() for f in back.schema.fields] == [
-        "bigint", "string", "double", "decimal(12,2)", "date", "timestamp_ntz",
+        "bigint", "string", "double", "decimal(12,2)", "date", "timestamp",
+        "timestamp_ntz",
     ]
     got = {r.id: r for r in back.collect()}
     assert len(got) == 1000
@@ -645,6 +657,7 @@ def test_avro_spark_roundtrip_distributed(spark, tmp_path):
     assert got[500].money == Decimal("500.00")
     assert got[0].d == dt.date(2024, 1, 1)
     assert got[0].ts == dt.datetime(2024, 1, 1, 12, 0, 0)
+    assert got[0].ts_ntz == dt.datetime(2024, 1, 1, 12, 0, 0)
 
     # retry-idempotent naming: writing the same frame again REPLACES the
     # partition files (a retried/speculative task must not duplicate
@@ -836,3 +849,85 @@ def test_avro_rejects_nested_types(spark):
     df = spark.range(1).selectExpr("array(id) AS a")
     with _pytest.raises(EngineError, match="flat analytics rows"):
         avro_schema_for(df.schema)
+
+
+def test_avro_decimal_full_precision_exact():
+    """r8 ADVICE(high): >28-significant-digit decimals must round-trip
+    bit-exact. The r7 codec used Decimal.scaleb under the default
+    28-digit context, which silently ROUNDED the value before the
+    lossless guard could fire (Spark supports precision up to 38)."""
+    import io
+    from decimal import Decimal
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.avro_ocf import read_container, write_container
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "dec", "type": ["null", {"type": "bytes",
+             "logicalType": "decimal", "precision": 38, "scale": 9}]},
+        ],
+    }
+    vals = [
+        Decimal("12345678901234567890123456789.123456789"),  # the ADVICE repro
+        Decimal("-99999999999999999999999999999.999999999"),
+        Decimal("0.000000001"),
+        Decimal("1E+28"),  # positive exponent form, 29 digits at scale 9
+    ]
+    fd = io.BytesIO()
+    write_container(fd, schema, [(v,) for v in vals])
+    fd.seek(0)
+    _, back = read_container(fd)
+    assert [r[0] for r in back] == vals
+
+    # the lossless guard must FIRE (not silently round) when the value
+    # genuinely does not fit the declared scale
+    with pytest.raises(EngineError, match="losslessly"):
+        fd2 = io.BytesIO()
+        write_container(fd2, schema, [(Decimal("1.0000000001"),)])
+
+    # non-finite decimals are rejected, not encoded as garbage
+    with pytest.raises(EngineError, match="non-finite"):
+        fd3 = io.BytesIO()
+        write_container(fd3, schema, [(Decimal("Infinity"),)])
+
+
+def test_avro_rejects_invalid_field_names(spark):
+    """r8 ADVICE(low): names outside Avro's grammar (e.g. ``sum(x)``)
+    would write containers the Java reference reader rejects — fail at
+    schema-build time instead."""
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.avro_ocf import avro_schema_for
+
+    df = spark.range(1).selectExpr("sum(id)")  # column literally named sum(id)
+    with pytest.raises(EngineError, match="valid Avro field name"):
+        avro_schema_for(df.schema)
+    df2 = spark.range(1).selectExpr("id AS `my-col`")
+    with pytest.raises(EngineError, match="valid Avro field name"):
+        avro_schema_for(df2.schema)
+    # leading digit
+    df3 = spark.range(1).selectExpr("id AS `1st`")
+    with pytest.raises(EngineError, match="valid Avro field name"):
+        avro_schema_for(df3.schema)
+
+
+def test_avro_timestamp_logical_types_follow_spec():
+    """r8 ADVICE(low): TimestampType <-> timestamp-micros (instant),
+    TimestampNTZType <-> local-timestamp-micros (wall-clock), matching
+    spark-avro; the schema mapping is the interop contract."""
+    from pyspark.sql import types as T
+
+    from flaco_spark.sources.avro_ocf import avro_schema_for, spark_schema_for
+
+    st = T.StructType([
+        T.StructField("a", T.TimestampType()),
+        T.StructField("b", T.TimestampNTZType()),
+    ])
+    avro = avro_schema_for(st)
+    lts = {f["name"]: f["type"][1]["logicalType"] for f in avro["fields"]}
+    assert lts == {"a": "timestamp-micros", "b": "local-timestamp-micros"}
+    back = spark_schema_for(avro)
+    assert isinstance(back.fields[0].dataType, T.TimestampType)
+    assert isinstance(back.fields[1].dataType, T.TimestampNTZType)

@@ -966,7 +966,7 @@ _AVRO_PROP_SCHEMA = {
         {"name": "s", "type": ["null", "string"]},
         {"name": "by", "type": ["null", "bytes"]},
         {"name": "dec", "type": ["null", {"type": "bytes",
-         "logicalType": "decimal", "precision": 20, "scale": 3}]},
+         "logicalType": "decimal", "precision": 38, "scale": 3}]},
         {"name": "d", "type": ["null", "double"]},
         {"name": "b", "type": ["null", "boolean"]},
     ],
@@ -978,8 +978,11 @@ _avro_row = st.tuples(
     st.one_of(st.none(), st.binary(max_size=40)),
     st.one_of(
         st.none(),
-        st.integers(min_value=-(10**17), max_value=10**17).map(
-            lambda n: __import__("decimal").Decimal(n).scaleb(-3)
+        # Full Spark precision 38 (>28 digits breaks context-bound
+        # scaleb arithmetic — the r7 ADVICE defect); string construction
+        # is context-free so the strategy itself stays exact.
+        st.integers(min_value=-(10**38 - 1), max_value=10**38 - 1).map(
+            lambda n: __import__("decimal").Decimal(f"{n}E-3")
         ),
     ),
     st.one_of(st.none(), st.floats(allow_nan=False)),

@@ -230,3 +230,50 @@ def test_pgwire_range_predicates_partition_not_filter():
     # stride never collapses to zero on tiny ranges
     tiny = range_predicates("id", 8, 0, 4)
     assert len(tiny) == 8
+
+
+def test_pgwire_binary_numeric_decode():
+    """r8 ADVICE(medium): PG 14+ numeric +/-Infinity sign words
+    (0xD000/0xF000, nd=0) must decode to None (matching the text path's
+    'Infinity' -> None divergence), not fall through the positive branch
+    as Decimal 0; unknown sign words raise. Also: >28-digit numerics
+    decode exactly (context-free construction, not scaleb)."""
+    import struct
+    from decimal import Decimal
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.pgwire import _bdec_numeric
+
+    def payload(digits, weight, sign, dscale):
+        return struct.pack("!hhHH", len(digits), weight, sign, dscale) + (
+            struct.pack(f"!{len(digits)}h", *digits) if digits else b""
+        )
+
+    # 12345.6789 = digits [1,2345,6789] base-10000, weight 1, dscale 4
+    assert _bdec_numeric(payload([1, 2345, 6789], 1, 0x0000, 4)) == Decimal(
+        "12345.6789"
+    )
+    assert _bdec_numeric(payload([42], 0, 0x4000, 0)) == Decimal("-42")
+    assert _bdec_numeric(payload([], 0, 0xC000, 0)) is None  # NaN
+    assert _bdec_numeric(payload([], 0, 0xD000, 0)) is None  # +Infinity
+    assert _bdec_numeric(payload([], 0, 0xF000, 0)) is None  # -Infinity
+    import pytest
+    with pytest.raises(EngineError, match="sign word"):
+        _bdec_numeric(payload([], 0, 0xA000, 0))
+
+    # 38 significant digits survive exactly (scaleb would round at 28).
+    # Build base-10000 groups on a 4-digit grid: scale the unscaled int
+    # to 12 fractional digits so the decimal point lands on a group
+    # boundary (PG itself pads the same way).
+    big = Decimal("12345678901234567890123456789.123456789")
+    unscaled12 = int(str(big).replace(".", "")) * 1000
+    groups = []
+    v = unscaled12
+    while v:
+        groups.append(v % 10000)
+        v //= 10000
+    groups.reverse()
+    weight = len(groups) - 3 - 1  # 3 fractional groups of 4 digits
+    got = _bdec_numeric(payload(groups, weight, 0x0000, 9))
+    assert got == big
+    assert str(got) == str(big)  # exact digits, no 28-digit rounding
