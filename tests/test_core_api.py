@@ -931,3 +931,113 @@ def test_avro_timestamp_logical_types_follow_spec():
     back = spark_schema_for(avro)
     assert isinstance(back.fields[0].dataType, T.TimestampType)
     assert isinstance(back.fields[1].dataType, T.TimestampNTZType)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (flaco_spark/sources/png_codec.py): round-trip, error
+# surface, and the cross-implementation check against the JVM's own
+# ImageIO reference reader — same honesty discipline as the Avro codec.
+# ---------------------------------------------------------------------------
+
+
+def test_png_pure_codec_roundtrip():
+    import random
+
+    from flaco_spark.sources.png_codec import decode_png, encode_png, png_info
+
+    rnd = random.Random(7)
+    for (w, h, ct) in [(1, 1, 0), (16, 3, 0), (7, 5, 2), (3, 4, 6), (5, 2, 4),
+                       (64, 64, 0)]:
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        pix = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        for cycle in (True, False):
+            png = encode_png(pix, w, h, color_type=ct, filter_cycle=cycle)
+            assert png_info(png) == (w, h, 8, ct)
+            w2, h2, ch2, pix2 = decode_png(png)
+            assert (w2, h2, ch2) == (w, h, ch)
+            assert pix2 == pix, (w, h, ct, cycle)
+
+
+def test_png_codec_error_surface():
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.png_codec import decode_png, encode_png, png_info
+
+    png = encode_png(bytes(range(32)), 8, 4)
+    with pytest.raises(EngineError, match="signature"):
+        png_info(b"NOTAPNG" + png)
+    # flip one IDAT payload byte -> CRC mismatch must be loud
+    corrupt = bytearray(png)
+    corrupt[41] ^= 0xFF
+    with pytest.raises(EngineError, match="CRC|IHDR"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(EngineError, match="truncated|IEND|chunk"):
+        decode_png(png[:-8])
+    with pytest.raises(EngineError, match="pixel buffer"):
+        encode_png(b"short", 8, 4)
+
+
+def test_png_cross_implementation(spark):
+    """Files written by png_codec are decoded by javax.imageio (the
+    JVM reference reader) pixel-for-pixel, and a PNG written by
+    ImageIO is decoded by png_codec — both directions, like the Avro
+    cross-check."""
+    import random
+
+    from flaco_spark.sources.png_codec import decode_png, encode_png
+
+    jvm = spark._jvm
+    rnd = random.Random(99)
+
+    # ours -> ImageIO (gray and RGB, filters cycling)
+    for ct, ch in ((0, 1), (2, 3)):
+        w, h = 9, 7
+        pix = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        png = encode_png(pix, w, h, color_type=ct, filter_cycle=True)
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(png)
+        )
+        assert img.getWidth() == w and img.getHeight() == h
+        raster = img.getRaster()
+        for y in range(h):
+            for x in range(w):
+                for b in range(ch):
+                    assert raster.getSample(x, y, b) == pix[(y * w + x) * ch + b]
+
+    # ImageIO -> ours (TYPE_BYTE_GRAY = 10)
+    w, h = 6, 5
+    vals = [rnd.randrange(256) for _ in range(w * h)]
+    jimg = jvm.java.awt.image.BufferedImage(w, h, 10)
+    wr = jimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            wr.setSample(x, y, 0, vals[y * w + x])
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(jimg, "png", bos)
+    w2, h2, ch2, pix2 = decode_png(bytes(bos.toByteArray()))
+    assert (w2, h2, ch2) == (w, h, 1)
+    assert list(pix2) == vals
+
+
+def test_extract_features_real_png_lane(spark):
+    """extract_features(fake=False): real PNG payloads flow through the
+    stdlib decoder inside mapInPandas — width/height come from IHDR,
+    not from a stub formula."""
+    from pyspark.sql import types as T
+
+    from flaco_spark.operators.multimodal import extract_features
+    from flaco_spark.sources.png_codec import encode_png
+
+    rows = []
+    for i, (w, h) in enumerate([(4, 3), (8, 2), (5, 5)]):
+        pix = bytes((i + j) % 256 for j in range(w * h))
+        rows.append((i, bytearray(encode_png(pix, w, h))))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = {r.doc_id: r for r in extract_features(df, fake=False).collect()}
+    assert (got[0].width, got[0].height) == (4, 3)
+    assert (got[1].width, got[1].height) == (8, 2)
+    assert (got[2].width, got[2].height) == (5, 5)
+    assert got[0].n_frames == 1
