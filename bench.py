@@ -219,6 +219,108 @@ def _phase_noise(probes: dict[str, dict[str, float]]) -> dict[str, dict]:
     return out
 
 
+def _isolate_child(name: str, sf_dir: str) -> None:
+    """Child mode: measure ONE query in a fresh process, spin-bracketed.
+
+    Used by the auto-requote pass — an in-run number contaminated by a
+    sub-bracket contention burst (the r7 st07/p02 phantom, SCALING.md
+    round-8) is re-earned here in isolation."""
+    from flaco_spark.cachepool import release_caches
+
+    pre = _host_probe()
+    spark = get_session(app_name=f"bench_isolate_{name}")
+    registry = load_inventory()
+    spec = registry[name]
+    spec.builder(spark, sf_dir).count()  # warm-up
+    release_caches()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    release_caches()
+    post = _host_probe()
+    print(json.dumps({"name": name, "sec": round(best, 4),
+                      "spin_pre": pre["spin_sec"], "spin_post": post["spin_sec"]}))
+
+
+REQUOTE_RATIO = 1.15  # VERDICT r7 task 7: tightened from the 1.3 that let
+REQUOTE_ABS = 0.3     # st07/p02 slip; small-absolute rows stay exempt
+
+
+def _prev_round_timings() -> dict[str, float]:
+    """Per-query numbers from the newest BENCH_r*.json next to this
+    script (the previous round's driver record); {} if none."""
+    import glob
+    import re
+
+    here = Path(__file__).resolve().parent
+    best_round, best_path = -1, None
+    for p in glob.glob(str(here / "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_round:
+            best_round, best_path = int(m.group(1)), p
+    if best_path is None:
+        return {}
+    try:
+        with open(best_path) as fh:
+            data = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    # the driver wraps bench stdout under "parsed"
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    out: dict[str, float] = {}
+    for k in ("queries", "extended"):
+        for name, sec in (data.get(k) or {}).items():
+            if isinstance(sec, (int, float)):
+                out[name] = float(sec)
+    return out
+
+
+def _requote_pass(
+    timings: dict[str, float], prev: dict[str, float], sf_dir: str
+) -> list[dict]:
+    """Re-measure any row regressing >REQUOTE_RATIO (and >REQUOTE_ABS
+    seconds) vs the previous round in a fresh spin-bracketed process;
+    adopt the isolated number only when it is ≥20% faster (a real
+    regression survives).  Returns the requote log for the JSON."""
+    import subprocess
+
+    log: list[dict] = []
+    for name, sec in list(timings.items()):
+        base = prev.get(name)
+        if base is None or sec <= base * REQUOTE_RATIO + 0.0 or sec - base < REQUOTE_ABS:
+            continue
+        entry = {"name": name, "sec_inrun": sec, "prev_round": base,
+                 "threshold": REQUOTE_RATIO}
+        proc = subprocess.run(
+            [sys.executable, __file__, "--isolate", name, sf_dir],
+            capture_output=True, text=True,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if not line.startswith("{"):
+            entry["outcome"] = "isolate_failed"
+            log.append(entry)
+            continue
+        r = json.loads(line)
+        ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
+        entry.update({"sec_isolated": r["sec"], "spin_pre": r["spin_pre"],
+                      "spin_post": r["spin_post"]})
+        if ratio > 1.3:
+            entry["outcome"] = "isolate_contended_kept_inrun"
+        elif r["sec"] <= sec * 0.8:
+            timings[name] = r["sec"]
+            entry["outcome"] = "requoted"
+        else:
+            entry["outcome"] = "regression_survives"
+        log.append(entry)
+        print(f"# requote {name}: inrun {sec:.3f}s prev {base:.3f}s "
+              f"isolated {entry.get('sec_isolated', '-')} -> {entry['outcome']}",
+              file=sys.stderr)
+    return log
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     probes: dict[str, dict[str, float]] = {"start": _host_probe()}
@@ -299,6 +401,16 @@ def main() -> None:
         print(f"# {name}: {extended[name]:.3f}s ({n} rows)", file=sys.stderr)
     probes["end"] = _host_probe()
     print(f"# host_probe[end]: {probes['end']}", file=sys.stderr)
+
+    # Auto-requote (VERDICT r7 task 7, threshold 1.15x): phase-level
+    # spin brackets provably miss sub-window contention bursts
+    # (SCALING.md round-8: the st07/p02 phantom) — re-earn any
+    # round-over-round regression in an isolated fresh process before
+    # recording it.
+    prev = _prev_round_timings()
+    requote_log = _requote_pass(timings, prev, sf_dir)
+    requote_log += _requote_pass(extended, prev, sf_dir)
+
     noise = _phase_noise(probes)
     for phase, v in noise.items():
         if not v["valid"]:
@@ -334,6 +446,13 @@ def main() -> None:
                 "host_probe": probes["start"],
                 "host_probes": probes,
                 "phase_noise": noise,
+                # Auto-requote log (threshold 1.15x vs previous round,
+                # VERDICT r7 task 7): which rows re-measured isolated,
+                # and whether the in-run number was a contention
+                # phantom ("requoted") or a real regression
+                # ("regression_survives").
+                "requote_threshold": REQUOTE_RATIO,
+                "requotes": requote_log,
                 "sf": float(sf) if sf else None,
             }
         )
@@ -342,4 +461,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--isolate":
+        _isolate_child(
+            sys.argv[2],
+            sys.argv[3] if len(sys.argv) > 3
+            else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    else:
+        main()
