@@ -17,7 +17,10 @@ import subprocess
 import sys
 import time
 
-QUERIES = ["st07_transform_with_state", "p02_index_build_pipeline"]
+import os
+
+QUERIES = (os.environ.get("BISECT_QUERIES")
+           or "st07_transform_with_state,p02_index_build_pipeline").split(",")
 
 
 def spin() -> float:
