@@ -539,3 +539,144 @@ def test_live_pg_jdbc_extract(spark, pg_local, tmp_path):
         via="jdbc",
     )
     assert df.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# pagila-shaped schema (VERDICT r7 task 5): the reference's CI runs
+# SELECT * over the pagila tables but must EXCLUDE the enum-typed
+# film.rating column (src/lib.rs:382-385 panics on enums;
+# /root/reference/tests/test_general.py:19).  Our wire path maps
+# enum -> string and element[] -> ArrayType, so SELECT * including
+# both just works — asserted live here.
+# ---------------------------------------------------------------------------
+
+PAGILA_DDL = """
+CREATE TYPE mpaa_rating AS ENUM ('G','PG','PG-13','R','NC-17');
+CREATE TABLE actor (
+  actor_id serial PRIMARY KEY,
+  first_name varchar(45) NOT NULL,
+  last_name varchar(45) NOT NULL,
+  last_update timestamptz NOT NULL DEFAULT now()
+);
+CREATE TABLE film (
+  film_id serial PRIMARY KEY,
+  title varchar(255) NOT NULL,
+  release_year int4,
+  rental_rate numeric(4,2) NOT NULL,
+  length int2,
+  rating mpaa_rating DEFAULT 'G',
+  special_features text[],
+  last_update timestamptz NOT NULL DEFAULT now()
+);
+CREATE TABLE film_actor (
+  actor_id int4 NOT NULL,
+  film_id int4 NOT NULL,
+  PRIMARY KEY (actor_id, film_id)
+);
+INSERT INTO actor (first_name, last_name)
+  SELECT 'F' || g, 'L' || (g % 13) FROM generate_series(1, 200) g;
+INSERT INTO film (title, release_year, rental_rate, length, rating,
+                  special_features)
+  SELECT 'Film ' || g, 1990 + (g % 35), (g % 500)::numeric / 100,
+         (60 + g % 120)::int2,
+         (ARRAY['G','PG','PG-13','R','NC-17']::mpaa_rating[])[1 + g % 5],
+         CASE WHEN g % 7 = 0 THEN NULL
+              ELSE ARRAY['Trailers', 'Scene ' || g % 3] END
+  FROM generate_series(1, 1000) g;
+INSERT INTO film_actor
+  -- the g/1000 term de-aliases the 1000-cycle so all 5000 pairs are unique
+  SELECT 1 + (g * 7 + g / 1000) % 200, 1 + g % 1000
+  FROM generate_series(1, 5000) g;
+"""
+
+
+@pytest.fixture(scope="module")
+def pg_pagila(pg_local):
+    _sql_port(pg_local["port"], PAGILA_DDL)
+    yield pg_local
+
+
+def test_wire_pagila_enum_and_array_roundtrip(spark, pg_pagila):
+    """SELECT * over a pagila-shaped film table INCLUDING the enum
+    rating and text[] special_features — the exact columns the
+    reference must exclude (its CI query skips rating because
+    src/lib.rs:382-385 hits unimplemented!)."""
+    from pyspark.sql import types as T
+
+    from flaco_spark.sources.pgwire import read_sql_wire
+
+    df = read_sql_wire(
+        spark, _uri(pg_pagila), "SELECT * FROM film ORDER BY film_id"
+    )
+    s = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(s["rating"], T.StringType)  # enum -> string, no panic
+    assert isinstance(s["special_features"], T.ArrayType)
+    assert isinstance(s["special_features"].elementType, T.StringType)
+    assert isinstance(s["rental_rate"], T.DecimalType)
+    rows = df.collect()
+    assert len(rows) == 1000
+    by_id = {r.film_id: r for r in rows}
+    assert by_id[1].rating == "PG"    # ARRAY[...][1 + 1%5] = 'PG'
+    assert by_id[5].rating == "G"     # ARRAY[...][1 + 5%5] = 'G'
+    assert by_id[1].special_features == ["Trailers", "Scene 1"]
+    assert by_id[7].special_features is None  # NULL array stays NULL
+    from decimal import Decimal
+
+    assert by_id[1].rental_rate == Decimal("0.01")
+    # enum values survive a groupBy (string semantics end-to-end)
+    counts = dict(
+        df.groupBy("rating").count().collect()
+    )
+    assert set(counts) == {"G", "PG", "PG-13", "R", "NC-17"}
+    assert sum(counts.values()) == 1000
+
+
+def test_wire_pagila_partitioned_join(spark, pg_pagila):
+    """The pagila workload shape the reference benchmarks (SELECT *
+    FROM film/actor/film_actor), read partitioned over the wire and
+    joined IN SPARK — distribution + the typed columns together."""
+    from flaco_spark.sources.pgwire import read_sql_wire
+
+    film = read_sql_wire(
+        spark, _uri(pg_pagila),
+        "SELECT film_id, title, rating FROM film",
+        partition_column="film_id", num_partitions=4,
+    )
+    fa = read_sql_wire(
+        spark, _uri(pg_pagila), "SELECT actor_id, film_id FROM film_actor"
+    )
+    per_rating = (
+        film.join(fa, "film_id")
+        .groupBy("rating")
+        .count()
+        .collect()
+    )
+    got = {r.rating: r["count"] for r in per_rating}
+    assert sum(got.values()) == 5000
+    assert set(got) == {"G", "PG", "PG-13", "R", "NC-17"}
+
+
+def test_wire_numeric_infinity_binary_path(pg_local):
+    """r8 ADVICE(medium) live check: numeric[] always takes the binary
+    decode path, where PG 14+ +/-Infinity used to fall through the
+    positive branch as Decimal 0 — they must decode as None (the
+    documented text-path divergence), with finite neighbors intact."""
+    from decimal import Decimal
+
+    from flaco_spark.sources.pgwire import wire_query_to_arrow
+
+    _sql_port(
+        pg_local["port"],
+        "CREATE TABLE IF NOT EXISTS numinf AS SELECT "
+        "ARRAY['Infinity'::numeric, '-Infinity'::numeric, 1.25::numeric, "
+        "'NaN'::numeric] AS arr, "
+        "'Infinity'::numeric AS scalar_inf, 1.5::numeric AS scalar_fin",
+    )
+    t = wire_query_to_arrow(_uri(pg_local), "SELECT * FROM numinf")
+    row = t.to_pylist()[0]
+    assert row["arr"][0] is None          # +Infinity -> None, NOT 0
+    assert row["arr"][1] is None          # -Infinity -> None
+    assert row["arr"][2] == Decimal("1.25")
+    assert row["arr"][3] is None          # NaN -> None (existing contract)
+    assert row["scalar_inf"] is None
+    assert row["scalar_fin"] == Decimal("1.5")
