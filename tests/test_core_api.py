@@ -1041,3 +1041,107 @@ def test_extract_features_real_png_lane(spark):
     assert (got[1].width, got[1].height) == (8, 2)
     assert (got[2].width, got[2].height) == (5, 5)
     assert got[0].n_frames == 1
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (flaco_spark/sources/gif_codec.py): LZW + container
+# round-trip, error surface, ImageIO cross-implementation (both ways).
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip():
+    import random
+
+    from flaco_spark.sources.gif_codec import lzw_decode, lzw_encode
+
+    rnd = random.Random(3)
+    cases = [b"", b"\x00", b"abcabcabc" * 100]
+    # 70k random bytes force multiple width bumps AND a 12-bit table
+    # reset mid-stream; runs exercise long dictionary strings
+    cases.append(bytes(rnd.randrange(256) for _ in range(70_000)))
+    cases.append(b"".join(bytes([rnd.randrange(256)]) * rnd.randrange(1, 60)
+                          for _ in range(600)))
+    # KwKwK shape: repeated doubling pattern
+    cases.append(b"\x01\x01\x01\x01\x01\x02\x02\x02\x02" * 50)
+    for data in cases:
+        for mcs in (2, 8):
+            capped = bytes(min(b, (1 << mcs) - 1) for b in data)
+            assert lzw_decode(lzw_encode(capped, mcs), mcs) == capped
+
+
+def test_gif_container_roundtrip_multiframe():
+    import random
+
+    from flaco_spark.sources.gif_codec import decode_gif, encode_gif_gray
+
+    rnd = random.Random(4)
+    for n in (1, 3, 5):
+        w, h = rnd.randrange(1, 50), rnd.randrange(1, 40)
+        frames = [bytes(rnd.randrange(256) for _ in range(w * h))
+                  for _ in range(n)]
+        gif = encode_gif_gray(frames, w, h)
+        w2, h2, back, gct = decode_gif(gif)
+        assert (w2, h2) == (w, h)
+        assert back == frames
+        assert gct[3 * 77 : 3 * 78] == bytes((77, 77, 77))  # identity ramp
+
+
+def test_gif_codec_error_surface():
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.gif_codec import decode_gif, encode_gif_gray
+
+    gif = encode_gif_gray([bytes(range(32))], 8, 4)
+    with pytest.raises(EngineError, match="signature"):
+        decode_gif(b"JIF89a" + gif[6:])
+    with pytest.raises(EngineError, match="trailer|sub-block|truncated"):
+        decode_gif(gif[:-2])
+    with pytest.raises(EngineError, match="frame 0"):
+        encode_gif_gray([b"short"], 8, 4)
+    with pytest.raises(EngineError, match="at least one frame"):
+        encode_gif_gray([], 8, 4)
+
+
+def test_gif_cross_implementation(spark):
+    """Animated GIFs written by gif_codec decode pixel-for-pixel in
+    javax.imageio (frame count preserved), and an ImageIO-written GIF
+    (which comes out INTERLACED) decodes in gif_codec — both ways,
+    like the Avro and PNG cross-checks."""
+    import random
+
+    from flaco_spark.sources.gif_codec import decode_gif, encode_gif_gray
+
+    jvm = spark._jvm
+    rnd = random.Random(12)
+
+    w, h, n = 40, 30, 3  # enough pixels to force LZW width bumps
+    frames = [bytes(rnd.randrange(256) for _ in range(w * h)) for _ in range(n)]
+    gif = encode_gif_gray(frames, w, h)
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.ByteArrayInputStream(gif)
+    )
+    readers = jvm.javax.imageio.ImageIO.getImageReaders(iis)
+    assert readers.hasNext()
+    reader = readers.next()
+    reader.setInput(iis)
+    assert reader.getNumImages(True) == n
+    for i in range(n):
+        img = reader.read(i)
+        assert img.getWidth() == w and img.getHeight() == h
+        for _ in range(80):
+            x, y = rnd.randrange(w), rnd.randrange(h)
+            assert (img.getRGB(x, y) & 0xFF) == frames[i][y * w + x]
+
+    # ImageIO -> ours (TYPE_BYTE_GRAY = 10; ImageIO writes interlaced)
+    w2, h2 = 23, 17
+    vals = [rnd.randrange(256) for _ in range(w2 * h2)]
+    jimg = jvm.java.awt.image.BufferedImage(w2, h2, 10)
+    wr = jimg.getRaster()
+    for y in range(h2):
+        for x in range(w2):
+            wr.setSample(x, y, 0, vals[y * w2 + x])
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(jimg, "gif", bos)
+    gw, gh, gframes, gct = decode_gif(bytes(bos.toByteArray()))
+    assert (gw, gh, len(gframes)) == (w2, h2, 1)
+    # palette need not be the identity ramp — compare THROUGH it
+    assert [gct[3 * i] for i in gframes[0]] == vals
