@@ -1145,3 +1145,27 @@ def test_gif_cross_implementation(spark):
     assert (gw, gh, len(gframes)) == (w2, h2, 1)
     # palette need not be the identity ramp — compare THROUGH it
     assert [gct[3 * i] for i in gframes[0]] == vals
+
+
+def test_documents_fixture_is_ascii_all_sfs():
+    """m15/m16's oracles index text by CHARACTER while the Spark side
+    slices UTF-8 BYTES — equal only because the documents fixture is
+    pure ASCII.  Pin that across every shipped scale factor so a
+    future non-ASCII fixture fails HERE, not as an opaque hash drift."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        (non_ascii,) = con.execute(
+            f"SELECT count(*) FILTER (octet_length(encode(text)) <> length(text)) "
+            f"FROM read_parquet('{p}')"
+        ).fetchone()
+        assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII documents"
+        checked += 1
+    assert checked, "no documents fixtures found"
