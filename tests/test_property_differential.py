@@ -1028,3 +1028,65 @@ def test_avro_zigzag_identity(n):
     assert _zigzag_decode(io.BytesIO(enc)) == n
     val, pos = _zz_read(enc, 0)
     assert (val, pos) == (n, len(enc))
+
+
+# ---------------------------------------------------------------------------
+# PNG / GIF codecs: property-based round-trip identity (r8).  Same
+# rationale as the Avro property test — hypothesis walks dimension
+# edges (1-wide, 1-tall), filter-cycle on/off, all color types, and
+# frame counts, where fixed fixtures can silently miss an unfilter or
+# LZW width-bump arm.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    cycle=st.booleans(),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, color_type, cycle, data):
+    from flaco_spark.sources.png_codec import decode_png, encode_png, png_info
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch,
+                           max_size=w * h * ch))
+    )
+    png = encode_png(pix, w, h, color_type=color_type, filter_cycle=cycle)
+    assert png_info(png) == (w, h, 8, color_type)
+    assert decode_png(png) == (w, h, ch, pix)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(min_value=1, max_value=30),
+    h=st.integers(min_value=1, max_value=20),
+    n_frames=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_gif_roundtrip_property(w, h, n_frames, data):
+    from flaco_spark.sources.gif_codec import decode_gif, encode_gif_gray
+
+    frames = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                                 max_size=w * h)))
+        for _ in range(n_frames)
+    ]
+    gif = encode_gif_gray(frames, w, h)
+    gw, gh, back, _gct = decode_gif(gif)
+    assert (gw, gh) == (w, h)
+    assert back == frames
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=3000), mcs=st.sampled_from([2, 5, 8]))
+def test_gif_lzw_identity_property(data, mcs):
+    from flaco_spark.sources.gif_codec import lzw_decode, lzw_encode
+
+    capped = bytes(min(b, (1 << mcs) - 1) for b in data)
+    assert lzw_decode(lzw_encode(capped, mcs), mcs) == capped
