@@ -244,6 +244,13 @@ PROBE = [
     # write + DataSource read) — probe it so codec-cost regressions
     # surface the same way q112's XML text costs do.
     "q140_avro_roundtrip",
+    # round-8 additions: the PNG and GIF round-trips are the other two
+    # pure-Python codec lanes (encode + full decode per document inside
+    # mapInPandas) — probe them like q140 so codec-cost regressions
+    # surface; both are map-side only, so growth should track document
+    # count ~linearly.
+    "m15_png_decode",
+    "m16_gif_frames",
 ]
 
 
@@ -332,21 +339,23 @@ def main() -> int:
         probes["end"] = _spin()
         print(f"# host_probes: {probes}", file=sys.stderr)
 
-        # AUTO-REQUOTE (r7): the 25-query spin brackets MISS sub-window
-        # contention bursts — r7's first run recorded d07 at 7.44 s vs
-        # 1.29 s isolated with every bracket quiet.  Any row >1.3x AND
-        # >+0.5 s over the newest previous round's probe re-measures in
-        # a FRESH session on a spin-bracketed quiet host; the isolated
-        # number replaces `sec` (in-run value kept as sec_inrun) only
-        # when it confirms the slowdown was environmental (>=20%
-        # faster).  A row that stays slow in isolation is a REAL
-        # regression and keeps its measured value.
+        # AUTO-REQUOTE (r7; threshold tightened r8 per VERDICT r7 task
+        # 7): the 25-query spin brackets MISS sub-window contention
+        # bursts — r7's first run recorded d07 at 7.44 s vs 1.29 s
+        # isolated with every bracket quiet, and the 1.3x threshold
+        # then let st07/p02 phantoms slip (SCALING.md round-8).  Any
+        # row >1.15x AND >+0.3 s over the newest previous round's probe
+        # re-measures in a FRESH session on a spin-bracketed quiet
+        # host; the isolated number replaces `sec` (in-run value kept
+        # as sec_inrun) only when it confirms the slowdown was
+        # environmental (>=20% faster).  A row that stays slow in
+        # isolation is a REAL regression and keeps its measured value.
         prev = _prev_round_baseline(sys.argv[2] if len(sys.argv) > 2 else None)
         flagged = [
             n
             for n, row in results.items()
             if n in prev
-            and row["sec"] > max(prev[n]["sec"] * 1.3, prev[n]["sec"] + 0.5)
+            and row["sec"] > max(prev[n]["sec"] * 1.15, prev[n]["sec"] + 0.3)
         ]
         requoted = []
         if flagged:
