@@ -6,7 +6,7 @@ decoded real bytes (VERDICT r7 "What's missing" #1).  PNG is the one
 raster format whose full decode path — zlib inflate + the five
 scanline filters — is implementable from the public spec (RFC 2083 /
 W3C PNG) on the stdlib alone, the same discipline as the Avro OCF
-codec (``sources/avro_ocf.py``).  With it, ``m10_png_decode`` runs a
+codec (``sources/avro_ocf.py``).  With it, ``m15_png_decode`` runs a
 REAL encode → decode round-trip whose decoded pixel bytes the DuckDB
 oracle independently derives from the source rows, and the decoder is
 cross-verified against the JVM's own ImageIO reader (tests).
@@ -72,7 +72,7 @@ def encode_png(
     ``pixels`` is row-major, ``width * height * channels`` bytes.
     ``filter_cycle=True`` rotates the scanline filter type 0→4 per row
     so a round-trip exercises every unfilter arm (the property the
-    m10 gate relies on); ``False`` writes filter 0 everywhere.
+    m15 gate relies on); ``False`` writes filter 0 everywhere.
     """
     ch = _CHANNELS.get(color_type)
     if ch is None:
