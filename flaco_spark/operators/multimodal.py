@@ -1525,3 +1525,134 @@ def m16_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(1, d.sparkSession.sparkContext.defaultParallelism)
     src = d.select("doc_id", "text").repartition(n)
     return src.mapInPandas(_gif_frames_batches, schema=GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m17 — REAL image resize over really-decoded pixels (the brief's
+# "resize" lane, previously audio-only via m14)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_digest", T.StringType()),
+    ]
+)
+
+
+def _png_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each document's leading bytes as a real grayscale PNG,
+    FULLY decode it (inflate + unfilter), then 2x-downscale the
+    DECODED pixels with an exact-integer 2x2 box filter
+    ((a+b+c+d)//4, numpy int32 — no float rounding ambiguity) and
+    emit the resized dims + an md5 of the resized bytes.  The oracle
+    recomputes the identical box filter per output pixel straight
+    from the source rows, so a wrong pixel fetched from the decode,
+    a stride slip in the downscale, or a rounding divergence breaks
+    the hash."""
+    import hashlib
+
+    import numpy as np
+
+    from flaco_spark.sources.png_codec import decode_png, encode_png
+
+    for pdf in batches:
+        ids, ws, hs, digs = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            raw = text.encode("utf-8")
+            h = min(len(raw) // _PNG_W, 256)
+            h -= h % 2  # 2x box filter needs an even source height
+            if h < 2:
+                continue  # too short for one output row (oracle filters too)
+            pix = raw[: h * _PNG_W]
+            png = encode_png(pix, _PNG_W, h, color_type=0, filter_cycle=True)
+            _w2, _h2, _ch, dec = decode_png(png)
+            arr = np.frombuffer(dec, dtype=np.uint8).astype(np.int32)
+            arr = arr.reshape(h, _PNG_W)
+            out = (
+                arr[0::2, 0::2] + arr[0::2, 1::2] + arr[1::2, 0::2] + arr[1::2, 1::2]
+            ) // 4
+            ids.append(doc_id)
+            ws.append(_PNG_W // 2)
+            hs.append(h // 2)
+            digs.append(hashlib.md5(out.astype(np.uint8).tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "resized_digest": pd.Series(digs, dtype="object"),
+            }
+        )
+
+
+@register(
+    "m17_image_resize",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         LEAST(length(text) // {_PNG_W}, 256) AS h0
+  FROM documents
+),
+p AS (
+  SELECT doc_id, text, h0 - (h0 % 2) AS h
+  FROM d WHERE h0 - (h0 % 2) >= 2
+),
+px AS (
+  SELECT doc_id, text, h,
+         unnest(generate_series(0, CAST((h // 2) * {_PNG_W // 2} - 1 AS BIGINT)))
+           AS k
+  FROM p
+),
+v AS (
+  SELECT doc_id, h, k,
+         (  ascii(substring(text, CAST((k // {_PNG_W // 2}) * 2 * {_PNG_W}
+                                        + (k % {_PNG_W // 2}) * 2 + 1 AS BIGINT), 1))
+          + ascii(substring(text, CAST((k // {_PNG_W // 2}) * 2 * {_PNG_W}
+                                        + (k % {_PNG_W // 2}) * 2 + 2 AS BIGINT), 1))
+          + ascii(substring(text, CAST(((k // {_PNG_W // 2}) * 2 + 1) * {_PNG_W}
+                                        + (k % {_PNG_W // 2}) * 2 + 1 AS BIGINT), 1))
+          + ascii(substring(text, CAST(((k // {_PNG_W // 2}) * 2 + 1) * {_PNG_W}
+                                        + (k % {_PNG_W // 2}) * 2 + 2 AS BIGINT), 1))
+         ) // 4 AS val
+  FROM px
+)
+SELECT doc_id,
+       CAST({_PNG_W // 2} AS INT) AS width,
+       CAST(h // 2 AS INT) AS height,
+       md5(string_agg(chr(val), '' ORDER BY k)) AS resized_digest
+FROM v
+GROUP BY doc_id, h
+""",
+    tags=("multimodal", "image", "resize", "udf", "documents"),
+    doc="REAL image resize over really-decoded pixels — the pipeline "
+    "brief names four image lanes (decode / feature-extract / resize "
+    "/ frame-sample); m15/m16 made decode and frame extraction real "
+    "in r8, and this closes the remaining named lane (resize was "
+    "audio-only via m14): each document becomes a genuine grayscale "
+    "PNG (stdlib codec, filters cycling so every unfilter arm runs), "
+    "is fully DECODED, and the decoded pixel grid is 2x-downscaled "
+    "with an exact-integer 2x2 box filter ((a+b+c+d)//4 in numpy "
+    "int32) — the standard antialiased pyramid step a vision "
+    "preprocessor runs before patching (m10).  The DuckDB oracle "
+    "recomputes every output pixel's box average independently from "
+    "the source rows and pins the md5 of the resized bytes "
+    "(chr/string_agg — single-byte-safe because box averages of "
+    "ASCII stay < 128; fixture pinned ASCII by "
+    "test_documents_fixture_is_ascii_all_sfs), so a wrong decoded "
+    "pixel, a stride slip, or a rounding divergence breaks the hash. "
+    "100 TB posture: identical to m15 — bounded repartition, one "
+    "map-side Arrow-batched Python stage, O(pixels) per image, no "
+    "shuffle.  Registry addition justified under the r7 freeze: a "
+    "brief-named first-class lane with no query behind it, enabled "
+    "by this round's real codec.",
+)
+def m17_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.encode(F.col("text"), "UTF-8")) >= 2 * _PNG_W
+    )
+    n = max(1, d.sparkSession.sparkContext.defaultParallelism)
+    src = d.select("doc_id", "text").repartition(n)
+    return src.mapInPandas(_png_resize_batches, schema=RESIZE_SCHEMA)

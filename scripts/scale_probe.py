@@ -251,6 +251,11 @@ PROBE = [
     # count ~linearly.
     "m15_png_decode",
     "m16_gif_frames",
+    # m17 joins from the run after SCALE_PROBE_r08_10x (added while
+    # that run was in flight): decode + exact-integer 2x2 box
+    # downscale — strictly the m15 cost class plus a numpy reduce, so
+    # its first probe row is bounded by m15's until recorded.
+    "m17_image_resize",
 ]
 
 

@@ -958,6 +958,35 @@ def test_png_pure_codec_roundtrip():
             assert pix2 == pix, (w, h, ct, cycle)
 
 
+def test_png_resize_box_filter_exact():
+    """m17's 2x2 box downscale must be exact integer arithmetic:
+    compare the vectorized numpy form against a scalar reference on
+    random pixels, and pin that ASCII inputs keep outputs < 128 (the
+    oracle's chr/string_agg digest is single-byte-safe only then)."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(11)
+    w, h = 16, 6
+    pix = bytes(rnd.randrange(256) for _ in range(w * h))
+    arr = np.frombuffer(pix, dtype=np.uint8).astype(np.int32).reshape(h, w)
+    out = (arr[0::2, 0::2] + arr[0::2, 1::2] + arr[1::2, 0::2] + arr[1::2, 1::2]) // 4
+    for j in range(h // 2):
+        for i in range(w // 2):
+            a = pix[(2 * j) * w + 2 * i]
+            b = pix[(2 * j) * w + 2 * i + 1]
+            c = pix[(2 * j + 1) * w + 2 * i]
+            d = pix[(2 * j + 1) * w + 2 * i + 1]
+            assert out[j, i] == (a + b + c + d) // 4
+    ascii_pix = bytes(rnd.randrange(128) for _ in range(w * h))
+    arr2 = np.frombuffer(ascii_pix, dtype=np.uint8).astype(np.int32).reshape(h, w)
+    out2 = (
+        arr2[0::2, 0::2] + arr2[0::2, 1::2] + arr2[1::2, 0::2] + arr2[1::2, 1::2]
+    ) // 4
+    assert int(out2.max()) < 128
+
+
 def test_png_codec_error_surface():
     from flaco_spark.errors import EngineError
     from flaco_spark.sources.png_codec import decode_png, encode_png, png_info
@@ -1148,10 +1177,12 @@ def test_gif_cross_implementation(spark):
 
 
 def test_documents_fixture_is_ascii_all_sfs():
-    """m15/m16's oracles index text by CHARACTER while the Spark side
-    slices UTF-8 BYTES — equal only because the documents fixture is
-    pure ASCII.  Pin that across every shipped scale factor so a
-    future non-ASCII fixture fails HERE, not as an opaque hash drift."""
+    """m15/m16/m17's oracles index text by CHARACTER while the Spark
+    side slices UTF-8 BYTES (m17's chr/string_agg digest additionally
+    needs box averages < 128) — equal only because the documents
+    fixture is pure ASCII.  Pin that across every shipped scale factor
+    so a future non-ASCII fixture fails HERE, not as an opaque hash
+    drift."""
     import os
 
     import duckdb
