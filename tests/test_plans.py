@@ -1249,6 +1249,22 @@ def test_m14_arrow_batch_lane(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_m17_resize_single_map_stage(spark, sf_dir):
+    """m17 (decode + box downscale) is ONE Arrow mapInPandas stage
+    over the bounded repartition — exactly one Exchange, no shuffle
+    after the Python stage, never row-at-a-time Python."""
+    from flaco_spark.plans import formatted_plan
+
+    import re
+
+    df = REGISTRY["m17_image_resize"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "BatchEvalPython" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, "only the bounded repartition"
+
+
 def test_t35_shared_set_antijoin(spark, sf_dir):
     """Boilerplate removal: the shared-fingerprint screen is a
     LeftAnti join (broadcast or shuffled — AQE's call by size), and
