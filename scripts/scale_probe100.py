@@ -145,6 +145,28 @@ def _timed_run(
         spark.stop()
 
 
+def _newest_100x_baseline(root: Path, exclude: str | None) -> dict:
+    """Previous round's 100x probe (requote comparison base): newest
+    SCALE_PROBE_r<N>.json that is not a _10x file and not this run's
+    own output path."""
+
+    def _round_no(p: Path) -> int:
+        m = re.fullmatch(r"SCALE_PROBE_r(\d+)\.json", p.name)
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(root.glob("SCALE_PROBE_r*.json"), key=_round_no, reverse=True):
+        if _round_no(p) < 0 or (exclude and p.resolve() == Path(exclude).resolve()):
+            continue
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if data.get("scale", "").startswith("100x"):
+            print(f"# requote baseline: {p.name}", file=sys.stderr)
+            return data.get("queries", {})
+    return {}
+
+
 def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     root = Path(__file__).resolve().parents[1]
@@ -236,11 +258,82 @@ def main() -> int:
                     file=sys.stderr,
                 )
 
+        # AUTO-REQUOTE (r8, the sibling of bench.py's and the 10x
+        # probe's): the per-row spin brackets ATTRIBUTE contention but
+        # until now nothing acted on it — the r8 first run recorded
+        # g03 at 59.6 s (vs 13.5 s in r7) inside a spin-1.2 window and
+        # would have shipped it.  A row is suspect when it regressed
+        # >1.15x/+0.3 s vs the previous round's 100x probe OR its own
+        # spin bracket ran >=1.3x the run's quietest bracket.  Each
+        # suspect re-measures once in a fresh session (same runs/
+        # fixture discipline as its first pass); the re-measure is
+        # adopted only when >=20% faster.  If more than 5 of the 13
+        # rows are suspect the whole run is declared noisy — re-run
+        # the probe instead of laundering it row by row.
+        prev100 = _newest_100x_baseline(root, sys.argv[2] if len(sys.argv) > 2 else None)
+        spins = [
+            s
+            for row in results.values()
+            for s in (row["spin"]["pre"], row["spin"]["post"])
+        ]
+        quiet_spin = min(spins) if spins else 0.0
+
+        def _suspect(name: str, row: dict) -> bool:
+            p = (prev100.get(name) or {}).get("sec")
+            regressed = p is not None and row["sec"] > max(p * 1.15, p + 0.3)
+            hot = quiet_spin > 0 and (
+                max(row["spin"]["pre"], row["spin"]["post"]) >= 1.3 * quiet_spin
+            )
+            return regressed or hot
+
+        flagged = [n for n, row in results.items() if _suspect(n, row)]
+        if len(flagged) > 5:
+            print(
+                f"# requote: {len(flagged)} rows suspect (>5): host too noisy "
+                "for a trustworthy run — re-run the probe instead",
+                file=sys.stderr,
+            )
+        elif flagged:
+            for name in flagged:
+                shard_row = name in SHARDED and not FULL_FORMATS
+                runs = 2 if (name in ("g02_triangle_count", "g07_hits") or shard_row) else 1
+                fixture = shard if shard_row else out
+                times, rows, probes = _timed_run(
+                    name, fixture, f"probe100_requote_{name}", runs=runs
+                )
+                sec = min(times) if shard_row else (times[-1] if runs > 1 else times[0])
+                if shard_row:
+                    sec = round(sec * (100 // SHARD_COPIES), 2)
+                old = results[name]
+                if sec < old["sec"] * 0.8:
+                    old.update(
+                        sec_inrun=old["sec"],
+                        sec=sec,
+                        rows=rows,
+                        spin=probes,
+                        requote="isolated quiet re-measure; first pass "
+                        "bracket was contended",
+                    )
+                    if runs > 1 and not shard_row:
+                        old["sec_cold"], old["sec_warm"] = times[0], times[-1]
+                    if old.get("sec_10x"):
+                        old["growth_vs_10x"] = round(sec / old["sec_10x"], 2)
+                    verdict = "requoted"
+                else:
+                    old["requote"] = "re-measured, not faster — regression is real"
+                    verdict = "regression_survives"
+                print(
+                    f"# requote {name}: {old.get('sec_inrun', old['sec'])}s -> "
+                    f"{sec:.2f}s isolated ({verdict}, spin {probes})",
+                    file=sys.stderr,
+                )
+
         line = json.dumps(
             {
                 "scale": "100x_sf0.1",
                 "build_sec": build_s,
                 "isolation": "one fresh SparkSession per query",
+                "quiet_spin": quiet_spin,
                 "queries": results,
             }
         )
