@@ -192,6 +192,71 @@ def _host_probe() -> dict[str, float]:
     return {"spin_sec": round(best, 4), "steal_jiffies": steal}
 
 
+def _steal_rate(win: float = 1.5) -> float:
+    """Hypervisor steal in jiffies/s over a short window (100 = one
+    full stolen CPU) — the steady-state noisy-neighbor signal the
+    pre/post spin RATIO cannot see (evenly-contended brackets agree
+    with each other)."""
+    try:
+        with open("/proc/stat") as f:
+            s0 = float(f.readline().split()[8])
+        t0 = time.perf_counter()
+        time.sleep(win)
+        with open("/proc/stat") as f:
+            s1 = float(f.readline().split()[8])
+        return round((s1 - s0) / (time.perf_counter() - t0), 1)
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+# This host idles at ~0.75-0.85 s spin and flips into noisy-neighbor
+# windows of ~1.6-2.2 s lasting minutes (SCALING.md round-8: external
+# CPU steal with zero local load).  A one-shot bench that lands in
+# such a window records a phantom 1.3-1.6x regression across the
+# board, so measurement phases WAIT (bounded) for a quiet window.
+QUIET_SPIN_S = 0.95
+QUIET_STEAL_JPS = 300.0  # ~3 of 32 CPUs stolen
+
+
+def _wait_for_quiet(max_wait_s: float, label: str) -> dict:
+    """Poll spin + steal until the host is quiet or the budget runs
+    out; returns the gate record for the output JSON.  Proceeding
+    anyway after a timeout is deliberate — a bench that never runs is
+    worse than one whose noise is recorded and attributable."""
+    t0 = time.perf_counter()
+    samples = 0
+    while True:
+        spin = _host_probe()["spin_sec"]
+        steal = _steal_rate()
+        samples += 1
+        waited = time.perf_counter() - t0
+        quiet = spin <= QUIET_SPIN_S and steal <= QUIET_STEAL_JPS
+        if quiet or waited >= max_wait_s:
+            gate = {
+                "label": label,
+                "waited_s": round(waited, 1),
+                "samples": samples,
+                "final_spin": spin,
+                "final_steal_jps": steal,
+                "quiet": quiet,
+            }
+            if not quiet:
+                print(
+                    f"# quiet_gate[{label}]: GAVE UP after {waited:.0f}s "
+                    f"(spin {spin}, steal {steal}/s) — numbers may be "
+                    "inflated; see host_probes",
+                    file=sys.stderr,
+                )
+            elif waited > 20:
+                print(
+                    f"# quiet_gate[{label}]: waited {waited:.0f}s for a "
+                    f"quiet window (spin {spin}, steal {steal}/s)",
+                    file=sys.stderr,
+                )
+            return gate
+        time.sleep(15)
+
+
 def _phase_noise(probes: dict[str, dict[str, float]]) -> dict[str, dict]:
     """Per-phase noise verdicts from the bracketing probe pairs.
 
@@ -227,6 +292,10 @@ def _isolate_child(name: str, sf_dir: str) -> None:
     round-8) is re-earned here in isolation."""
     from flaco_spark.cachepool import release_caches
 
+    _wait_for_quiet(
+        float(os.environ.get("BENCH_ISOLATE_QUIET_WAIT_S", "180")),
+        f"isolate_{name}",
+    )
     pre = _host_probe()
     spark = get_session(app_name=f"bench_isolate_{name}")
     registry = load_inventory()
@@ -307,7 +376,11 @@ def _requote_pass(
         ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
         entry.update({"sec_isolated": r["sec"], "spin_pre": r["spin_pre"],
                       "spin_post": r["spin_post"]})
-        if ratio > 1.3:
+        # Two contention signals: brackets that DISAGREE (mid-measure
+        # shift) or brackets that are evenly HIGH (steady steal — the
+        # ratio is blind to it, SCALING.md round-8 noisy-neighbor
+        # windows read spin 1.9/1.9 = ratio 1.0).
+        if ratio > 1.3 or max(r["spin_pre"], r["spin_post"]) > 1.25 * QUIET_SPIN_S:
             entry["outcome"] = "isolate_contended_kept_inrun"
         elif r["sec"] <= sec * 0.8:
             timings[name] = r["sec"]
@@ -323,6 +396,12 @@ def _requote_pass(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Quiet-gate the whole run (SCALING.md round-8): this host flips
+    # into minutes-long noisy-neighbor windows; a one-shot bench that
+    # starts inside one records a phantom across-the-board regression.
+    quiet_gate = _wait_for_quiet(
+        float(os.environ.get("BENCH_QUIET_WAIT_S", "600")), "start"
+    )
     probes: dict[str, dict[str, float]] = {"start": _host_probe()}
     print(f"# host_probe[start]: {probes['start']}", file=sys.stderr)
     registry = load_inventory()
@@ -342,6 +421,14 @@ def main() -> None:
     spark.stop()
     probes["post_extract"] = _host_probe()
     print(f"# host_probe[post_extract]: {probes['post_extract']}", file=sys.stderr)
+
+    # Re-gate between phases: a noisy window opening mid-run gets
+    # waited out at the phase boundary instead of contaminating the
+    # whole headline phase (shorter budget — the start gate already
+    # spent the long one).
+    mid_gate = _wait_for_quiet(
+        float(os.environ.get("BENCH_MID_QUIET_WAIT_S", "300")), "pre_headline"
+    )
 
     spark = get_session(app_name="flaco_spark_bench")
 
@@ -453,6 +540,11 @@ def main() -> None:
                 # ("regression_survives").
                 "requote_threshold": REQUOTE_RATIO,
                 "requotes": requote_log,
+                # Quiet-gate records (r8): bounded waits for the host's
+                # noisy-neighbor windows to pass before measuring; a
+                # gate with quiet=false means the numbers below were
+                # recorded under documented external contention.
+                "quiet_gates": [quiet_gate, mid_gate],
                 # r8 adjudication of the r7 st07/p02 regression flags
                 # (VERDICT r7 task 1): bisected to host contention —
                 # HEAD-vs-r6-tree interleaved A/B 1.016/0.961, ANSI pin
