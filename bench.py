@@ -189,7 +189,41 @@ def _host_probe() -> dict[str, float]:
         steal = float(fields[8])  # cpu: user nice system idle iowait irq softirq steal
     except (OSError, IndexError, ValueError):
         pass
-    return {"spin_sec": round(best, 4), "steal_jiffies": steal}
+    return {
+        "spin_sec": round(best, 4),
+        "steal_jiffies": steal,
+        "membw_gbps": _membw_gbps(),
+    }
+
+
+_BW_BUFS = None
+
+
+def _membw_gbps() -> float:
+    """Fault-free DRAM copy bandwidth (GB/s), best of 3 on a 64 MiB
+    pre-touched buffer pair.  The third host-noise domain: co-tenants
+    on the physical box can saturate the memory subsystem while every
+    vCPU is free — single-thread spin (cache-resident) and steal rate
+    both read quiet, yet bandwidth-bound Spark stages (scans, joins,
+    shuffles) slow 15-30%.  Measured on this host: 15+ GB/s quiet,
+    1-7 GB/s inside such a window (SCALING.md round-8)."""
+    global _BW_BUFS
+    try:
+        import numpy as np
+
+        if _BW_BUFS is None:
+            n = 64 * 1024 * 1024 // 8
+            _BW_BUFS = (np.ones(n), np.ones(n))  # pre-touched: no faults
+        a, b = _BW_BUFS
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.copyto(b, a)
+            dt = time.perf_counter() - t0
+            best = max(best, 2 * a.nbytes / dt / 1e9)
+        return round(best, 1)
+    except Exception:  # noqa: BLE001 — probe must never kill the bench
+        return 0.0
 
 
 def _steal_rate(win: float = 1.5) -> float:
@@ -216,6 +250,7 @@ def _steal_rate(win: float = 1.5) -> float:
 # board, so measurement phases WAIT (bounded) for a quiet window.
 QUIET_SPIN_S = 0.95
 QUIET_STEAL_JPS = 300.0  # ~3 of 32 CPUs stolen
+QUIET_MEMBW_GBPS = 8.0  # host measures 15+ quiet, 1-7 in a bw window
 
 
 def _wait_for_quiet(max_wait_s: float, label: str) -> dict:
@@ -226,11 +261,16 @@ def _wait_for_quiet(max_wait_s: float, label: str) -> dict:
     t0 = time.perf_counter()
     samples = 0
     while True:
-        spin = _host_probe()["spin_sec"]
+        probe = _host_probe()
+        spin, bw = probe["spin_sec"], probe["membw_gbps"]
         steal = _steal_rate()
         samples += 1
         waited = time.perf_counter() - t0
-        quiet = spin <= QUIET_SPIN_S and steal <= QUIET_STEAL_JPS
+        quiet = (
+            spin <= QUIET_SPIN_S
+            and steal <= QUIET_STEAL_JPS
+            and (bw == 0.0 or bw >= QUIET_MEMBW_GBPS)  # 0.0 = probe n/a
+        )
         if quiet or waited >= max_wait_s:
             gate = {
                 "label": label,
@@ -238,19 +278,21 @@ def _wait_for_quiet(max_wait_s: float, label: str) -> dict:
                 "samples": samples,
                 "final_spin": spin,
                 "final_steal_jps": steal,
+                "final_membw_gbps": bw,
                 "quiet": quiet,
             }
             if not quiet:
                 print(
                     f"# quiet_gate[{label}]: GAVE UP after {waited:.0f}s "
-                    f"(spin {spin}, steal {steal}/s) — numbers may be "
-                    "inflated; see host_probes",
+                    f"(spin {spin}, steal {steal}/s, membw {bw} GB/s) — "
+                    "numbers may be inflated; see host_probes",
                     file=sys.stderr,
                 )
             elif waited > 20:
                 print(
                     f"# quiet_gate[{label}]: waited {waited:.0f}s for a "
-                    f"quiet window (spin {spin}, steal {steal}/s)",
+                    f"quiet window (spin {spin}, steal {steal}/s, "
+                    f"membw {bw} GB/s)",
                     file=sys.stderr,
                 )
             return gate
@@ -273,12 +315,22 @@ def _phase_noise(probes: dict[str, dict[str, float]]) -> dict[str, dict]:
     for phase, (a, b) in brackets.items():
         sa, sb = probes[a]["spin_sec"], probes[b]["spin_sec"]
         ratio = round(max(sa, sb) / max(min(sa, sb), 1e-9), 3)
+        bws = [
+            probes[k].get("membw_gbps", 0.0)
+            for k in (a, b)
+            if probes[k].get("membw_gbps", 0.0) > 0.0
+        ]
+        bw_min = min(bws) if bws else 0.0
         out[phase] = {
             "spin_ratio": ratio,
+            "membw_min_gbps": bw_min,
             # ratio catches MID-phase shifts; "quiet" catches a phase
             # that was evenly contended at both ends (this host idles
-            # at ~0.75-0.85 s spin, ~1.6-2.2 s under contention)
-            "quiet": max(sa, sb) <= 0.9,
+            # at ~0.75-0.85 s spin, ~1.6-2.2 s under contention) or
+            # ran inside a memory-bandwidth window (r8: co-tenant
+            # saturation reads spin-quiet but drops DRAM copy from
+            # 15+ to 1-7 GB/s and slows Spark stages 15-30%)
+            "quiet": max(sa, sb) <= 0.9 and (bw_min == 0.0 or bw_min >= QUIET_MEMBW_GBPS),
             "valid": ratio <= 1.3,
         }
     return out
@@ -310,7 +362,9 @@ def _isolate_child(name: str, sf_dir: str) -> None:
     release_caches()
     post = _host_probe()
     print(json.dumps({"name": name, "sec": round(best, 4),
-                      "spin_pre": pre["spin_sec"], "spin_post": post["spin_sec"]}))
+                      "spin_pre": pre["spin_sec"], "spin_post": post["spin_sec"],
+                      "membw_pre": pre["membw_gbps"],
+                      "membw_post": post["membw_gbps"]}))
 
 
 REQUOTE_RATIO = 1.15  # VERDICT r7 task 7: tightened from the 1.3 that let
@@ -375,12 +429,21 @@ def _requote_pass(
         r = json.loads(line)
         ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
         entry.update({"sec_isolated": r["sec"], "spin_pre": r["spin_pre"],
-                      "spin_post": r["spin_post"]})
-        # Two contention signals: brackets that DISAGREE (mid-measure
-        # shift) or brackets that are evenly HIGH (steady steal — the
+                      "spin_post": r["spin_post"],
+                      "membw_pre": r.get("membw_pre", 0.0),
+                      "membw_post": r.get("membw_post", 0.0)})
+        # Three contention signals: brackets that DISAGREE (mid-measure
+        # shift), brackets that are evenly HIGH (steady steal — the
         # ratio is blind to it, SCALING.md round-8 noisy-neighbor
-        # windows read spin 1.9/1.9 = ratio 1.0).
-        if ratio > 1.3 or max(r["spin_pre"], r["spin_post"]) > 1.25 * QUIET_SPIN_S:
+        # windows read spin 1.9/1.9 = ratio 1.0), or a depressed
+        # memory-bandwidth bracket (co-tenant saturation, spin-quiet).
+        bw_vals = [v for v in (entry["membw_pre"], entry["membw_post"]) if v > 0.0]
+        bw_contended = bool(bw_vals) and min(bw_vals) < QUIET_MEMBW_GBPS
+        if (
+            ratio > 1.3
+            or max(r["spin_pre"], r["spin_post"]) > 1.25 * QUIET_SPIN_S
+            or bw_contended
+        ):
             entry["outcome"] = "isolate_contended_kept_inrun"
         elif r["sec"] <= sec * 0.8:
             timings[name] = r["sec"]
