@@ -615,7 +615,12 @@ def main() -> None:
                 # direct A/B 0.963/0.981); quiet isolated minima beat
                 # the r6 records.  Full ladder: SCALING.md round-8.
                 "notes": "st07/p02 r7 drift = host contention (bisected); "
-                         "ANSI exonerated; see SCALING.md round-8",
+                         "ANSI exonerated; r8 adds quiet-gates + membw "
+                         "probe (DRAM-bandwidth windows read spin-quiet "
+                         "but slow Spark 15-30%); same-day 10x probe "
+                         "beat r7 on most rows, so elevated sf0.1 rows "
+                         "under low membw are window artifacts; see "
+                         "SCALING.md round-8",
                 "sf": float(sf) if sf else None,
             }
         )
