@@ -18,6 +18,7 @@ each 10-copy family into one cluster.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -258,6 +259,12 @@ PROBE = [
     "m17_image_resize",
 ]
 
+# r8: the probes reuse bench.py's quiet-gate (spin + steal + DRAM
+# bandwidth) before measuring — the bandwidth domain reads spin-quiet
+# but slows Spark stages 15-30% (SCALING.md round-8), and a probe run
+# that starts inside such a window wastes its whole wall-clock.
+PROBE_QUIET_WAIT_S = float(os.environ.get("PROBE_QUIET_WAIT_S", "300"))
+
 
 def materialize(spark, base: str, out: str, copies: int = COPIES, n_files: int = 8) -> None:
     for name in VERBATIM:
@@ -318,6 +325,9 @@ def _prev_round_baseline(out_path: str | None) -> dict:
 
 def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from bench import _wait_for_quiet  # repo root is on sys.path
+
+    _wait_for_quiet(PROBE_QUIET_WAIT_S, "probe10_start")
     spark = get_session(app_name="scale_probe")
     registry = load_inventory()
     out = tempfile.mkdtemp(prefix="flaco_scale10_")
@@ -372,7 +382,10 @@ def main() -> int:
                 )
             else:
                 spark.stop()
+                from bench import _wait_for_quiet as _gate
+
                 for n in flagged:
+                    _gate(PROBE_QUIET_WAIT_S, f"requote_{n}")
                     spark = get_session(app_name=f"scale_probe_requote_{n}")
                     pre = _spin()
                     spec = registry[n]

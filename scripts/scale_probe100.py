@@ -129,6 +129,11 @@ def _timed_run(
     57–126 s on page-cache state alone vs ~17 s warm, so a plan
     regression is only distinguishable from I/O state if both numbers
     are on file)."""
+    from bench import _wait_for_quiet  # repo root is on sys.path
+
+    _wait_for_quiet(
+        float(os.environ.get("PROBE_QUIET_WAIT_S", "300")), f"gate_{name}"
+    )
     spark = get_session(app_name=app)
     try:
         registry = load_inventory()
