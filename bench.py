@@ -402,12 +402,18 @@ def _prev_round_timings() -> dict[str, float]:
 
 
 def _requote_pass(
-    timings: dict[str, float], prev: dict[str, float], sf_dir: str
+    timings: dict[str, float], prev: dict[str, float], sf_dir: str,
+    deadline: float | None = None,
 ) -> list[dict]:
     """Re-measure any row regressing >REQUOTE_RATIO (and >REQUOTE_ABS
     seconds) vs the previous round in a fresh spin-bracketed process;
     adopt the isolated number only when it is ≥20% faster (a real
-    regression survives).  Returns the requote log for the JSON."""
+    regression survives).  Returns the requote log for the JSON.
+
+    ``deadline`` (perf_counter value) bounds the pass: a bench that
+    runs unattended must finish — once past the deadline, remaining
+    flagged rows are logged ``skipped_time_budget`` and keep their
+    in-run values (noisy-but-documented beats recording nothing)."""
     import subprocess
 
     log: list[dict] = []
@@ -417,6 +423,11 @@ def _requote_pass(
             continue
         entry = {"name": name, "sec_inrun": sec, "prev_round": base,
                  "threshold": REQUOTE_RATIO}
+        if deadline is not None and time.perf_counter() > deadline:
+            entry["outcome"] = "skipped_time_budget"
+            log.append(entry)
+            print(f"# requote {name}: skipped (time budget)", file=sys.stderr)
+            continue
         proc = subprocess.run(
             [sys.executable, __file__, "--isolate", name, sf_dir],
             capture_output=True, text=True,
@@ -459,6 +470,12 @@ def _requote_pass(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Overall wall-clock ceiling: the driver runs this unattended with
+    # an unknown timeout, so gates + requotes degrade gracefully
+    # rather than risk the whole record (quiet-gates stop waiting and
+    # requotes stop re-measuring once the budget is spent).
+    t_run0 = time.perf_counter()
+    deadline = t_run0 + float(os.environ.get("BENCH_TIME_BUDGET_S", "1500"))
     # Quiet-gate the whole run (SCALING.md round-8): this host flips
     # into minutes-long noisy-neighbor windows; a one-shot bench that
     # starts inside one records a phantom across-the-board regression.
@@ -490,7 +507,11 @@ def main() -> None:
     # whole headline phase (shorter budget — the start gate already
     # spent the long one).
     mid_gate = _wait_for_quiet(
-        float(os.environ.get("BENCH_MID_QUIET_WAIT_S", "300")), "pre_headline"
+        min(
+            float(os.environ.get("BENCH_MID_QUIET_WAIT_S", "300")),
+            max(0.0, deadline - time.perf_counter()),
+        ),
+        "pre_headline",
     )
 
     spark = get_session(app_name="flaco_spark_bench")
@@ -558,8 +579,8 @@ def main() -> None:
     # round-over-round regression in an isolated fresh process before
     # recording it.
     prev = _prev_round_timings()
-    requote_log = _requote_pass(timings, prev, sf_dir)
-    requote_log += _requote_pass(extended, prev, sf_dir)
+    requote_log = _requote_pass(timings, prev, sf_dir, deadline=deadline)
+    requote_log += _requote_pass(extended, prev, sf_dir, deadline=deadline)
 
     noise = _phase_noise(probes)
     for phase, v in noise.items():
