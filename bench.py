@@ -428,17 +428,36 @@ def _requote_pass(
             log.append(entry)
             print(f"# requote {name}: skipped (time budget)", file=sys.stderr)
             continue
-        proc = subprocess.run(
-            [sys.executable, __file__, "--isolate", name, sf_dir],
-            capture_output=True, text=True,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        if not line.startswith("{"):
+        # Bound the child: a hung Spark job must not block the whole
+        # unattended run past the budget (TimeoutExpired and malformed
+        # child output both degrade to isolate_failed — the in-run
+        # number survives, the record still gets written).
+        child_timeout = 600.0
+        if deadline is not None:
+            child_timeout = max(120.0, min(child_timeout, deadline - time.perf_counter() + 120.0))
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--isolate", name, sf_dir],
+                capture_output=True, text=True, timeout=child_timeout,
+            )
+        except subprocess.TimeoutExpired:
             entry["outcome"] = "isolate_failed"
+            entry["isolate_error"] = f"timeout after {child_timeout:.0f}s"
+            log.append(entry)
+            print(f"# requote {name}: isolate timed out", file=sys.stderr)
+            continue
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            r = json.loads(line)
+            ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
+        except (json.JSONDecodeError, KeyError, ValueError, ZeroDivisionError) as exc:
+            # A truncated/killed child (OOM, mid-print death) must not
+            # crash main() after 25 minutes of measurement — log and
+            # keep the in-run value.
+            entry["outcome"] = "isolate_failed"
+            entry["isolate_error"] = f"{type(exc).__name__}: {exc}"[:200]
             log.append(entry)
             continue
-        r = json.loads(line)
-        ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
         entry.update({"sec_isolated": r["sec"], "spin_pre": r["spin_pre"],
                       "spin_post": r["spin_post"],
                       "membw_pre": r.get("membw_pre", 0.0),
@@ -650,7 +669,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--isolate":
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        if len(sys.argv) < 3:
+            # A mistyped isolate invocation must not silently run the
+            # full 25-minute suite instead.
+            print("usage: bench.py --isolate <query_name> [sf_dir]", file=sys.stderr)
+            raise SystemExit(2)
         _isolate_child(
             sys.argv[2],
             sys.argv[3] if len(sys.argv) > 3

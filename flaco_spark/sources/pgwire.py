@@ -1108,7 +1108,15 @@ def _wire_datasource_classes():
         def partitions(self):
             if self.partition_column is None or self.num_partitions <= 1:
                 return [_PgPartition(self.uri, self.stmt, "TRUE", self.fetch_rows)]
-            if self.lower is None or self.upper is None:
+            if (self.lower is None) != (self.upper is None):
+                # Match read_sql_wire's contract exactly: one bound
+                # without the other is ambiguous — refuse rather than
+                # silently overwrite the supplied one with a probe.
+                raise EngineError(
+                    "pass BOTH lowerBound and upperBound, or NEITHER "
+                    "(a single bound is ambiguous)"
+                )
+            if self.lower is None and self.upper is None:
                 # Match read_sql_wire: plan-time MIN/MAX probe instead
                 # of an opaque executor-side TypeError on int(None).
                 self.lower, self.upper = probe_bounds(

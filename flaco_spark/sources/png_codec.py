@@ -145,6 +145,16 @@ def png_info(data: bytes) -> tuple[int, int, int, int]:
     if crc != (zlib.crc32(data[12:29]) & 0xFFFFFFFF):
         raise EngineError("IHDR CRC mismatch")
     width, height, bit_depth, color_type = struct.unpack_from(">IIBB", data, 16)
+    if width == 0 or height == 0:
+        raise EngineError(f"invalid PNG dimensions {width}x{height}")
+    # Compression method (data[26]) and filter method (data[27]) have
+    # exactly one defined value each (0); a nonzero declaration means
+    # the scanline stream is NOT the filters this decoder inverts —
+    # loud gap over silent wrong decode (module contract).
+    if data[26] != 0:
+        raise EngineError(f"unsupported PNG compression method {data[26]}")
+    if data[27] != 0:
+        raise EngineError(f"unsupported PNG filter method {data[27]}")
     return width, height, bit_depth, color_type
 
 

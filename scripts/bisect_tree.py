@@ -99,6 +99,10 @@ def parent(tree_a: str, tree_b: str, reps: int, sf_dir: str) -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print("usage: bisect_tree.py <tree_a> <tree_b> [reps] [sf_dir]\n"
+              "       bisect_tree.py --child <tree> [sf_dir]", file=sys.stderr)
+        raise SystemExit(2)
     if sys.argv[1] == "--child":
         child(sys.argv[2], sys.argv[3] if len(sys.argv) > 3
               else "/root/testdata/sf0.1")

@@ -1003,6 +1003,21 @@ def test_png_codec_error_surface():
         decode_png(png[:-8])
     with pytest.raises(EngineError, match="pixel buffer"):
         encode_png(b"short", 8, 4)
+    # Nonzero IHDR compression/filter METHOD bytes declare a scanline
+    # stream this decoder does not invert — must be loud, not a silent
+    # wrong decode (re-CRC the patched header so only the method byte
+    # is at fault).
+    import struct as _struct
+    import zlib as _zlib
+
+    for off in (26, 27):  # compression method, filter method
+        bad = bytearray(png)
+        bad[off] = 1
+        bad[29:33] = _struct.pack(
+            ">I", _zlib.crc32(bytes(bad[12:29])) & 0xFFFFFFFF
+        )
+        with pytest.raises(EngineError, match="method"):
+            decode_png(bytes(bad))
 
 
 def test_png_cross_implementation(spark):

@@ -277,3 +277,32 @@ def test_pgwire_binary_numeric_decode():
     got = _bdec_numeric(payload(groups, weight, 0x0000, 9))
     assert got == big
     assert str(got) == str(big)  # exact digits, no 28-digit rounding
+
+
+def test_pgwire_datasource_rejects_single_bound():
+    """A raw spark.read.format('pgwire') user who sets one of
+    lowerBound/upperBound without the other must get the same
+    EngineError read_sql_wire raises — not a silent probe that
+    overwrites the supplied bound (the two entry points diverged)."""
+    import pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.pgwire import _wire_datasource_classes
+
+    ds_cls = _wire_datasource_classes()
+    for opts in (
+        {"lowerbound": "0"},
+        {"upperbound": "100"},
+    ):
+        ds = ds_cls(
+            {
+                "uri": "postgresql://u@localhost:1/db",
+                "query": "SELECT 1 AS k",
+                "partitioncolumn": "k",
+                "numpartitions": "4",
+                **opts,
+            }
+        )
+        reader = ds.reader(None)
+        with pytest.raises(EngineError, match="BOTH"):
+            reader.partitions()
