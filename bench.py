@@ -251,9 +251,30 @@ def _steal_rate(win: float = 1.5) -> float:
 QUIET_SPIN_S = 0.95
 QUIET_STEAL_JPS = 300.0  # ~3 of 32 CPUs stolen
 QUIET_MEMBW_GBPS = 8.0  # host measures 15+ quiet, 1-7 in a bw window
+# r9 (VERDICT r8 task 4): the 8 GB/s floor admits windows SCALING.md's
+# own round-8 analysis says cost Spark 15-30% — the measurement-phase
+# gates (start / pre-headline) hold out for the band the cross-round
+# comparisons are actually conditioned on.  Bounded wait as before;
+# a timed-out gate proceeds with quiet=false recorded.
+QUIET_MEMBW_MEASURE_GBPS = 15.0
 
 
-def _wait_for_quiet(max_wait_s: float, label: str) -> dict:
+def _bw_band(gbps: float) -> str:
+    """Coarse DRAM-bandwidth band label (VERDICT r8 task 4): cross-round
+    timing deltas are only comparable within a band — 12-15 GB/s windows
+    read 'quiet' under the old floor yet slow Spark 15-30%."""
+    if gbps <= 0.0:
+        return "n/a"
+    if gbps < 10.0:
+        return "<10"
+    if gbps < 15.0:
+        return "10-15"
+    return ">=15"
+
+
+def _wait_for_quiet(
+    max_wait_s: float, label: str, membw_floor: float = QUIET_MEMBW_GBPS
+) -> dict:
     """Poll spin + steal until the host is quiet or the budget runs
     out; returns the gate record for the output JSON.  Proceeding
     anyway after a timeout is deliberate — a bench that never runs is
@@ -269,7 +290,7 @@ def _wait_for_quiet(max_wait_s: float, label: str) -> dict:
         quiet = (
             spin <= QUIET_SPIN_S
             and steal <= QUIET_STEAL_JPS
-            and (bw == 0.0 or bw >= QUIET_MEMBW_GBPS)  # 0.0 = probe n/a
+            and (bw == 0.0 or bw >= membw_floor)  # 0.0 = probe n/a
         )
         if quiet or waited >= max_wait_s:
             gate = {
@@ -279,6 +300,8 @@ def _wait_for_quiet(max_wait_s: float, label: str) -> dict:
                 "final_spin": spin,
                 "final_steal_jps": steal,
                 "final_membw_gbps": bw,
+                "membw_floor": membw_floor,
+                "membw_band": _bw_band(bw),
                 "quiet": quiet,
             }
             if not quiet:
@@ -371,34 +394,141 @@ REQUOTE_RATIO = 1.15  # VERDICT r7 task 7: tightened from the 1.3 that let
 REQUOTE_ABS = 0.3     # st07/p02 slip; small-absolute rows stay exempt
 
 
-def _prev_round_timings() -> dict[str, float]:
-    """Per-query numbers from the newest BENCH_r*.json next to this
-    script (the previous round's driver record); {} if none."""
+def _prev_round_timings(
+    search_dir: Path | None = None, sf: float | None = None
+) -> dict[str, float]:
+    """Per-query numbers from the newest PARSEABLE BENCH_r*.json next
+    to this script; {} if none.
+
+    r9 (VERDICT r8 task 2): the r8 record is ``"parsed": null`` (the
+    output line outgrew the driver's stdout-tail window), and the old
+    newest-only lookup returned {} — silently disengaging the 1.15x
+    requote net.  Walk rounds newest-first and take the first record
+    that actually carries a per-query dict, so one lost round degrades
+    the baseline by one round instead of to nothing.
+
+    ``sf``: scale factor of the CURRENT run — a record taken at a
+    different sf is no baseline at all (a local sf0.01 run compared
+    against the driver's sf0.1 numbers would spawn a pointless
+    isolate child per row), so mismatched records are skipped."""
     import glob
     import re
 
-    here = Path(__file__).resolve().parent
-    best_round, best_path = -1, None
+    here = search_dir or Path(__file__).resolve().parent
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(str(here / "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_round:
-            best_round, best_path = int(m.group(1)), p
-    if best_path is None:
-        return {}
-    try:
-        with open(best_path) as fh:
-            data = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return {}
-    # the driver wraps bench stdout under "parsed"
-    if "parsed" in data and isinstance(data["parsed"], dict):
-        data = data["parsed"]
-    out: dict[str, float] = {}
-    for k in ("queries", "extended"):
-        for name, sec in (data.get(k) or {}).items():
-            if isinstance(sec, (int, float)):
-                out[name] = float(sec)
-    return out
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _rnd, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps bench stdout under "parsed"; parsed=null or a
+        # truncated tail means that round's record is unusable — fall
+        # through to the next-older round.
+        if "parsed" in data:
+            data = data["parsed"]
+        if not isinstance(data, dict):
+            continue
+        rec_sf = data.get("sf")
+        if (
+            sf is not None
+            and isinstance(rec_sf, (int, float))
+            and abs(rec_sf - sf) > 1e-9
+        ):
+            continue
+        out: dict[str, float] = {}
+        for k in ("queries", "extended"):
+            for name, sec in (data.get(k) or {}).items():
+                if isinstance(sec, (int, float)):
+                    out[name] = float(sec)
+        if out:
+            return out
+    return {}
+
+
+def _next_round(search_dir: Path | None = None) -> int:
+    """Round number this run will be recorded as: the driver writes
+    BENCH_r{N}.json AFTER the run, so N = newest existing round + 1."""
+    import glob
+    import re
+
+    here = search_dir or Path(__file__).resolve().parent
+    best = 0
+    for p in glob.glob(str(here / "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+# The driver keeps only a ~2 KB stdout tail; BENCH_r08.json was lost
+# when the final line grew past it (VERDICT r8 task 1).  The machine
+# line stays under this bound — everything diagnostic goes to the
+# BENCH_META artifact + stderr instead.
+COMPACT_LINE_MAX = 1500
+
+
+def _compact_record(
+    timings: dict[str, float],
+    extract: dict[str, float],
+    extended: dict[str, float],
+    memory: dict[str, float],
+    noise: dict[str, dict],
+    sf: float | None,
+    meta_file: str | None,
+) -> dict:
+    """The driver-facing record: per-query numbers + the per-phase
+    DRAM-bandwidth band (VERDICT r8 task 4 — cross-round deltas are
+    only asserted within-band).  Requote logs, probes, gates, and
+    notes live in the BENCH_META artifact, NOT here."""
+    return {
+        "metric": "headline_query_suite_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "extract": extract,
+        "extended": extended,
+        "memory": memory,
+        "membw_band": {ph: _bw_band(v.get("membw_min_gbps", 0.0)) for ph, v in noise.items()},
+        "meta": meta_file,
+        "sf": sf,
+    }
+
+
+def _compact_line(record: dict) -> str:
+    """Serialize the machine record, enforcing COMPACT_LINE_MAX: if a
+    future field addition pushes past the bound, progressively shed
+    the optional diagnostics (never the per-query numbers) rather than
+    hand the driver another unparseable tail."""
+    line = json.dumps(record, separators=(",", ":"))
+    for drop in ("meta", "membw_band", "memory"):
+        if len(line) <= COMPACT_LINE_MAX:
+            break
+        record = {k: v for k, v in record.items() if k != drop}
+        print(f"# compact line over {COMPACT_LINE_MAX}B — dropped {drop!r}",
+              file=sys.stderr)
+        line = json.dumps(record, separators=(",", ":"))
+    return line
+
+
+def _child_budgets(child_gate: float, remaining: float | None) -> tuple[float, float]:
+    """(quiet-gate budget, subprocess timeout) for one isolate child.
+
+    Invariant (r8 ADVICE): timeout >= gate budget + 240s measure
+    headroom, so a child is never killed while still inside the quiet
+    gate it was configured to run — that recorded a spurious
+    isolate_failed for a row that was never re-measured.  Near the
+    deadline the GATE shrinks (down to 20s) instead of the timeout
+    clamping below it."""
+    child_timeout = 600.0
+    if remaining is not None:
+        child_gate = max(20.0, min(child_gate, remaining * 0.25))
+        child_timeout = max(child_gate + 240.0, min(child_timeout, remaining + 120.0))
+    return child_gate, child_timeout
 
 
 def _requote_pass(
@@ -431,14 +561,24 @@ def _requote_pass(
         # Bound the child: a hung Spark job must not block the whole
         # unattended run past the budget (TimeoutExpired and malformed
         # child output both degrade to isolate_failed — the in-run
-        # number survives, the record still gets written).
-        child_timeout = 600.0
-        if deadline is not None:
-            child_timeout = max(120.0, min(child_timeout, deadline - time.perf_counter() + 120.0))
+        # number survives, the record still gets written).  The child's
+        # OWN quiet-gate budget is scaled down with the remaining
+        # wall-clock (r8 ADVICE: a 120s timeout around a child that
+        # spends 180s gating records a spurious isolate_failed for a
+        # row that was never re-measured), and the timeout is floored
+        # ABOVE gate budget + expected measure time so the child can
+        # always finish what it was allowed to start.
+        child_gate, child_timeout = _child_budgets(
+            float(os.environ.get("BENCH_ISOLATE_QUIET_WAIT_S", "180")),
+            None if deadline is None
+            else max(0.0, deadline - time.perf_counter()),
+        )
+        child_env = dict(os.environ, BENCH_ISOLATE_QUIET_WAIT_S=f"{child_gate:.0f}")
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--isolate", name, sf_dir],
                 capture_output=True, text=True, timeout=child_timeout,
+                env=child_env,
             )
         except subprocess.TimeoutExpired:
             entry["outcome"] = "isolate_failed"
@@ -494,12 +634,28 @@ def main() -> None:
     # rather than risk the whole record (quiet-gates stop waiting and
     # requotes stop re-measuring once the budget is spent).
     t_run0 = time.perf_counter()
-    deadline = t_run0 + float(os.environ.get("BENCH_TIME_BUDGET_S", "1500"))
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "1500"))
+    deadline = t_run0 + budget
+    # r8 ADVICE: the start/mid gates draw down the same wall-clock the
+    # requote pass needs — on a persistently noisy host they could eat
+    # ~60% of the budget and leave every flagged row skipped_time_budget.
+    # Cap TOTAL gate spend at budget minus a requote allowance.
+    requote_reserve = float(os.environ.get("BENCH_REQUOTE_RESERVE_S", "420"))
+    gate_deadline = t_run0 + max(0.0, budget - requote_reserve)
     # Quiet-gate the whole run (SCALING.md round-8): this host flips
     # into minutes-long noisy-neighbor windows; a one-shot bench that
     # starts inside one records a phantom across-the-board regression.
+    # Measurement phases gate at the 15 GB/s band floor (VERDICT r8
+    # task 4): 12-15 GB/s windows passed the old 8 GB/s floor yet slow
+    # Spark 15-30% — numbers recorded there are not within-band
+    # comparable to a quiet round.
     quiet_gate = _wait_for_quiet(
-        float(os.environ.get("BENCH_QUIET_WAIT_S", "600")), "start"
+        min(
+            float(os.environ.get("BENCH_QUIET_WAIT_S", "600")),
+            max(0.0, gate_deadline - time.perf_counter()),
+        ),
+        "start",
+        membw_floor=QUIET_MEMBW_MEASURE_GBPS,
     )
     probes: dict[str, dict[str, float]] = {"start": _host_probe()}
     print(f"# host_probe[start]: {probes['start']}", file=sys.stderr)
@@ -528,9 +684,10 @@ def main() -> None:
     mid_gate = _wait_for_quiet(
         min(
             float(os.environ.get("BENCH_MID_QUIET_WAIT_S", "300")),
-            max(0.0, deadline - time.perf_counter()),
+            max(0.0, gate_deadline - time.perf_counter()),
         ),
         "pre_headline",
+        membw_floor=QUIET_MEMBW_MEASURE_GBPS,
     )
 
     spark = get_session(app_name="flaco_spark_bench")
@@ -597,7 +754,8 @@ def main() -> None:
     # (SCALING.md round-8: the st07/p02 phantom) — re-earn any
     # round-over-round regression in an isolated fresh process before
     # recording it.
-    prev = _prev_round_timings()
+    sf_now = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prev = _prev_round_timings(sf=float(sf_now) if sf_now else None)
     requote_log = _requote_pass(timings, prev, sf_dir, deadline=deadline)
     requote_log += _requote_pass(extended, prev, sf_dir, deadline=deadline)
 
@@ -610,61 +768,54 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # Extraction legs (the BASELINE.md workload shape: ~600k
-                # lineitem rows → columnar file; flaco: 605.60 ms at 600k).
-                "extract": extract_timings,
-                "extended": extended,
-                # Peak RSS (MiB) of driver python / JVM / process tree
-                # during the extract legs (reference memory-claim
-                # analogue, BASELINE.md memory block).
-                "memory": memory,
-                # Host-noise normalization probes (judge can compare
-                # spin_sec across rounds; see SCALING.md round-4 note).
-                # "host_probe" keeps the r1–r5 field shape (= start
-                # probe); "host_probes" brackets every phase and
-                # "phase_noise" is the validity verdict per phase
-                # (spin_ratio ≤ 1.3 — VERDICT r5 task 2).
-                "host_probe": probes["start"],
-                "host_probes": probes,
-                "phase_noise": noise,
-                # Auto-requote log (threshold 1.15x vs previous round,
-                # VERDICT r7 task 7): which rows re-measured isolated,
-                # and whether the in-run number was a contention
-                # phantom ("requoted") or a real regression
-                # ("regression_survives").
-                "requote_threshold": REQUOTE_RATIO,
-                "requotes": requote_log,
-                # Quiet-gate records (r8): bounded waits for the host's
-                # noisy-neighbor windows to pass before measuring; a
-                # gate with quiet=false means the numbers below were
-                # recorded under documented external contention.
-                "quiet_gates": [quiet_gate, mid_gate],
-                # r8 adjudication of the r7 st07/p02 regression flags
-                # (VERDICT r7 task 1): bisected to host contention —
-                # HEAD-vs-r6-tree interleaved A/B 1.016/0.961, ANSI pin
-                # exonerated (runtime no-op under Spark 4's default +
-                # direct A/B 0.963/0.981); quiet isolated minima beat
-                # the r6 records.  Full ladder: SCALING.md round-8.
-                "notes": "st07/p02 r7 drift = host contention (bisected); "
-                         "ANSI exonerated; r8 adds quiet-gates + membw "
-                         "probe (DRAM-bandwidth windows read spin-quiet "
-                         "but slow Spark 15-30%); same-day 10x probe "
-                         "beat r7 on most rows, so elevated sf0.1 rows "
-                         "under low membw are window artifacts; see "
-                         "SCALING.md round-8",
-                "sf": float(sf) if sf else None,
-            }
+    # r9 split (VERDICT r8 task 1): the r8 record was LOST because the
+    # single output line — requote log, gate records, a long notes
+    # string — outgrew the driver's ~2 KB stdout tail.  The machine
+    # line now carries only what BASELINE comparisons need (per-query
+    # numbers, memory, per-phase bandwidth band) and is length-bounded;
+    # the full diagnostic payload goes to BENCH_META_r{N}.json in-repo
+    # (committed with the round) and to stderr for the transcript.
+    meta = {
+        "round": _next_round(),
+        "sf_dir": sf_dir,
+        # Host-noise normalization probes (judge can compare spin_sec
+        # across rounds; see SCALING.md round-4 note).  "host_probes"
+        # brackets every phase; "phase_noise" is the validity verdict
+        # per phase (spin_ratio ≤ 1.3 — VERDICT r5 task 2).
+        "host_probes": probes,
+        "phase_noise": noise,
+        # Auto-requote log (threshold 1.15x vs previous round, VERDICT
+        # r7 task 7; r9 fixes the parsed:null fallback so the net
+        # re-engages): which rows re-measured isolated, and whether the
+        # in-run number was a contention phantom ("requoted") or a real
+        # regression ("regression_survives").
+        "requote_threshold": REQUOTE_RATIO,
+        "requotes": requote_log,
+        # Quiet-gate records: bounded waits for the host's noisy-
+        # neighbor windows; measurement phases gate at the 15 GB/s
+        # band floor (r9).  quiet=false means the numbers were
+        # recorded under documented external contention.
+        "quiet_gates": [quiet_gate, mid_gate],
+        "notes": "r9: compact machine line (r8 record lost to the "
+                 "driver's stdout-tail window); diagnostics live here; "
+                 "measurement gates hold for the >=15 GB/s membw band "
+                 "and cross-round deltas are conditioned on membw_band",
+    }
+    try:
+        meta_file = f"BENCH_META_r{meta['round']:02d}.json"
+        (Path(__file__).resolve().parent / meta_file).write_text(
+            json.dumps(meta, indent=1) + "\n"
         )
+    except OSError as exc:  # read-only checkout must not kill the record
+        meta_file = None
+        print(f"# BENCH_META write failed: {exc}", file=sys.stderr)
+    print(f"# meta[{meta_file}]: {json.dumps(meta)}", file=sys.stderr)
+    record = _compact_record(
+        timings, extract_timings, extended, memory, noise,
+        float(sf) if sf else None, meta_file,
     )
+    print(_compact_line(record))
     spark.stop()
 
 

@@ -66,12 +66,24 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
     PNG decodes for REAL on the stdlib (r8: ``sources/png_codec.py``,
     from-spec inflate + all five scanline unfilters — the same
-    discipline as the Avro codec).  Other formats still require an
-    imaging library this environment lacks."""
+    discipline as the Avro codec), and r9 routes still GIFs through
+    the real LZW codec too (``sources/gif_codec.py`` — a still is
+    frame 0, palette indices resolved through the global color table
+    to RGB).  Other formats still require an imaging library this
+    environment lacks."""
+    from flaco_spark.sources.gif_codec import decode_gif
     from flaco_spark.sources.png_codec import PNG_SIG, decode_png
 
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        import numpy as np
+
+        width, height, frames, gct = decode_gif(payload)
+        # Still image = frame 0; vectorized palette lookup idx -> (r,g,b).
+        palette = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
+        rgb = palette[np.frombuffer(frames[0], dtype=np.uint8)]
+        return width, height, 3, rgb.tobytes()
     try:
         from PIL import Image  # noqa: F401
         import io

@@ -1107,6 +1107,25 @@ def _wire_datasource_classes():
 
         def partitions(self):
             if self.partition_column is None or self.num_partitions <= 1:
+                # r8 ADVICE: the XOR guard below only fires when
+                # partitioning is ACTIVE — bounds supplied alongside
+                # numPartitions=1 or without partitionColumn were
+                # silently ignored, the same ambiguous-options class.
+                # Loud here too: drop the bounds or activate
+                # partitioning, never guess.
+                if self.lower is not None or self.upper is not None:
+                    raise EngineError(
+                        "lowerBound/upperBound supplied but partitioning "
+                        "is inactive (needs partitionColumn AND "
+                        "numPartitions > 1) — the bounds would be "
+                        "silently ignored"
+                    )
+                if self.partition_column is None and self.num_partitions > 1:
+                    raise EngineError(
+                        "numPartitions > 1 needs partitionColumn — a "
+                        "range-partitioned extract cannot split without "
+                        "a column to range over"
+                    )
                 return [_PgPartition(self.uri, self.stmt, "TRUE", self.fetch_rows)]
             if (self.lower is None) != (self.upper is None):
                 # Match read_sql_wire's contract exactly: one bound
@@ -1245,5 +1264,14 @@ def read_sql_wire(
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
+        )
+    elif num_partitions is not None or lower_bound is not None or upper_bound is not None:
+        # Same ambiguous-options class as the XOR guard (r8 ADVICE):
+        # partition options without partition_column would be silently
+        # ignored — refuse instead.
+        raise EngineError(
+            "num_partitions/lower_bound/upper_bound supplied without "
+            "partition_column — partitioning is inactive and the "
+            "options would be silently ignored"
         )
     return reader.load()

@@ -325,7 +325,13 @@ def main() -> int:
                         old["growth_vs_10x"] = round(sec / old["sec_10x"], 2)
                     verdict = "requoted"
                 else:
+                    # r8 ADVICE: record the isolated measurement and its
+                    # spin brackets IN the row (not just stderr) so the
+                    # "regression is real" verdict is auditable from the
+                    # artifact, same contract as bench.py's requote log.
                     old["requote"] = "re-measured, not faster — regression is real"
+                    old["sec_isolated"] = round(sec, 2)
+                    old["spin_isolated"] = probes
                     verdict = "regression_survives"
                 print(
                     f"# requote {name}: {old.get('sec_inrun', old['sec'])}s -> "

@@ -1,0 +1,158 @@
+"""The bench record contract (VERDICT r8 tasks 1/2/4 + ADVICE).
+
+BENCH_r08.json was lost because bench.py's single output JSON line
+outgrew the driver's ~2 KB stdout-tail window — these tests pin the
+r9 split: a length-bounded machine line (per-query numbers only) and
+a BENCH_META artifact for diagnostics, plus the previous-round lookup
+that must SKIP unparseable rounds so the 1.15x requote net stays
+engaged after a lost record.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import bench
+
+
+def _full_size_record() -> dict:
+    """A worst-realistic-case record: every headline/extended/extract
+    row at a 3-digit-seconds value (wider than any real number we have
+    recorded), full memory block, every band label, meta filename."""
+    queries = {name: 103.1234 for name in bench.HEADLINE}
+    extended = {name: 103.1234 for name in bench.EXTENDED}
+    extract = {"x01_extract_parquet": 103.1234, "x02_extract_feather": 103.1234}
+    memory = {
+        "driver_python_peak_rss_mib": 12345.6,
+        "jvm_peak_rss_mib": 123456.7,
+        "process_tree_peak_rss_sum_mib": 1234567.8,
+    }
+    noise = {
+        ph: {"membw_min_gbps": 12.3, "spin_ratio": 1.01, "quiet": False, "valid": True}
+        for ph in ("extract", "headline", "extended")
+    }
+    return bench._compact_record(
+        queries, extract, extended, memory, noise, 0.1, "BENCH_META_r99.json"
+    )
+
+
+def test_compact_line_fits_driver_tail_window():
+    """The machine line must stay under COMPACT_LINE_MAX (< the
+    driver's ~2 KB tail) even at full inventory width — the r8 failure
+    mode, structurally pinned."""
+    line = bench._compact_line(_full_size_record())
+    assert len(line) < bench.COMPACT_LINE_MAX
+    parsed = json.loads(line)  # single parseable JSON object
+    assert parsed["metric"] == "headline_query_suite_total"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert set(parsed["extended"]) == set(bench.EXTENDED)
+    assert parsed["membw_band"] == {
+        "extract": "10-15", "headline": "10-15", "extended": "10-15"
+    }
+
+
+def test_compact_line_never_carries_diagnostics():
+    """Requotes / gate records / probes / notes are what sank r8 —
+    they must never ride the machine line again."""
+    rec = _full_size_record()
+    for key in ("requotes", "quiet_gates", "host_probes", "host_probe",
+                "phase_noise", "notes"):
+        assert key not in rec
+
+
+def test_compact_line_sheds_optional_fields_when_oversized():
+    """Safety valve: a record that somehow outgrows the bound sheds
+    diagnostics (meta → membw_band → memory), never query numbers."""
+    rec = _full_size_record()
+    rec["memory"]["pad"] = "x" * 2000
+    line = bench._compact_line(rec)
+    parsed = json.loads(line)
+    assert "memory" not in parsed  # shed (after meta/membw_band)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert len(line) < bench.COMPACT_LINE_MAX
+
+
+def test_prev_round_timings_skips_unparseable_rounds(tmp_path: Path):
+    """r8's record is parsed:null; the lookup must fall through to the
+    newest round with a real per-query dict (r7) instead of returning
+    {} and silently disengaging the requote net."""
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "rc": 0, "parsed": None, "tail": "…truncated…"})
+    )
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"n": 7, "parsed": {
+            "queries": {"q01_pricing_summary": 0.52},
+            "extended": {"d16_decontamination": 0.546},
+        }})
+    )
+    (tmp_path / "BENCH_r06.json").write_text(
+        json.dumps({"n": 6, "parsed": {
+            "queries": {"q01_pricing_summary": 0.99},
+        }})
+    )
+    prev = bench._prev_round_timings(search_dir=tmp_path)
+    assert prev == {"q01_pricing_summary": 0.52, "d16_decontamination": 0.546}
+
+
+def test_prev_round_timings_filters_on_scale_factor(tmp_path: Path):
+    """A baseline recorded at a different sf is no baseline: a local
+    sf0.01 run must not requote against the driver's sf0.1 numbers."""
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1,
+                               "queries": {"q01_pricing_summary": 0.52}}})
+    )
+    assert bench._prev_round_timings(search_dir=tmp_path, sf=0.01) == {}
+    assert bench._prev_round_timings(search_dir=tmp_path, sf=0.1) == {
+        "q01_pricing_summary": 0.52
+    }
+    # sf unknown on either side -> no filter (old-record compatibility)
+    assert bench._prev_round_timings(search_dir=tmp_path, sf=None) != {}
+
+
+def test_prev_round_timings_empty_when_nothing_parseable(tmp_path: Path):
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"parsed": None}))
+    (tmp_path / "BENCH_r02.json").write_text("{not json")
+    assert bench._prev_round_timings(search_dir=tmp_path) == {}
+    assert bench._prev_round_timings(search_dir=tmp_path / "empty") == {}
+
+
+def test_prev_round_timings_live_repo_sees_r07():
+    """On the actual repo state (r8 unparseable), the requote baseline
+    must be r7's — the exact scenario the verdict flagged as silently
+    disengaging round 9's net."""
+    prev = bench._prev_round_timings()
+    assert prev, "requote baseline is empty — the net is disengaged"
+    # r7 carried these rows; any later parseable round will too.
+    assert "q01_pricing_summary" in prev
+    assert "d16_decontamination" in prev
+
+
+def test_next_round_from_repo_and_tmp(tmp_path: Path):
+    assert bench._next_round(search_dir=tmp_path) == 1
+    (tmp_path / "BENCH_r04.json").write_text("{}")
+    assert bench._next_round(search_dir=tmp_path) == 5
+    assert bench._next_round() >= 9  # live repo has r01..r08
+
+
+def test_bw_band_labels():
+    assert bench._bw_band(0.0) == "n/a"
+    assert bench._bw_band(7.9) == "<10"
+    assert bench._bw_band(12.7) == "10-15"
+    assert bench._bw_band(15.0) == ">=15"
+    assert bench._bw_band(22.3) == ">=15"
+
+
+def test_child_budgets_never_kill_a_gating_child():
+    """r8 ADVICE: timeout must exceed the child's gate budget + 240s
+    measure headroom for every remaining-budget value."""
+    for remaining in (0.0, 30.0, 100.0, 200.0, 500.0, 1500.0, None):
+        gate, timeout = bench._child_budgets(180.0, remaining)
+        assert timeout >= gate + 240.0
+        assert gate >= 20.0
+    # far from the deadline: full gate, full timeout
+    gate, timeout = bench._child_budgets(180.0, 10_000.0)
+    assert (gate, timeout) == (180.0, 600.0)
+    # near the deadline: the GATE shrinks, not the headroom
+    gate, timeout = bench._child_budgets(180.0, 80.0)
+    assert gate == 20.0 and timeout == gate + 240.0

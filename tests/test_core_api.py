@@ -1130,6 +1130,28 @@ def test_gif_container_roundtrip_multiframe():
         assert gct[3 * 77 : 3 * 78] == bytes((77, 77, 77))  # identity ramp
 
 
+def test_decode_image_gif_arm_uses_real_codec():
+    """VERDICT r8 task 7: a still GIF routes through the real LZW
+    codec in decode_image (frame 0, palette resolved through the
+    global color table to RGB) — no PIL, no NotImplementedError."""
+    import random
+
+    from flaco_spark.operators.multimodal import decode_image
+    from flaco_spark.sources.gif_codec import encode_gif_gray
+
+    rnd = random.Random(9)
+    w, h = 13, 7
+    gray = bytes(rnd.randrange(256) for _ in range(w * h))
+    gif = encode_gif_gray([gray], w, h)
+    width, height, channels, pix = decode_image(gif)
+    assert (width, height, channels) == (w, h, 3)
+    # identity-ramp palette: RGB = the gray value replicated 3x
+    assert pix == b"".join(bytes((v, v, v)) for v in gray)
+    # GIF87a signature takes the same arm
+    width, height, channels, pix87 = decode_image(b"GIF87a" + gif[6:])
+    assert (width, height, channels, pix87) == (w, h, 3, pix)
+
+
 def test_gif_codec_error_surface():
     from flaco_spark.errors import EngineError
     from flaco_spark.sources.gif_codec import decode_gif, encode_gif_gray

@@ -306,3 +306,57 @@ def test_pgwire_datasource_rejects_single_bound():
         reader = ds.reader(None)
         with pytest.raises(EngineError, match="BOTH"):
             reader.partitions()
+
+
+def test_pgwire_datasource_rejects_inactive_partition_options():
+    """r8 ADVICE: bounds with numPartitions=1 or without
+    partitionColumn (and numPartitions>1 without a column) were
+    SILENTLY ignored — the same ambiguous-options class the XOR guard
+    targets.  All three shapes must now refuse loudly."""
+    import pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.pgwire import _wire_datasource_classes
+
+    ds_cls = _wire_datasource_classes()
+    base = {"uri": "postgresql://u@localhost:1/db", "query": "SELECT 1 AS k"}
+    # bounds without partitionColumn
+    with pytest.raises(EngineError, match="inactive"):
+        ds_cls({**base, "lowerbound": "0", "upperbound": "9"}).reader(None).partitions()
+    # bounds with partitionColumn but numPartitions=1
+    with pytest.raises(EngineError, match="inactive"):
+        ds_cls(
+            {**base, "partitioncolumn": "k", "numpartitions": "1",
+             "lowerbound": "0", "upperbound": "9"}
+        ).reader(None).partitions()
+    # numPartitions>1 without partitionColumn
+    with pytest.raises(EngineError, match="partitionColumn"):
+        ds_cls({**base, "numpartitions": "4"}).reader(None).partitions()
+    # the plain single-partition shape still plans one TRUE partition
+    parts = ds_cls(base).reader(None).partitions()
+    assert len(parts) == 1 and parts[0].predicate == "TRUE"
+
+
+def test_read_sql_wire_rejects_partition_options_without_column(spark):
+    """The helper-level twin of the DataSource guard: partition
+    options without partition_column raise instead of being dropped."""
+    import pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.pgwire import read_sql_wire
+
+    with pytest.raises(EngineError, match="without"):
+        read_sql_wire(
+            spark,
+            "postgresql://u@localhost:1/db",
+            "SELECT 1 AS k",
+            num_partitions=4,
+        )
+    with pytest.raises(EngineError, match="without"):
+        read_sql_wire(
+            spark,
+            "postgresql://u@localhost:1/db",
+            "SELECT 1 AS k",
+            lower_bound=0,
+            upper_bound=9,
+        )
