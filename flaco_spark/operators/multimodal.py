@@ -12,13 +12,15 @@ machinery a 100 TB media pipeline needs:
 - partition-size control before the decode stage (decode is CPU-bound;
   repartition so each task holds a bounded number of payloads).
 
-Decode realism (r8): PNG decodes for REAL on the stdlib
-(``sources/png_codec.py`` — inflate + all five scanline unfilters,
-cross-verified against the JVM's ImageIO), and the audio lane decodes
-real PCM bytes (m03/m08/m09).  Codec libraries for other formats
-(PIL / torchaudio / ffmpeg) are NOT present in this environment, so
-non-PNG image decode raises ``NotImplementedError`` unless a library
-is importable, and the m01 default pipeline uses a clearly marked
+Decode realism (r8/r9): PNG, GIF, and baseline JPEG decode for REAL
+on the stdlib codecs (``sources/png_codec.py`` — inflate + all five
+scanline unfilters; ``sources/gif_codec.py`` — true LZW; ``sources/
+jpeg_codec.py`` — Huffman + IDCT; each cross-verified against the
+JVM's ImageIO), and the audio lane decodes real PCM bytes
+(m03/m08/m09).  Codec libraries for other formats (PIL / torchaudio
+/ ffmpeg) are NOT present in this environment, so image decode beyond
+those three raises ``NotImplementedError`` unless a library is
+importable, and the m01 default pipeline uses a clearly marked
 deterministic fake extractor — the Spark plumbing (schemas, batching,
 partitioning) is identical and tested either way; ``m15_png_decode``
 is the oracle-checked REAL-decode gate.
@@ -66,12 +68,14 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
     PNG decodes for REAL on the stdlib (r8: ``sources/png_codec.py``,
     from-spec inflate + all five scanline unfilters — the same
-    discipline as the Avro codec), and r9 routes still GIFs through
-    the real LZW codec too (``sources/gif_codec.py`` — a still is
-    frame 0, palette indices resolved through the global color table
-    to RGB).  Other formats still require an imaging library this
-    environment lacks."""
+    discipline as the Avro codec); r9 routes still GIFs through the
+    real LZW codec (``sources/gif_codec.py`` — a still is frame 0,
+    palette indices resolved through the global color table to RGB)
+    and baseline JPEGs through the from-spec Huffman+IDCT decoder
+    (``sources/jpeg_codec.py``).  Other formats still require an
+    imaging library this environment lacks."""
     from flaco_spark.sources.gif_codec import decode_gif
+    from flaco_spark.sources.jpeg_codec import JPEG_SIG, decode_jpeg
     from flaco_spark.sources.png_codec import PNG_SIG, decode_png
 
     if payload[:8] == PNG_SIG:
@@ -84,6 +88,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         palette = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
         rgb = palette[np.frombuffer(frames[0], dtype=np.uint8)]
         return width, height, 3, rgb.tobytes()
+    if payload[:2] == JPEG_SIG:
+        return decode_jpeg(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -93,9 +99,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return img.width, img.height, len(img.getbands()), raw
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "non-PNG image decode requires PIL; PNG decodes on the "
-            "stdlib, or use extract_features(fake=True) for the "
-            "deterministic stub pipeline"
+            "image decode beyond PNG/GIF/JPEG requires PIL; those three "
+            "decode on the stdlib codecs, or use extract_features("
+            "fake=True) for the deterministic stub pipeline"
         ) from exc
 
 

@@ -1130,6 +1130,191 @@ def test_gif_container_roundtrip_multiframe():
         assert gct[3 * 77 : 3 * 78] == bytes((77, 77, 77))  # identity ramp
 
 
+def _jpeg_smooth_rgb(w: int, h: int) -> bytes:
+    """Smooth color field — JPEG is lossy, so cross-decoder comparisons
+    use low-frequency content where quantization error stays small."""
+    return bytes(
+        (x * 3 + y * 2 + c * 5) % 250 for y in range(h) for x in range(w) for c in range(3)
+    )
+
+
+def test_jpeg_self_roundtrip():
+    """encode_jpeg -> decode_jpeg at high quality is near-lossless on
+    smooth content, for gray and RGB, at non-multiple-of-8 dims."""
+    import numpy as np
+
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    w, h = 21, 13
+    gray = bytes((x * 7 + y * 11) % 256 for y in range(h) for x in range(w))
+    W, H, C, out = decode_jpeg(encode_jpeg(gray, w, h, 1, quality=97))
+    assert (W, H, C) == (w, h, 1)
+    d = np.abs(np.frombuffer(gray, np.uint8).astype(int) - np.frombuffer(out, np.uint8).astype(int))
+    assert d.max() <= 3
+
+    w, h = 24, 17
+    rgb = _jpeg_smooth_rgb(w, h)
+    W, H, C, out = decode_jpeg(encode_jpeg(rgb, w, h, 3, quality=97))
+    assert (W, H, C) == (w, h, 3)
+    d = np.abs(np.frombuffer(rgb, np.uint8).astype(int) - np.frombuffer(out, np.uint8).astype(int))
+    assert d.max() <= 4
+
+
+def test_jpeg_cross_implementation(spark):
+    """Two-way ImageIO cross-check, same discipline as PNG/GIF/Avro:
+    (a) files written by encode_jpeg decode in javax.imageio and the
+    two decoders agree pixelwise within IDCT rounding; (b) an
+    ImageIO-written JPEG (gray, and color with the JDK writer's 4:2:0
+    subsampling) decodes in decode_jpeg to the same pixels ImageIO
+    itself reads back, within the fancy-upsample/IDCT tolerance."""
+    import random
+
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    jvm = spark._jvm
+    rnd = random.Random(21)
+
+    def imageio_decode(data: bytes):
+        iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+            jvm.java.io.ByteArrayInputStream(data)
+        )
+        img = jvm.javax.imageio.ImageIO.read(iis)
+        assert img is not None
+        return img
+
+    # (a) ours -> ImageIO, gray and color.  Gray compares RASTER
+    # samples: ImageIO loads grayscale JPEGs into a linear-gray
+    # BufferedImage whose getRGB() gamma-converts to sRGB.
+    w, h = 40, 25
+    gray = bytes((x * 5 + y * 9) % 256 for y in range(h) for x in range(w))
+    jbytes = encode_jpeg(gray, w, h, 1, quality=95)
+    img = imageio_decode(jbytes)
+    assert img.getWidth() == w and img.getHeight() == h
+    _, _, _, ours = decode_jpeg(jbytes)
+    raster = img.getRaster()
+    for _ in range(120):
+        x, y = rnd.randrange(w), rnd.randrange(h)
+        assert abs(raster.getSample(x, y, 0) - ours[y * w + x]) <= 2
+
+    rgb = _jpeg_smooth_rgb(w, h)
+    jbytes = encode_jpeg(rgb, w, h, 3, quality=95)
+    img = imageio_decode(jbytes)
+    _, _, _, ours = decode_jpeg(jbytes)
+    for _ in range(120):
+        x, y = rnd.randrange(w), rnd.randrange(h)
+        argb = img.getRGB(x, y)
+        for ci, ch in enumerate(((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)):
+            assert abs(ch - ours[(y * w + x) * 3 + ci]) <= 3
+
+    # (b) ImageIO -> ours: gray (TYPE_BYTE_GRAY = 10)
+    w2, h2 = 23, 17
+    vals = [rnd.randrange(256) for _ in range(w2 * h2)]
+    jimg = jvm.java.awt.image.BufferedImage(w2, h2, 10)
+    wr = jimg.getRaster()
+    for y in range(h2):
+        for x in range(w2):
+            wr.setSample(x, y, 0, vals[y * w2 + x])
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(jimg, "jpg", bos)
+    data = bytes(bos.toByteArray())
+    W, H, C, ours = decode_jpeg(data)
+    assert (W, H, C) == (w2, h2, 1)
+    ref = imageio_decode(data)  # ImageIO reading its own file = truth
+    ref_raster = ref.getRaster()
+    for _ in range(120):
+        x, y = rnd.randrange(w2), rnd.randrange(h2)
+        assert abs(ref_raster.getSample(x, y, 0) - ours[y * w2 + x]) <= 2
+
+    # (b) ImageIO -> ours: color (TYPE_INT_RGB = 1; the JDK writer
+    # subsamples chroma 4:2:0, exercising the fancy upsampler)
+    w3, h3 = 32, 22
+    rgb3 = _jpeg_smooth_rgb(w3, h3)
+    jimg = jvm.java.awt.image.BufferedImage(w3, h3, 1)
+    for y in range(h3):
+        for x in range(w3):
+            i = (y * w3 + x) * 3
+            jimg.setRGB(x, y, (rgb3[i] << 16) | (rgb3[i + 1] << 8) | rgb3[i + 2])
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(jimg, "jpg", bos)
+    data = bytes(bos.toByteArray())
+    W, H, C, ours = decode_jpeg(data)
+    assert (W, H, C) == (w3, h3, 3)
+    ref = imageio_decode(data)
+    worst = 0
+    for _ in range(200):
+        x, y = rnd.randrange(w3), rnd.randrange(h3)
+        argb = ref.getRGB(x, y)
+        for ci, ch in enumerate(((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)):
+            worst = max(worst, abs(ch - ours[(y * w3 + x) * 3 + ci]))
+    assert worst <= 4, f"4:2:0 cross-decode diverges by {worst}"
+
+
+def test_jpeg_restart_markers_roundtrip(spark):
+    """DRI + RSTn resync: our encoder emits restarts, our decoder
+    resyncs (DC predictors reset per interval), and ImageIO agrees on
+    the restart-marked file — the resync points a parallel decoder
+    would split a 100 TB scan's images on."""
+    import numpy as np
+
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    w, h = 40, 25  # 5x4=20 MCUs at 4:4:4 -> several restart intervals
+    rgb = _jpeg_smooth_rgb(w, h)
+    j_plain = encode_jpeg(rgb, w, h, 3, quality=95)
+    j_rst = encode_jpeg(rgb, w, h, 3, quality=95, restart_interval=3)
+    assert b"\xff\xdd" in j_rst and j_rst.count(b"\xff\xd0") >= 1
+    # identical pixel output with and without restarts
+    assert decode_jpeg(j_rst) == decode_jpeg(j_plain)
+    # and the JVM decoder accepts the restart-marked stream
+    jvm = spark._jvm
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.ByteArrayInputStream(j_rst)
+    )
+    img = jvm.javax.imageio.ImageIO.read(iis)
+    ours = np.frombuffer(decode_jpeg(j_rst)[3], np.uint8).reshape(h, w, 3).astype(int)
+    for y in range(0, h, 3):
+        for x in range(0, w, 3):
+            argb = img.getRGB(x, y)
+            ref = [(argb >> 16) & 255, (argb >> 8) & 255, argb & 255]
+            assert max(abs(ours[y, x] - ref)) <= 3
+
+
+def test_jpeg_error_surface():
+    """Unsupported codings are LOUD: progressive (SOF2), truncation,
+    bad signature, bad encode inputs."""
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    gray = bytes(range(64))
+    j = encode_jpeg(gray, 8, 8, 1, quality=90)
+    with pytest.raises(EngineError, match="SOI"):
+        decode_jpeg(b"XX" + j[2:])
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    sof = j.index(b"\xff\xc0")
+    with pytest.raises(EngineError, match="SOF2|baseline"):
+        decode_jpeg(j[:sof] + b"\xff\xc2" + j[sof + 2:])
+    with pytest.raises(EngineError, match="truncated|entropy"):
+        decode_jpeg(j[: len(j) // 2])
+    with pytest.raises(EngineError, match="channels"):
+        encode_jpeg(gray, 8, 8, 2)
+    with pytest.raises(EngineError, match="expected"):
+        encode_jpeg(gray, 9, 8, 1)
+
+
+def test_decode_image_jpeg_arm_uses_real_codec():
+    """decode_image dispatches FFD8 payloads to the from-spec JPEG
+    decoder — the last dominant raster format no longer raises
+    NotImplementedError without PIL."""
+    from flaco_spark.operators.multimodal import decode_image
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    w, h = 16, 9
+    rgb = _jpeg_smooth_rgb(w, h)
+    j = encode_jpeg(rgb, w, h, 3, quality=95)
+    assert decode_image(j) == decode_jpeg(j)
+    assert decode_image(j)[:3] == (w, h, 3)
+
+
 def test_decode_image_gif_arm_uses_real_codec():
     """VERDICT r8 task 7: a still GIF routes through the real LZW
     codec in decode_image (frame 0, palette resolved through the
