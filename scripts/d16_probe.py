@@ -39,13 +39,15 @@ QUERY = "d16_decontamination"
 def _parse_event_log(log_dir: str) -> list[dict]:
     """Per-job wall-time decomposition from the Spark event log:
     [{job, sec, stages: [{name, sec, tasks}]}] in start order."""
-    files = sorted(Path(log_dir).glob("*"))
+    # Spark 4 writes a rolling event-log DIRECTORY per application
+    # (eventlog_v2_<app>/events_1_...); collect every regular file.
+    files = sorted(p for p in Path(log_dir).rglob("*") if p.is_file())
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     stage_to_job: dict[int, int] = {}
     for f in files:
         try:
-            text = f.read_text()
+            text = f.read_text(errors="ignore")  # skip any binary sidecar
         except OSError:
             continue
         for line in text.splitlines():
@@ -110,6 +112,8 @@ def _child(sf_dir: str) -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{log_dir}",
+            # default zstd compression would need a non-stdlib reader
+            "spark.eventLog.compress": "false",
         },
     )
     builder = load_inventory()[QUERY].builder
@@ -171,7 +175,8 @@ def main() -> int:
             f"# rep {i}: runs={row.get('runs')} best={best} "
             f"spin={row.get('spin_pre')}/{row.get('spin_post')} "
             f"membw={row.get('membw_pre')}/{row.get('membw_post')} "
-            f"quiet={row.get('gate', {}).get('quiet')}",
+            f"quiet={row.get('gate', {}).get('quiet')}"
+            + (f" ERROR={row['error']!r}" if "error" in row else ""),
             file=sys.stderr,
         )
     bests = sorted(min(r["runs"]) for r in rows if r.get("runs"))
