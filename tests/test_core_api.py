@@ -1249,6 +1249,44 @@ def test_jpeg_cross_implementation(spark):
     assert worst <= 4, f"4:2:0 cross-decode diverges by {worst}"
 
 
+def test_jpeg_roundtrip_property_sweep():
+    """Randomized self-round-trip sweep: arbitrary dims (incl. 1xN,
+    non-multiple-of-8), gray/RGB, restart intervals, four content
+    classes.  JPEG is lossy so the bound is loose (measured worst at
+    q97: noise 12, smooth-sawtooth 10) — but a structural bug
+    (transposed blocks, wrong zigzag, bad predictor reset) blows past
+    it by an order of magnitude."""
+    import random
+
+    import numpy as np
+
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rnd = random.Random(5)
+    for _ in range(12):
+        w, h = rnd.randrange(1, 70), rnd.randrange(1, 50)
+        ch = rnd.choice([1, 3])
+        kind = rnd.choice(["noise", "smooth", "flat", "stripes"])
+        n = w * h * ch
+        if kind == "noise":
+            pix = bytes(rnd.randrange(256) for _ in range(n))
+        elif kind == "flat":
+            pix = bytes([rnd.randrange(256)]) * n
+        elif kind == "stripes":
+            pix = bytes(255 * ((i // ch) % 2) for i in range(n))
+        else:
+            pix = bytes(((i * 7) // ch) % 256 for i in range(n))
+        j = encode_jpeg(pix, w, h, ch, quality=97,
+                        restart_interval=rnd.choice([0, 2]))
+        W, H, C, out = decode_jpeg(j)
+        assert (W, H, C) == (w, h, ch)
+        d = np.abs(
+            np.frombuffer(pix, np.uint8).astype(int)
+            - np.frombuffer(out, np.uint8).astype(int)
+        )
+        assert d.max() <= 25, (kind, w, h, ch, int(d.max()))
+
+
 def test_jpeg_restart_markers_roundtrip(spark):
     """DRI + RSTn resync: our encoder emits restarts, our decoder
     resyncs (DC predictors reset per interval), and ImageIO agrees on
