@@ -139,9 +139,17 @@ for _u in range(8):
 # ---------------------------------------------------------------------------
 
 
+# Decode LUTs keyed by table content: 2^16 entries each, so build once
+# per distinct table per process (Annex-K tables dominate in practice),
+# not once per image.
+_LUT_CACHE: dict[tuple, list] = {}
+
+
 class _HuffTable:
-    """Canonical Huffman code table: (length, code) -> symbol for the
-    decoder, symbol -> (code, length) for the encoder."""
+    """Canonical Huffman code table: a 16-bit-prefix LUT (window ->
+    (symbol, code length)) for the decoder — one lookup per symbol
+    instead of a per-bit walk — and symbol -> (code, length) for the
+    encoder."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         if len(bits) == 16:
@@ -159,63 +167,92 @@ class _HuffTable:
                 k += 1
             code <<= 1
         self.max_len = max((l for (l, _c) in self.decode_map), default=0)
+        key = (tuple(bits), tuple(vals))
+        lut = _LUT_CACHE.get(key)
+        if lut is None:
+            lut = [None] * 65536
+            for (length, c), sym in self.decode_map.items():
+                base = c << (16 - length)
+                entry = (sym, length)
+                for s in range(1 << (16 - length)):
+                    lut[base + s] = entry
+            _LUT_CACHE[key] = lut
+        self.lut = lut
 
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    stuffing; RSTn markers are consumed by ``sync_restart``."""
+    stuffing; RSTn markers are consumed by ``sync_restart``.
+
+    Bits accumulate in an int buffer filled a byte at a time (a real
+    marker stops the fill — T.81 pads the tail with 1-bits there);
+    Huffman decode peeks a 16-bit window into the table's LUT, so the
+    entropy loop costs one lookup per symbol instead of one dict probe
+    per bit (the profile-dominant cost of the first implementation)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.bitbuf = 0
         self.nbits = 0
+        self.stopped = False  # hit a non-stuffing marker
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise EngineError("truncated JPEG entropy stream")
+    def _fill_byte(self) -> bool:
+        if self.stopped or self.pos >= len(self.data):
+            self.stopped = True
+            return False
         b = self.data[self.pos]
-        self.pos += 1
         if b == 0xFF:
-            nxt = self.data[self.pos] if self.pos < len(self.data) else None
-            if nxt == 0x00:
-                self.pos += 1  # stuffed 0xFF
-            else:
-                # A real marker mid-read: put it back and feed zero
-                # bits — per T.81 the decoder pads with 1-bits at a
-                # marker, but hitting one here outside a restart means
-                # the stream ended early for this MCU.
-                self.pos -= 1
-                raise EngineError("unexpected marker inside entropy data")
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt != 0x00:
+                # A real marker: stop feeding (restart handled by
+                # sync_restart; anything else past here is a truncated
+                # or malformed stream and surfaces as such below).
+                self.stopped = True
+                return False
+            self.pos += 2  # stuffed 0xFF
+        else:
+            self.pos += 1
         self.bitbuf = (self.bitbuf << 8) | b
         self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+        return True
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while self.nbits < n:
+            if not self._fill_byte():
+                raise EngineError("truncated JPEG entropy stream")
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
         return v
 
     def decode_huff(self, table: _HuffTable) -> int:
-        code = 0
-        for length in range(1, table.max_len + 1):
-            code = (code << 1) | self.read_bit()
-            sym = table.decode_map.get((length, code))
-            if sym is not None:
-                return sym
-        raise EngineError("invalid JPEG Huffman code")
+        while self.nbits < 16:
+            if not self._fill_byte():
+                break
+        if self.nbits >= 16:
+            window = (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+        else:
+            # stream end: pad the window with 1-bits (T.81 F.1.2.3)
+            pad = 16 - self.nbits
+            window = ((self.bitbuf << pad) | ((1 << pad) - 1)) & 0xFFFF
+        entry = table.lut[window]
+        if entry is None:
+            raise EngineError("invalid JPEG Huffman code")
+        sym, length = entry
+        if length > self.nbits:
+            # the matched code extends into padding: ran off the data
+            raise EngineError("truncated JPEG entropy stream")
+        self.nbits -= length
+        self.bitbuf &= (1 << self.nbits) - 1
+        return sym
 
     def sync_restart(self) -> None:
         """Consume an RSTn marker at a restart boundary (byte-align,
         expect FF D0-D7)."""
         self.bitbuf = 0
         self.nbits = 0
+        self.stopped = False
         if self.pos + 1 >= len(self.data):
             raise EngineError("truncated JPEG at restart boundary")
         if self.data[self.pos] != 0xFF or not (
