@@ -60,6 +60,13 @@ EXTENDED = [
     "p01_corpus_pipeline",
     "p02_index_build_pipeline",
     "st07_transform_with_state",
+    # r9: the pure-Python codec lanes (encode + full decode per
+    # document inside mapInPandas) — tracked here like q92's text
+    # round-trip so codec-cost regressions surface per round.  New
+    # keys have no previous-round value, so the requote pass skips
+    # them on their first round by design.
+    "m15_png_decode",
+    "m18_jpeg_decode",
 ]
 
 

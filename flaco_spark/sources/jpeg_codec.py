@@ -419,6 +419,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     reader = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
+    # Entropy-decode every block first (sequential by nature), then
+    # IDCT them all in one batched matmul per component — the per-
+    # block two-matmul/round/clip chain was the next cost after the
+    # Huffman LUT rewrite.
+    pending: dict[int, tuple[list, list]] = {c["id"]: ([], []) for c in comps}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -450,13 +455,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                                 raise EngineError("JPEG AC index overrun")
                             coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
                             k += 1
-                        block = coef.reshape(8, 8) * q
-                        pix = _C.T @ block.astype(np.float64) @ _C
-                        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+                        blocks, origins = pending[c["id"]]
+                        blocks.append(coef.reshape(8, 8) * q)
+                        origins.append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
             mcu_count += 1
+    for c in comps:
+        blocks, origins = pending[c["id"]]
+        if not blocks:
+            continue
+        stack = np.stack(blocks).astype(np.float64)
+        pix = np.matmul(np.matmul(_C.T, stack), _C)
+        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        plane = planes[c["id"]]
+        for i, (y0, x0) in enumerate(origins):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = pix[i]
 
     if len(comps) == 1:
         return w, h, 1, planes[comps[0]["id"]][:h, :w].tobytes()
@@ -516,12 +530,26 @@ def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(out, 1, 255).astype(np.int32)
 
 
+def _fdct_quantize_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batch FDCT + quantize + zigzag a padded plane: returns an
+    (mcuy*mcux, 64) int array of zigzag-ordered coefficients in MCU
+    scan order (row-major MCUs) — one matmul pair for the whole plane
+    instead of two per block."""
+    ph, pw = plane.shape
+    by, bx = ph // 8, pw // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    f = np.matmul(np.matmul(_C, blocks - 128.0), _C.T)
+    coef = np.round(f / q).astype(np.int32).reshape(-1, 64)
+    return coef[:, ZIGZAG]
+
+
 def _encode_block(
-    bw: _BitWriter, block: np.ndarray, q: np.ndarray,
+    bw: _BitWriter, coef: np.ndarray,
     dc: _HuffTable, ac: _HuffTable, pred: int,
 ) -> int:
-    f = _C @ (block.astype(np.float64) - 128.0) @ _C.T
-    coef = (np.round(f / q)).astype(np.int32).reshape(64)[ZIGZAG]
+    """Entropy-encode one pre-quantized zigzag coefficient row."""
     diff = int(coef[0]) - pred
     t = abs(diff).bit_length()
     code, length = dc.encode_map[t]
@@ -622,7 +650,7 @@ def encode_jpeg(
     bw = _BitWriter()
     mcux = (width + 7) // 8
     mcuy = (height + 7) // 8
-    padded = []
+    coef_rows = []
     for plane, q, is_chroma in comps:
         p = np.clip(np.round(plane), 0, 255)
         ph, pw = mcuy * 8, mcux * 8
@@ -630,7 +658,7 @@ def encode_jpeg(
         pp[:height, :width] = p
         pp[:height, width:] = p[:, -1:]
         pp[height:, :] = pp[height - 1 : height, :]
-        padded.append((pp, q, is_chroma))
+        coef_rows.append((_fdct_quantize_blocks(pp, q), is_chroma))
     preds = [0] * len(comps)
     mcu_count = 0
     for my in range(mcuy):
@@ -641,10 +669,9 @@ def encode_jpeg(
                 out += bytes((0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8))
                 bw = _BitWriter()
                 preds = [0] * len(comps)
-            for ci, (pp, q, is_chroma) in enumerate(padded):
-                block = pp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            for ci, (rows, is_chroma) in enumerate(coef_rows):
                 preds[ci] = _encode_block(
-                    bw, block, q,
+                    bw, rows[my * mcux + mx],
                     dc_c if is_chroma else dc_l,
                     ac_c if is_chroma else ac_l,
                     preds[ci],
