@@ -374,9 +374,15 @@ def _isolate_child(name: str, sf_dir: str) -> None:
     round-8) is re-earned here in isolation."""
     from flaco_spark.cachepool import release_caches
 
+    # Gate at the MEASUREMENT floor (r9 review): the isolate verdict
+    # adjudicates in-run numbers that were gated at >=15 GB/s — holding
+    # the decisive re-measurement to the old 8 GB/s floor would let a
+    # 12 GB/s window (a 15-30% Spark tax, SCALING.md r8) record
+    # "regression_survives" where a within-band measure would requote.
     _wait_for_quiet(
         float(os.environ.get("BENCH_ISOLATE_QUIET_WAIT_S", "180")),
         f"isolate_{name}",
+        membw_floor=QUIET_MEMBW_MEASURE_GBPS,
     )
     pre = _host_probe()
     spark = get_session(app_name=f"bench_isolate_{name}")
@@ -522,6 +528,30 @@ def _compact_line(record: dict) -> str:
     return line
 
 
+def _adjudicate_isolate(
+    sec_inrun: float, sec_isolated: float, spin_ratio: float,
+    spin_max: float, membw_pre: float, membw_post: float,
+) -> str:
+    """Requote verdict for one isolated re-measure.
+
+    Adopt-first (r9): a markedly FASTER isolate proves the in-run
+    number inflated no matter how its bracket reads — contention can
+    only have made the isolate SLOWER, so the quiet value is at most
+    sec_isolated; adopting is conservative-correct.  Only the
+    "regression_survives" verdict demands within-band evidence: spin
+    brackets that agree AND are quiet AND a memory-bandwidth bracket
+    at the measurement floor (r9 review — 12-15 GB/s windows tax
+    Spark 15-30% yet passed the old 8 GB/s check, minting below-band
+    regression verdicts)."""
+    if sec_isolated <= sec_inrun * 0.8:
+        return "requoted"
+    bw_vals = [v for v in (membw_pre, membw_post) if v > 0.0]
+    bw_contended = bool(bw_vals) and min(bw_vals) < QUIET_MEMBW_MEASURE_GBPS
+    if spin_ratio > 1.3 or spin_max > 1.25 * QUIET_SPIN_S or bw_contended:
+        return "isolate_contended_kept_inrun"
+    return "regression_survives"
+
+
 def _child_budgets(child_gate: float, remaining: float | None) -> tuple[float, float]:
     """(quiet-gate budget, subprocess timeout) for one isolate child.
 
@@ -612,21 +642,19 @@ def _requote_pass(
         # Three contention signals: brackets that DISAGREE (mid-measure
         # shift), brackets that are evenly HIGH (steady steal — the
         # ratio is blind to it, SCALING.md round-8 noisy-neighbor
-        # windows read spin 1.9/1.9 = ratio 1.0), or a depressed
-        # memory-bandwidth bracket (co-tenant saturation, spin-quiet).
-        bw_vals = [v for v in (entry["membw_pre"], entry["membw_post"]) if v > 0.0]
-        bw_contended = bool(bw_vals) and min(bw_vals) < QUIET_MEMBW_GBPS
-        if (
-            ratio > 1.3
-            or max(r["spin_pre"], r["spin_post"]) > 1.25 * QUIET_SPIN_S
-            or bw_contended
-        ):
-            entry["outcome"] = "isolate_contended_kept_inrun"
-        elif r["sec"] <= sec * 0.8:
+        # windows read spin 1.9/1.9 = ratio 1.0), or a memory-bandwidth
+        # bracket below the MEASUREMENT band floor (r9: 12-15 GB/s
+        # windows tax Spark 15-30% yet passed the old 8 GB/s check —
+        # an isolate measured there is not within-band comparable, so
+        # its verdict keeps the in-run number rather than minting a
+        # below-band "regression_survives").
+        entry["outcome"] = _adjudicate_isolate(
+            sec, r["sec"], ratio,
+            max(r["spin_pre"], r["spin_post"]),
+            entry["membw_pre"], entry["membw_post"],
+        )
+        if entry["outcome"] == "requoted":
             timings[name] = r["sec"]
-            entry["outcome"] = "requoted"
-        else:
-            entry["outcome"] = "regression_survives"
         log.append(entry)
         print(f"# requote {name}: inrun {sec:.3f}s prev {base:.3f}s "
               f"isolated {entry.get('sec_isolated', '-')} -> {entry['outcome']}",

@@ -74,6 +74,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     and baseline JPEGs through the from-spec Huffman+IDCT decoder
     (``sources/jpeg_codec.py``).  Other formats still require an
     imaging library this environment lacks."""
+    from flaco_spark.errors import EngineError
     from flaco_spark.sources.gif_codec import decode_gif
     from flaco_spark.sources.jpeg_codec import JPEG_SIG, decode_jpeg
     from flaco_spark.sources.png_codec import PNG_SIG, decode_png
@@ -86,7 +87,15 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         width, height, frames, gct = decode_gif(payload)
         # Still image = frame 0; vectorized palette lookup idx -> (r,g,b).
         palette = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
-        rgb = palette[np.frombuffer(frames[0], dtype=np.uint8)]
+        idx = np.frombuffer(frames[0], dtype=np.uint8)
+        if idx.size and int(idx.max()) >= len(palette):
+            # LZW can legally emit indices past a small color table;
+            # surface the engine's error type, not a numpy IndexError.
+            raise EngineError(
+                f"GIF pixel index {int(idx.max())} exceeds the "
+                f"{len(palette)}-entry global color table"
+            )
+        rgb = palette[idx]
         return width, height, 3, rgb.tobytes()
     if payload[:2] == JPEG_SIG:
         return decode_jpeg(payload)

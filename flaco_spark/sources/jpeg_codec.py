@@ -154,24 +154,23 @@ class _HuffTable:
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         if len(bits) == 16:
             bits = [0] + bits
-        self.decode_map: dict[tuple[int, int], int] = {}
+        decode_map: dict[tuple[int, int], int] = {}  # build-time only
         self.encode_map: dict[int, tuple[int, int]] = {}
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length]):
                 sym = vals[k]
-                self.decode_map[(length, code)] = sym
+                decode_map[(length, code)] = sym
                 self.encode_map[sym] = (code, length)
                 code += 1
                 k += 1
             code <<= 1
-        self.max_len = max((l for (l, _c) in self.decode_map), default=0)
         key = (tuple(bits), tuple(vals))
         lut = _LUT_CACHE.get(key)
         if lut is None:
             lut = [None] * 65536
-            for (length, c), sym in self.decode_map.items():
+            for (length, c), sym in decode_map.items():
                 base = c << (16 - length)
                 entry = (sym, length)
                 for s in range(1 << (16 - length)):
@@ -348,12 +347,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 p += 1
+                nbytes = 64 if pq == 0 else 128
+                if p + nbytes > len(seg):
+                    raise EngineError("truncated JPEG DQT segment")
                 if pq == 0:
                     vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
-                    p += 64
                 else:
                     vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
-                    p += 128
+                p += nbytes
                 tbl = np.empty(64, dtype=np.int32)
                 tbl[ZIGZAG] = vals  # file order is zigzag -> natural
                 qtables[tq] = tbl.reshape(8, 8)
@@ -377,7 +378,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise EngineError(f"bad JPEG sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            if ncomp == 1:
+                # T.81 A.2.3: a single-component scan is NON-interleaved
+                # — MCU = one data unit, blocks in raster order over the
+                # full-resolution plane, whatever factors the SOF
+                # declares (libjpeg/ImageIO read it the same way).
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"w": width, "h": height, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -391,6 +401,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if frame is None:
                 raise EngineError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # Legal per T.81 (one scan per component) but outside
+                # the honest subset: LOUD, not a KeyError downstream.
+                raise EngineError(
+                    "multi-scan JPEG not supported — one interleaved "
+                    "scan covering every component only"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -402,6 +419,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
     for sc in scan:
+        if sc["id"] not in by_id:
+            raise EngineError(f"JPEG scan references unknown component {sc['id']}")
         by_id[sc["id"]]["dc_t"] = sc["dc"]
         by_id[sc["id"]]["ac_t"] = sc["ac"]
     hmax = max(c["h"] for c in comps)

@@ -1108,16 +1108,20 @@ def _wire_datasource_classes():
         def partitions(self):
             if self.partition_column is None or self.num_partitions <= 1:
                 # r8 ADVICE: the XOR guard below only fires when
-                # partitioning is ACTIVE — bounds supplied alongside
-                # numPartitions=1 or without partitionColumn were
-                # silently ignored, the same ambiguous-options class.
-                # Loud here too: drop the bounds or activate
-                # partitioning, never guess.
-                if self.lower is not None or self.upper is not None:
+                # partitioning is ACTIVE — bounds supplied WITHOUT a
+                # partitionColumn were silently ignored, the same
+                # ambiguous-options class.  Loud here too.  With a
+                # partitionColumn and numPartitions=1 the request is
+                # degenerate but well-defined (one range partition
+                # covering everything — which TRUE implements), so it
+                # plans rather than raises (r9 review: read_sql_wire
+                # itself produces that combination after auto-probing).
+                if self.partition_column is None and (
+                    self.lower is not None or self.upper is not None
+                ):
                     raise EngineError(
-                        "lowerBound/upperBound supplied but partitioning "
-                        "is inactive (needs partitionColumn AND "
-                        "numPartitions > 1) — the bounds would be "
+                        "lowerBound/upperBound supplied without "
+                        "partitionColumn — the bounds would be "
                         "silently ignored"
                     )
                 if self.partition_column is None and self.num_partitions > 1:
@@ -1252,6 +1256,12 @@ def read_sql_wire(
             raise EngineError(
                 "partitioned extract needs num_partitions with partition_column"
             )
+        if num_partitions == 1:
+            # Degenerate partitioning: one partition needs no bounds —
+            # skip the MIN/MAX probe and the partition options entirely
+            # (r9 review: probing here then raising over the probed
+            # bounds broke a valid call shape).
+            return reader.load()
         if lower_bound is None and upper_bound is None:
             lower_bound, upper_bound = probe_bounds(uri, stmt, partition_column)
         if lower_bound is None or upper_bound is None:

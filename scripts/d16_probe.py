@@ -157,12 +157,19 @@ def main() -> int:
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     rows = []
     for i in range(reps):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--child", sf_dir],
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child", sf_dir],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # A hung rep (the noisy host this probe diagnoses!) must
+            # not discard every already-collected rep — record and go on.
+            rows.append({"rep": i, "error": "timeout after 900s"})
+            print(f"# rep {i}: TIMEOUT", file=sys.stderr)
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
             row = json.loads(line)

@@ -49,12 +49,17 @@ def _one_rep(sf_dir: str, label: str) -> dict:
     """One isolated rep in a FRESH subprocess (cold JVM, cold codegen
     — position-independent like the 100× probe's one-session-per-query
     discipline)."""
-    proc = subprocess.run(
-        [sys.executable, __file__, "--child", sf_dir],
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--child", sf_dir],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        row = {"error": "timeout after 900s", "label": label}
+        print(f"# {label}: TIMEOUT", file=sys.stderr)
+        return row
     line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
     try:
         row = json.loads(line)

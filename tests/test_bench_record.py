@@ -143,6 +143,27 @@ def test_bw_band_labels():
     assert bench._bw_band(22.3) == ">=15"
 
 
+def test_adjudicate_isolate_adopt_first_and_band_floor():
+    """r9 review: (a) a markedly faster isolate is adopted even when
+    its bracket reads contended — contention only slows the isolate,
+    so adoption is conservative-correct; (b) 'regression_survives'
+    demands a bracket at the 15 GB/s measurement floor — a 12 GB/s
+    window (passes the old 8 GB/s check) keeps the in-run number
+    instead of minting a below-band regression verdict."""
+    adj = bench._adjudicate_isolate
+    # faster isolate adopted regardless of bracket state
+    assert adj(2.0, 1.5, 3.0, 2.0, 4.0, 4.0) == "requoted"
+    # quiet in-band bracket, not faster -> regression is real
+    assert adj(2.0, 1.9, 1.0, 0.75, 16.0, 17.0) == "regression_survives"
+    # 12 GB/s bracket: below the measurement band -> kept, not survived
+    assert adj(2.0, 1.9, 1.0, 0.75, 12.0, 16.0) == "isolate_contended_kept_inrun"
+    # spin-contended brackets -> kept
+    assert adj(2.0, 1.9, 1.5, 0.8, 16.0, 16.0) == "isolate_contended_kept_inrun"
+    assert adj(2.0, 1.9, 1.0, 1.5, 16.0, 16.0) == "isolate_contended_kept_inrun"
+    # probe-n/a bandwidth (0.0) does not count as contended
+    assert adj(2.0, 1.9, 1.0, 0.75, 0.0, 0.0) == "regression_survives"
+
+
 def test_child_budgets_never_kill_a_gating_child():
     """r8 ADVICE: timeout must exceed the child's gate budget + 240s
     measure headroom for every remaining-budget value."""

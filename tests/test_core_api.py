@@ -1319,7 +1319,9 @@ def test_jpeg_restart_markers_roundtrip(spark):
 
 def test_jpeg_error_surface():
     """Unsupported codings are LOUD: progressive (SOF2), truncation,
-    bad signature, bad encode inputs."""
+    bad signature, bad encode inputs — and (r9 review) multi-scan
+    streams, zero sampling factors, and truncated DQTs surface as
+    EngineError, never KeyError/ZeroDivisionError/ValueError."""
     from flaco_spark.errors import EngineError
     from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
 
@@ -1337,6 +1339,41 @@ def test_jpeg_error_surface():
         encode_jpeg(gray, 8, 8, 2)
     with pytest.raises(EngineError, match="expected"):
         encode_jpeg(gray, 9, 8, 1)
+    # multi-scan SOS (legal per T.81, outside the honest subset):
+    # rewrite the 3-component interleaved SOS to a 1-component scan
+    rgb = _jpeg_smooth_rgb(8, 8)
+    jc = encode_jpeg(rgb, 8, 8, 3, quality=90)
+    sos3 = b"\xff\xda\x00\x0c\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    assert sos3 in jc
+    with pytest.raises(EngineError, match="multi-scan"):
+        decode_jpeg(jc.replace(sos3, b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"))
+    # zero sampling factor in SOF: EngineError, not ZeroDivisionError
+    sof_hv = j.index(b"\xff\xc0") + 11  # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) -> hv
+    assert j[sof_hv] == 0x11
+    with pytest.raises(EngineError, match="sampling"):
+        decode_jpeg(j[:sof_hv] + b"\x10" + j[sof_hv + 1:])
+    # truncated DQT: EngineError, not a numpy ValueError
+    dqt = j.index(b"\xff\xdb")
+    with pytest.raises(EngineError, match="DQT|truncated"):
+        decode_jpeg(j[:dqt + 2] + b"\x00\x10" + j[dqt + 4:dqt + 18] + j[j.index(b"\xff\xc0"):])
+
+
+def test_jpeg_gray_ignores_declared_sampling_factors():
+    """T.81 A.2.3: a single-component scan is NON-interleaved — MCU =
+    one data unit in raster order, whatever h×v the SOF declares.  A
+    gray JPEG patched to claim 2x2 factors must decode to the same
+    pixels as its 1x1 twin (r9 review: it previously decoded silently
+    block-scrambled, maxerr 234)."""
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    w, h = 32, 16
+    gray = bytes((x * 5 + y * 9) % 256 for y in range(h) for x in range(w))
+    j = encode_jpeg(gray, w, h, 1, quality=95)
+    ref = decode_jpeg(j)
+    sof_hv = j.index(b"\xff\xc0") + 11
+    assert j[sof_hv] == 0x11
+    patched = j[:sof_hv] + b"\x22" + j[sof_hv + 1:]
+    assert decode_jpeg(patched) == ref
 
 
 def test_decode_image_jpeg_arm_uses_real_codec():
@@ -1351,6 +1388,31 @@ def test_decode_image_jpeg_arm_uses_real_codec():
     j = encode_jpeg(rgb, w, h, 3, quality=95)
     assert decode_image(j) == decode_jpeg(j)
     assert decode_image(j)[:3] == (w, h, 3)
+
+
+def test_decode_image_gif_palette_overflow_is_engine_error():
+    """LZW can legally emit indices past a small global color table;
+    the GIF arm must surface EngineError, not a numpy IndexError
+    (r9 review)."""
+    import struct
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.operators.multimodal import decode_image
+    from flaco_spark.sources.gif_codec import lzw_encode
+
+    # 2x1 GIF with a 2-entry global color table but 7-bit pixel codes
+    # emitting index 100.
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 2, 1, 0x80 | 0x00, 0, 0)  # GCT size 2^1=2
+    gif += bytes((0, 0, 0, 255, 255, 255))  # 2-entry palette
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+    gif.append(7)  # LZW min code size 7 -> indices up to 127 expressible
+    data = lzw_encode(bytes([100, 1]), 7)
+    gif.append(len(data))
+    gif += data
+    gif += b"\x00\x3b"
+    with pytest.raises(EngineError, match="color table"):
+        decode_image(bytes(gif))
 
 
 def test_decode_image_gif_arm_uses_real_codec():

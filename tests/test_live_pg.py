@@ -467,6 +467,19 @@ def test_wire_auto_probed_bounds(spark, pg_local):
             num_partitions=4,
         )
 
+    # num_partitions=1 with a partition_column is degenerate but valid:
+    # one partition, no bounds probe, full result (r9 review — the
+    # inactive-options guard must not break this call shape).
+    df1 = read_sql_wire(
+        spark,
+        _uri(pg_local),
+        "SELECT id FROM series",
+        partition_column="id",
+        num_partitions=1,
+    )
+    assert df1.rdd.getNumPartitions() == 1
+    assert df1.count() == 5000
+
 
 def test_wire_datasource_fetchsize_option(spark, pg_local):
     """A fetchSize far below the partition row count changes the paging

@@ -309,10 +309,13 @@ def test_pgwire_datasource_rejects_single_bound():
 
 
 def test_pgwire_datasource_rejects_inactive_partition_options():
-    """r8 ADVICE: bounds with numPartitions=1 or without
-    partitionColumn (and numPartitions>1 without a column) were
-    SILENTLY ignored — the same ambiguous-options class the XOR guard
-    targets.  All three shapes must now refuse loudly."""
+    """r8 ADVICE: bounds without partitionColumn (and numPartitions>1
+    without a column) were SILENTLY ignored — the same ambiguous-
+    options class the XOR guard targets; both refuse loudly.  Bounds
+    WITH a partitionColumn and numPartitions=1 are degenerate but
+    well-defined (one range partition covering everything) and must
+    PLAN, not raise — read_sql_wire itself produces that shape after
+    auto-probing (r9 review regression)."""
     import pytest
 
     from flaco_spark.errors import EngineError
@@ -321,17 +324,17 @@ def test_pgwire_datasource_rejects_inactive_partition_options():
     ds_cls = _wire_datasource_classes()
     base = {"uri": "postgresql://u@localhost:1/db", "query": "SELECT 1 AS k"}
     # bounds without partitionColumn
-    with pytest.raises(EngineError, match="inactive"):
+    with pytest.raises(EngineError, match="without"):
         ds_cls({**base, "lowerbound": "0", "upperbound": "9"}).reader(None).partitions()
-    # bounds with partitionColumn but numPartitions=1
-    with pytest.raises(EngineError, match="inactive"):
-        ds_cls(
-            {**base, "partitioncolumn": "k", "numpartitions": "1",
-             "lowerbound": "0", "upperbound": "9"}
-        ).reader(None).partitions()
     # numPartitions>1 without partitionColumn
     with pytest.raises(EngineError, match="partitionColumn"):
         ds_cls({**base, "numpartitions": "4"}).reader(None).partitions()
+    # bounds with partitionColumn but numPartitions=1: one TRUE partition
+    parts = ds_cls(
+        {**base, "partitioncolumn": "k", "numpartitions": "1",
+         "lowerbound": "0", "upperbound": "9"}
+    ).reader(None).partitions()
+    assert len(parts) == 1 and parts[0].predicate == "TRUE"
     # the plain single-partition shape still plans one TRUE partition
     parts = ds_cls(base).reader(None).partitions()
     assert len(parts) == 1 and parts[0].predicate == "TRUE"
