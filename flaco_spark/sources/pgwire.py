@@ -1260,7 +1260,16 @@ def read_sql_wire(
             # Degenerate partitioning: one partition needs no bounds —
             # skip the MIN/MAX probe and the partition options entirely
             # (r9 review: probing here then raising over the probed
-            # bounds broke a valid call shape).
+            # bounds broke a valid call shape).  Explicit bounds with
+            # one partition are the same silently-ignored-options class
+            # as the elif guard below (r9 ADVICE): refuse loudly.
+            if lower_bound is not None or upper_bound is not None:
+                raise EngineError(
+                    "lower_bound/upper_bound supplied with "
+                    "num_partitions=1 — a single partition reads the "
+                    "whole result and the bounds would be silently "
+                    "ignored"
+                )
             return reader.load()
         if lower_bound is None and upper_bound is None:
             lower_bound, upper_bound = probe_bounds(uri, stmt, partition_column)

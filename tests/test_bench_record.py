@@ -164,6 +164,126 @@ def test_adjudicate_isolate_adopt_first_and_band_floor():
     assert adj(2.0, 1.9, 1.0, 0.75, 0.0, 0.0) == "regression_survives"
 
 
+def test_adjudicate_isolate_spin_floor_term():
+    """VERDICT r9 task 3: 'regression_survives' must also pass the
+    scale_probe100 suspect rule — a bracket ≥1.3x the run's quietest
+    spin is contended even when it sits under the absolute 1.25x
+    QUIET_SPIN_S ceiling and the band holds.  Pinned with g01's exact
+    r9 numbers: spin_pre 0.939, in-band 17.3/16.4, run floor ~0.72 —
+    the bracket that passed on band alone and minted the round's one
+    surviving regression verdict."""
+    adj = bench._adjudicate_isolate
+    # g01's r9 isolate: within-band, under the absolute ceiling, but
+    # 0.939 >= 1.3 * 0.72 -> contended under the unified rule
+    assert adj(5.63, 6.63, 1.25, 0.939, 17.3, 16.4) == "regression_survives"
+    assert (
+        adj(5.63, 6.63, 1.25, 0.939, 17.3, 16.4, spin_quietest=0.72)
+        == "isolate_contended_kept_inrun"
+    )
+    # a bracket at the run floor still survives
+    assert (
+        adj(2.0, 1.9, 1.0, 0.75, 16.0, 17.0, spin_quietest=0.72)
+        == "regression_survives"
+    )
+    # floor unknown (0.0) -> term inert, absolute checks still apply
+    assert adj(2.0, 1.9, 1.0, 0.75, 16.0, 17.0, spin_quietest=0.0) == "regression_survives"
+    # adopt-first still outranks the floor term
+    assert adj(2.0, 1.5, 1.0, 2.0, 16.0, 16.0, spin_quietest=0.5) == "requoted"
+
+
+def _probe_seq(monkeypatch, probes: list[dict], gates: list):
+    """Feed _measure_phase a scripted sequence of host probes and
+    record quiet-gate calls."""
+    it = iter(probes)
+    monkeypatch.setattr(bench, "_host_probe", lambda: next(it))
+    monkeypatch.setattr(
+        bench,
+        "_wait_for_quiet",
+        lambda max_wait_s, label, membw_floor=8.0: gates.append(label) or {},
+    )
+
+
+def _p(spin: float, bw: float) -> dict:
+    return {"spin_sec": spin, "steal_jiffies": 0.0, "membw_gbps": bw}
+
+
+def test_measure_phase_retries_out_of_band_then_lands(monkeypatch):
+    """VERDICT r9 task 1: a phase whose bracket lands below the
+    ≥15 GB/s band re-gates and re-runs; the recorded result is the
+    in-band attempt, stamped attempts=2 / band_status=target."""
+    import time as _time
+
+    calls = []
+    gates: list[str] = []
+    _probe_seq(
+        monkeypatch,
+        [_p(0.78, 12.0), _p(0.80, 11.0),   # attempt 1: out of band
+         _p(0.76, 17.0), _p(0.79, 16.5)],  # attempt 2: in band
+        gates,
+    )
+    result, probes, entry, attempts = bench._measure_phase(
+        "t", lambda: calls.append(1) or len(calls),
+        gate_deadline=_time.perf_counter() + 3600,
+    )
+    assert result == 2 and len(calls) == 2
+    assert entry["attempts"] == 2 and entry["band_status"] == "target"
+    assert entry["valid"] and entry["in_band"]
+    assert entry["membw_min_gbps"] == 16.5
+    assert gates == ["re_t"]
+    assert [a["ok"] for a in attempts] == [False, True]
+
+
+def test_measure_phase_stamps_best_achievable_band(monkeypatch):
+    """If the host never offers a ≥15 window within the attempt
+    bound, the record carries the explicit best_achievable_band stamp
+    and keeps the WIDEST-bandwidth attempt's numbers."""
+    import time as _time
+
+    calls = []
+    _probe_seq(
+        monkeypatch,
+        [_p(0.78, 9.0), _p(0.80, 8.5),     # attempt 1
+         _p(0.76, 13.0), _p(0.79, 12.0),   # attempt 2 (best)
+         _p(0.77, 7.0), _p(0.78, 6.6)],    # attempt 3
+        [],
+    )
+    result, probes, entry, attempts = bench._measure_phase(
+        "t", lambda: calls.append(1) or len(calls),
+        gate_deadline=_time.perf_counter() + 3600,
+    )
+    assert len(calls) == bench.PHASE_MAX_ATTEMPTS
+    assert entry["band_status"] == "best_achievable_band"
+    assert entry["attempts"] == 3
+    assert result == 2 and entry["membw_min_gbps"] == 12.0  # widest attempt
+    assert not entry["in_band"] and entry["valid"]
+
+
+def test_measure_phase_respects_gate_deadline(monkeypatch):
+    """Past the gate deadline the phase keeps its (documented) noisy
+    bracket instead of spending budget it does not have."""
+    import time as _time
+
+    calls = []
+    _probe_seq(monkeypatch, [_p(0.78, 9.0), _p(0.80, 8.5)], [])
+    result, _, entry, attempts = bench._measure_phase(
+        "t", lambda: calls.append(1) or len(calls),
+        gate_deadline=_time.perf_counter() - 1.0,
+    )
+    assert len(calls) == 1 and entry["attempts"] == 1
+    assert entry["band_status"] == "best_achievable_band"
+
+
+def test_phase_bracket_verdicts():
+    b = bench._phase_bracket(_p(0.78, 17.0), _p(0.80, 16.0))
+    assert b["valid"] and b["in_band"] and b["quiet"]
+    b = bench._phase_bracket(_p(0.78, 12.0), _p(0.80, 16.0))
+    assert b["valid"] and not b["in_band"]  # 12 < measurement floor
+    b = bench._phase_bracket(_p(0.70, 17.0), _p(1.10, 16.0))
+    assert not b["valid"]  # mid-phase spin shift
+    b = bench._phase_bracket(_p(0.78, 0.0), _p(0.80, 0.0))
+    assert b["in_band"]  # probe n/a is not evidence of contention
+
+
 def test_child_budgets_never_kill_a_gating_child():
     """r8 ADVICE: timeout must exceed the child's gate budget + 240s
     measure headroom for every remaining-budget value."""

@@ -1277,7 +1277,8 @@ def test_jpeg_roundtrip_property_sweep():
         else:
             pix = bytes(((i * 7) // ch) % 256 for i in range(n))
         j = encode_jpeg(pix, w, h, ch, quality=97,
-                        restart_interval=rnd.choice([0, 2]))
+                        restart_interval=rnd.choice([0, 2]),
+                        progressive=rnd.choice([False, True]))
         W, H, C, out = decode_jpeg(j)
         assert (W, H, C) == (w, h, ch)
         d = np.abs(
@@ -1318,10 +1319,11 @@ def test_jpeg_restart_markers_roundtrip(spark):
 
 
 def test_jpeg_error_surface():
-    """Unsupported codings are LOUD: progressive (SOF2), truncation,
-    bad signature, bad encode inputs — and (r9 review) multi-scan
-    streams, zero sampling factors, and truncated DQTs surface as
-    EngineError, never KeyError/ZeroDivisionError/ValueError."""
+    """Unsupported codings are LOUD: arithmetic (SOF9), malformed
+    progressive scan headers, truncation, bad signature, bad encode
+    inputs — and (r9 review) sequential multi-scan streams, zero
+    sampling factors, and truncated DQTs surface as EngineError,
+    never KeyError/ZeroDivisionError/ValueError."""
     from flaco_spark.errors import EngineError
     from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
 
@@ -1329,9 +1331,14 @@ def test_jpeg_error_surface():
     j = encode_jpeg(gray, 8, 8, 1, quality=90)
     with pytest.raises(EngineError, match="SOI"):
         decode_jpeg(b"XX" + j[2:])
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 -> SOF9 (arithmetic coding): must refuse, not mis-decode
     sof = j.index(b"\xff\xc0")
-    with pytest.raises(EngineError, match="SOF2|baseline"):
+    with pytest.raises(EngineError, match="SOF9|baseline"):
+        decode_jpeg(j[:sof] + b"\xff\xc9" + j[sof + 2:])
+    # flip SOF0 -> SOF2 while keeping the baseline Ss=0..Se=63 scan:
+    # an ILLEGAL progressive scan shape (r10: SOF2 itself is now
+    # supported; the mismatched scan header must still be loud)
+    with pytest.raises(EngineError, match="progressive"):
         decode_jpeg(j[:sof] + b"\xff\xc2" + j[sof + 2:])
     with pytest.raises(EngineError, match="truncated|entropy"):
         decode_jpeg(j[: len(j) // 2])
@@ -1374,6 +1381,166 @@ def test_jpeg_gray_ignores_declared_sampling_factors():
     assert j[sof_hv] == 0x11
     patched = j[:sof_hv] + b"\x22" + j[sof_hv + 1:]
     assert decode_jpeg(patched) == ref
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """Our progressive encoder emits a spectral-selection script over
+    the SAME quantized coefficients as baseline mode, so the decoded
+    pixels must be bit-identical — any slip in the multi-scan
+    coefficient assembly (band bounds, EOB runs, per-scan predictor
+    state) breaks exact equality."""
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    for (w, h, ch) in ((21, 13, 1), (24, 17, 3), (1, 5, 3), (40, 25, 3)):
+        pix = (_jpeg_smooth_rgb(w, h) if ch == 3
+               else bytes((x * 7 + y * 11) % 256
+                          for y in range(h) for x in range(w)))
+        jp = encode_jpeg(pix, w, h, ch, quality=95, progressive=True)
+        assert b"\xff\xc2" in jp[:220] and b"\xff\xc0" not in jp[:220]
+        assert jp.count(b"\xff\xda") == 1 + 2 * ch  # DC scan + 2 AC bands/comp
+        assert decode_jpeg(jp) == decode_jpeg(
+            encode_jpeg(pix, w, h, ch, quality=95)
+        )
+    # restart markers inside progressive scans: resync + per-scan
+    # predictor/EOBRUN reset under the same exact-equality check
+    w, h = 40, 25
+    rgb = _jpeg_smooth_rgb(w, h)
+    j_rst = encode_jpeg(rgb, w, h, 3, quality=95, progressive=True,
+                        restart_interval=3)
+    assert j_rst.count(b"\xff\xd0") >= 1
+    assert decode_jpeg(j_rst) == decode_jpeg(encode_jpeg(rgb, w, h, 3, quality=95))
+
+
+def test_jpeg_progressive_cross_implementation(spark):
+    """Two-way ImageIO cross-check for PROGRESSIVE streams (VERDICT r9
+    task 5).  The JDK writer's MODE_DEFAULT emits the classic libjpeg
+    10-scan simple-progression script — DC successive approximation
+    (Al=1 then a refine pass) and AC spectral selection WITH
+    refinement passes — i.e. every Annex-G decode path our own
+    spectral-selection encoder cannot produce.  (a) ImageIO
+    progressive gray and 4:2:0 color decode here to the same pixels
+    ImageIO itself reads back; (b) our progressive output decodes in
+    ImageIO to our pixels."""
+    import random
+
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    jvm = spark._jvm
+    rnd = random.Random(33)
+
+    def imageio_decode(data: bytes):
+        iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+            jvm.java.io.ByteArrayInputStream(data)
+        )
+        img = jvm.javax.imageio.ImageIO.read(iis)
+        assert img is not None
+        return img
+
+    def imageio_write_progressive(jimg) -> bytes:
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg"
+        ).next()
+        bos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.write(None, jvm.javax.imageio.IIOImage(jimg, None, None), param)
+        ios.flush()
+        writer.dispose()
+        ios.close()
+        return bytes(bos.toByteArray())
+
+    # (a) gray: full-range noise through DC+AC successive approximation
+    w2, h2 = 23, 17
+    vals = [rnd.randrange(256) for _ in range(w2 * h2)]
+    jimg = jvm.java.awt.image.BufferedImage(w2, h2, 10)  # TYPE_BYTE_GRAY
+    wr = jimg.getRaster()
+    for y in range(h2):
+        for x in range(w2):
+            wr.setSample(x, y, 0, vals[y * w2 + x])
+    data = imageio_write_progressive(jimg)
+    assert b"\xff\xc2" in data and data.count(b"\xff\xda") >= 4
+    W, H, C, ours = decode_jpeg(data)
+    assert (W, H, C) == (w2, h2, 1)
+    ref = imageio_decode(data).getRaster()
+    for _ in range(150):
+        x, y = rnd.randrange(w2), rnd.randrange(h2)
+        assert abs(ref.getSample(x, y, 0) - ours[y * w2 + x]) <= 2
+
+    # (a) color 4:2:0, non-MCU-aligned dims: refinement + fancy
+    # upsample over the cropped chroma plane together
+    w3, h3 = 41, 27
+    rgb3 = _jpeg_smooth_rgb(w3, h3)
+    jimg = jvm.java.awt.image.BufferedImage(w3, h3, 1)  # TYPE_INT_RGB
+    for y in range(h3):
+        for x in range(w3):
+            i = (y * w3 + x) * 3
+            jimg.setRGB(x, y, (rgb3[i] << 16) | (rgb3[i + 1] << 8) | rgb3[i + 2])
+    data = imageio_write_progressive(jimg)
+    assert b"\xff\xc2" in data and data.count(b"\xff\xda") >= 8
+    W, H, C, ours = decode_jpeg(data)
+    assert (W, H, C) == (w3, h3, 3)
+    ref = imageio_decode(data)
+    worst = 0
+    for _ in range(250):
+        x, y = rnd.randrange(w3), rnd.randrange(h3)
+        argb = ref.getRGB(x, y)
+        for ci, ch in enumerate(((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)):
+            worst = max(worst, abs(ch - ours[(y * w3 + x) * 3 + ci]))
+    assert worst <= 4, f"progressive 4:2:0 cross-decode diverges by {worst}"
+
+    # (b) ours -> ImageIO
+    w, h = 40, 25
+    rgb = _jpeg_smooth_rgb(w, h)
+    jp = encode_jpeg(rgb, w, h, 3, quality=95, progressive=True)
+    img = imageio_decode(jp)
+    assert img.getWidth() == w and img.getHeight() == h
+    _, _, _, ours = decode_jpeg(jp)
+    for _ in range(150):
+        x, y = rnd.randrange(w), rnd.randrange(h)
+        argb = img.getRGB(x, y)
+        for ci, ch in enumerate(((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)):
+            assert abs(ch - ours[(y * w + x) * 3 + ci]) <= 3
+
+
+def test_jpeg_marker_walk_fill_bytes_and_lengthless_markers():
+    """T.81 B.1.1.2/B.1.1.3 (r9 ADVICE): 0xFF fill bytes before a
+    marker, TEM (0x01), and a stray RSTn in the header stream are
+    lengthless — they must be skipped, not parsed as segment lengths
+    (one fill byte before DQT used to fail as 'truncated segment').
+    A stray EOI before any scan stays loud, with the real condition
+    named."""
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    gray = bytes(range(64))
+    j = encode_jpeg(gray, 8, 8, 1, quality=90)
+    ref = decode_jpeg(j)
+    dqt = j.index(b"\xff\xdb")
+    for inject in (b"\xff", b"\xff\xff\xff", b"\xff\x01", b"\xff\xd3",
+                   b"\xff\xd8"):
+        assert decode_jpeg(j[:dqt] + inject + j[dqt:]) == ref, inject
+    with _pytest.raises(EngineError, match="EOI before"):
+        decode_jpeg(j[:dqt] + b"\xff\xd9" + j[dqt:])
+
+
+def test_jpeg_huffman_lut_cache_is_bounded():
+    """r9 ADVICE: per-image optimized Huffman tables must not pin
+    ~0.5 MB LUTs for the process lifetime — the cache is a 16-entry
+    LRU (~8 MB ceiling) that keeps the hot Annex-K tables resident."""
+    from flaco_spark.sources import jpeg_codec as jc
+
+    # 40 distinct single-symbol tables (each a distinct cache key)
+    for sym in range(40):
+        jc._HuffTable([0] * 8 + [1] + [0] * 8, [sym % 12])
+    assert len(jc._LUT_CACHE) <= jc._LUT_CACHE_MAX
+    # the Annex-K tables re-register without error and hit the cache
+    t1 = jc._HuffTable(jc.DC_LUMA_BITS, jc.DC_LUMA_VALS)
+    t2 = jc._HuffTable(jc.DC_LUMA_BITS, jc.DC_LUMA_VALS)
+    assert t1.lut is t2.lut
 
 
 def test_decode_image_jpeg_arm_uses_real_codec():

@@ -480,6 +480,20 @@ def test_wire_auto_probed_bounds(spark, pg_local):
     assert df1.rdd.getNumPartitions() == 1
     assert df1.count() == 5000
 
+    # ...but explicit bounds alongside num_partitions=1 are silently
+    # dropped by the single-partition early return — refuse loudly
+    # (r9 ADVICE: same class as the inactive-options guard).
+    with pytest.raises(EngineError, match="num_partitions=1"):
+        read_sql_wire(
+            spark,
+            _uri(pg_local),
+            "SELECT id FROM series",
+            partition_column="id",
+            num_partitions=1,
+            lower_bound=1,
+            upper_bound=5001,
+        )
+
 
 def test_wire_datasource_fetchsize_option(spark, pg_local):
     """A fetchSize far below the partition row count changes the paging

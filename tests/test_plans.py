@@ -1265,6 +1265,26 @@ def test_m17_resize_single_map_stage(spark, sf_dir):
     assert n_exchanges == 1, "only the bounded repartition"
 
 
+def test_m18_m19_jpeg_single_map_stage(spark, sf_dir):
+    """m18 (baseline JPEG) and m19 (progressive JPEG) ride the same
+    lane as m17 (VERDICT r9 task 6 — m18 was the one codec row without
+    a plan pin): ONE Arrow mapInPandas stage over the bounded
+    repartition — exactly one Exchange, no shuffle after the Python
+    stage, never row-at-a-time Python.  A refactor that silently adds
+    an exchange to the codec lane fails here, not at 100 TB."""
+    import re
+
+    from flaco_spark.plans import formatted_plan
+
+    for name in ("m18_jpeg_decode", "m19_jpeg_progressive_decode"):
+        df = REGISTRY[name].builder(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), name
+        assert "BatchEvalPython" not in plan, name
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, f"{name}: only the bounded repartition"
+
+
 def test_t35_shared_set_antijoin(spark, sf_dir):
     """Boilerplate removal: the shared-fingerprint screen is a
     LeftAnti join (broadcast or shuffled — AQE's call by size), and
