@@ -34,6 +34,38 @@ def spin() -> float:
     return round(best, 4)
 
 
+def membw() -> float:
+    """DRAM copy bandwidth probe (bench.py's third noise domain)."""
+    import numpy as np
+
+    n = 64 * 1024 * 1024 // 8
+    a, b = np.ones(n), np.ones(n)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        best = max(best, 2 * a.nbytes / (time.perf_counter() - t0) / 1e9)
+    return round(best, 1)
+
+
+# r10 (VERDICT r9 task 2): the A/B must run at the >=15 GB/s
+# measurement floor — reps launched below it are wasted wall-clock
+# AND not within-band comparable.  Bounded wait per rep pair.
+MEMBW_FLOOR = float(os.environ.get("BISECT_MEMBW_FLOOR", "15"))
+GATE_WAIT_S = float(os.environ.get("BISECT_GATE_WAIT_S", "240"))
+
+
+def gate(rep: int) -> float:
+    t0 = time.perf_counter()
+    while True:
+        bw = membw()
+        if bw >= MEMBW_FLOOR or time.perf_counter() - t0 > GATE_WAIT_S:
+            if bw < MEMBW_FLOOR:
+                print(f"rep{rep}: gate GAVE UP at {bw} GB/s", file=sys.stderr)
+            return bw
+        time.sleep(10)
+
+
 def child(root: str, sf_dir: str) -> None:
     sys.path.insert(0, root)
     from flaco_spark.cachepool import release_caches
@@ -66,7 +98,14 @@ def parent(tree_a: str, tree_b: str, reps: int, sf_dir: str) -> None:
     }
     discarded = 0
     for rep in range(reps):
-        for root in (tree_a, tree_b):
+        bw = gate(rep)
+        # Alternate launch order per rep (r10): the second child of a
+        # pair inherits the first's page-cache warmup of the parquet
+        # inputs, so a fixed A-then-B order systematically flatters B —
+        # measured on g01: the second-launched tree ran ~10-15% faster
+        # in back-to-back pairs regardless of which tree it was.
+        order = (tree_a, tree_b) if rep % 2 == 0 else (tree_b, tree_a)
+        for root in order:
             proc = subprocess.run(
                 [sys.executable, __file__, "--child", root, sf_dir],
                 capture_output=True, text=True, cwd=root,
@@ -79,14 +118,19 @@ def parent(tree_a: str, tree_b: str, reps: int, sf_dir: str) -> None:
             r = json.loads(line)
             ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
             tag = ""
-            if ratio > 1.3:
+            # Discard on a shifted spin bracket OR an out-of-band gate
+            # reading (r10: the within-band A/B the g01 adjudication
+            # needs — below-band reps are not comparable evidence).
+            if ratio > 1.3 or bw < MEMBW_FLOOR:
                 discarded += 1
-                tag = "  [DISCARDED: contended]"
+                tag = ("  [DISCARDED: contended]" if ratio > 1.3
+                       else f"  [DISCARDED: membw {bw} < {MEMBW_FLOOR}]")
             else:
                 for q in QUERIES:
                     results[q][root].append(r["timings"][q])
-            print(f"rep{rep} {root} (ansi={r['ansi']}): {r['timings']} "
-                  f"spin {r['spin_pre']}/{r['spin_post']}{tag}", flush=True)
+            print(f"rep{rep} {root} (ansi={r['ansi']}, membw {bw}): "
+                  f"{r['timings']} spin {r['spin_pre']}/{r['spin_post']}{tag}",
+                  flush=True)
     print()
     for q in QUERIES:
         a, b = results[q][tree_a], results[q][tree_b]

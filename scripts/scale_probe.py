@@ -257,7 +257,18 @@ PROBE = [
     # downscale — strictly the m15 cost class plus a numpy reduce, so
     # its first probe row is bounded by m15's until recorded.
     "m17_image_resize",
+    # r10: the baseline + progressive JPEG codec lanes join the PNG/GIF
+    # rows above for the same reason (pure-Python per-document cost).
+    "m18_jpeg_decode",
+    "m19_jpeg_progressive_decode",
 ]
+
+# r10 (VERDICT r9 task 4): PROBE_QUERIES=<comma list> restricts a run
+# to named rows — the targeted within-band re-measure lane (t22's 10×
+# flag) without paying the full ~190-row probe.
+_subset = os.environ.get("PROBE_QUERIES")
+if _subset:
+    PROBE = [s.strip() for s in _subset.split(",") if s.strip()]
 
 # r8: the probes reuse bench.py's quiet-gate (spin + steal + DRAM
 # bandwidth) before measuring — the bandwidth domain reads spin-quiet
