@@ -795,19 +795,25 @@ def main() -> None:
     # long-lived local JVM (Arrow-batched Python sink stages degrade
     # after many mixed jobs), and isolating them is also how a real
     # deployment separates ETL writes from analytics sessions.
-    def run_extract() -> dict[str, float]:
+    def run_extract() -> tuple[dict[str, float], dict[str, float]]:
         spark = get_session(app_name="flaco_spark_bench_extract")
         t: dict[str, float] = {}
         _extract_benchmarks(spark, sf_dir, t)
         # Peak RSS while the extract JVM is still alive: the memory
         # story of the x01/x02 legs (reference's +2.4 MiB analogue).
-        memory.update(_peak_rss_mib())
+        # Captured PER ATTEMPT so the record's memory evidence comes
+        # from the same attempt as its timings (r10 review — the
+        # driver-python VmHWM accumulates monotonically across
+        # attempts, but the JVM figure is per-child).
+        mem = _peak_rss_mib()
         spark.stop()
-        return t
+        return t, mem
 
-    extract_timings, probes["extract"], noise["extract"], phase_attempts["extract"] = (
+    extract_result, probes["extract"], noise["extract"], phase_attempts["extract"] = (
         _measure_phase("extract", run_extract, gate_deadline)
     )
+    extract_timings, mem_snapshot = extract_result
+    memory.update(mem_snapshot)
     print(f"# memory: {memory}", file=sys.stderr)
 
     # Re-gate between phases: a noisy window opening mid-run gets

@@ -72,6 +72,12 @@ FORCE_RECHECK: dict[str, int] = {  # name -> round the pin was set
     "q45_approx_distinct": 7,
     "ts03_session_window": 7,
     "st11_session_window_agg": 7,
+    # r10: m18's ORACLE changed after its r9 green row (length(text) ->
+    # octet_length(encode(text)) — byte semantics matching the builder;
+    # identical values on the ASCII fixtures, but a superseded contract
+    # per the ts03/st11 precedent), and its decode path was restructured
+    # for progressive support the same round.
+    "m18_jpeg_decode": 10,
 }
 
 # Plan-only rewrites (identical results, old rows remain valid

@@ -1708,19 +1708,25 @@ _JPEG_MAX_H = 64
 _JPEG_TOL = 16
 
 
-def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Encode each document's leading bytes as a REAL baseline JPEG
-    (grayscale, quality 97; odd doc_ids add restart markers so the
-    DRI/RSTn resync path runs under the gate too), then fully DECODE
-    it — marker walk, Huffman, dequantize, IDCT — and emit the decoded
-    dims plus a machine-checked reconstruction bound (JPEG is lossy,
-    so unlike m15's pixel md5 the oracle pins dims + the bound)."""
+def _jpeg_lane_batches(
+    batches: Iterator[pd.DataFrame], progressive: bool
+) -> Iterator[pd.DataFrame]:
+    """Shared m18/m19 lane (r10 review: the two were near-verbatim
+    copies): encode each document's leading bytes as a REAL JPEG —
+    baseline single-scan or, for m19, a progressive multi-scan
+    spectral-selection stream — grayscale, quality 97, odd doc_ids
+    adding restart markers so the DRI/RSTn resync path runs under the
+    gate in every scan shape; then fully DECODE it and emit the
+    decoded dims plus a machine-checked reconstruction bound (JPEG is
+    lossy, so unlike m15's pixel md5 the oracle pins dims + the
+    bound).  The progressive variant additionally emits the
+    ``progressive`` flag read from the actual SOF2 marker."""
     import numpy as np
 
     from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
 
     for pdf in batches:
-        ids, ws, hs, oks = [], [], [], []
+        ids, ws, hs, progs, oks = [], [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             raw = text.encode("utf-8")
             h = min(len(raw) // _JPEG_W, _JPEG_MAX_H)
@@ -1728,7 +1734,7 @@ def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                 continue  # shorter than one row (oracle filters too)
             src = raw[: h * _JPEG_W]
             jpg = encode_jpeg(
-                src, _JPEG_W, h, 1, quality=97,
+                src, _JPEG_W, h, 1, quality=97, progressive=progressive,
                 restart_interval=2 if doc_id % 2 else 0,
             )
             w2, h2, _ch, pix = decode_jpeg(jpg)
@@ -1741,26 +1747,37 @@ def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             ids.append(doc_id)
             ws.append(w2)
             hs.append(h2)
+            progs.append(b"\xff\xc2" in jpg[:220])
             oks.append(err <= _JPEG_TOL)
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "width": pd.Series(ws, dtype="int32"),
-                "height": pd.Series(hs, dtype="int32"),
-                "within_tol": pd.Series(oks, dtype="bool"),
-            }
-        )
+        cols = {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "width": pd.Series(ws, dtype="int32"),
+            "height": pd.Series(hs, dtype="int32"),
+            "progressive": pd.Series(progs, dtype="bool"),
+            "within_tol": pd.Series(oks, dtype="bool"),
+        }
+        if not progressive:
+            del cols["progressive"]
+        yield pd.DataFrame(cols)
+
+
+def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    return _jpeg_lane_batches(batches, progressive=False)
 
 
 @register(
     "m18_jpeg_decode",
+    # octet_length(encode(..)) = UTF-8 BYTES, matching the builder's
+    # len(text.encode()) exactly — r10 review: length(text) counts
+    # characters and would diverge on any non-ASCII document (latent
+    # on today's ASCII fixtures, wrong at real-corpus scale).
     oracle=f"""
 SELECT doc_id,
        CAST({_JPEG_W} AS INT) AS width,
-       CAST(LEAST(length(text) // {_JPEG_W}, {_JPEG_MAX_H}) AS INT) AS height,
+       CAST(LEAST(octet_length(encode(text)) // {_JPEG_W}, {_JPEG_MAX_H}) AS INT) AS height,
        TRUE AS within_tol
 FROM documents
-WHERE length(text) >= {_JPEG_W}
+WHERE octet_length(encode(text)) >= {_JPEG_W}
 """,
     tags=("multimodal", "image", "jpeg", "udf", "documents"),
     doc="REAL lossy-codec decode under the correctness gate: each "
@@ -1810,53 +1827,7 @@ JPEG_PROGRESSIVE_SCHEMA = T.StructType(
 
 
 def _jpeg_progressive_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """m18's lane with the PROGRESSIVE (SOF2) pipeline: each document's
-    leading bytes become a multi-scan spectral-selection JPEG (DC scan
-    + AC band scans; odd doc_ids add per-scan DRI/RSTn restarts), then
-    the full Annex-G decode runs — marker walk across scans, per-scan
-    predictor/EOBRUN state, coefficient assembly, IDCT.  ``progressive``
-    is checked from the actual SOF2 marker so the oracle pins that the
-    stream really is progressive, and the reconstruction bound is the
-    same machine-checked ≤16 as m18 (same coefficients as baseline —
-    the progressive script changes their transmission order, not their
-    values)."""
-    import numpy as np
-
-    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
-
-    for pdf in batches:
-        ids, ws, hs, progs, oks = [], [], [], [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            raw = text.encode("utf-8")
-            h = min(len(raw) // _JPEG_W, _JPEG_MAX_H)
-            if h < 1:
-                continue  # shorter than one row (oracle filters too)
-            src = raw[: h * _JPEG_W]
-            jpg = encode_jpeg(
-                src, _JPEG_W, h, 1, quality=97, progressive=True,
-                restart_interval=2 if doc_id % 2 else 0,
-            )
-            w2, h2, _ch, pix = decode_jpeg(jpg)
-            err = int(
-                np.abs(
-                    np.frombuffer(src, np.uint8).astype(np.int32)
-                    - np.frombuffer(pix, np.uint8).astype(np.int32)
-                ).max()
-            )
-            ids.append(doc_id)
-            ws.append(w2)
-            hs.append(h2)
-            progs.append(b"\xff\xc2" in jpg[:220])
-            oks.append(err <= _JPEG_TOL)
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "width": pd.Series(ws, dtype="int32"),
-                "height": pd.Series(hs, dtype="int32"),
-                "progressive": pd.Series(progs, dtype="bool"),
-                "within_tol": pd.Series(oks, dtype="bool"),
-            }
-        )
+    return _jpeg_lane_batches(batches, progressive=True)
 
 
 @register(
@@ -1864,11 +1835,11 @@ def _jpeg_progressive_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
     oracle=f"""
 SELECT doc_id,
        CAST({_JPEG_W} AS INT) AS width,
-       CAST(LEAST(length(text) // {_JPEG_W}, {_JPEG_MAX_H}) AS INT) AS height,
+       CAST(LEAST(octet_length(encode(text)) // {_JPEG_W}, {_JPEG_MAX_H}) AS INT) AS height,
        TRUE AS progressive,
        TRUE AS within_tol
 FROM documents
-WHERE length(text) >= {_JPEG_W}
+WHERE octet_length(encode(text)) >= {_JPEG_W}
 """,
     tags=("multimodal", "image", "jpeg", "progressive", "udf", "documents"),
     doc="REAL progressive-JPEG (SOF2) decode under the correctness "

@@ -105,6 +105,21 @@ def jdbc_options(
     if partition_column is None:
         opts["query"] = stmt
         return opts
+    if num_partitions == 1:
+        # Degenerate partitioning, same contract as read_sql_wire
+        # (r10 review: the two transports disagreed here, so
+        # via="auto" behavior depended on jar availability): one
+        # partition is a plain single-cursor extract, and explicit
+        # bounds — which Spark's JDBC source would silently ignore at
+        # numPartitions=1 — refuse loudly.
+        if lower_bound is not None or upper_bound is not None:
+            raise EngineError(
+                "lower_bound/upper_bound supplied with num_partitions=1 "
+                "— a single partition reads the whole result and the "
+                "bounds would be silently ignored"
+            )
+        opts["query"] = stmt
+        return opts
     if num_partitions is None or lower_bound is None or upper_bound is None:
         raise EngineError(
             "partitioned extract needs partition_column, num_partitions, "

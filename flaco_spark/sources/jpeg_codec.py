@@ -359,6 +359,8 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict:
     grids: (bw, bh) = the component's OWN ceil(dims/8) grid that non-
     interleaved scans cover, (bw_mcu, bh_mcu) = the MCU-padded grid
     interleaved scans cover (T.81 A.2.4)."""
+    if len(seg) < 6:
+        raise EngineError("truncated JPEG SOF segment")
     prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
     if prec != 8:
         raise EngineError(f"unsupported JPEG precision {prec}")
@@ -366,6 +368,8 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict:
         raise EngineError(f"unsupported JPEG component count {ncomp}")
     if width == 0 or height == 0:
         raise EngineError("zero-dimension JPEG frame")
+    if len(seg) < 6 + 3 * ncomp:
+        raise EngineError("truncated JPEG SOF segment")
     comps = []
     for i in range(ncomp):
         cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
@@ -408,6 +412,12 @@ def _decode_block_seq(
 ) -> int:
     """Sequential baseline block: DC diff + full AC band (F.2.2)."""
     t = reader.decode_huff(dc_tbl)
+    if t > 15:
+        # a corrupt DHT can map a code to any byte; an unbounded
+        # category would overflow the int32 coefficient store as a
+        # numpy OverflowError instead of an EngineError (r10 review —
+        # 11/4000 random corruptions escaped this way)
+        raise EngineError("invalid JPEG DC category")
     pred += _extend(reader.receive(t), t)
     coef[0] = pred
     k = 1
@@ -433,6 +443,8 @@ def _decode_dc_first(
 ) -> int:
     """Progressive DC, first pass (G.2.1): diff at Al precision."""
     t = reader.decode_huff(dc_tbl)
+    if t > 15:
+        raise EngineError("invalid JPEG DC category")
     pred += _extend(reader.receive(t), t)
     coef[0] = pred << al
     return pred
@@ -782,6 +794,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 "sequential (SOF0/1) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise EngineError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:

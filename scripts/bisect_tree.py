@@ -99,6 +99,13 @@ def parent(tree_a: str, tree_b: str, reps: int, sf_dir: str) -> None:
     discarded = 0
     for rep in range(reps):
         bw = gate(rep)
+        if bw < MEMBW_FLOOR:
+            # r10 review: a pair launched after a gate give-up is
+            # guaranteed-discarded below — skip it instead of spending
+            # two Spark children on numbers nothing will use.
+            discarded += 2
+            print(f"rep{rep}: SKIPPED (membw {bw} < {MEMBW_FLOOR})", flush=True)
+            continue
         # Alternate launch order per rep (r10): the second child of a
         # pair inherits the first's page-cache warmup of the parquet
         # inputs, so a fixed A-then-B order systematically flatters B —

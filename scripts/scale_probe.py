@@ -269,6 +269,12 @@ PROBE = [
 _subset = os.environ.get("PROBE_QUERIES")
 if _subset:
     PROBE = [s.strip() for s in _subset.split(",") if s.strip()]
+    # Validate BEFORE the quiet gate + 10x materialization (r10
+    # review: a typo died minutes in with a bare KeyError).
+    _known = load_inventory()
+    _bad = [n for n in PROBE if n not in _known]
+    if _bad:
+        raise SystemExit(f"PROBE_QUERIES names not in the registry: {_bad}")
 
 # r8: the probes reuse bench.py's quiet-gate (spin + steal + DRAM
 # bandwidth) before measuring — the bandwidth domain reads spin-quiet

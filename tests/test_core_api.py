@@ -88,6 +88,33 @@ def test_jdbc_options_partitioned_extract_requires_all_bounds():
         )
 
 
+def test_jdbc_options_single_partition_matches_pgwire_contract():
+    """r10 review: the two transports disagreed on num_partitions=1 —
+    JDBC required bounds where pgwire forbade them, so via='auto'
+    behavior depended on jar availability.  Unified contract: one
+    partition is a plain single-cursor extract (no subquery wrap, no
+    partition options) and explicit bounds refuse loudly on BOTH."""
+    from flaco_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "postgresql://u:p@h/db",
+        "SELECT * FROM payment",
+        partition_column="payment_id",
+        num_partitions=1,
+    )
+    assert opts["query"] == "SELECT * FROM payment"
+    assert "dbtable" not in opts and "partitionColumn" not in opts
+    with pytest.raises(EngineError, match="num_partitions=1"):
+        jdbc_options(
+            "postgresql://u:p@h/db",
+            "SELECT * FROM payment",
+            partition_column="payment_id",
+            num_partitions=1,
+            lower_bound=1,
+            upper_bound=100,
+        )
+
+
 # ---- End-to-end JDBC against embedded Derby (live-server parity) --------
 #
 # The reference's entire suite runs against live PostgreSQL
@@ -1363,6 +1390,21 @@ def test_jpeg_error_surface():
     dqt = j.index(b"\xff\xdb")
     with pytest.raises(EngineError, match="DQT|truncated"):
         decode_jpeg(j[:dqt + 2] + b"\x00\x10" + j[dqt + 4:dqt + 18] + j[j.index(b"\xff\xc0"):])
+    # r10 review (fuzz-found escapes): truncated SOF / empty DRI must
+    # be EngineError, not struct.error...
+    sof = j.index(b"\xff\xc0")
+    with pytest.raises(EngineError, match="SOF|truncated"):
+        decode_jpeg(j[:sof + 2] + b"\x00\x04\x08\x00" + j[j.index(b"\xff\xda"):])
+    with pytest.raises(EngineError, match="DRI|truncated"):
+        decode_jpeg(j[:sof] + b"\xff\xdd\x00\x02" + j[sof:])
+    # ...and a corrupt DHT mapping a code to a DC category > 15 must
+    # not overflow the int32 coefficient store as numpy OverflowError.
+    dht = j.index(b"\xff\xc4")
+    first_val = dht + 2 + 2 + 1 + 16  # marker, len, id, bits[16] -> vals[0]
+    assert j[first_val] == 0  # DC luma Annex-K vals start at category 0
+    patched_vals = bytes(range(0x40, 0x4C))  # every DC category -> >15
+    with pytest.raises(EngineError, match="DC category|Huffman|truncated"):
+        decode_jpeg(j[:first_val] + patched_vals + j[first_val + 12:])
 
 
 def test_jpeg_gray_ignores_declared_sampling_factors():
