@@ -129,15 +129,21 @@ def _timed_run(
     57–126 s on page-cache state alone vs ~17 s warm, so a plan
     regression is only distinguishable from I/O state if both numbers
     are on file)."""
-    from bench import _wait_for_quiet  # repo root is on sys.path
+    # r10 (SCALING.md round-10): gate at the 15 GB/s MEASUREMENT floor
+    # and bracket every row with the membw probe too — this probe's
+    # spin-only brackets were blind to the bandwidth domain, the
+    # blindness that minted t22's r9 flag and this round's five
+    # flat-at-10x "regressions".
+    from bench import QUIET_MEMBW_MEASURE_GBPS, _membw_gbps, _wait_for_quiet
 
     _wait_for_quiet(
-        float(os.environ.get("PROBE_QUIET_WAIT_S", "300")), f"gate_{name}"
+        float(os.environ.get("PROBE_QUIET_WAIT_S", "300")), f"gate_{name}",
+        membw_floor=QUIET_MEMBW_MEASURE_GBPS,
     )
     spark = get_session(app_name=app)
     try:
         registry = load_inventory()
-        probes = {"pre": _spin()}
+        probes = {"pre": _spin(), "membw_pre": _membw_gbps()}
         times: list[float] = []
         rows = 0
         for _ in range(runs):
@@ -145,6 +151,7 @@ def _timed_run(
             rows = registry[name].builder(spark, sf_dir).count()
             times.append(round(time.perf_counter() - t0, 2))
         probes["post"] = _spin()
+        probes["membw_post"] = _membw_gbps()
         return times, rows, probes
     finally:
         spark.stop()
@@ -326,13 +333,35 @@ def main() -> int:
                     verdict = "requoted"
                 else:
                     # r8 ADVICE: record the isolated measurement and its
-                    # spin brackets IN the row (not just stderr) so the
+                    # brackets IN the row (not just stderr) so the
                     # "regression is real" verdict is auditable from the
                     # artifact, same contract as bench.py's requote log.
-                    old["requote"] = "re-measured, not faster — regression is real"
+                    # r10: the verdict demands WITHIN-BAND evidence, the
+                    # same unified rule as bench._adjudicate_isolate —
+                    # a hot spin bracket (vs the run floor) or a membw
+                    # bracket below the 15 GB/s measurement floor keeps
+                    # the in-run number instead of minting a below-band
+                    # "regression is real".
                     old["sec_isolated"] = round(sec, 2)
                     old["spin_isolated"] = probes
-                    verdict = "regression_survives"
+                    bws = [
+                        probes.get(k, 0.0)
+                        for k in ("membw_pre", "membw_post")
+                        if probes.get(k, 0.0) > 0.0
+                    ]
+                    iso_spin_max = max(probes["pre"], probes["post"])
+                    in_band = not bws or min(bws) >= 15.0
+                    spin_ok = quiet_spin <= 0 or iso_spin_max < 1.3 * quiet_spin
+                    if in_band and spin_ok:
+                        old["requote"] = "re-measured, not faster — regression is real"
+                        verdict = "regression_survives"
+                    else:
+                        old["requote"] = (
+                            "isolate bracket "
+                            + ("below band" if not in_band else "spin-hot")
+                            + " — kept in-run, not band-conditioned evidence"
+                        )
+                        verdict = "isolate_contended_kept_inrun"
                 print(
                     f"# requote {name}: {old.get('sec_inrun', old['sec'])}s -> "
                     f"{sec:.2f}s isolated ({verdict}, spin {probes})",
