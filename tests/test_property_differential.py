@@ -1090,3 +1090,67 @@ def test_gif_lzw_identity_property(data, mcs):
 
     capped = bytes(min(b, (1 << mcs) - 1) for b in data)
     assert lzw_decode(lzw_encode(capped, mcs), mcs) == capped
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (r10).  The lossy transform rules out a pixel-identity
+# property, but two exact invariants remain: (1) the progressive
+# spectral-selection script transmits the SAME quantized coefficients
+# as baseline, so its decode must be BIT-IDENTICAL — this walks the
+# whole multi-scan machinery (band bounds, EOB runs, per-scan
+# predictor resets, restart resync) with zero tolerance slack; and
+# (2) the decoder's error surface is closed: any corruption either
+# decodes or raises EngineError, never struct.error / OverflowError /
+# IndexError (the r10 review's fuzz harness found both escapes —
+# this pins the class permanently).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    ch=st.sampled_from([1, 3]),
+    restart=st.sampled_from([0, 1, 3]),
+    quality=st.sampled_from([60, 90, 97]),
+    data=st.data(),
+)
+def test_jpeg_progressive_equals_baseline_property(w, h, ch, restart, quality, data):
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch,
+                           max_size=w * h * ch))
+    )
+    base = encode_jpeg(pix, w, h, ch, quality=quality,
+                       restart_interval=restart)
+    prog = encode_jpeg(pix, w, h, ch, quality=quality,
+                       restart_interval=restart, progressive=True)
+    assert b"\xff\xc2" in prog[:260]
+    assert decode_jpeg(prog) == decode_jpeg(base)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.data())
+def test_jpeg_decode_corruption_error_surface_property(data):
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    gray = bytes((x * 7 + y * 11) % 256 for y in range(12) for x in range(17))
+    j = bytearray(encode_jpeg(
+        gray, 17, 12, 1, quality=90,
+        restart_interval=data.draw(st.sampled_from([0, 2])),
+        progressive=data.draw(st.booleans()),
+    ))
+    # corrupt: flip 1-4 bytes anywhere, and/or truncate
+    for _ in range(data.draw(st.integers(1, 4))):
+        pos = data.draw(st.integers(0, len(j) - 1))
+        j[pos] = data.draw(st.integers(0, 255))
+    if data.draw(st.booleans()):
+        j = j[: data.draw(st.integers(2, len(j)))]
+    try:
+        decode_jpeg(bytes(j))
+    except EngineError:
+        pass  # the ONLY permitted failure class
