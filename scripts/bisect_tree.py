@@ -113,10 +113,18 @@ def parent(tree_a: str, tree_b: str, reps: int, sf_dir: str) -> None:
         # in back-to-back pairs regardless of which tree it was.
         order = (tree_a, tree_b) if rep % 2 == 0 else (tree_b, tree_a)
         for root in order:
+            # r11 (ADVICE r10): the pair gate samples bandwidth ONCE,
+            # before child A — a window closing between children went
+            # undetected and the per-child discard branch was dead code.
+            # Bracket each child with fresh probes; the child's band
+            # reading is the WORSE of the two, so a window that closes
+            # mid-child discards that child, not the whole pair.
+            bw_pre = membw()
             proc = subprocess.run(
                 [sys.executable, __file__, "--child", root, sf_dir],
                 capture_output=True, text=True, cwd=root,
             )
+            bw_child = min(bw_pre, membw())
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
             if not line.startswith("{"):
                 print(f"rep{rep} {root}: child failed\n{proc.stderr[-2000:]}",
@@ -125,17 +133,18 @@ def parent(tree_a: str, tree_b: str, reps: int, sf_dir: str) -> None:
             r = json.loads(line)
             ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
             tag = ""
-            # Discard on a shifted spin bracket OR an out-of-band gate
-            # reading (r10: the within-band A/B the g01 adjudication
-            # needs — below-band reps are not comparable evidence).
-            if ratio > 1.3 or bw < MEMBW_FLOOR:
+            # Discard on a shifted spin bracket OR an out-of-band
+            # PER-CHILD bandwidth bracket (r10: the within-band A/B the
+            # g01 adjudication needs — below-band reps are not
+            # comparable evidence).
+            if ratio > 1.3 or bw_child < MEMBW_FLOOR:
                 discarded += 1
                 tag = ("  [DISCARDED: contended]" if ratio > 1.3
-                       else f"  [DISCARDED: membw {bw} < {MEMBW_FLOOR}]")
+                       else f"  [DISCARDED: membw {bw_child} < {MEMBW_FLOOR}]")
             else:
                 for q in QUERIES:
                     results[q][root].append(r["timings"][q])
-            print(f"rep{rep} {root} (ansi={r['ansi']}, membw {bw}): "
+            print(f"rep{rep} {root} (ansi={r['ansi']}, membw {bw_child}): "
                   f"{r['timings']} spin {r['spin_pre']}/{r['spin_post']}{tag}",
                   flush=True)
     print()

@@ -240,22 +240,46 @@ def test_measure_phase_stamps_best_achievable_band(monkeypatch):
     import time as _time
 
     calls = []
-    _probe_seq(
-        monkeypatch,
-        [_p(0.78, 9.0), _p(0.80, 8.5),     # attempt 1
-         _p(0.76, 13.0), _p(0.79, 12.0),   # attempt 2 (best)
-         _p(0.77, 7.0), _p(0.78, 6.6)],    # attempt 3
-        [],
-    )
+    # attempt 2 is the widest-band bracket; every later attempt (up to
+    # PHASE_MAX_ATTEMPTS — the probe list scales with the constant)
+    # stays narrower, so the recorded result must stay attempt 2's.
+    probes = [_p(0.78, 9.0), _p(0.80, 8.5),     # attempt 1
+              _p(0.76, 13.0), _p(0.79, 12.0)]   # attempt 2 (best)
+    for i in range(bench.PHASE_MAX_ATTEMPTS - 2):
+        probes += [_p(0.77, 7.0 - i), _p(0.78, 6.6 - i)]
+    _probe_seq(monkeypatch, probes, [])
     result, probes, entry, attempts = bench._measure_phase(
         "t", lambda: calls.append(1) or len(calls),
         gate_deadline=_time.perf_counter() + 3600,
     )
     assert len(calls) == bench.PHASE_MAX_ATTEMPTS
     assert entry["band_status"] == "best_achievable_band"
-    assert entry["attempts"] == 3
+    assert entry["attempts"] == bench.PHASE_MAX_ATTEMPTS
     assert result == 2 and entry["membw_min_gbps"] == 12.0  # widest attempt
     assert not entry["in_band"] and entry["valid"]
+
+
+def test_measure_phase_budgets_the_regate_wait(monkeypatch):
+    """r10 ADVICE: the affordability check must count the up-to-300 s
+    re-gate that PRECEDES a retry, not just the attempt runtime — a
+    remaining budget under gate+attempt used to admit a retry that
+    overran gate_deadline into the requote reserve.  With 100 s left
+    (< the 300 s gate cap) and an out-of-band bracket, the phase must
+    stop at one attempt even though the attempt itself is instant."""
+    import time as _time
+
+    calls = []
+    _probe_seq(
+        monkeypatch,
+        [_p(0.78, 9.0), _p(0.80, 8.5), _p(0.78, 9.0), _p(0.80, 8.5)],
+        [],
+    )
+    result, _, entry, attempts = bench._measure_phase(
+        "t", lambda: calls.append(1) or len(calls),
+        gate_deadline=_time.perf_counter() + 100.0,
+    )
+    assert len(calls) == 1 and entry["attempts"] == 1
+    assert entry["band_status"] == "best_achievable_band"
 
 
 def test_measure_phase_respects_gate_deadline(monkeypatch):
