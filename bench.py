@@ -70,6 +70,8 @@ EXTENDED = [
     # r10: the progressive-JPEG lane (multi-scan decode per document)
     # joins the codec cost tracking alongside m18's baseline lane.
     "m19_jpeg_progressive_decode",
+    # r11: the CMYK/YCCK lane (4-component Adobe encode + decode).
+    "m20_jpeg_cmyk_decode",
 ]
 
 

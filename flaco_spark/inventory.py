@@ -111,6 +111,13 @@ SOFT_RECHECK: dict[str, int] = {  # name -> round the pin was set
     "q18_large_volume_customers": 7,
     "q19_disjunctive_predicates": 7,
     "d05_simhash_signature": 7,
+    # r11: encode_jpeg's component tuples were generalized for the
+    # CMYK/YCCK lane (per-component quant-table ids) — 1/3-channel
+    # streams are byte-identical (same tables, same ids; round-trip +
+    # ImageIO cross-checks green), but the m18/m19 builders' shipped
+    # code path changed after their r10 green rows.
+    "m18_jpeg_decode": 11,
+    "m19_jpeg_progressive_decode": 11,
 }
 
 

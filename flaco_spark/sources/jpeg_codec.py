@@ -14,17 +14,25 @@ and AC refinement passes, exercising every refine path here).
 
 Scope (honest subset):
 - decode: baseline sequential (SOF0/1) and progressive (SOF2), 8-bit,
-  1 (gray) or 3 (YCbCr) components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
-  restart markers (in any scan), fill bytes / TEM / stray RSTn-SOI in
-  the marker stream (T.81 B.1.1.2).  Arithmetic coding, lossless,
-  hierarchical, 12-bit, CMYK, and sequential multi-scan streams raise
+  1 (gray), 3 (YCbCr; or RGB with Adobe APP14 transform=0), or —
+  r11, VERDICT r10 task 5 — 4 (Adobe CMYK/YCCK, the scanned-document
+  corpus class) components, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+  markers (in any scan), fill bytes / TEM / stray RSTn-SOI in the
+  marker stream (T.81 B.1.1.2).  4-component output is TRUE CMYK:
+  the Adobe inversion (PIL's "CMYK;I" rawmode) is already applied,
+  and YCCK streams (APP14 transform=2) get libjpeg's
+  ycck_cmyk_convert composition.  Arithmetic coding, lossless,
+  hierarchical, 12-bit, and sequential multi-scan streams raise
   ``EngineError`` — a silent wrong decode would be worse than a loud
   gap.
 - encode: baseline (single interleaved scan) or progressive
   (spectral-selection script: DC scan + two AC band scans per
   component, Ah=Al=0), 4:4:4, Annex-K quantization tables (quality-
   scaled) and Annex-K Huffman tables — spec-valid files any decoder
-  reads (ImageIO cross-decodes both modes in tests).
+  reads (ImageIO cross-decodes both modes in tests; 4-component
+  streams are raster-level cross-checked against the JDK reader's
+  ``readRaster``, which entropy-decodes CMYK even though
+  ``ImageIO.read`` refuses to color-convert it).
 
 Decoder-parity details chosen to match the JDK's bundled libjpeg so
 the cross-check tolerance stays at IDCT rounding only (≤2/channel on
@@ -364,7 +372,7 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict:
     prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
     if prec != 8:
         raise EngineError(f"unsupported JPEG precision {prec}")
-    if ncomp not in (1, 3):
+    if ncomp not in (1, 3, 4):
         raise EngineError(f"unsupported JPEG component count {ncomp}")
     if width == 0 or height == 0:
         raise EngineError("zero-dimension JPEG frame")
@@ -419,6 +427,16 @@ def _decode_block_seq(
         # 11/4000 random corruptions escaped this way)
         raise EngineError("invalid JPEG DC category")
     pred += _extend(reader.receive(t), t)
+    if not -32768 <= pred <= 32767:
+        # r11 (r10 ADVICE): each diff is bounded (t<=15) but the
+        # predictor ACCUMULATES across blocks — a corrupt-but-parseable
+        # stream can walk it past int32 over many blocks, where numpy
+        # silently wraps (quiet wrong decode) or raises OverflowError
+        # under strict casting.  Legal 8-bit DC is |v| <= 2047 (T.81
+        # Table F.1); 32767 is loose enough for any real encoder and
+        # tight enough that pred << al (al <= 13) stays well inside
+        # int32.
+        raise EngineError("JPEG DC predictor out of range")
     coef[0] = pred
     k = 1
     while k < 64:
@@ -446,6 +464,8 @@ def _decode_dc_first(
     if t > 15:
         raise EngineError("invalid JPEG DC category")
     pred += _extend(reader.receive(t), t)
+    if not -32768 <= pred <= 32767:
+        raise EngineError("JPEG DC predictor out of range")
     coef[0] = pred << al
     return pred
 
@@ -757,6 +777,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     coefs: dict[int, np.ndarray] = {}
     restart_interval = 0
     nth_scan = 0
+    adobe_transform: int | None = None  # APP14 color-transform byte
     while True:
         if pos >= len(data):
             if nth_scan:
@@ -797,6 +818,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if len(seg) < 2:
                 raise EngineError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE:  # APP14: Adobe color-transform convention
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise EngineError("JPEG SOS before SOF")
@@ -839,11 +863,47 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise EngineError(f"unsupported JPEG upsampling {fx}x{fy}")
         full[c["id"]] = up
-    y_id, cb_id, cr_id = (c["id"] for c in comps)
-    rgb = _ycc_to_rgb(
-        full[y_id][:h, :w], full[cb_id][:h, :w], full[cr_id][:h, :w]
-    )
-    return w, h, 3, rgb.tobytes()
+    ids = [c["id"] for c in comps]
+    if len(comps) == 3:
+        if adobe_transform == 0:
+            # Adobe APP14 transform=0 on a 3-component frame: samples
+            # are stored RGB directly (Photoshop "save as RGB JPEG"),
+            # no YCbCr step (libjpeg jdmaster.c default_decompress_parms).
+            out = np.stack(
+                [np.clip(full[i][:h, :w], 0, 255) for i in ids], axis=-1
+            ).astype(np.uint8)
+            return w, h, 3, out.tobytes()
+        rgb = _ycc_to_rgb(
+            full[ids[0]][:h, :w], full[ids[1]][:h, :w], full[ids[2]][:h, :w]
+        )
+        return w, h, 3, rgb.tobytes()
+    # 4 components: the Adobe CMYK family (r11, VERDICT r10 task 5).
+    # Returned bytes are TRUE CMYK — the PIL "CMYK;I" convention
+    # already applied, so scanned-document consumers get ink values:
+    # Adobe files store every channel inverted (libjpeg passes stored
+    # samples through and PIL inverts; the composition lands here).
+    transform = 0 if adobe_transform is None else adobe_transform
+    if transform == 2:
+        # YCCK: stored YCbCr is the transform applied DIRECTLY to the
+        # true C/M/Y values, so YCbCr->RGB lands on true CMY (the
+        # 255-x of libjpeg's ycck_cmyk_convert and the Adobe
+        # inversion cancel); only K needs the explicit flip.
+        base = _ycc_to_rgb(
+            full[ids[0]][:h, :w], full[ids[1]][:h, :w], full[ids[2]][:h, :w]
+        )
+        k = np.clip(full[ids[3]][:h, :w], 0, 255).astype(np.uint8)
+        cmyk = np.concatenate([base, (255 - k)[:, :, None]], axis=-1)
+        return w, h, 4, cmyk.tobytes()
+    if transform != 0:
+        raise EngineError(
+            f"invalid Adobe transform {transform} for 4-component JPEG"
+        )
+    out = np.stack(
+        [np.clip(full[i][:h, :w], 0, 255) for i in ids], axis=-1
+    ).astype(np.uint8)
+    if adobe_transform is not None:
+        out = 255 - out  # Adobe CMYK stores inverted samples
+    return w, h, 4, out.tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -950,19 +1010,34 @@ def _sos_header(specs: list[tuple[int, int, int]], ss: int, se: int,
 def encode_jpeg(
     pixels: bytes, width: int, height: int, channels: int, quality: int = 90,
     restart_interval: int = 0, progressive: bool = False,
+    cmyk_transform: int = 0,
 ) -> bytes:
-    """Encode row-major 8-bit pixels (gray or RGB) as JFIF, 4:4:4
-    sampling, Annex-K Huffman tables — baseline (one interleaved scan)
-    or, with ``progressive=True``, a progressive (SOF2) stream using a
-    spectral-selection script (T.81 Annex G): one interleaved DC scan
-    then per-component AC band scans 1-5 and 6-63, Ah=Al=0.
+    """Encode row-major 8-bit pixels (gray, RGB, or true CMYK) as
+    JPEG, 4:4:4 sampling, Annex-K Huffman tables — baseline (one
+    interleaved scan) or, with ``progressive=True``, a progressive
+    (SOF2) stream using a spectral-selection script (T.81 Annex G):
+    one interleaved DC scan then per-component AC band scans 1-5 and
+    6-63, Ah=Al=0.
+
+    ``channels=4`` (r11, VERDICT r10 task 5) writes an Adobe APP14
+    frame (no JFIF — JFIF allows 1/3 components only):
+    ``cmyk_transform=0`` stores inverted CMYK samples,
+    ``cmyk_transform=2`` stores YCCK (the YCbCr transform applied
+    directly to the true C/M/Y values, K inverted) — both the
+    conventions Photoshop-written scanned-document corpora carry.
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs in every scan (resync points a parallel decoder can
     split on — and the decode-path coverage for
     ``_BitReader.sync_restart``)."""
-    if channels not in (1, 3):
-        raise EngineError(f"encode_jpeg supports 1 or 3 channels, got {channels}")
+    if channels not in (1, 3, 4):
+        raise EngineError(
+            f"encode_jpeg supports 1, 3, or 4 channels, got {channels}"
+        )
+    if channels == 4 and cmyk_transform not in (0, 2):
+        raise EngineError(
+            f"cmyk_transform must be 0 (CMYK) or 2 (YCCK), got {cmyk_transform}"
+        )
     if len(pixels) != width * height * channels:
         raise EngineError(
             f"pixel buffer is {len(pixels)} bytes, expected "
@@ -973,33 +1048,58 @@ def encode_jpeg(
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     qy = _quality_scale(QTBL_LUMA, quality).reshape(8, 8)
     qc = _quality_scale(QTBL_CHROMA, quality).reshape(8, 8)
+    # comps entries: (float plane, quant table, quant table id, chroma
+    # Huffman flag) — CMYK reuses the luma tables for every channel
+    # (all four are full-detail ink planes), YCCK maps its YCbCr trio
+    # like RGB and keeps K on the luma tables.
     if channels == 3:
         r = arr[:, :, 0].astype(np.float64)
         g = arr[:, :, 1].astype(np.float64)
         b = arr[:, :, 2].astype(np.float64)
         comps = [
-            (0.299 * r + 0.587 * g + 0.114 * b, qy, 0),
-            (-0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0, qc, 1),
-            (0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0, qc, 1),
+            (0.299 * r + 0.587 * g + 0.114 * b, qy, 0, 0),
+            (-0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0, qc, 1, 1),
+            (0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0, qc, 1, 1),
         ]
+    elif channels == 4:
+        c = arr[:, :, 0].astype(np.float64)
+        m = arr[:, :, 1].astype(np.float64)
+        ye = arr[:, :, 2].astype(np.float64)
+        k = arr[:, :, 3].astype(np.float64)
+        if cmyk_transform == 2:
+            comps = [
+                (0.299 * c + 0.587 * m + 0.114 * ye, qy, 0, 0),
+                (-0.168735892 * c - 0.331264108 * m + 0.5 * ye + 128.0, qc, 1, 1),
+                (0.5 * c - 0.418687589 * m - 0.081312411 * ye + 128.0, qc, 1, 1),
+                (255.0 - k, qy, 0, 0),
+            ]
+        else:
+            comps = [(255.0 - p, qy, 0, 0) for p in (c, m, ye, k)]
     else:
-        comps = [(arr[:, :, 0].astype(np.float64), qy, 0)]
+        comps = [(arr[:, :, 0].astype(np.float64), qy, 0, 0)]
 
     out = bytearray(JPEG_SIG)
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tq, q in ((0, qy), (1, qc))[: 1 if channels == 1 else 2]:
+    if channels == 4:
+        # Adobe APP14 (no JFIF — JFIF supports 1/3 components only):
+        # "Adobe", version 100, flags0/flags1 0, color-transform byte.
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+        out += struct.pack(">HHHB", 100, 0, 0, cmyk_transform)
+    else:
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    n_qtables = len({tq for _pl, _q, tq, _isc in comps})
+    for tq, q in ((0, qy), (1, qc))[:n_qtables]:
         # natural -> zigzag file order: file[i] = natural[ZIGZAG[i]]
         zz = q.reshape(64)[ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(x) for x in zz)
     sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     out += sof_marker + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
-    for i in range(channels):
-        out += bytes((i + 1, 0x11, 0 if i == 0 else 1))
+    for i, (_pl, _q, tq, _isc) in enumerate(comps):
+        out += bytes((i + 1, 0x11, tq))
     tables = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
         (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
     ]
-    if channels == 3:
+    if any(isc for _pl, _q, _tq, isc in comps):
         tables += [
             (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
             (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
@@ -1018,7 +1118,7 @@ def encode_jpeg(
     mcux = (width + 7) // 8
     mcuy = (height + 7) // 8
     coef_rows = []
-    for plane, q, is_chroma in comps:
+    for plane, q, _tq, is_chroma in comps:
         p = np.clip(np.round(plane), 0, 255)
         ph, pw = mcuy * 8, mcux * 8
         pp = np.empty((ph, pw))
@@ -1047,8 +1147,8 @@ def encode_jpeg(
 
     if not progressive:
         out += _sos_header(
-            [(i + 1, 0, 0) if i == 0 else (i + 1, 1, 1)
-             for i in range(channels)],
+            [(i + 1, isc, isc)
+             for i, (_pl, _q, _tq2, isc) in enumerate(comps)],
             0, 63, 0, 0,
         )
         preds = [0] * len(comps)
@@ -1069,8 +1169,8 @@ def encode_jpeg(
         # Scan 1: DC, all components interleaved (4:4:4 -> 1 block per
         # component per MCU), Ss=Se=0, Ah=Al=0.
         out += _sos_header(
-            [(i + 1, 0, 0) if i == 0 else (i + 1, 1, 0)
-             for i in range(channels)],
+            [(i + 1, isc, 0)
+             for i, (_pl, _q, _tq2, isc) in enumerate(comps)],
             0, 0, 0, 0,
         )
         preds = [0] * len(comps)

@@ -1585,6 +1585,201 @@ def test_jpeg_huffman_lut_cache_is_bounded():
     assert t1.lut is t2.lut
 
 
+def test_jpeg_dc_predictor_accumulation_is_bounded():
+    """r10 ADVICE: each DC diff is bounded (category <= 15) but the
+    predictor ACCUMULATES across blocks — a corrupt-but-parseable
+    stream of max-category diffs can walk it past int32, where numpy
+    silently wraps (quiet wrong decode) or raises OverflowError under
+    numpy 2.x strict casting.  The decoder must raise EngineError the
+    moment the predictor leaves the sanity range, in both the
+    sequential and the progressive-DC-first paths."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources import jpeg_codec as jc
+
+    # Minimal tables: DC code "0" (1 bit) -> category 15; AC code "0"
+    # -> EOB.  Each crafted block is a +32767 DC diff and no AC.
+    dc = jc._HuffTable([1] + [0] * 15, [15])
+    ac = jc._HuffTable([1] + [0] * 15, [0x00])
+    bw = jc._BitWriter()
+    for _ in range(2):
+        bw.write(0, 1)        # DC Huffman code -> category 15
+        bw.write(0x7FFF, 15)  # diff = +32767 (EXTEND keeps it positive)
+        bw.write(0, 1)        # AC EOB
+    bw.flush()
+    data = bytes(bw.out)
+
+    coef = _np.zeros(64, dtype=_np.int32)
+    reader = jc._BitReader(data, 0)
+    pred = jc._decode_block_seq(reader, coef, dc, ac, 0)
+    assert pred == 32767 and coef[0] == 32767  # at the bound: accepted
+    with _pytest.raises(EngineError, match="DC predictor"):
+        jc._decode_block_seq(reader, coef, dc, ac, pred)
+
+    # Progressive DC-first path, negative direction: all-zero magnitude
+    # bits EXTEND to -32767 per block.
+    bw = jc._BitWriter()
+    for _ in range(2):
+        bw.write(0, 1)
+        bw.write(0, 15)       # diff = -32767
+    bw.flush()
+    reader = jc._BitReader(bytes(bw.out), 0)
+    coef = _np.zeros(64, dtype=_np.int32)
+    pred = jc._decode_dc_first(reader, coef, dc, 0, al=1)
+    assert pred == -32767 and coef[0] == -32767 << 1
+    with _pytest.raises(EngineError, match="DC predictor"):
+        jc._decode_dc_first(reader, coef, dc, pred, al=1)
+
+
+def test_jpeg_cmyk_roundtrip():
+    """CMYK/YCCK (Adobe APP14) JPEG, r11 — VERDICT r10 task 5: both
+    Adobe transforms round-trip through encode+decode to TRUE CMYK
+    (the PIL "CMYK;I" convention already applied), in baseline and
+    progressive scan shapes and with restart markers."""
+    import numpy as np
+
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    w, h = 24, 17
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    cmyk = np.stack(
+        [(xx * 5 + yy * 3) % 256, (xx * 2 + yy * 7) % 256,
+         (xx * 4 + 100) % 256, (yy * 6 + 30) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    src = cmyk.tobytes()
+    for transform in (0, 2):
+        for prog in (False, True):
+            j = encode_jpeg(
+                src, w, h, 4, quality=97, cmyk_transform=transform,
+                progressive=prog, restart_interval=3 if prog else 0,
+            )
+            assert b"\xff\xee" in j[:40] and b"Adobe" in j[:40]
+            W, H, C, out = decode_jpeg(j)
+            assert (W, H, C) == (w, h, 4)
+            d = np.abs(
+                np.frombuffer(src, np.uint8).astype(int)
+                - np.frombuffer(out, np.uint8).astype(int)
+            )
+            assert d.max() <= 4, (transform, prog, d.max())
+
+
+def test_jpeg_cmyk_cross_implementation(spark):
+    """The JDK's JPEG reader cannot color-convert CMYK (ImageIO.read
+    refuses), but ``readRaster`` entropy-decodes the raw 4-band
+    samples — an INDEPENDENT decoder over our 4-component streams.
+    transform=0: stored bands must equal the Adobe-inverted true CMYK
+    exactly; transform=2: bands 0-2 must match the YCbCr transform of
+    the true C/M/Y and band 3 the inverted K, within IDCT rounding."""
+    import numpy as np
+
+    from flaco_spark.sources.jpeg_codec import encode_jpeg
+
+    jvm = spark._jvm
+    w, h = 24, 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    cmyk = np.stack(
+        [(xx * 5 + yy * 3) % 256, (xx * 2 + yy * 7) % 256,
+         (xx * 4 + 100) % 256, (yy * 6 + 30) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    src = cmyk.tobytes()
+
+    def read_raster(data: bytes):
+        iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+            jvm.java.io.ByteArrayInputStream(data)
+        )
+        readers = jvm.javax.imageio.ImageIO.getImageReaders(iis)
+        assert readers.hasNext()
+        rd = readers.next()
+        rd.setInput(iis)
+        return rd.readRaster(0, None)
+
+    ras = read_raster(encode_jpeg(src, w, h, 4, quality=97, cmyk_transform=0))
+    assert ras.getNumBands() == 4
+    assert (ras.getWidth(), ras.getHeight()) == (w, h)
+    for y in range(0, h, 3):
+        for x in range(0, w, 3):
+            for b in range(4):
+                assert abs(
+                    ras.getSample(x, y, b) - (255 - int(cmyk[y, x, b]))
+                ) <= 2
+
+    ras2 = read_raster(encode_jpeg(src, w, h, 4, quality=97, cmyk_transform=2))
+    c = cmyk[:, :, 0].astype(float)
+    m = cmyk[:, :, 1].astype(float)
+    ye = cmyk[:, :, 2].astype(float)
+    exp = np.stack(
+        [0.299 * c + 0.587 * m + 0.114 * ye,
+         -0.168735892 * c - 0.331264108 * m + 0.5 * ye + 128.0,
+         0.5 * c - 0.418687589 * m - 0.081312411 * ye + 128.0,
+         255.0 - cmyk[:, :, 3]],
+        axis=-1,
+    )
+    for y in range(0, h, 3):
+        for x in range(0, w, 3):
+            for b in range(4):
+                assert abs(ras2.getSample(x, y, b) - exp[y, x, b]) <= 2.5
+
+
+def test_jpeg_cmyk_error_surface_and_conventions():
+    """4-component edge semantics: an invalid Adobe transform byte is
+    LOUD; a bare (no-APP14) 4-component stream decodes as uninverted
+    CMYK passthrough (the libjpeg convention); a 3-component frame
+    with Adobe transform=0 decodes the stored samples as RGB, no
+    YCbCr step; encode validates its transform argument."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    w, h = 16, 8
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    cmyk = np.stack(
+        [(xx * 9) % 256, (yy * 11) % 256, (xx + yy * 5) % 256,
+         (xx * 3 + 50) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    src = cmyk.tobytes()
+    j = encode_jpeg(src, w, h, 4, quality=97, cmyk_transform=0)
+    app14 = j.index(b"\xff\xee")
+    # transform byte = 1 (YCbCr) is invalid on a 4-component frame
+    bad = bytearray(j)
+    bad[app14 + 15] = 1  # marker(2) len(2) Adobe(5) ver(2) f0(2) f1(2) -> transform
+    with _pytest.raises(EngineError, match="Adobe transform"):
+        decode_jpeg(bytes(bad))
+    # no APP14: samples pass through UNinverted (stored = 255 - true)
+    bare = j[:app14] + j[app14 + 16:]
+    W, H, C, out = decode_jpeg(bare)
+    assert (W, H, C) == (w, h, 4)
+    d = np.abs(
+        (255 - np.frombuffer(src, np.uint8).astype(int))
+        - np.frombuffer(out, np.uint8).astype(int)
+    )
+    assert d.max() <= 4
+    with _pytest.raises(EngineError, match="cmyk_transform"):
+        encode_jpeg(src, w, h, 4, cmyk_transform=1)
+
+    # 3-component Adobe transform=0 = stored RGB: inject APP14 into a
+    # JFIF color file — the decoder must then return the stored
+    # (YCbCr-transformed) planes verbatim instead of converting.
+    rgb = _jpeg_smooth_rgb(w, h)
+    j3 = encode_jpeg(rgb, w, h, 3, quality=97)
+    soi = 2
+    adobe = b"\xff\xee" + b"\x00\x0e" + b"Adobe" + bytes(
+        (0, 100, 0, 0, 0, 0, 0)
+    )
+    W, H, C, out = decode_jpeg(j3[:soi] + adobe + j3[soi:])
+    a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(float)
+    yp = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    stored = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    # channel 0 of the passthrough = the luma plane, NOT the red one
+    assert np.abs(stored[:, :, 0].astype(float) - yp).max() <= 3
+
+
 def test_decode_image_jpeg_arm_uses_real_codec():
     """decode_image dispatches FFD8 payloads to the from-spec JPEG
     decoder — the last dominant raster format no longer raises
