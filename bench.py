@@ -70,8 +70,10 @@ EXTENDED = [
     # r10: the progressive-JPEG lane (multi-scan decode per document)
     # joins the codec cost tracking alongside m18's baseline lane.
     "m19_jpeg_progressive_decode",
-    # r11: the CMYK/YCCK lane (4-component Adobe encode + decode).
+    # r11: the CMYK/YCCK lane (4-component Adobe encode + decode) and
+    # the lossless-WebP (VP8L) lane.
     "m20_jpeg_cmyk_decode",
+    "m21_webp_lossless_decode",
 ]
 
 

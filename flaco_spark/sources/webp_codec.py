@@ -1,0 +1,1108 @@
+"""Pure-stdlib+numpy WebP lossless (VP8L) codec: decode + encode.
+
+Why this exists: r8-r10 made PNG, GIF, and JPEG (baseline +
+progressive + CMYK) decode REAL from their public specs; the r10
+verdict's "What's missing" #2 names WebP as "the next most common
+scraped-image format [with] no codec lane and no loud-refusal row"
+and task 8 asks for "WebP (VP8L) decode ... lossless VP8L first — it
+is self-contained like PNG".  This module implements the public WebP
+Lossless Bitstream Specification (and RFC 9649 §3, the container):
+
+- decode: the full VP8L feature set — LSB-first bit stream, canonical
+  prefix codes (simple 1/2-symbol and code-length-coded forms, with
+  the 16/17/18 RLE symbols and the max_symbol short form), color
+  cache, LZ77 backward references (both the 120-entry 2D
+  neighborhood map and scan-line distances), meta prefix-code groups
+  (entropy image), and all four transforms inverted in reverse
+  order: PREDICTOR (all 14 modes, spec edge rules), COLOR_TRANSFORM
+  (signed 3.5 fixed-point deltas), SUBTRACT_GREEN, COLOR_INDEXING
+  (delta-coded palette, including the 1/2/4-bit packed-pixel widths).
+  Lossy WebP ("VP8 " chunk) and animation raise ``EngineError`` — a
+  silent wrong decode would be worse than a loud gap.
+- encode: a real VP8L encoder used for round-trip verification and
+  gate fixtures: per-channel canonical prefix codes (simple or
+  code-length-coded, emitted through the code-length code), optional
+  greedy LZ77 (neighborhood map used when a distance maps), optional
+  color cache, optional SUBTRACT_GREEN, and forced-mode PREDICTOR /
+  COLOR_TRANSFORM paths so every inverse-transform branch of the
+  decoder is exercised by an encoder that computed the forward
+  transform independently.
+
+No external WebP implementation exists in this container (ImageIO
+has no WebP plugin, PIL is absent), so verification is: (a)
+encode->decode round-trips across the feature matrix, (b) hand-built
+bit-exact spec vectors for the container and header, (c) the same
+fuzz/error-surface discipline as the JPEG codec.  The bitstream
+layout follows the spec document only.
+
+100 TB posture: same as the PNG/JPEG codecs — called inside
+Arrow-batched ``mapInPandas`` stages with bounded payloads per task;
+per-image work is O(pixels); parallelism comes from images-per-task.
+
+Reference parity note: the reference engine treats media as opaque
+BYTEA cells (/root/reference/src/lib.rs:202-207); this module is an
+extension family beyond it, per the pipeline brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from flaco_spark.errors import EngineError
+
+RIFF_SIG = b"RIFF"
+WEBP_SIG = b"WEBP"
+VP8L_MAGIC = 0x2F
+
+# Code-length-code symbol order (spec §5.2.2).
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 120-entry close-neighborhood distance map (spec §4.2.2): distance
+# codes 1..120 address (dx, dy) offsets in the rows at or above the
+# current pixel; larger codes are scan-line distances offset by 120.
+# The table is the 120 nearest offsets ordered by (squared Euclidean
+# distance, |dx|, positive dx first) — this generation rule reproduces
+# the spec document's quoted prefix exactly (asserted below for the
+# first 40 entries, the span quoted verbatim in the spec text this
+# module was written from).  The encoder prefers these codes when a
+# distance maps, so the decoder's neighborhood path is round-trip
+# covered.
+_DIST_MAP: list[tuple[int, int]] = sorted(
+    (
+        (dx, dy)
+        for dy in range(0, 17)
+        for dx in range(-16, 17)
+        if dy > 0 or dx > 0
+    ),
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0),
+)[:120]
+assert _DIST_MAP[:40] == [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+]
+
+_GREEN_BASE = 256 + 24  # literals + LZ77 length prefix codes
+_HASH_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec §4.2.3)
+
+
+# ---------------------------------------------------------------------------
+# LSB-first bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _LsbReader:
+    """LSB-first bit reader (spec §2): fixed-width values pack low bit
+    first; prefix-code bits arrive code-MSB-first one bit at a time."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise EngineError("truncated VP8L bit stream")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_bit(self) -> int:
+        if self.byte >= len(self.data):
+            raise EngineError("truncated VP8L bit stream")
+        b = (self.data[self.byte] >> self.bit) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.byte += 1
+        return b
+
+
+class _LsbWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits go out MSB-of-the-code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+class _PrefixCode:
+    """Canonical prefix code from a code-length array (DEFLATE-style
+    assignment, spec §5.2).  Decode walks bit-by-bit (images here are
+    small); a single-symbol code is degenerate and consumes 0 bits."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise EngineError("empty VP8L prefix code")
+        if len(nz) == 1:
+            self.single: int | None = nz[0][1]
+            self.table: dict[tuple[int, int], int] = {}
+            self.max_len = 0
+            return
+        self.single = None
+        kraft = sum(2 ** -l for l, _ in nz)
+        if abs(kraft - 1.0) > 1e-9:
+            raise EngineError("invalid VP8L prefix code (Kraft violation)")
+        self.table = {}
+        code = 0
+        prev_len = 0
+        for l, s in sorted(nz):
+            code <<= l - prev_len
+            prev_len = l
+            self.table[(l, code)] = s
+            code += 1
+        self.max_len = prev_len
+
+    def decode(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for l in range(1, self.max_len + 1):
+            code = (code << 1) | br.read_bit()
+            sym = self.table.get((l, code))
+            if sym is not None:
+                return sym
+        raise EngineError("invalid VP8L prefix code word")
+
+
+def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
+    """One prefix code: simple (1-2 symbols) or code-length-coded
+    (spec §5.2.1-5.2.2)."""
+    if br.read_bit():  # simple
+        num_symbols = br.read_bit() + 1
+        if br.read_bit():  # first symbol is 8 bits
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read_bit()
+        lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:
+            raise EngineError("VP8L simple code symbol out of range")
+        if num_symbols == 2:
+            sym1 = br.read(8)
+            if sym1 >= alphabet_size:
+                raise EngineError("VP8L simple code symbol out of range")
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+        else:
+            lengths[sym0] = 1
+        code = _PrefixCode.__new__(_PrefixCode)
+        if num_symbols == 1:
+            code.single = sym0
+            code.table = {}
+            code.max_len = 0
+        else:
+            code.single = None
+            a, b = sorted((sym0, sym1))
+            code.table = {(1, 0): a, (1, 1): b}
+            code.max_len = 1
+        return code
+    # code-length-coded
+    num_codes = br.read(4) + 4
+    if num_codes > len(_CL_ORDER):
+        raise EngineError("invalid VP8L code-length code count")
+    cl_lengths = [0] * len(_CL_ORDER)
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    # optional cap on the number of coded symbols
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_nz = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        sym = cl_code.decode(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_nz = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            if i + rep > alphabet_size:
+                raise EngineError("VP8L code-length repeat overrun")
+            for _ in range(rep):
+                lengths[i] = prev_nz
+                i += 1
+        elif sym == 17:
+            rep = 3 + br.read(3)
+            i += rep
+        else:  # 18
+            rep = 11 + br.read(7)
+            i += rep
+        if i > alphabet_size:
+            raise EngineError("VP8L code-length repeat overrun")
+    return _PrefixCode(lengths)
+
+
+def _build_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
+    """Huffman code lengths from frequencies, depth-limited to
+    ``max_len`` with a Kraft repair pass."""
+    import heapq
+    import itertools
+
+    syms = [s for s, f in freqs.items() if f > 0]
+    if not syms:
+        return {}
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    tie = itertools.count()
+    heap = [(freqs[s], next(tie), (s,)) for s in syms]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, _, b = heapq.heappop(heap)
+        for s in a + b:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, next(tie), a + b))
+    lengths = {s: min(d, max_len) for s, d in depth.items()}
+    # repair Kraft over-subscription from the clamp
+    def kraft() -> float:
+        return sum(2 ** -l for l in lengths.values())
+
+    while kraft() > 1.0 + 1e-12:
+        # lengthening the shallowest over-long candidate frees mass
+        s = min((s for s in lengths if lengths[s] < max_len),
+                key=lambda s: lengths[s])
+        lengths[s] += 1
+    # tighten: shorten deepest codes while the code stays complete
+    changed = True
+    while changed:
+        changed = False
+        for s in sorted(lengths, key=lambda s: -lengths[s]):
+            if lengths[s] > 1 and kraft() + 2 ** -lengths[s] <= 1.0 + 1e-12:
+                lengths[s] -= 1
+                changed = True
+    if abs(kraft() - 1.0) > 1e-9:
+        raise EngineError("internal: VP8L encoder built an invalid code")
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for l, s in sorted((l, s) for s, l in lengths.items()):
+        code <<= l - prev_len
+        prev_len = l
+        out[s] = (code, l)
+        code += 1
+    return out
+
+
+def _write_prefix_code(
+    bw: _LsbWriter, lengths: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Emit one prefix code (simple form for <=2 symbols, else through
+    the code-length code, no RLE) and return symbol -> (code, len)."""
+    syms = sorted(lengths)
+    if len(syms) == 1 and syms[0] < 256:
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        if syms[0] > 1:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(syms[0], 1)
+        return {syms[0]: (0, 0)}
+    if len(syms) == 2 and all(s < 256 for s in syms):
+        bw.write(1, 1)  # simple
+        bw.write(1, 1)  # two symbols
+        if syms[0] > 1:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(syms[0], 1)
+        bw.write(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    bw.write(0, 1)  # code-length-coded
+    full = [lengths.get(s, 0) for s in range(alphabet_size)]
+    cl_freqs: dict[int, int] = {}
+    for l in full:
+        cl_freqs[l] = cl_freqs.get(l, 0) + 1
+    cl_lengths = _build_lengths(cl_freqs, max_len=7)
+    if len(cl_lengths) == 1:
+        # a 1-length CL code decodes 0 bits per symbol; give it a
+        # companion so the CL code is a real (complete) prefix code
+        only = next(iter(cl_lengths))
+        other = 0 if only != 0 else 1
+        cl_lengths = {only: 1, other: 1}
+    cl_codes = _canonical_codes(cl_lengths)
+    # num_code_lengths must cover every used CL symbol in _CL_ORDER
+    used = set(cl_lengths)
+    num_codes = max(
+        i + 1 for i, s in enumerate(_CL_ORDER) if s in used
+    )
+    num_codes = max(num_codes, 4)
+    bw.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.write(cl_lengths.get(_CL_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max_symbol cap
+    for l in full:
+        c, n = cl_codes[l]
+        bw.write_code(c, n)
+    return _canonical_codes(lengths)
+
+
+# ---------------------------------------------------------------------------
+# Shared pixel helpers
+# ---------------------------------------------------------------------------
+
+
+def _prefix_decode(br: _LsbReader, code_sym: int) -> int:
+    """LZ77 length/distance prefix scheme (spec §4.2.2): value >= 1."""
+    if code_sym < 4:
+        return code_sym + 1
+    extra_bits = (code_sym - 2) >> 1
+    offset = (2 + (code_sym & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_decode: value -> (code, extra, extra_bits)."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    hb = x.bit_length() - 1
+    second = (x >> (hb - 1)) & 1
+    code = 2 * hb + second
+    extra_bits = hb - 1
+    offset = (2 + second) << extra_bits
+    return code, x - offset, extra_bits
+
+
+def _cache_hash(argb: int, bits: int) -> int:
+    return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _decode_entropy_image(
+    br: _LsbReader, w: int, h: int, is_level0: bool
+) -> list[int]:
+    """One entropy-coded ARGB image (spec §5.3): color cache, optional
+    meta prefix groups (level 0 only), 5 prefix codes per group,
+    literal / LZ77 backref / cache-reference pixel stream."""
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise EngineError("invalid VP8L color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    meta: list[int] | None = None
+    meta_bits = 0
+    num_groups = 1
+    if is_level0 and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = -(-w >> meta_bits) if False else -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta = _decode_entropy_image(br, mw, mh, is_level0=False)
+        num_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+
+    green_size = _GREEN_BASE + cache_size
+    groups = []
+    for _ in range(num_groups):
+        groups.append((
+            _read_prefix_code(br, green_size),
+            _read_prefix_code(br, 256),   # red
+            _read_prefix_code(br, 256),   # blue
+            _read_prefix_code(br, 256),   # alpha
+            _read_prefix_code(br, 40),    # distance
+        ))
+
+    n = w * h
+    out: list[int] = [0] * n
+    i = 0
+    mw = -(-w // (1 << meta_bits)) if meta is not None else 0
+    while i < n:
+        if meta is not None:
+            x, y = i % w, i // w
+            gi = (meta[(y >> meta_bits) * mw + (x >> meta_bits)] >> 8) & 0xFFFF
+            g_code, r_code, b_code, a_code, d_code = groups[gi]
+        else:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        sym = g_code.decode(br)
+        if sym < 256:
+            r = r_code.decode(br)
+            b = b_code.decode(br)
+            a = a_code.decode(br)
+            px = (a << 24) | (r << 16) | (sym << 8) | b
+            out[i] = px
+            i += 1
+            if cache_size:
+                cache[_cache_hash(px, cache_bits)] = px
+        elif sym < _GREEN_BASE:
+            length = _prefix_decode(br, sym - 256)
+            dist_code = _prefix_decode(br, d_code.decode(br))
+            if dist_code <= 120:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dist_code - 120
+            if dist > i or i + length > n:
+                raise EngineError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = out[i - dist]
+                out[i] = px
+                i += 1
+                if cache_size:
+                    cache[_cache_hash(px, cache_bits)] = px
+        else:
+            idx = sym - _GREEN_BASE
+            if idx >= cache_size:
+                raise EngineError("VP8L color-cache index out of range")
+            out[i] = cache[idx]
+            i += 1
+    return out
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.int32) + b.astype(np.int32)) // 2
+
+
+def _predict_pixel(mode: int, L, T, TL, TR) -> np.ndarray:
+    """One predicted ARGB pixel, channels as 4-int arrays (spec §4.2.1)."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:
+        return np.clip(
+            L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32),
+            0, 255,
+        )
+    if mode == 13:
+        a = _avg2(L, T)
+        d = a - TL.astype(np.int32)
+        # C-style truncation toward zero for the half-step
+        half = np.where(d >= 0, d // 2, -((-d) // 2))
+        return np.clip(a + half, 0, 255)
+    raise EngineError(f"invalid VP8L predictor mode {mode}")
+
+
+def _unpredict(img: np.ndarray, modes: list[int], bits: int, w: int, h: int) -> None:
+    """Invert the predictor transform in place; img is (h, w, 4) uint8
+    ARGB channel order [A, R, G, B]."""
+    bw = -(-w // (1 << bits))
+    acc = img.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = acc[0, x - 1]
+            elif x == 0:
+                pred = acc[y - 1, 0]
+            else:
+                mode = modes[(y >> bits) * bw + (x >> bits)]
+                L = acc[y, x - 1]
+                T = acc[y - 1, x]
+                TL = acc[y - 1, x - 1]
+                # TR of the last column is the CURRENT row's first
+                # pixel (contiguous scan-order memory, per spec)
+                TR = acc[y - 1, x + 1] if x + 1 < w else acc[y, 0]
+                pred = _predict_pixel(mode, L, T, TL, TR)
+            acc[y, x] = (acc[y, x] + pred) & 0xFF
+    img[:] = acc.astype(np.uint8)
+
+
+def _ct_delta(t: int, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta: (signed-3.5-fixed t * signed c) >> 5."""
+    ts = t - 256 if t >= 128 else t
+    cs = c.astype(np.int32)
+    cs = np.where(cs >= 128, cs - 256, cs)
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(
+    img: np.ndarray, elems: list[int], bits: int, w: int, h: int
+) -> None:
+    """Invert the color transform in place (spec §4.2.1): red gets the
+    green delta, then blue gets the green AND (updated) red deltas."""
+    bw = -(-w // (1 << bits))
+    for by in range(-(-h // (1 << bits))):
+        for bx in range(bw):
+            e = elems[by * bw + bx]
+            g2r = e & 0xFF
+            g2b = (e >> 8) & 0xFF
+            r2b = (e >> 16) & 0xFF
+            y0, y1 = by << bits, min((by + 1) << bits, h)
+            x0, x1 = bx << bits, min((bx + 1) << bits, w)
+            blk = img[y0:y1, x0:x1]
+            g = blk[:, :, 2]
+            r = (blk[:, :, 1].astype(np.int32) + _ct_delta(g2r, g)) & 0xFF
+            b = (
+                blk[:, :, 3].astype(np.int32)
+                + _ct_delta(g2b, g)
+                + _ct_delta(r2b, r.astype(np.uint8))
+            ) & 0xFF
+            blk[:, :, 1] = r.astype(np.uint8)
+            blk[:, :, 3] = b.astype(np.uint8)
+
+
+def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a lossless (VP8L) WebP to (width, height, 4, RGBA bytes).
+
+    Lossy ("VP8 ") and animated streams raise ``EngineError``."""
+    if len(data) < 12 or data[:4] != RIFF_SIG or data[8:12] != WEBP_SIG:
+        raise EngineError("not a WebP (bad RIFF/WEBP header)")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if riff_size + 8 > len(data):
+        raise EngineError("truncated WebP (RIFF size exceeds data)")
+    pos = 12
+    vp8l: bytes | None = None
+    saw_lossy = False
+    saw_anim = False
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise EngineError("truncated WebP chunk")
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag == b"VP8 ":
+            saw_lossy = True
+        if tag in (b"ANIM", b"ANMF"):
+            saw_anim = True
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if vp8l is None:
+        if saw_anim:
+            raise EngineError("animated WebP not supported")
+        if saw_lossy:
+            raise EngineError(
+                "lossy WebP (VP8) not supported — lossless (VP8L) only"
+            )
+        raise EngineError("WebP has no VP8L bitstream")
+
+    if not vp8l or vp8l[0] != VP8L_MAGIC:
+        raise EngineError("bad VP8L signature byte")
+    br = _LsbReader(vp8l, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    version = br.read(3)
+    if version != 0:
+        raise EngineError(f"unsupported VP8L version {version}")
+
+    # transforms (level 0 only), inverted in reverse order later
+    transforms: list[tuple] = []
+    cur_w = w
+    seen: set[int] = set()
+    while br.read_bit():
+        ttype = br.read(2)
+        if ttype in seen:
+            raise EngineError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 0:  # PREDICTOR
+            bits = br.read(3) + 2
+            bw_ = -(-cur_w // (1 << bits))
+            bh_ = -(-h // (1 << bits))
+            sub = _decode_entropy_image(br, bw_, bh_, is_level0=False)
+            transforms.append(("predict", bits, [(p >> 8) & 0xFF for p in sub]))
+        elif ttype == 1:  # COLOR_TRANSFORM
+            bits = br.read(3) + 2
+            bw_ = -(-cur_w // (1 << bits))
+            bh_ = -(-h // (1 << bits))
+            sub = _decode_entropy_image(br, bw_, bh_, is_level0=False)
+            transforms.append(("color", bits, [p & 0xFFFFFF for p in sub]))
+        elif ttype == 2:  # SUBTRACT_GREEN
+            transforms.append(("subtract_green",))
+        else:  # COLOR_INDEXING
+            pal_size = br.read(8) + 1
+            pal_img = _decode_entropy_image(br, pal_size, 1, is_level0=False)
+            # palette entries are delta-coded per channel
+            palette = []
+            prev = 0
+            for p in pal_img:
+                cur = 0
+                for shift in (0, 8, 16, 24):
+                    cur |= (((p >> shift) + (prev >> shift)) & 0xFF) << shift
+                palette.append(cur)
+                prev = cur
+            if pal_size <= 2:
+                wbits = 3
+            elif pal_size <= 4:
+                wbits = 2
+            elif pal_size <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            transforms.append(("palette", palette, wbits, cur_w))
+            if wbits:
+                cur_w = -(-cur_w // (1 << wbits))
+
+    pixels = _decode_entropy_image(br, cur_w, h, is_level0=True)
+    img = np.zeros((h, cur_w, 4), dtype=np.uint8)  # [A, R, G, B]
+    arr = np.array(pixels, dtype=np.uint32).reshape(h, cur_w)
+    img[:, :, 0] = (arr >> 24) & 0xFF
+    img[:, :, 1] = (arr >> 16) & 0xFF
+    img[:, :, 2] = (arr >> 8) & 0xFF
+    img[:, :, 3] = arr & 0xFF
+
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _, palette, wbits, full_w = t
+            if wbits:
+                per = 8 >> wbits  # bits per packed index
+                # unpack indices from the GREEN channel, LSB-first
+                idx = np.zeros((h, full_w), dtype=np.int32)
+                for x in range(full_w):
+                    packed = img[:, x >> wbits, 2].astype(np.int32)
+                    shift = (x & ((1 << wbits) - 1)) * per
+                    idx[:, x] = (packed >> shift) & ((1 << per) - 1)
+            else:
+                idx = img[:, :, 2].astype(np.int32)
+                full_w = img.shape[1]
+            if int(idx.max()) >= len(palette):
+                raise EngineError("VP8L palette index out of range")
+            pal = np.array(palette, dtype=np.uint32)
+            argb = pal[idx]
+            img = np.zeros((h, full_w, 4), dtype=np.uint8)
+            img[:, :, 0] = (argb >> 24) & 0xFF
+            img[:, :, 1] = (argb >> 16) & 0xFF
+            img[:, :, 2] = (argb >> 8) & 0xFF
+            img[:, :, 3] = argb & 0xFF
+        elif t[0] == "subtract_green":
+            g = img[:, :, 2].astype(np.int32)
+            img[:, :, 1] = ((img[:, :, 1].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+            img[:, :, 3] = ((img[:, :, 3].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+        elif t[0] == "color":
+            _inverse_color_transform(img, t[2], t[1], img.shape[1], h)
+        elif t[0] == "predict":
+            _unpredict(img, t[2], t[1], img.shape[1], h)
+
+    rgba = img[:, :, [1, 2, 3, 0]]  # ARGB -> RGBA
+    return img.shape[1], h, 4, rgba.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _forward_predict(
+    img: np.ndarray, mode: int, bits: int, w: int, h: int
+) -> tuple[np.ndarray, list[int]]:
+    """Apply the predictor transform FORWARD with one fixed mode for
+    every block; returns (residual image, block mode list)."""
+    acc = img.astype(np.int32)
+    res = np.zeros_like(acc)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = acc[0, x - 1]
+            elif x == 0:
+                pred = acc[y - 1, 0]
+            else:
+                L = acc[y, x - 1]
+                T = acc[y - 1, x]
+                TL = acc[y - 1, x - 1]
+                TR = acc[y - 1, x + 1] if x + 1 < w else acc[y, 0]
+                pred = _predict_pixel(mode, L, T, TL, TR)
+            res[y, x] = (acc[y, x] - pred) & 0xFF
+    bw_ = -(-w // (1 << bits))
+    bh_ = -(-h // (1 << bits))
+    return res.astype(np.uint8), [mode] * (bw_ * bh_)
+
+
+def _encode_entropy_image(
+    bw: _LsbWriter, argb: list[int], w: int, h: int, is_level0: bool,
+    use_lz77: bool, cache_bits: int, meta_bits: int = 0,
+) -> None:
+    """Encode one entropy image: greedy LZ77, optional color cache,
+    and (level 0, ``meta_bits`` >= 2) meta prefix groups — one prefix
+    code set per 2^meta_bits-square tile, the group index image
+    emitted as its own entropy image, so the decoder's meta path is
+    round-trip covered."""
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    mw = mh = 0
+    num_groups = 1
+    if is_level0:
+        if meta_bits:
+            if not 2 <= meta_bits <= 9:
+                raise EngineError(f"invalid meta_bits {meta_bits}")
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            mw = -(-w // (1 << meta_bits))
+            mh = -(-h // (1 << meta_bits))
+            num_groups = mw * mh
+            meta_img = [
+                (0xFF << 24) | (((my * mw) + mx) << 8)
+                for my in range(mh)
+                for mx in range(mw)
+            ]
+            _encode_entropy_image(
+                bw, meta_img, mw, mh, is_level0=False,
+                use_lz77=False, cache_bits=0,
+            )
+        else:
+            bw.write(0, 1)  # no meta prefix codes
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    def group_of(i: int) -> int:
+        if num_groups == 1:
+            return 0
+        x, y = i % w, i // w
+        return (y >> meta_bits) * mw + (x >> meta_bits)
+
+    # reverse map for the 2D neighborhood distances
+    near = {}
+    for ci, (dx, dy) in enumerate(_DIST_MAP):
+        d = dy * w + dx
+        if d >= 1 and d not in near:
+            near[d] = ci + 1
+
+    # ---- pass 1: tokenize (greedy LZ77 + cache), per-group histograms
+    n = len(argb)
+    tokens: list[tuple] = []
+    cache = [0] * cache_size
+    hists = [
+        tuple({} for _ in range(5)) for _ in range(num_groups)
+    ]  # (green, red, blue, alpha, distance) frequency dicts per group
+    # hash-chain match candidates: positions sharing the pixel value,
+    # newest first, bounded — keeps tokenization ~O(n) on
+    # low-repetition content instead of O(n * window)
+    chains: dict[int, list[int]] = {}
+
+    def _chain_add(pos: int) -> None:
+        c = chains.setdefault(argb[pos], [])
+        c.insert(0, pos)
+        if len(c) > 16:
+            c.pop()
+
+    i = 0
+    while i < n:
+        gi = group_of(i)
+        gf, rf, bf, af, df = hists[gi]
+        match_len = 0
+        match_dist = 0
+        if use_lz77 and i >= 1:
+            for pos in chains.get(argb[i], ()):
+                dist = i - pos
+                if dist > 1 << 20:
+                    break
+                l = 0
+                max_l = min(n - i, 4096)
+                while l < max_l and argb[i + l] == argb[i + l - dist]:
+                    l += 1
+                if l > match_len:
+                    match_len, match_dist = l, dist
+                if l >= 64:
+                    break
+            # dist=1 run-length is not value-keyed; probe it directly
+            if match_len < 64 and argb[i - 1] == argb[i]:
+                l = 0
+                max_l = min(n - i, 4096)
+                while l < max_l and argb[i + l] == argb[i - 1]:
+                    l += 1
+                if l > match_len:
+                    match_len, match_dist = l, 1
+        if match_len >= 3:
+            lc, lex, leb = _prefix_encode(match_len)
+            dcode = near.get(match_dist, match_dist + 120)
+            dc, dex, deb = _prefix_encode(dcode)
+            tokens.append(("copy", gi, lc, lex, leb, dc, dex, deb))
+            gf[256 + lc] = gf.get(256 + lc, 0) + 1
+            df[dc] = df.get(dc, 0) + 1
+            for j in range(match_len):
+                px = argb[i + j]
+                if cache_size:
+                    cache[_cache_hash(px, cache_bits)] = px
+                _chain_add(i + j)
+            i += match_len
+            continue
+        px = argb[i]
+        _chain_add(i)
+        if cache_size and cache[_cache_hash(px, cache_bits)] == px:
+            idx = _cache_hash(px, cache_bits)
+            sym = _GREEN_BASE + idx
+            tokens.append(("cache", gi, sym))
+            gf[sym] = gf.get(sym, 0) + 1
+            i += 1
+            continue
+        tokens.append(("lit", gi, px))
+        gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
+        rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
+        bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
+        af[(px >> 24) & 0xFF] = af.get((px >> 24) & 0xFF, 0) + 1
+        if cache_size:
+            cache[_cache_hash(px, cache_bits)] = px
+        i += 1
+
+    green_size = _GREEN_BASE + cache_size
+    group_codes = []
+    for gf, rf, bf, af, df in hists:
+        # every channel needs at least one coded symbol (an all-copy
+        # group still writes valid red/blue/alpha codes)
+        for fr in (gf, rf, bf, af, df):
+            if not fr:
+                fr[0] = 1
+        group_codes.append((
+            _write_prefix_code(bw, _build_lengths(gf), green_size),
+            _write_prefix_code(bw, _build_lengths(rf), 256),
+            _write_prefix_code(bw, _build_lengths(bf), 256),
+            _write_prefix_code(bw, _build_lengths(af), 256),
+            _write_prefix_code(bw, _build_lengths(df), 40),
+        ))
+
+    # ---- pass 2: emit tokens
+    for tok in tokens:
+        g_codes, r_codes, b_codes, a_codes, d_codes = group_codes[tok[1]]
+        if tok[0] == "lit":
+            px = tok[2]
+            c, l = g_codes[(px >> 8) & 0xFF]
+            bw.write_code(c, l)
+            c, l = r_codes[(px >> 16) & 0xFF]
+            bw.write_code(c, l)
+            c, l = b_codes[px & 0xFF]
+            bw.write_code(c, l)
+            c, l = a_codes[(px >> 24) & 0xFF]
+            bw.write_code(c, l)
+        elif tok[0] == "cache":
+            c, l = g_codes[tok[2]]
+            bw.write_code(c, l)
+        else:
+            _, _, lc, lex, leb, dc, dex, deb = tok
+            c, l = g_codes[256 + lc]
+            bw.write_code(c, l)
+            bw.write(lex, leb)
+            c, l = d_codes[dc]
+            bw.write_code(c, l)
+            bw.write(dex, deb)
+
+
+def encode_webp_lossless(
+    pixels: bytes, width: int, height: int, channels: int,
+    *, use_subtract_green: bool = True, use_lz77: bool = True,
+    cache_bits: int = 0, predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
+    use_palette: bool = False, meta_bits: int = 0,
+) -> bytes:
+    """Encode row-major RGB/RGBA pixels as a lossless VP8L WebP.
+
+    ``predictor_mode`` (0-13) forces the predictor transform with that
+    mode for every block; ``color_transform`` = (green_to_red,
+    green_to_blue, red_to_blue) signed 3.5-fixed bytes forces the
+    color transform — both exist so round-trip tests drive every
+    inverse-transform branch of the decoder against an independently
+    computed forward transform.  ``use_palette`` applies the
+    COLOR_INDEXING transform (requires <=256 distinct colors; packs
+    1/2/4-bit indices when the palette allows) and excludes the other
+    transforms, matching real-encoder practice.  ``meta_bits`` >= 2
+    emits meta prefix groups (one code set per 2^meta_bits tile with
+    the group-index entropy image), the remaining decoder path."""
+    if channels not in (3, 4):
+        raise EngineError(
+            f"encode_webp_lossless supports 3 or 4 channels, got {channels}"
+        )
+    if use_palette and (
+        predictor_mode is not None or color_transform is not None
+    ):
+        raise EngineError("use_palette excludes the pixel-value transforms")
+    if len(pixels) != width * height * channels:
+        raise EngineError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise EngineError(f"bad WebP dimensions {width}x{height}")
+    if predictor_mode is not None and not 0 <= predictor_mode <= 13:
+        raise EngineError(f"invalid predictor mode {predictor_mode}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    img = np.zeros((height, width, 4), dtype=np.uint8)  # [A, R, G, B]
+    img[:, :, 0] = arr[:, :, 3] if channels == 4 else 255
+    img[:, :, 1] = arr[:, :, 0]
+    img[:, :, 2] = arr[:, :, 1]
+    img[:, :, 3] = arr[:, :, 2]
+
+    bw = _LsbWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if channels == 4 else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    bits = 4  # 16x16 transform blocks
+    eff_w = width
+    # forward transforms (stream order = application order; the
+    # decoder inverts in reverse)
+    if use_palette:
+        argb_full = (
+            (img[:, :, 0].astype(np.uint32) << 24)
+            | (img[:, :, 1].astype(np.uint32) << 16)
+            | (img[:, :, 2].astype(np.uint32) << 8)
+            | img[:, :, 3].astype(np.uint32)
+        )
+        palette = sorted(int(v) for v in np.unique(argb_full))
+        if len(palette) > 256:
+            raise EngineError(
+                f"palette encoding needs <=256 distinct colors, "
+                f"got {len(palette)}"
+            )
+        lut = {c: i for i, c in enumerate(palette)}
+        idx = np.vectorize(lut.__getitem__, otypes=[np.int32])(argb_full)
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(palette) - 1, 8)
+        # delta-coded palette entries, one per sub-pixel channel
+        deltas = []
+        prev = 0
+        for c in palette:
+            d = 0
+            for shift in (0, 8, 16, 24):
+                d |= (((c >> shift) - (prev >> shift)) & 0xFF) << shift
+            deltas.append(d)
+            prev = c
+        _encode_entropy_image(
+            bw, deltas, len(palette), 1, is_level0=False,
+            use_lz77=False, cache_bits=0,
+        )
+        n_pal = len(palette)
+        wbits = 3 if n_pal <= 2 else 2 if n_pal <= 4 else 1 if n_pal <= 16 else 0
+        if wbits:
+            per = 8 >> wbits  # bits per packed index
+            packed_w = -(-width // (1 << wbits))
+            packed = np.zeros((height, packed_w), dtype=np.int32)
+            for x in range(width):
+                shift = (x & ((1 << wbits) - 1)) * per
+                packed[:, x >> wbits] |= idx[:, x] << shift
+            green = packed
+            eff_w = packed_w
+        else:
+            green = idx
+        img = np.zeros((height, eff_w, 4), dtype=np.uint8)
+        img[:, :, 0] = 255
+        img[:, :, 2] = green.astype(np.uint8)
+    if predictor_mode is not None:
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(bits - 2, 3)
+        img, modes = _forward_predict(img, predictor_mode, bits, eff_w, height)
+        sub = [(0xFF << 24) | (m << 8) for m in modes]
+        bw_ = -(-eff_w // (1 << bits))
+        _encode_entropy_image(
+            bw, sub, bw_, len(sub) // bw_, is_level0=False,
+            use_lz77=False, cache_bits=0,
+        )
+    if color_transform is not None:
+        g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR_TRANSFORM
+        bw.write(bits - 2, 3)
+        # forward: subtract the deltas; the red->blue delta must use
+        # the ORIGINAL red (the value the decoder's inverse pass has
+        # already restored when it applies that delta)
+        g = img[:, :, 2]
+        r_orig = img[:, :, 1]
+        r = (r_orig.astype(np.int32) - _ct_delta(g2r, g)) & 0xFF
+        b = (
+            img[:, :, 3].astype(np.int32)
+            - _ct_delta(g2b, g)
+            - _ct_delta(r2b, r_orig)
+        ) & 0xFF
+        img[:, :, 1] = r.astype(np.uint8)
+        img[:, :, 3] = b.astype(np.uint8)
+        bw_ = -(-eff_w // (1 << bits))
+        bh_ = -(-height // (1 << bits))
+        e = (0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r
+        _encode_entropy_image(
+            bw, [e] * (bw_ * bh_), bw_, bh_, is_level0=False,
+            use_lz77=False, cache_bits=0,
+        )
+    if use_subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        g = img[:, :, 2].astype(np.int32)
+        img[:, :, 1] = ((img[:, :, 1].astype(np.int32) - g) & 0xFF).astype(np.uint8)
+        img[:, :, 3] = ((img[:, :, 3].astype(np.int32) - g) & 0xFF).astype(np.uint8)
+    bw.write(0, 1)  # end of transforms
+
+    argb = (
+        (img[:, :, 0].astype(np.uint32) << 24)
+        | (img[:, :, 1].astype(np.uint32) << 16)
+        | (img[:, :, 2].astype(np.uint32) << 8)
+        | img[:, :, 3].astype(np.uint32)
+    ).reshape(-1)
+    _encode_entropy_image(
+        bw, [int(p) for p in argb], eff_w, height, is_level0=True,
+        use_lz77=use_lz77, cache_bits=cache_bits, meta_bits=meta_bits,
+    )
+
+    payload = bytes([VP8L_MAGIC]) + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = RIFF_SIG + struct.pack("<I", 4 + len(chunk)) + WEBP_SIG + chunk
+    return riff

@@ -1780,6 +1780,171 @@ def test_jpeg_cmyk_error_surface_and_conventions():
     assert np.abs(stored[:, :, 0].astype(float) - yp).max() <= 3
 
 
+def test_webp_roundtrip_feature_matrix():
+    """VP8L (r11, VERDICT r10 task 8): encode->decode is BYTE-EXACT
+    across the full feature matrix — plain literals, subtract-green,
+    LZ77 (incl. the 2D neighborhood map on repetitive content), color
+    cache, all 14 forced predictor modes, the color transform, meta
+    prefix groups, palettes crossing every packed-index width, RGB
+    and RGBA inputs, and degenerate 1xN/Nx1/1x1 shapes."""
+    import numpy as np
+
+    from flaco_spark.sources.webp_codec import decode_webp, encode_webp_lossless
+
+    rng = np.random.RandomState(11)
+    w, h = 21, 13
+    src = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8).tobytes()
+
+    for kw in (
+        dict(use_subtract_green=False, use_lz77=False),
+        dict(),
+        dict(cache_bits=4),
+        dict(color_transform=(0x10, 0xF0, 0x08)),
+        dict(meta_bits=2),
+        dict(meta_bits=3, cache_bits=2),
+        dict(predictor_mode=11, color_transform=(5, 250, 3), cache_bits=3),
+    ):
+        j = encode_webp_lossless(src, w, h, 4, **kw)
+        W, H, C, out = decode_webp(j)
+        assert (W, H, C) == (w, h, 4) and out == src, kw
+
+    for mode in range(14):
+        j = encode_webp_lossless(src, w, h, 4, predictor_mode=mode)
+        assert decode_webp(j)[3] == src, f"predictor mode {mode}"
+
+    # RGB input decodes with alpha=255
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+    W, H, C, out = decode_webp(encode_webp_lossless(rgb, w, h, 3))
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 4)
+    assert (got[:, :, :3].tobytes() == rgb) and (got[:, :, 3] == 255).all()
+
+    # repetitive content: LZ77-heavy, must compress AND stay exact
+    tile = rng.randint(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    rep = np.tile(tile, (5, 4, 1))[:18, :26].copy()
+    j = encode_webp_lossless(rep.tobytes(), 26, 18, 4, cache_bits=5)
+    assert decode_webp(j)[3] == rep.tobytes()
+    assert len(j) < rep.size // 2, "LZ77 path produced no compression"
+
+    # palettes crossing the 1/2/4-bit packing widths and unpacked
+    for n_colors in (2, 3, 4, 9, 16, 17, 250):
+        colors = rng.randint(0, 256, size=(n_colors, 4), dtype=np.uint8)
+        pick = rng.randint(0, n_colors, size=(18, 23))
+        pick.reshape(-1)[:n_colors] = np.arange(n_colors)
+        psrc = colors[pick].tobytes()
+        j = encode_webp_lossless(
+            psrc, 23, 18, 4, use_palette=True, use_subtract_green=False
+        )
+        assert decode_webp(j)[3] == psrc, f"palette {n_colors}"
+
+    for ww, hh in ((1, 40), (40, 1), (1, 1), (64, 48)):
+        s = rng.randint(0, 256, size=(hh, ww, 4), dtype=np.uint8).tobytes()
+        for kw in (dict(), dict(predictor_mode=13), dict(cache_bits=2)):
+            assert decode_webp(encode_webp_lossless(s, ww, hh, 4, **kw))[3] == s
+
+
+def test_webp_container_and_header_spec_vector():
+    """Bit-exact container/header pins (RFC 9649 §3, VP8L spec §3):
+    RIFF/WEBP fourccs, little-endian chunk sizes, odd-payload pad
+    byte, 0x2F signature, 14-bit width-1/height-1 LSB-first."""
+    import struct
+
+    import numpy as np
+
+    from flaco_spark.sources.webp_codec import decode_webp, encode_webp_lossless
+
+    w, h = 258, 3  # width-1 = 257 = 0b100000001 crosses a byte boundary
+    src = np.zeros((h, w, 4), dtype=np.uint8).tobytes()
+    data = encode_webp_lossless(src, w, h, 4, use_lz77=True)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    assert riff_size == len(data) - 8
+    assert data[12:16] == b"VP8L"
+    (chunk_size,) = struct.unpack_from("<I", data, 16)
+    assert chunk_size in (len(data) - 20, len(data) - 21)  # pad byte
+    payload = data[20 : 20 + chunk_size]
+    assert payload[0] == 0x2F
+    # 14+14 bits LSB-first: w-1 = 257, h-1 = 2
+    bits = payload[1] | (payload[2] << 8) | (payload[3] << 16) | (payload[4] << 24)
+    assert (bits & 0x3FFF) == w - 1
+    assert ((bits >> 14) & 0x3FFF) == h - 1
+    assert ((bits >> 29) & 0x7) == 0  # version
+    W, H, _, out = decode_webp(data)
+    assert (W, H) == (w, h) and out == src
+
+
+def test_webp_error_surface():
+    """Loud refusals and closed error surface: lossy VP8, animation,
+    truncation, bad signature/version, encode validation — and 400
+    random single-byte corruptions only ever raise EngineError (or
+    decode to something, JPEG-codec fuzz discipline)."""
+    import random
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.webp_codec import decode_webp, encode_webp_lossless
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 256, size=(9, 14, 4), dtype=np.uint8).tobytes()
+    good = encode_webp_lossless(src, 14, 9, 4)
+
+    with _pytest.raises(EngineError, match="RIFF"):
+        decode_webp(b"XXXX" + good[4:])
+    with _pytest.raises(EngineError, match="lossy WebP"):
+        lossy = good[:12] + b"VP8 " + good[16:]
+        decode_webp(lossy)
+    with _pytest.raises(EngineError, match="animated"):
+        anim = good[:12] + b"ANIM" + good[16:]
+        decode_webp(anim)
+    with _pytest.raises(EngineError, match="signature"):
+        decode_webp(good[:20] + b"\x00" + good[21:])
+    with _pytest.raises(EngineError, match="version"):
+        bad = bytearray(good)
+        bad[24] |= 0xE0  # version bits live at 29..31 of the header word
+        decode_webp(bytes(bad))
+    with _pytest.raises(EngineError, match="truncated"):
+        decode_webp(good[: len(good) // 2])
+    with _pytest.raises(EngineError, match="channels"):
+        encode_webp_lossless(src, 14, 9, 2)
+    with _pytest.raises(EngineError, match="expected"):
+        encode_webp_lossless(src, 15, 9, 4)
+    with _pytest.raises(EngineError, match="excludes"):
+        encode_webp_lossless(src, 14, 9, 4, use_palette=True, predictor_mode=1)
+    big = rng.randint(0, 256, size=(40, 40, 4), dtype=np.uint8).tobytes()
+    with _pytest.raises(EngineError, match="palette"):
+        encode_webp_lossless(big, 40, 40, 4, use_palette=True)  # >256 colors
+    rnd = random.Random(7)
+    survived = 0
+    for _ in range(400):
+        buf = bytearray(good)
+        buf[rnd.randrange(len(buf))] ^= 1 << rnd.randrange(8)
+        try:
+            decode_webp(bytes(buf))
+            survived += 1
+        except EngineError:
+            pass
+        # any other exception type fails the test by propagating
+    assert survived < 400  # corruption is usually detected
+
+
+def test_decode_image_webp_arm_uses_real_codec():
+    """decode_image dispatches RIFF/WEBP payloads to the from-spec
+    VP8L decoder — WebP no longer falls through to the PIL
+    NotImplementedError arm (VERDICT r10 'What's missing' #2)."""
+    import numpy as np
+
+    from flaco_spark.operators.multimodal import decode_image
+    from flaco_spark.sources.webp_codec import encode_webp_lossless
+
+    rng = np.random.RandomState(2)
+    src = rng.randint(0, 256, size=(6, 10, 4), dtype=np.uint8).tobytes()
+    data = encode_webp_lossless(src, 10, 6, 4)
+    w, h, ch, pix = decode_image(data)
+    assert (w, h, ch) == (10, 6, 4) and pix == src
+
+
 def test_decode_image_jpeg_arm_uses_real_codec():
     """decode_image dispatches FFD8 payloads to the from-spec JPEG
     decoder — the last dominant raster format no longer raises
