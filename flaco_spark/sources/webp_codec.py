@@ -96,54 +96,81 @@ _HASH_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec §4.2.3)
 
 
 class _LsbReader:
-    """LSB-first bit reader (spec §2): fixed-width values pack low bit
-    first; prefix-code bits arrive code-MSB-first one bit at a time."""
+    """LSB-first bit reader (spec §2) over an int hold buffer.
+
+    ``peek`` may run past the data end (zero-padded) so LUT decode can
+    window ahead; ``read``/``skip`` raise on actually CONSUMING bits
+    that were never in the stream, keeping truncation loud."""
 
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
-        self.byte = pos
-        self.bit = 0
+        self.pos = pos
+        self.hold = 0
+        self.nbits = 0
+        self.padded = 0  # zero bits appended past EOF (peek only)
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.hold |= self.data[self.pos] << self.nbits
+                self.pos += 1
+            else:
+                self.padded += 8
+            self.nbits += 8
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.data):
-                raise EngineError("truncated VP8L bit stream")
-            v |= ((self.data[self.byte] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        if self.nbits < n:
+            self._fill(n)
+        if self.padded and self.nbits - self.padded < n:
+            raise EngineError("truncated VP8L bit stream")
+        v = self.hold & ((1 << n) - 1)
+        self.hold >>= n
+        self.nbits -= n
         return v
 
     def read_bit(self) -> int:
-        if self.byte >= len(self.data):
+        return self.read(1)
+
+    def peek(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill(n)
+        return self.hold & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.padded and self.nbits - self.padded < n:
             raise EngineError("truncated VP8L bit stream")
-        b = (self.data[self.byte] >> self.bit) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.byte += 1
-        return b
+        self.hold >>= n
+        self.nbits -= n
 
 
 class _LsbWriter:
     def __init__(self) -> None:
+        self.hold = 0
+        self.nbits = 0
         self.out = bytearray()
-        self.bit = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            if self.bit == 0:
-                self.out.append(0)
-            if (value >> i) & 1:
-                self.out[-1] |= 1 << self.bit
-            self.bit = (self.bit + 1) & 7
+        self.hold |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.hold & 0xFF)
+            self.hold >>= 8
+            self.nbits -= 8
 
-    def write_code(self, code: int, length: int) -> None:
-        """Prefix-code bits go out MSB-of-the-code first."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+    @property
+    def bytes(self) -> bytes:
+        out = bytes(self.out)
+        if self.nbits:
+            out += bytes([self.hold & 0xFF])
+        return out
+
+
+def _bit_reverse(code: int, length: int) -> int:
+    r = 0
+    for _ in range(length):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
 
 
 # ---------------------------------------------------------------------------
@@ -151,10 +178,14 @@ class _LsbWriter:
 # ---------------------------------------------------------------------------
 
 
+_LUT_BITS = 10  # single-level decode window; longer codes walk bits
+
+
 class _PrefixCode:
     """Canonical prefix code from a code-length array (DEFLATE-style
-    assignment, spec §5.2).  Decode walks bit-by-bit (images here are
-    small); a single-symbol code is degenerate and consumes 0 bits."""
+    assignment, spec §5.2).  Decode peeks a reversed-bit window into a
+    one-level LUT (codes longer than the window fall back to a
+    bit-walk); a single-symbol code is degenerate and consumes 0 bits."""
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -164,6 +195,8 @@ class _PrefixCode:
             self.single: int | None = nz[0][1]
             self.table: dict[tuple[int, int], int] = {}
             self.max_len = 0
+            self.lut_bits = 0
+            self.lut: list = []
             return
         self.single = None
         kraft = sum(2 ** -l for l, _ in nz)
@@ -178,10 +211,23 @@ class _PrefixCode:
             self.table[(l, code)] = s
             code += 1
         self.max_len = prev_len
+        self.lut_bits = min(self.max_len, _LUT_BITS)
+        self.lut = [None] * (1 << self.lut_bits)
+        for (l, c), s in self.table.items():
+            if l <= self.lut_bits:
+                rev = _bit_reverse(c, l)
+                entry = (s, l)
+                for f in range(1 << (self.lut_bits - l)):
+                    self.lut[rev | (f << l)] = entry
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
+        entry = self.lut[br.peek(self.lut_bits)]
+        if entry is not None:
+            br.skip(entry[1])
+            return entry[0]
+        # long code (> lut_bits): bit-walk the canonical table
         code = 0
         for l in range(1, self.max_len + 1):
             code = (code << 1) | br.read_bit()
@@ -212,15 +258,19 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
         else:
             lengths[sym0] = 1
         code = _PrefixCode.__new__(_PrefixCode)
+        code.table = {}
+        code.max_len = 0
+        code.lut_bits = 0
+        code.lut = []
         if num_symbols == 1:
             code.single = sym0
-            code.table = {}
-            code.max_len = 0
         else:
+            # spec: the two symbols take codes 0 and 1 IN READ ORDER
             code.single = None
-            a, b = sorted((sym0, sym1))
-            code.table = {(1, 0): a, (1, 1): b}
+            code.table = {(1, 0): sym0, (1, 1): sym1}
             code.max_len = 1
+            code.lut_bits = 1
+            code.lut = [(sym0, 1), (sym1, 1)]
         return code
     # code-length-coded
     num_codes = br.read(4) + 4
@@ -289,36 +339,40 @@ def _build_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
             depth[s] += 1
         heapq.heappush(heap, (fa + fb, next(tie), a + b))
     lengths = {s: min(d, max_len) for s, d in depth.items()}
-    # repair Kraft over-subscription from the clamp
-    def kraft() -> float:
-        return sum(2 ** -l for l in lengths.values())
-
-    while kraft() > 1.0 + 1e-12:
+    # repair Kraft over-subscription from the clamp, tracked
+    # incrementally (a recomputed sum per step was the encoder's
+    # profile hotspot)
+    k = sum(2 ** -l for l in lengths.values())
+    while k > 1.0 + 1e-12:
         # lengthening the shallowest over-long candidate frees mass
         s = min((s for s in lengths if lengths[s] < max_len),
                 key=lambda s: lengths[s])
+        k -= 2 ** -lengths[s] - 2 ** -(lengths[s] + 1)
         lengths[s] += 1
     # tighten: shorten deepest codes while the code stays complete
     changed = True
     while changed:
         changed = False
         for s in sorted(lengths, key=lambda s: -lengths[s]):
-            if lengths[s] > 1 and kraft() + 2 ** -lengths[s] <= 1.0 + 1e-12:
+            if lengths[s] > 1 and k + 2 ** -lengths[s] <= 1.0 + 1e-12:
+                k += 2 ** -lengths[s]
                 lengths[s] -= 1
                 changed = True
-    if abs(kraft() - 1.0) > 1e-9:
+    if abs(k - 1.0) > 1e-9:
         raise EngineError("internal: VP8L encoder built an invalid code")
     return lengths
 
 
 def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (BIT-REVERSED canonical code, length): reversed so the
+    LSB-first writer emits the code MSB-first with one write() call."""
     out: dict[int, tuple[int, int]] = {}
     code = 0
     prev_len = 0
     for l, s in sorted((l, s) for s, l in lengths.items()):
         code <<= l - prev_len
         prev_len = l
-        out[s] = (code, l)
+        out[s] = (_bit_reverse(code, l), l)
         code += 1
     return out
 
@@ -375,7 +429,7 @@ def _write_prefix_code(
     bw.write(0, 1)  # no max_symbol cap
     for l in full:
         c, n = cl_codes[l]
-        bw.write_code(c, n)
+        bw.write(c, n)
     return _canonical_codes(lengths)
 
 
@@ -924,23 +978,23 @@ def _encode_entropy_image(
         if tok[0] == "lit":
             px = tok[2]
             c, l = g_codes[(px >> 8) & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
             c, l = r_codes[(px >> 16) & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
             c, l = b_codes[px & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
             c, l = a_codes[(px >> 24) & 0xFF]
-            bw.write_code(c, l)
+            bw.write(c, l)
         elif tok[0] == "cache":
             c, l = g_codes[tok[2]]
-            bw.write_code(c, l)
+            bw.write(c, l)
         else:
             _, _, lc, lex, leb, dc, dex, deb = tok
             c, l = g_codes[256 + lc]
-            bw.write_code(c, l)
+            bw.write(c, l)
             bw.write(lex, leb)
             c, l = d_codes[dc]
-            bw.write_code(c, l)
+            bw.write(c, l)
             bw.write(dex, deb)
 
 
@@ -1100,7 +1154,7 @@ def encode_webp_lossless(
         use_lz77=use_lz77, cache_bits=cache_bits, meta_bits=meta_bits,
     )
 
-    payload = bytes([VP8L_MAGIC]) + bytes(bw.out)
+    payload = bytes([VP8L_MAGIC]) + bw.bytes
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"
