@@ -1872,6 +1872,100 @@ def test_webp_container_and_header_spec_vector():
     assert (W, H) == (w, h) and out == src
 
 
+def test_webp_hand_assembled_spec_vectors():
+    """Decode streams assembled bit-by-bit from the spec text, NOT by
+    our encoder — a symmetric encoder/decoder bug round-trips clean
+    but fails here.  Vector 1: literal pixels through simple prefix
+    codes (single- and two-symbol, 8-bit and 1-bit first-symbol
+    forms).  Vector 2: a 2-color COLOR_INDEXING transform with 1-bit
+    packed indices and the delta-coded palette subimage."""
+    import struct
+
+    from flaco_spark.sources.webp_codec import _LsbWriter, decode_webp
+
+    def riff(payload: bytes) -> bytes:
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def simple1(bw, sym, bits8=True):
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        bw.write(1 if bits8 else 0, 1)
+        bw.write(sym, 8 if bits8 else 1)
+
+    def simple2(bw, s0, s1):
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(1, 1)  # first symbol 8 bits
+        bw.write(s0, 8)
+        bw.write(s1, 8)
+
+    # ---- vector 1: 2x1, literals only
+    bw = _LsbWriter()
+    bw.write(2 - 1, 14)  # width-1
+    bw.write(1 - 1, 14)  # height-1
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    simple1(bw, 20)            # green: always 20
+    simple2(bw, 10, 40)        # red: codes 0->10, 1->40 in READ order
+    simple2(bw, 30, 50)        # blue
+    simple1(bw, 255)           # alpha
+    simple1(bw, 0, bits8=False)  # distance (unused)
+    # pixel 0: r=10 (bit 0), b=30 (bit 0); pixel 1: r=40, b=50 (bits 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    bw.write(1, 1)
+    data = riff(bytes([0x2F]) + bw.bytes)
+    W, H, C, out = decode_webp(data)
+    assert (W, H, C) == (2, 1, 4)
+    assert out == bytes([10, 20, 30, 255, 40, 20, 50, 255])
+
+    # ---- vector 2: 4x1, 2-color palette, 1-bit packed indices
+    # palette C0=ARGB(255,1,2,3), C1=ARGB(255,9,8,7); stored subimage
+    # pixels are delta-coded: P0=C0, P1=C1-C0=(0,8,6,4)
+    bw = _LsbWriter()
+    bw.write(4 - 1, 14)
+    bw.write(0, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # a transform follows
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(2 - 1, 8)  # palette size - 1
+    # palette subimage (2x1 entropy image; subimages read a cache bit
+    # but no meta bit)
+    bw.write(0, 1)  # no color cache
+    simple2(bw, 2, 6)      # green deltas
+    simple2(bw, 1, 8)      # red deltas
+    simple2(bw, 3, 4)      # blue deltas
+    simple2(bw, 255, 0)    # alpha deltas
+    simple1(bw, 0, bits8=False)  # distance
+    for bit in (0, 0, 0, 0, 1, 1, 1, 1):  # P0 then P1, channels g,r,b,a
+        bw.write(bit, 1)
+    bw.write(0, 1)  # end of transforms
+    # main image: packed width ceil(4/8)=1, indices [1,0,1,1] LSB-first
+    # in the green byte -> 0b1101 = 13
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta
+    simple1(bw, 13)             # green = packed byte
+    simple1(bw, 0)              # red
+    simple1(bw, 0)              # blue
+    simple1(bw, 255)            # alpha
+    simple1(bw, 0, bits8=False)  # distance
+    # single pixel, all single-symbol codes: zero data bits
+    data = riff(bytes([0x2F]) + bw.bytes)
+    W, H, C, out = decode_webp(data)
+    assert (W, H, C) == (4, 1, 4)
+    c0 = bytes([1, 2, 3, 255])
+    c1 = bytes([9, 8, 7, 255])
+    assert out == c1 + c0 + c1 + c1
+
+
 def test_webp_error_surface():
     """Loud refusals and closed error surface: lossy VP8, animation,
     truncation, bad signature/version, encode validation — and 400
