@@ -32,6 +32,7 @@ from __future__ import annotations
 import struct
 
 from flaco_spark.errors import EngineError
+from flaco_spark.sources.imglimits import check_pixel_budget
 
 GIF_SIG = b"GIF89a"
 
@@ -235,6 +236,7 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes], bytes]:
     if len(data) < 13:
         raise EngineError("truncated GIF header")
     width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    check_pixel_budget(width, height, "GIF")
     pos = 13
     if not packed & 0x80:
         raise EngineError("GIF without a global color table not supported")

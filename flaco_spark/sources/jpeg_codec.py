@@ -66,6 +66,7 @@ from collections import OrderedDict
 import numpy as np
 
 from flaco_spark.errors import EngineError
+from flaco_spark.sources.imglimits import check_pixel_budget
 
 JPEG_SIG = b"\xff\xd8"
 
@@ -376,6 +377,7 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict:
         raise EngineError(f"unsupported JPEG component count {ncomp}")
     if width == 0 or height == 0:
         raise EngineError("zero-dimension JPEG frame")
+    check_pixel_budget(width, height, "JPEG")
     if len(seg) < 6 + 3 * ncomp:
         raise EngineError("truncated JPEG SOF segment")
     comps = []

@@ -35,6 +35,7 @@ import struct
 import zlib
 
 from flaco_spark.errors import EngineError
+from flaco_spark.sources.imglimits import check_pixel_budget
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -165,6 +166,7 @@ def decode_png(data: bytes, verify_crc: bool = True) -> tuple[int, int, int, byt
     else raises ``EngineError`` (see module docstring — loud gap over
     silent wrong decode)."""
     width, height, bit_depth, color_type = png_info(data)
+    check_pixel_budget(width, height, "PNG")
     if bit_depth != 8:
         raise EngineError(f"unsupported PNG bit depth {bit_depth} (8 only)")
     ch = _CHANNELS.get(color_type)

@@ -51,6 +51,7 @@ import struct
 import numpy as np
 
 from flaco_spark.errors import EngineError
+from flaco_spark.sources.imglimits import check_pixel_budget
 
 RIFF_SIG = b"RIFF"
 WEBP_SIG = b"WEBP"
@@ -700,6 +701,7 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     br = _LsbReader(vp8l, 1)
     w = br.read(14) + 1
     h = br.read(14) + 1
+    check_pixel_budget(w, h, "VP8L")
     br.read(1)  # alpha hint
     version = br.read(3)
     if version != 0:

@@ -1966,6 +1966,79 @@ def test_webp_hand_assembled_spec_vectors():
     assert out == c1 + c0 + c1 + c1
 
 
+def test_decode_pixel_budget_guard_all_codecs():
+    """Decompression-bomb guard (r11 review): a crafted header that
+    DECLARES a frame beyond the decode pixel budget must raise
+    EngineError before any pixel-sized allocation, in all four
+    codecs — at corpus scale a hostile file must cost a loud row
+    error, never an executor OOM.  (PIL ships the same guard as
+    Image.MAX_IMAGE_PIXELS.)"""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources import imglimits
+    from flaco_spark.sources.gif_codec import decode_gif, encode_gif_gray
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+    from flaco_spark.sources.png_codec import decode_png, encode_png
+    from flaco_spark.sources.webp_codec import decode_webp, encode_webp_lossless
+
+    big_w = big_h = 30000  # 900M px > the 134M budget
+
+    # JPEG: patch the SOF dims of a valid stream
+    j = encode_jpeg(bytes(64), 8, 8, 1)
+    sof = j.index(b"\xff\xc0")
+    patched = (
+        j[: sof + 5] + struct.pack(">HH", big_h, big_w) + j[sof + 9 :]
+    )
+    with _pytest.raises(EngineError, match="pixel budget"):
+        decode_jpeg(patched)
+
+    # PNG: patch IHDR dims and fix its CRC
+    p = encode_png(bytes(4 * 4), 4, 4, 0)
+    ihdr = p[16:29]
+    new_ihdr = struct.pack(">II", big_w, big_h) + ihdr[8:]
+    crc = zlib.crc32(b"IHDR" + new_ihdr) & 0xFFFFFFFF
+    patched = p[:16] + new_ihdr + struct.pack(">I", crc) + p[33:]
+    with _pytest.raises(EngineError, match="pixel budget"):
+        decode_png(patched)
+
+    # GIF: patch the logical screen descriptor (no checksum)
+    g = encode_gif_gray([bytes(16)], 4, 4)
+    patched = g[:6] + struct.pack("<HH", big_w, big_h) + g[10:]
+    with _pytest.raises(EngineError, match="pixel budget"):
+        decode_gif(patched)
+
+    # WebP: patch the 14-bit VP8L dims (both all-ones = 16384x16384
+    # = 268M px > budget); byte-align: bits 0..27 of the header word
+    rng = np.random.RandomState(0)
+    w = encode_webp_lossless(
+        rng.randint(0, 256, size=48, dtype=np.uint8).tobytes(), 4, 3, 4
+    )
+    vp8l = w.index(b"VP8L")
+    sig = vp8l + 8
+    patched = bytearray(w)
+    patched[sig + 1] = 0xFF
+    patched[sig + 2] = 0xFF
+    patched[sig + 3] = 0xFF
+    patched[sig + 4] |= 0x0F
+    with _pytest.raises(EngineError, match="pixel budget"):
+        decode_webp(bytes(patched))
+
+    # the budget is deliberately adjustable
+    old = imglimits.MAX_DECODE_PIXELS
+    try:
+        imglimits.MAX_DECODE_PIXELS = 4
+        with _pytest.raises(EngineError, match="pixel budget"):
+            decode_jpeg(j)  # the valid 8x8 now exceeds the budget
+    finally:
+        imglimits.MAX_DECODE_PIXELS = old
+    assert decode_jpeg(j)[0] == 8  # and restores
+
+
 def test_webp_error_surface():
     """Loud refusals and closed error surface: lossy VP8, animation,
     truncation, bad signature/version, encode validation — and 400
