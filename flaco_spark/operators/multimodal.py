@@ -2035,7 +2035,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if variant == 1:
                 kwargs["cache_bits"] = 4
             elif variant == 2:
-                kwargs["predictor_mode"] = int(doc_id) % 14
+                # doc_id % 4 == 2 fixes doc_id's parity, so modulo by
+                # an odd base to reach ALL 14 modes over the corpus
+                kwargs["predictor_mode"] = (int(doc_id) // 4) % 14
             elif variant == 3:
                 kwargs["meta_bits"] = 2
                 kwargs["color_transform"] = (5, 250, 3)
