@@ -2096,6 +2096,31 @@ def test_webp_error_surface():
     assert survived < 400  # corruption is usually detected
 
 
+def test_webp_extended_container_vp8x():
+    """A VP8X (extended-format) container wrapping a VP8L bitstream —
+    the layout cwebp emits when metadata/alpha flags are present —
+    decodes: the chunk walker skips VP8X/ICCP (odd-sized, testing the
+    2-byte chunk alignment rule) and finds the lossless stream."""
+    import struct
+
+    import numpy as np
+
+    from flaco_spark.sources.webp_codec import decode_webp, encode_webp_lossless
+
+    rng = np.random.RandomState(4)
+    src = rng.randint(0, 256, size=(5, 9, 4), dtype=np.uint8).tobytes()
+    simple = encode_webp_lossless(src, 9, 5, 4)
+    vp8l_chunk = simple[12:]  # VP8L fourcc + size + payload (+pad)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(
+        [0x10, 0, 0, 0]  # alpha flag + reserved
+    ) + (9 - 1).to_bytes(3, "little") + (5 - 1).to_bytes(3, "little")
+    iccp = b"ICCP" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size + pad
+    body = b"WEBP" + vp8x + iccp + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    W, H, C, out = decode_webp(data)
+    assert (W, H, C) == (9, 5, 4) and out == src
+
+
 def test_decode_image_webp_arm_uses_real_codec():
     """decode_image dispatches RIFF/WEBP payloads to the from-spec
     VP8L decoder — WebP no longer falls through to the PIL
