@@ -21,14 +21,22 @@ Scope (honest subset):
   marker stream (T.81 B.1.1.2).  4-component output is TRUE CMYK:
   the Adobe inversion (PIL's "CMYK;I" rawmode) is already applied,
   and YCCK streams (APP14 transform=2) get libjpeg's
-  ycck_cmyk_convert composition.  Arithmetic coding, lossless,
-  hierarchical, 12-bit, and sequential multi-scan streams raise
-  ``EngineError`` — a silent wrong decode would be worse than a loud
-  gap.
+  ycck_cmyk_convert composition.  12-bit precision (the
+  medical/scientific scan class) decodes for GRAYSCALE frames,
+  returning little-endian uint16 samples (T.81 A.3.1 level shift
+  2^11, extended DC/AC category ranges per Table F.1/F.2).
+  Arithmetic coding, lossless, hierarchical, 12-bit color, and
+  sequential multi-scan streams raise ``EngineError`` — a silent
+  wrong decode would be worse than a loud gap.  (Arithmetic coding
+  stays refused DELIBERATELY: its Qe state-estimation table cannot be
+  reproduced from the spec prose alone, and a wrong-constant decoder
+  would self-round-trip while decoding real files wrong — the loud
+  gap is the honest option until the table can be sourced.)
 - encode: baseline (single interleaved scan) or progressive
   (spectral-selection script: DC scan + two AC band scans per
   component, Ah=Al=0), 4:4:4, Annex-K quantization tables (quality-
-  scaled) and Annex-K Huffman tables — spec-valid files any decoder
+  scaled) and Annex-K Huffman tables (flat extended-category tables
+  for 12-bit) — spec-valid files any decoder
   reads (ImageIO cross-decodes both modes in tests; 4-component
   streams are raster-level cross-checked against the JDK reader's
   ``readRaster``, which entropy-decodes CMYK even though
@@ -129,6 +137,19 @@ AC_LUMA_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+# Flat canonical tables for 12-bit precision (T.81 Table F.1/F.2:
+# DC difference categories reach 15 and AC sizes reach 14 at 12 bits,
+# beyond the Annex-K 8-bit tables): 16 four-bit DC codes (a complete
+# code) and 226 eight-bit AC codes (EOB, ZRL, and every (run, size)
+# with size <= 14 — JPEG prefix codes may legally leave code space
+# unused).
+DC_12BIT_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_12BIT_VALS = list(range(16))
+AC_12BIT_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_12BIT_VALS = [0x00, 0xF0] + [
+    (r << 4) | sz for r in range(16) for sz in range(1, 15)
+]
+
 AC_CHROMA_BITS = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
 AC_CHROMA_VALS = [
     0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
@@ -371,8 +392,16 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict:
     if len(seg) < 6:
         raise EngineError("truncated JPEG SOF segment")
     prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
-    if prec != 8:
+    if prec not in (8, 12):
         raise EngineError(f"unsupported JPEG precision {prec}")
+    if prec == 12 and ncomp != 1:
+        # 12-bit is the medical/scientific scan class and is virtually
+        # always single-channel; a 12-bit YCbCr convert would need its
+        # own fixed-point constants — refuse rather than approximate.
+        raise EngineError(
+            "12-bit JPEG is supported for grayscale only "
+            f"(frame has {ncomp} components)"
+        )
     if ncomp not in (1, 3, 4):
         raise EngineError(f"unsupported JPEG component count {ncomp}")
     if width == 0 or height == 0:
@@ -402,7 +431,7 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict:
     return {
         "w": width, "h": height, "comps": comps,
         "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
-        "progressive": progressive,
+        "progressive": progressive, "prec": prec,
     }
 
 
@@ -697,13 +726,18 @@ def _decode_scan(
 _IDCT_CHUNK_BLOCKS = 2048
 
 
-def _idct_plane(coefs_zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _idct_plane(coefs_zz: np.ndarray, q: np.ndarray, prec: int = 8) -> np.ndarray:
     """Dequantize + IDCT a component's (bh, bw, 64) zigzag coefficient
-    array into its uint8 plane, in whole-block-row chunks so peak
-    scratch stays ~constant while the matmuls stay batched."""
+    array into its uint8 (or, for 12-bit precision, uint16) plane, in
+    whole-block-row chunks so peak scratch stays ~constant while the
+    matmuls stay batched.  Level shift and clip range follow the frame
+    precision (T.81 A.3.1: shift = 2^(P-1), samples in 0..2^P - 1)."""
     bh, bw = coefs_zz.shape[:2]
     zz = coefs_zz.reshape(bh * bw, 64)
-    plane = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    dtype = np.uint8 if prec == 8 else np.uint16
+    shift = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
+    plane = np.empty((bh * 8, bw * 8), dtype=dtype)
     rows_per_chunk = max(1, _IDCT_CHUNK_BLOCKS // max(bw, 1))
     for r0 in range(0, bh, rows_per_chunk):
         r1 = min(bh, r0 + rows_per_chunk)
@@ -712,7 +746,7 @@ def _idct_plane(coefs_zz: np.ndarray, q: np.ndarray) -> np.ndarray:
         nat[:, ZIGZAG] = chunk  # zigzag stream -> natural order
         blocks = nat.reshape(-1, 8, 8).astype(np.float64) * q
         pix = np.matmul(np.matmul(_C.T, blocks), _C)
-        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        pix = np.clip(np.round(pix) + shift, 0, maxval).astype(dtype)
         n = r1 - r0
         plane[r0 * 8 : r1 * 8, :] = (
             pix.reshape(n, bw, 8, 8).transpose(0, 2, 1, 3).reshape(n * 8, bw * 8)
@@ -769,7 +803,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline-sequential OR progressive JPEG to
     (width, height, channels, pixel bytes).
 
-    channels is 1 (grayscale) or 3 (RGB, row-major interleaved)."""
+    channels is 1 (grayscale), 3 (RGB, row-major interleaved), or 4
+    (true CMYK).  8-bit frames yield one byte per sample; a 12-bit
+    (grayscale-only) frame yields little-endian uint16 samples —
+    ``len(bytes) == width * height * channels * 2`` distinguishes it."""
     if data[:2] != JPEG_SIG:
         raise EngineError("not a JPEG (bad SOI)")
     pos = 2
@@ -843,10 +880,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         q = qtables.get(c["tq"])
         if q is None:
             raise EngineError("JPEG scan references missing table")
-        planes[c["id"]] = _idct_plane(coefs[c["id"]], q)
+        planes[c["id"]] = _idct_plane(coefs[c["id"]], q, frame["prec"])
 
     if len(comps) == 1:
-        return w, h, 1, planes[comps[0]["id"]][:h, :w].tobytes()
+        p = planes[comps[0]["id"]][:h, :w]
+        if frame["prec"] != 8:
+            p = p.astype("<u2")  # explicit little-endian uint16 samples
+        return w, h, 1, p.tobytes()
     # Upsample chroma to luma resolution (libjpeg fancy filters), each
     # plane first CROPPED to the component's downsampled image dims so
     # the triangle filter's edge rule sees real edge pixels, not the
@@ -943,17 +983,20 @@ def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(out, 1, 255).astype(np.int32)
 
 
-def _fdct_quantize_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _fdct_quantize_blocks(
+    plane: np.ndarray, q: np.ndarray, shift: float = 128.0
+) -> np.ndarray:
     """Batch FDCT + quantize + zigzag a padded plane: returns an
     (mcuy*mcux, 64) int array of zigzag-ordered coefficients in MCU
     scan order (row-major MCUs) — one matmul pair for the whole plane
-    instead of two per block."""
+    instead of two per block.  ``shift`` is the level shift, 2^(P-1)
+    for P-bit precision (T.81 A.3.1)."""
     ph, pw = plane.shape
     by, bx = ph // 8, pw // 8
     blocks = (
         plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     )
-    f = np.matmul(np.matmul(_C, blocks - 128.0), _C.T)
+    f = np.matmul(np.matmul(_C, blocks - shift), _C.T)
     coef = np.round(f / q).astype(np.int32).reshape(-1, 64)
     return coef[:, ZIGZAG]
 
@@ -1012,7 +1055,7 @@ def _sos_header(specs: list[tuple[int, int, int]], ss: int, se: int,
 def encode_jpeg(
     pixels: bytes, width: int, height: int, channels: int, quality: int = 90,
     restart_interval: int = 0, progressive: bool = False,
-    cmyk_transform: int = 0,
+    cmyk_transform: int = 0, precision: int = 8,
 ) -> bytes:
     """Encode row-major 8-bit pixels (gray, RGB, or true CMYK) as
     JPEG, 4:4:4 sampling, Annex-K Huffman tables — baseline (one
@@ -1036,18 +1079,30 @@ def encode_jpeg(
         raise EngineError(
             f"encode_jpeg supports 1, 3, or 4 channels, got {channels}"
         )
+    if precision not in (8, 12):
+        raise EngineError(f"unsupported JPEG precision {precision}")
+    if precision == 12 and channels != 1:
+        raise EngineError("12-bit JPEG encode is grayscale only")
     if channels == 4 and cmyk_transform not in (0, 2):
         raise EngineError(
             f"cmyk_transform must be 0 (CMYK) or 2 (YCCK), got {cmyk_transform}"
         )
-    if len(pixels) != width * height * channels:
+    sample_bytes = 2 if precision == 12 else 1
+    if len(pixels) != width * height * channels * sample_bytes:
         raise EngineError(
             f"pixel buffer is {len(pixels)} bytes, expected "
-            f"{width * height * channels}"
+            f"{width * height * channels * sample_bytes}"
         )
     if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
         raise EngineError(f"bad JPEG dimensions {width}x{height}")
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if precision == 12:
+        arr = np.frombuffer(pixels, dtype="<u2").reshape(height, width, 1)
+        if int(arr.max(initial=0)) > 4095:
+            raise EngineError("12-bit JPEG sample out of range (>4095)")
+    else:
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width, channels
+        )
     qy = _quality_scale(QTBL_LUMA, quality).reshape(8, 8)
     qc = _quality_scale(QTBL_CHROMA, quality).reshape(8, 8)
     # comps entries: (float plane, quant table, quant table id, chroma
@@ -1079,6 +1134,8 @@ def encode_jpeg(
             comps = [(255.0 - p, qy, 0, 0) for p in (c, m, ye, k)]
     else:
         comps = [(arr[:, :, 0].astype(np.float64), qy, 0, 0)]
+    maxval = (1 << precision) - 1
+    level_shift = float(1 << (precision - 1))
 
     out = bytearray(JPEG_SIG)
     if channels == 4:
@@ -1094,12 +1151,22 @@ def encode_jpeg(
         zz = q.reshape(64)[ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(x) for x in zz)
     sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
-    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+    out += sof_marker + struct.pack(
+        ">HBHHB", 8 + 3 * channels, precision, height, width, channels
+    )
     for i, (_pl, _q, tq, _isc) in enumerate(comps):
         out += bytes((i + 1, 0x11, tq))
+    # 12-bit precision needs the extended-category tables (DC to 15,
+    # AC size to 14 — T.81 F.1.2); 8-bit uses the Annex-K sets.
+    if precision == 12:
+        dc_base = (DC_12BIT_BITS, DC_12BIT_VALS)
+        ac_base = (AC_12BIT_BITS, AC_12BIT_VALS)
+    else:
+        dc_base = (DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_base = (AC_LUMA_BITS, AC_LUMA_VALS)
     tables = [
-        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
-        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x00, *dc_base),
+        (0x10, *ac_base),
     ]
     if any(isc for _pl, _q, _tq, isc in comps):
         tables += [
@@ -1113,21 +1180,23 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    dc_l = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_l = _HuffTable(*dc_base)
+    ac_l = _HuffTable(*ac_base)
     dc_c = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)
     mcux = (width + 7) // 8
     mcuy = (height + 7) // 8
     coef_rows = []
     for plane, q, _tq, is_chroma in comps:
-        p = np.clip(np.round(plane), 0, 255)
+        p = np.clip(np.round(plane), 0, maxval)
         ph, pw = mcuy * 8, mcux * 8
         pp = np.empty((ph, pw))
         pp[:height, :width] = p
         pp[:height, width:] = p[:, -1:]
         pp[height:, :] = pp[height - 1 : height, :]
-        coef_rows.append((_fdct_quantize_blocks(pp, q), is_chroma))
+        coef_rows.append(
+            (_fdct_quantize_blocks(pp, q, level_shift), is_chroma)
+        )
 
     def emit_scan(encode_mcu, n_mcus: int) -> None:
         """Run one scan's MCU loop with restart handling; appends the

@@ -1633,6 +1633,63 @@ def test_jpeg_dc_predictor_accumulation_is_bounded():
         jc._decode_dc_first(reader, coef, dc, pred, al=1)
 
 
+def test_jpeg_12bit_grayscale():
+    """12-bit precision (r11): grayscale encode+decode round-trips as
+    little-endian uint16 samples with T.81's 2^11 level shift and the
+    extended DC(<=15)/AC(<=14) category ranges — baseline,
+    progressive, and restart-marker scan shapes; color 12-bit and
+    out-of-range samples refuse loudly; the 8-bit contract is
+    unchanged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(6)
+    w, h = 21, 13
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    smooth = ((xx * 97 + yy * 151) % 4096).astype("<u2")
+    j = encode_jpeg(smooth.tobytes(), w, h, 1, quality=97, precision=12)
+    W, H, C, out = decode_jpeg(j)
+    assert (W, H, C) == (w, h, 1) and len(out) == w * h * 2
+    got = np.frombuffer(out, "<u2").astype(int)
+    assert np.abs(got - smooth.reshape(-1).astype(int)).max() <= 2
+
+    # full-range noise drives the extended categories (DC diffs past
+    # the 8-bit table's 11, AC sizes past 10) in every scan shape
+    noise = rng.randint(0, 4096, size=(h, w)).astype("<u2")
+    for kw in (dict(), dict(restart_interval=2), dict(progressive=True),
+               dict(progressive=True, restart_interval=3)):
+        j = encode_jpeg(noise.tobytes(), w, h, 1, quality=97,
+                        precision=12, **kw)
+        _, _, _, out = decode_jpeg(j)
+        d = np.abs(
+            np.frombuffer(out, "<u2").astype(int)
+            - noise.reshape(-1).astype(int)
+        )
+        assert d.max() <= 8, (kw, d.max())  # ~4 measured; 2x margin
+
+    with _pytest.raises(EngineError, match="grayscale only"):
+        encode_jpeg(bytes(w * h * 3 * 2), w, h, 3, precision=12)
+    with _pytest.raises(EngineError, match="out of range"):
+        encode_jpeg(np.full(w * h, 4096, "<u2").tobytes(), w, h, 1,
+                    precision=12)
+    with _pytest.raises(EngineError, match="precision"):
+        encode_jpeg(smooth.tobytes(), w, h, 1, precision=10)
+    # a 12-bit COLOR stream refuses at the SOF (patch ours to 3 comps)
+    # — cheaper: assert the decode guard via the parse path by
+    # patching an 8-bit color file's precision byte
+    rgb = _jpeg_smooth_rgb(16, 8)
+    jc = encode_jpeg(rgb, 16, 8, 3, quality=90)
+    sof = jc.index(b"\xff\xc0")
+    with _pytest.raises(EngineError, match="grayscale only"):
+        decode_jpeg(jc[: sof + 4] + b"\x0c" + jc[sof + 5 :])
+    # 8-bit output is still one byte per sample
+    g8 = bytes(range(64))
+    assert len(decode_jpeg(encode_jpeg(g8, 8, 8, 1))[3]) == 64
+
+
 def test_jpeg_cmyk_roundtrip():
     """CMYK/YCCK (Adobe APP14) JPEG, r11 — VERDICT r10 task 5: both
     Adobe transforms round-trip through encode+decode to TRUE CMYK
