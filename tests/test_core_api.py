@@ -1690,6 +1690,93 @@ def test_jpeg_12bit_grayscale():
     assert len(decode_jpeg(encode_jpeg(g8, 8, 8, 1))[3]) == 64
 
 
+def test_exif_extraction_jpeg_webp_tiff():
+    """EXIF metadata extraction (r11): the TIFF 6.0 structure parses
+    from raw bytes, a JPEG APP1 segment, and a WebP EXIF chunk, in
+    BOTH byte orders; inline and out-of-line values, ASCII, SHORT,
+    and RATIONAL types; unknown tags/types are skipped (open
+    registry), while malformed structures raise EngineError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.exif import (
+        build_exif_tiff,
+        exif_from_jpeg,
+        exif_from_tiff,
+        exif_from_webp,
+    )
+    from flaco_spark.sources.jpeg_codec import encode_jpeg
+    from flaco_spark.sources.webp_codec import encode_webp_lossless
+
+    tags = {
+        "orientation": 6,
+        "image_width": 70000,          # forces LONG
+        "make": "ACME Imaging Works",  # out-of-line ASCII
+        "model": "X1",                 # inline ASCII
+        "datetime": "2026:08:16 12:00:00",
+        "x_resolution": (72, 1),
+        "datetime_original": "2025:01:02 03:04:05",  # EXIF sub-IFD
+        "iso": 400,
+        "f_number": (28, 10),
+    }
+    for endian in ("<", ">"):
+        tiff = build_exif_tiff(tags, endian)
+        got = exif_from_tiff(tiff)
+        assert got["orientation"] == 6 and got["image_width"] == 70000
+        assert got["make"] == "ACME Imaging Works" and got["model"] == "X1"
+        assert got["x_resolution"] == 72.0
+        assert got["datetime_original"] == "2025:01:02 03:04:05"
+        assert got["iso"] == 400 and abs(got["f_number"] - 2.8) < 1e-9
+    assert exif_from_tiff(build_exif_tiff({"orientation": 1}, ">")) == {
+        "orientation": 1
+    }
+
+    # JPEG APP1 carrier (with a fill byte before it — marker-walk rules)
+    j = encode_jpeg(bytes(range(64)), 8, 8, 1)
+    tiff = build_exif_tiff(tags)
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff)) + b"Exif\x00\x00" + tiff
+    carrier = j[:2] + b"\xff" + app1 + j[2:]
+    got = exif_from_jpeg(carrier)
+    assert got and got["orientation"] == 6
+    assert exif_from_jpeg(j) is None  # no EXIF -> None, not an error
+
+    # WebP EXIF chunk carrier (spliced before the VP8L chunk)
+    rng = np.random.RandomState(1)
+    w = encode_webp_lossless(
+        rng.randint(0, 256, size=24, dtype=np.uint8).tobytes(), 3, 2, 4
+    )
+    chunk = b"EXIF" + struct.pack("<I", len(tiff)) + tiff
+    if len(tiff) & 1:
+        chunk += b"\x00"
+    carrier = w[:12] + chunk + w[12:]
+    got = exif_from_webp(carrier)
+    assert got and got["make"] == "ACME Imaging Works"
+    assert exif_from_webp(w) is None
+
+    # unknown tag and unknown value type are SKIPPED, not fatal:
+    # hand-append an entry with tag 0xC612 (vendor) and type 13
+    t = build_exif_tiff({"orientation": 3})
+    (n,) = struct.unpack_from("<H", t, 8)
+    patched = (
+        t[:8]
+        + struct.pack("<H", n + 1)
+        + t[10 : 10 + 12 * n]
+        + struct.pack("<HHII", 0xC612, 13, 1, 0)
+        + t[10 + 12 * n :]
+    )
+    assert exif_from_tiff(patched)["orientation"] == 3
+
+    with _pytest.raises(EngineError, match="byte-order"):
+        exif_from_tiff(b"XX\x00\x2a\x00\x00\x00\x08")
+    with _pytest.raises(EngineError, match="magic"):
+        exif_from_tiff(b"II\x2b\x00\x08\x00\x00\x00")
+    with _pytest.raises(EngineError, match="truncated"):
+        exif_from_tiff(build_exif_tiff(tags)[:20])
+
+
 def test_jpeg_cmyk_roundtrip():
     """CMYK/YCCK (Adobe APP14) JPEG, r11 — VERDICT r10 task 5: both
     Adobe transforms round-trip through encode+decode to TRUE CMYK
