@@ -261,6 +261,12 @@ PROBE = [
     # rows above for the same reason (pure-Python per-document cost).
     "m18_jpeg_decode",
     "m19_jpeg_progressive_decode",
+    # r11: the CMYK/YCCK and lossless-WebP lanes (this round's codec
+    # additions; their first full-probe rows land in r12 — the r11
+    # record carries a PROBE_QUERIES subset run instead, added while
+    # the r11 main probe was in flight, the m17 precedent).
+    "m20_jpeg_cmyk_decode",
+    "m21_webp_lossless_decode",
 ]
 
 # r10 (VERDICT r9 task 4): PROBE_QUERIES=<comma list> restricts a run
