@@ -202,6 +202,44 @@ def exif_from_webp(data: bytes) -> dict | None:
     return None
 
 
+def apply_orientation(
+    pixels: bytes, width: int, height: int, channels: int, orientation: int
+) -> tuple[bytes, int, int]:
+    """Transform decoded pixels to display orientation per EXIF tag
+    274 (the PIL ``ImageOps.exif_transpose`` table): returns
+    (pixels, width, height) — dims swap for the rotated cases 5-8.
+    Orientation 0 is tolerated as 1 (absent-tag convention); values
+    outside 0..8 raise ``EngineError``."""
+    import numpy as np
+
+    if not 0 <= orientation <= 8:
+        raise EngineError(f"invalid EXIF orientation {orientation}")
+    if len(pixels) != width * height * channels:
+        raise EngineError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    if orientation in (0, 1):
+        return pixels, width, height
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if orientation == 2:
+        out = a[:, ::-1]
+    elif orientation == 3:
+        out = a[::-1, ::-1]
+    elif orientation == 4:
+        out = a[::-1, :]
+    elif orientation == 5:
+        out = a.transpose(1, 0, 2)
+    elif orientation == 6:
+        out = a.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:
+        out = a.transpose(1, 0, 2)[::-1, ::-1]
+    else:  # 8
+        out = a.transpose(1, 0, 2)[::-1, :]
+    h2, w2 = out.shape[:2]
+    return np.ascontiguousarray(out).tobytes(), w2, h2
+
+
 def build_exif_tiff(
     tags: dict[str, object], endian: str = "<"
 ) -> bytes:

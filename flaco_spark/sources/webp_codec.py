@@ -663,7 +663,10 @@ def _inverse_color_transform(
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a lossless (VP8L) WebP to (width, height, 4, RGBA bytes).
 
-    Lossy ("VP8 ") and animated streams raise ``EngineError``."""
+    Animated streams decode as their FIRST frame's lossless bitstream
+    (the GIF frame-0 precedent; frame compositing/disposal is out of
+    scope — the returned dims are the frame's own).  Lossy ("VP8 ")
+    bitstreams, still or animated, raise ``EngineError``."""
     if len(data) < 12 or data[:4] != RIFF_SIG or data[8:12] != WEBP_SIG:
         raise EngineError("not a WebP (bad RIFF/WEBP header)")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -684,15 +687,37 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             break
         if tag == b"VP8 ":
             saw_lossy = True
-        if tag in (b"ANIM", b"ANMF"):
+        if tag == b"ANIM":
             saw_anim = True
+        if tag == b"ANMF" and size >= 16:
+            # animated: the frame payload is sub-chunks after the
+            # 16-byte frame header (x/y/w-1/h-1 24-bit fields,
+            # duration, flags); a still decode is FRAME 1
+            saw_anim = True
+            sub = 16
+            while sub + 8 <= size:
+                stag = body[sub : sub + 4]
+                (ssize,) = struct.unpack_from("<I", body, sub + 4)
+                sbody = body[sub + 8 : sub + 8 + ssize]
+                if len(sbody) < ssize:
+                    raise EngineError("truncated WebP chunk")
+                if stag == b"VP8L":
+                    vp8l = sbody
+                    break
+                if stag == b"VP8 ":
+                    saw_lossy = True
+                sub += 8 + ssize + (ssize & 1)
+            if vp8l is not None:
+                break
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if vp8l is None:
-        if saw_anim:
-            raise EngineError("animated WebP not supported")
         if saw_lossy:
             raise EngineError(
                 "lossy WebP (VP8) not supported — lossless (VP8L) only"
+            )
+        if saw_anim:
+            raise EngineError(
+                "animated WebP has no lossless (VP8L) frame to decode"
             )
         raise EngineError("WebP has no VP8L bitstream")
 
