@@ -112,12 +112,14 @@ class _LsbReader:
 
     def _fill(self, need: int) -> None:
         while self.nbits < need:
-            if self.pos < len(self.data):
-                self.hold |= self.data[self.pos] << self.nbits
-                self.pos += 1
+            take = self.data[self.pos : self.pos + 4]
+            if take:
+                self.hold |= int.from_bytes(take, "little") << self.nbits
+                self.pos += len(take)
+                self.nbits += 8 * len(take)
             else:
                 self.padded += 8
-            self.nbits += 8
+                self.nbits += 8
 
     def read(self, n: int) -> int:
         if self.nbits < n:
@@ -197,6 +199,7 @@ class _PrefixCode:
             self.table: dict[tuple[int, int], int] = {}
             self.max_len = 0
             self.lut_bits = 0
+            self.lut_mask = 0
             self.lut: list = []
             return
         self.single = None
@@ -213,6 +216,7 @@ class _PrefixCode:
             code += 1
         self.max_len = prev_len
         self.lut_bits = min(self.max_len, _LUT_BITS)
+        self.lut_mask = (1 << self.lut_bits) - 1
         self.lut = [None] * (1 << self.lut_bits)
         for (l, c), s in self.table.items():
             if l <= self.lut_bits:
@@ -224,9 +228,16 @@ class _PrefixCode:
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
-        entry = self.lut[br.peek(self.lut_bits)]
+        # inlined peek+skip: this is the per-symbol hot path
+        if br.nbits < self.lut_bits:
+            br._fill(self.lut_bits)
+        entry = self.lut[br.hold & self.lut_mask]
         if entry is not None:
-            br.skip(entry[1])
+            n = entry[1]
+            if br.padded and br.nbits - br.padded < n:
+                raise EngineError("truncated VP8L bit stream")
+            br.hold >>= n
+            br.nbits -= n
             return entry[0]
         # long code (> lut_bits): bit-walk the canonical table
         code = 0
@@ -262,6 +273,7 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
         code.table = {}
         code.max_len = 0
         code.lut_bits = 0
+        code.lut_mask = 0
         code.lut = []
         if num_symbols == 1:
             code.single = sym0
@@ -271,6 +283,7 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
             code.table = {(1, 0): sym0, (1, 1): sym1}
             code.max_len = 1
             code.lut_bits = 1
+            code.lut_mask = 1
             code.lut = [(sym0, 1), (sym1, 1)]
         return code
     # code-length-coded
