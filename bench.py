@@ -492,18 +492,17 @@ REQUOTE_RATIO = 1.15  # VERDICT r7 task 7: tightened from the 1.3 that let
 REQUOTE_ABS = 0.3     # st07/p02 slip; small-absolute rows stay exempt
 
 
-def _prev_round_timings(
+def _round_records(
     search_dir: Path | None = None, sf: float | None = None
-) -> dict[str, float]:
-    """Per-query numbers from the newest PARSEABLE BENCH_r*.json next
-    to this script; {} if none.
+):
+    """Yield parseable per-query dicts from BENCH_r*.json next to this
+    script, NEWEST ROUND FIRST.
 
     r9 (VERDICT r8 task 2): the r8 record is ``"parsed": null`` (the
     output line outgrew the driver's stdout-tail window), and the old
     newest-only lookup returned {} — silently disengaging the 1.15x
-    requote net.  Walk rounds newest-first and take the first record
-    that actually carries a per-query dict, so one lost round degrades
-    the baseline by one round instead of to nothing.
+    requote net.  Unparseable rounds are skipped, so one lost round
+    degrades the baseline by one round instead of to nothing.
 
     ``sf``: scale factor of the CURRENT run — a record taken at a
     different sf is no baseline at all (a local sf0.01 run compared
@@ -544,8 +543,51 @@ def _prev_round_timings(
                 if isinstance(sec, (int, float)):
                     out[name] = float(sec)
         if out:
-            return out
+            yield out
+
+
+def _prev_round_timings(
+    search_dir: Path | None = None, sf: float | None = None
+) -> dict[str, float]:
+    """Per-query numbers from the newest PARSEABLE round; {} if none."""
+    for rec in _round_records(search_dir, sf):
+        return rec
     return {}
+
+
+# Cross-round window the requote baseline medians over.  Five rounds
+# is wide enough that one outlier round can't set the baseline and
+# narrow enough to track genuine drift (plan rewrites shift a row's
+# level within a round or two).
+BASELINE_WINDOW = 5
+
+
+def _baseline_timings(
+    search_dir: Path | None = None, sf: float | None = None,
+    window: int = BASELINE_WINDOW,
+) -> dict[str, float]:
+    """Per-query CROSS-ROUND MEDIAN over the newest ``window``
+    parseable rounds (VERDICT r11 task 1).
+
+    Requoting against the single previous round mints a false flag
+    whenever that round was the row's all-time low: r11's t23/g07/g09
+    "regression is real" verdicts all dissolved against the
+    cross-round table (t23's r10 baseline 2.31 s was its historical
+    floor; r7–r9 read 3.7–4.6 s — SCALING.md round-11).  A median over
+    the recent window is robust to exactly that outlier class while
+    still drifting with real level shifts."""
+    vals: dict[str, list[float]] = {}
+    for i, rec in enumerate(_round_records(search_dir, sf)):
+        if i >= window:
+            break
+        for name, sec in rec.items():
+            vals.setdefault(name, []).append(sec)
+    out: dict[str, float] = {}
+    for name, vs in vals.items():
+        s = sorted(vs)
+        m = len(s) // 2
+        out[name] = s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 4)
+    return out
 
 
 def _next_round(search_dir: Path | None = None) -> int:
@@ -666,14 +708,74 @@ def _child_budgets(child_gate: float, remaining: float | None) -> tuple[float, f
     return child_gate, child_timeout
 
 
+def _run_isolate(name: str, sf_dir: str, deadline: float | None):
+    """One isolate child for ``name``; (parsed result | None, error).
+
+    Bound the child: a hung Spark job must not block the whole
+    unattended run past the budget (TimeoutExpired and malformed
+    child output both degrade to an error — the in-run number
+    survives, the record still gets written).  The child's OWN
+    quiet-gate budget is scaled down with the remaining wall-clock
+    (r8 ADVICE: a 120s timeout around a child that spends 180s gating
+    records a spurious isolate_failed for a row that was never
+    re-measured), and the timeout is floored ABOVE gate budget +
+    expected measure time so the child can always finish what it was
+    allowed to start."""
+    import subprocess
+
+    child_gate, child_timeout = _child_budgets(
+        float(os.environ.get("BENCH_ISOLATE_QUIET_WAIT_S", "180")),
+        None if deadline is None
+        else max(0.0, deadline - time.perf_counter()),
+    )
+    child_env = dict(os.environ, BENCH_ISOLATE_QUIET_WAIT_S=f"{child_gate:.0f}")
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--isolate", name, sf_dir],
+            capture_output=True, text=True, timeout=child_timeout,
+            env=child_env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {child_timeout:.0f}s"
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    try:
+        r = json.loads(line)
+        float(r["sec"]), float(r["spin_pre"]), float(r["spin_post"])
+        return r, None
+    except (json.JSONDecodeError, KeyError, ValueError, TypeError) as exc:
+        # A truncated/killed child (OOM, mid-print death) must not
+        # crash main() after 25 minutes of measurement.
+        return None, f"{type(exc).__name__}: {exc}"[:200]
+
+
+# A regression_survives verdict needs at least this many CLEAN
+# (in-band, spin-quiet) isolate points agreeing (VERDICT r11 task 1 —
+# the d04 adjudication's own protocol note: "one isolate is not
+# evidence"; r11's e10 flag was minted from a single 2.44 s isolate
+# the same day an all-in-band run read 2.03 s).
+MIN_REGRESSION_POINTS = 3
+# Hard cap on children per flagged row (points + failures) so one
+# noisy row can't consume the whole requote reserve.
+MAX_ISOLATES_PER_ROW = 5
+
+
 def _requote_pass(
     timings: dict[str, float], prev: dict[str, float], sf_dir: str,
     deadline: float | None = None, spin_quietest: float = 0.0,
 ) -> list[dict]:
     """Re-measure any row regressing >REQUOTE_RATIO (and >REQUOTE_ABS
-    seconds) vs the previous round in a fresh spin-bracketed process;
-    adopt the isolated number only when it is ≥20% faster (a real
-    regression survives).  Returns the requote log for the JSON.
+    seconds) vs the CROSS-ROUND-MEDIAN baseline in fresh
+    spin-bracketed processes; adopt an isolated number when it is ≥20%
+    faster, and mint ``regression_survives`` ONLY from the median of
+    ≥MIN_REGRESSION_POINTS clean isolate points (r12, VERDICT r11
+    task 1).  Returns the requote log for the JSON.
+
+    Per-point adjudication is unchanged (_adjudicate_isolate: adopt
+    markedly-faster isolates first; contended/below-band points don't
+    count).  A row that can't accumulate enough clean points inside
+    the budget records ``insufficient_isolate_points`` and keeps its
+    in-run value — documented-but-unverdicted beats a one-isolate
+    "regression is real".
 
     ``deadline`` (perf_counter value) bounds the pass: a bench that
     runs unattended must finish — once past the deadline, remaining
@@ -684,90 +786,104 @@ def _requote_pass(
     1.3x suspect rule (VERDICT r9 task 3); every isolate bracket seen
     during the pass tightens it further, mirroring how
     scale_probe100.py derives its floor from the whole run."""
-    import subprocess
-
     log: list[dict] = []
     for name, sec in list(timings.items()):
         base = prev.get(name)
         if base is None or sec <= base * REQUOTE_RATIO or sec - base < REQUOTE_ABS:
             continue
-        entry = {"name": name, "sec_inrun": sec, "prev_round": base,
-                 "threshold": REQUOTE_RATIO}
+        entry: dict = {"name": name, "sec_inrun": sec, "baseline": base,
+                       "threshold": REQUOTE_RATIO}
         if deadline is not None and time.perf_counter() > deadline:
             entry["outcome"] = "skipped_time_budget"
             log.append(entry)
             print(f"# requote {name}: skipped (time budget)", file=sys.stderr)
             continue
-        # Bound the child: a hung Spark job must not block the whole
-        # unattended run past the budget (TimeoutExpired and malformed
-        # child output both degrade to isolate_failed — the in-run
-        # number survives, the record still gets written).  The child's
-        # OWN quiet-gate budget is scaled down with the remaining
-        # wall-clock (r8 ADVICE: a 120s timeout around a child that
-        # spends 180s gating records a spurious isolate_failed for a
-        # row that was never re-measured), and the timeout is floored
-        # ABOVE gate budget + expected measure time so the child can
-        # always finish what it was allowed to start.
-        child_gate, child_timeout = _child_budgets(
-            float(os.environ.get("BENCH_ISOLATE_QUIET_WAIT_S", "180")),
-            None if deadline is None
-            else max(0.0, deadline - time.perf_counter()),
-        )
-        child_env = dict(os.environ, BENCH_ISOLATE_QUIET_WAIT_S=f"{child_gate:.0f}")
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--isolate", name, sf_dir],
-                capture_output=True, text=True, timeout=child_timeout,
-                env=child_env,
+        points: list[dict] = []
+        errors: list[str] = []
+        clean: list[float] = []
+        outcome: str | None = None
+        while (
+            outcome is None
+            and len(clean) < MIN_REGRESSION_POINTS
+            and len(points) + len(errors) < MAX_ISOLATES_PER_ROW
+        ):
+            if (
+                deadline is not None
+                and time.perf_counter() > deadline
+            ):
+                break
+            r, err = _run_isolate(name, sf_dir, deadline)
+            if r is None:
+                errors.append(err)
+                continue
+            ratio = max(r["spin_pre"], r["spin_post"]) / max(
+                min(r["spin_pre"], r["spin_post"]), 1e-9
             )
-        except subprocess.TimeoutExpired:
-            entry["outcome"] = "isolate_failed"
-            entry["isolate_error"] = f"timeout after {child_timeout:.0f}s"
-            log.append(entry)
-            print(f"# requote {name}: isolate timed out", file=sys.stderr)
-            continue
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        try:
-            r = json.loads(line)
-            ratio = max(r["spin_pre"], r["spin_post"]) / min(r["spin_pre"], r["spin_post"])
-        except (json.JSONDecodeError, KeyError, ValueError, ZeroDivisionError) as exc:
-            # A truncated/killed child (OOM, mid-print death) must not
-            # crash main() after 25 minutes of measurement — log and
-            # keep the in-run value.
-            entry["outcome"] = "isolate_failed"
-            entry["isolate_error"] = f"{type(exc).__name__}: {exc}"[:200]
-            log.append(entry)
-            continue
-        entry.update({"sec_isolated": r["sec"], "spin_pre": r["spin_pre"],
-                      "spin_post": r["spin_post"],
-                      "membw_pre": r.get("membw_pre", 0.0),
-                      "membw_post": r.get("membw_post", 0.0)})
-        floor_candidates = [
-            s for s in (spin_quietest, r["spin_pre"], r["spin_post"]) if s > 0.0
-        ]
-        spin_quietest = min(floor_candidates) if floor_candidates else 0.0
-        # Three contention signals: brackets that DISAGREE (mid-measure
-        # shift), brackets that are evenly HIGH (steady steal — the
-        # ratio is blind to it, SCALING.md round-8 noisy-neighbor
-        # windows read spin 1.9/1.9 = ratio 1.0), or a memory-bandwidth
-        # bracket below the MEASUREMENT band floor (r9: 12-15 GB/s
-        # windows tax Spark 15-30% yet passed the old 8 GB/s check —
-        # an isolate measured there is not within-band comparable, so
-        # its verdict keeps the in-run number rather than minting a
-        # below-band "regression_survives").
-        entry["outcome"] = _adjudicate_isolate(
-            sec, r["sec"], ratio,
-            max(r["spin_pre"], r["spin_post"]),
-            entry["membw_pre"], entry["membw_post"],
-            spin_quietest=spin_quietest,
-        )
+            floor_candidates = [
+                s for s in (spin_quietest, r["spin_pre"], r["spin_post"])
+                if s > 0.0
+            ]
+            spin_quietest = min(floor_candidates) if floor_candidates else 0.0
+            # Three contention signals per point: brackets that
+            # DISAGREE (mid-measure shift), brackets evenly HIGH
+            # (steady steal — the ratio is blind to it, SCALING.md
+            # round-8), or a memory-bandwidth bracket below the
+            # MEASUREMENT band floor (r9: 12-15 GB/s windows tax
+            # Spark 15-30% yet passed the old 8 GB/s check).
+            v = _adjudicate_isolate(
+                sec, r["sec"], ratio,
+                max(r["spin_pre"], r["spin_post"]),
+                r.get("membw_pre", 0.0), r.get("membw_post", 0.0),
+                spin_quietest=spin_quietest,
+            )
+            points.append({
+                "sec": r["sec"], "spin_pre": r["spin_pre"],
+                "spin_post": r["spin_post"],
+                "membw_pre": r.get("membw_pre", 0.0),
+                "membw_post": r.get("membw_post", 0.0),
+                "point_verdict": v,
+            })
+            if v == "requoted":
+                # adopt-first: a markedly faster isolate proves the
+                # in-run number inflated, no further points needed
+                timings[name] = r["sec"]
+                outcome = "requoted"
+            elif v == "regression_survives":
+                clean.append(r["sec"])
+        entry["points"] = points
+        if errors:
+            entry["isolate_errors"] = errors
         entry["spin_floor"] = round(spin_quietest, 4)
-        if entry["outcome"] == "requoted":
-            timings[name] = r["sec"]
+        if outcome is None:
+            if len(clean) >= MIN_REGRESSION_POINTS:
+                s = sorted(clean)
+                m = len(s) // 2
+                med = s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+                entry["sec_isolated_median"] = round(med, 4)
+                if med <= base * REQUOTE_RATIO or med - base < REQUOTE_ABS:
+                    # the flagged level did not reproduce at the
+                    # median: the in-run number was inflated — quote
+                    # the median (conservative: NOT the min)
+                    timings[name] = round(med, 4)
+                    outcome = "requoted"
+                else:
+                    outcome = "regression_survives"
+            elif points and all(
+                p["point_verdict"] == "isolate_contended_kept_inrun"
+                for p in points
+            ):
+                outcome = "isolate_contended_kept_inrun"
+            elif not points:
+                outcome = "isolate_failed"
+            else:
+                outcome = "insufficient_isolate_points"
+        entry["outcome"] = outcome
         log.append(entry)
-        print(f"# requote {name}: inrun {sec:.3f}s prev {base:.3f}s "
-              f"isolated {entry.get('sec_isolated', '-')} -> {entry['outcome']}",
-              file=sys.stderr)
+        print(
+            f"# requote {name}: inrun {sec:.3f}s baseline {base:.3f}s "
+            f"points {[p['sec'] for p in points]} -> {outcome}",
+            file=sys.stderr,
+        )
     return log
 
 
@@ -835,14 +951,14 @@ def main() -> None:
 
     # Re-gate between phases: a noisy window opening mid-run gets
     # waited out at the phase boundary instead of contaminating the
-    # whole headline phase (shorter budget — the start gate already
-    # spent the long one).
+    # whole phase (shorter budget — the start gate already spent the
+    # long one).
     mid_gate = _wait_for_quiet(
         min(
             float(os.environ.get("BENCH_MID_QUIET_WAIT_S", "300")),
             max(0.0, gate_deadline - time.perf_counter()),
         ),
-        "pre_headline",
+        "pre_extended",
         membw_floor=QUIET_MEMBW_MEASURE_GBPS,
     )
 
@@ -879,32 +995,39 @@ def main() -> None:
             print(f"# {name}: {out[name]:.3f}s ({n} rows)", file=sys.stderr)
         return out
 
-    for name in HEADLINE:
-        registry[name].builder(spark, sf_dir).count()
-        release_caches()
-    timings, probes["headline"], noise["headline"], phase_attempts["headline"] = (
-        _measure_phase("headline", lambda: timed_suite(HEADLINE), gate_deadline)
-    )
-
     # Extended legs: round-3+ operator families (streaming-through-the-
     # gate, decontamination, iterative kmeans, codec lanes).  Same
     # methodology but kept OUT of `value`/`queries` so the headline
-    # total stays comparable across rounds.  r10: this phase gets its
-    # own quiet gate — r8 AND r9 both recorded it from a <10 GB/s
-    # window two phases after the last gate (VERDICT r9 task 1).
-    _wait_for_quiet(
-        min(
-            float(os.environ.get("BENCH_MID_QUIET_WAIT_S", "300")),
-            max(0.0, gate_deadline - time.perf_counter()),
-        ),
-        "pre_extended",
-        membw_floor=QUIET_MEMBW_MEASURE_GBPS,
-    )
+    # total stays comparable across rounds.  r12 (VERDICT r11 task 2):
+    # the extended phase is the LONGEST and runs FIRST in the query
+    # session — r11's official record gave it exactly 1 affordable
+    # attempt (205 s left) in a 12.3 GB/s window while the short
+    # headline phase had banked its in-band stamp early.  Longest
+    # phase first maximizes its re-gate/re-attempt budget; the cheap
+    # headline re-attempts fit anywhere.
     for name in EXTENDED:
         registry[name].builder(spark, sf_dir).count()
         release_caches()
     extended, probes["extended"], noise["extended"], phase_attempts["extended"] = (
         _measure_phase("extended", lambda: timed_suite(EXTENDED), gate_deadline)
+    )
+
+    # Headline phase gets its own quiet gate — r8 AND r9 both recorded
+    # a phase from a <10 GB/s window two phases after the last gate
+    # (VERDICT r9 task 1).
+    _wait_for_quiet(
+        min(
+            float(os.environ.get("BENCH_MID_QUIET_WAIT_S", "300")),
+            max(0.0, gate_deadline - time.perf_counter()),
+        ),
+        "pre_headline",
+        membw_floor=QUIET_MEMBW_MEASURE_GBPS,
+    )
+    for name in HEADLINE:
+        registry[name].builder(spark, sf_dir).count()
+        release_caches()
+    timings, probes["headline"], noise["headline"], phase_attempts["headline"] = (
+        _measure_phase("headline", lambda: timed_suite(HEADLINE), gate_deadline)
     )
 
     # Auto-requote (VERDICT r7 task 7, threshold 1.15x): phase-level
@@ -914,7 +1037,7 @@ def main() -> None:
     # recording it.  The adjudication's spin floor (r10, VERDICT r9
     # task 3) seeds from every phase bracket of the run.
     sf_now = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    prev = _prev_round_timings(sf=float(sf_now) if sf_now else None)
+    prev = _baseline_timings(sf=float(sf_now) if sf_now else None)
     run_spins = [
         a[k]
         for attempts in phase_attempts.values()
@@ -973,12 +1096,20 @@ def main() -> None:
         # band floor (r9).  quiet=false means the numbers were
         # recorded under documented external contention.
         "quiet_gates": [quiet_gate, mid_gate],
-        "notes": "r10: phases re-gate and re-measure until the bracket "
-                 "holds the >=15 GB/s band (or stamp "
+        "baseline_window_rounds": BASELINE_WINDOW,
+        "min_regression_points": MIN_REGRESSION_POINTS,
+        "notes": "r12: requote baselines are cross-round MEDIANS over "
+                 f"the newest {BASELINE_WINDOW} parseable rounds (one "
+                 "outlier round can no longer mint a flag) and "
+                 "regression_survives needs the median of >="
+                 f"{MIN_REGRESSION_POINTS} clean isolate points; the "
+                 "extended (longest) phase runs first for retry "
+                 "budget.  Phases re-gate and re-measure until the "
+                 "bracket holds the >=15 GB/s band (or stamp "
                  "best_achievable_band after PHASE_MAX_ATTEMPTS); "
-                 "regression_survives additionally requires a bracket "
-                 "under 1.3x the run's quietest spin; cross-round "
-                 "deltas are conditioned on membw_band",
+                 "point verdicts require a bracket under 1.3x the "
+                 "run's quietest spin; cross-round deltas are "
+                 "conditioned on membw_band",
     }
     try:
         meta_file = f"BENCH_META_r{meta['round']:02d}.json"

@@ -118,6 +118,16 @@ SOFT_RECHECK: dict[str, int] = {  # name -> round the pin was set
     # code path changed after their r10 green rows.
     "m18_jpeg_decode": 11,
     "m19_jpeg_progressive_decode": 11,
+    # r12: the VP8L LZ77 distance map was replaced with the spec's
+    # verbatim 120-entry table (ADVICE r11 high — the generated tail
+    # decoded codes ~93..120 to wrong offsets), palette out-of-range
+    # indices now decode to transparent black per spec, and the
+    # degenerate >=256-single-symbol writer path was fixed; decoded
+    # VALUES on the m21 lane are identical (encoder and decoder share
+    # the table; byte-exact round-trip + new hand-assembled tail
+    # vectors green), but the shipped codec changed after m21's r11
+    # green row.
+    "m21_webp_lossless_decode": 12,
 }
 
 

