@@ -98,3 +98,41 @@ def encode_lossy_rgb(rgb: bytes, w: int, h: int, quality: float = 75.0) -> bytes
     data = ctypes.string_at(out, n)
     lib.WebPFree(out)
     return data
+
+
+def decode_yuv(data: bytes):
+    """(width, height, Y, U, V numpy planes) via libwebp's
+    WebPDecodeYUV — the raw decoder output surface (no colorspace
+    conversion), the right plane for bit-exact VP8 comparisons."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    lib.WebPDecodeYUV.restype = ctypes.c_void_p
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    w, h = ctypes.c_int(), ctypes.c_int()
+    up, vp = ctypes.c_void_p(), ctypes.c_void_p()
+    stride, uv_stride = ctypes.c_int(), ctypes.c_int()
+    ptr = lib.WebPDecodeYUV(
+        data, len(data), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(up), ctypes.byref(vp),
+        ctypes.byref(stride), ctypes.byref(uv_stride),
+    )
+    if not ptr:
+        return None
+    W, H = w.value, h.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    ybuf = ctypes.string_at(ptr, stride.value * H)
+    ubuf = ctypes.string_at(up.value, uv_stride.value * ch)
+    vbuf = ctypes.string_at(vp.value, uv_stride.value * ch)
+    lib.WebPFree(ctypes.c_void_p(ptr))
+    Y = np.frombuffer(ybuf, dtype=np.uint8).reshape(H, stride.value)[:, :W].copy()
+    U = np.frombuffer(ubuf, dtype=np.uint8).reshape(ch, uv_stride.value)[:, :cw].copy()
+    V = np.frombuffer(vbuf, dtype=np.uint8).reshape(ch, uv_stride.value)[:, :cw].copy()
+    return W, H, Y, U, V

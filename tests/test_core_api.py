@@ -3217,3 +3217,138 @@ def test_webp_decoder_handles_real_libwebp_streams():
         W, H, C, out = decode_webp(data)
         assert (W, H, C) == (ww, hh, 4), name
         assert out == flat, f"our decode of a real libwebp stream ({name})"
+
+
+# ---------------------------------------------------------------------------
+# round 12: lossy VP8 (RFC 6386) — VERDICT r11 task 3
+# ---------------------------------------------------------------------------
+
+
+def _vp8_chunk(data: bytes) -> bytes:
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"VP8 ":
+            return data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def test_vp8_decode_bit_exact_vs_libwebp():
+    """The from-spec RFC 6386 key-frame decoder reproduces the
+    canonical libwebp's Y/U/V output BIT-EXACTLY on real
+    libwebp-encoded lossy streams — every size class (multiple-of-16,
+    odd, sub-MB), content class (gradient/noise/photo-ish), and
+    quality from 5 to 100 (different quantizers, B_PRED density, skip
+    rates, and loop-filter levels).  This is stronger evidence than
+    any reconstruction bound: a single wrong probability among the
+    ~4100 table constants, a wrong tree, a wrong edge convention, or
+    a wrong filter tap would desynchronize the arithmetic decoder or
+    shift pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests import libwebp_ref
+    from flaco_spark.sources.vp8_codec import decode_vp8_frame
+
+    if libwebp_ref.load() is None:
+        _pytest.skip("libwebp not available")
+
+    rng = np.random.RandomState(42)
+    checked = 0
+    for (w, h) in [(16, 16), (64, 48), (33, 17), (15, 15), (130, 94)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        imgs = {
+            "grad": np.stack(
+                [(xx * 3 + yy) % 256, (xx + yy * 5) % 256, (xx * 2 ^ yy) % 256],
+                axis=-1,
+            ).astype(np.uint8),
+            "noise": rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8),
+            "photo": (
+                128
+                + 60 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+                + rng.randint(-20, 20, size=(h, w))
+            ).clip(0, 255).astype(np.uint8)[..., None].repeat(3, axis=-1),
+        }
+        for name, img in imgs.items():
+            for q in (5.0, 50.0, 75.0, 100.0):
+                data = libwebp_ref.encode_lossy_rgb(
+                    np.ascontiguousarray(img).tobytes(), w, h, q
+                )
+                ref = libwebp_ref.decode_yuv(data)
+                W, H, Y, U, V = decode_vp8_frame(_vp8_chunk(data))
+                assert (W, H) == (w, h)
+                assert np.array_equal(Y, ref[2]), f"{w}x{h} {name} q{q} Y"
+                assert np.array_equal(U, ref[3]), f"{w}x{h} {name} q{q} U"
+                assert np.array_equal(V, ref[4]), f"{w}x{h} {name} q{q} V"
+                checked += 1
+    assert checked == 60
+
+
+def test_vp8_header_parse_and_error_surface():
+    """Header fields parse from real streams; malformed inputs refuse
+    loudly (truncation, bad start code, inter frame, oversized
+    declared dims)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests import libwebp_ref
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.vp8_codec import decode_vp8_frame, parse_frame_header
+
+    if libwebp_ref.load() is None:
+        _pytest.skip("libwebp not available")
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    body = _vp8_chunk(libwebp_ref.encode_lossy_rgb(img.tobytes(), 48, 32, 75.0))
+    h = parse_frame_header(body)
+    assert (h.width, h.height) == (48, 32)
+    assert h.key_frame and h.show_frame and h.num_token_partitions in (1, 2, 4, 8)
+
+    with _pytest.raises(EngineError, match="truncated"):
+        parse_frame_header(body[:5])
+    bad = bytearray(body)
+    bad[3] = 0x00  # break the start code
+    with _pytest.raises(EngineError, match="start code"):
+        parse_frame_header(bytes(bad))
+    inter = bytearray(body)
+    inter[0] |= 1  # inter-frame bit
+    with _pytest.raises(EngineError, match="inter frame"):
+        parse_frame_header(bytes(inter))
+    big = bytearray(body)
+    big[6] = 0xFF
+    big[7] = 0x3F  # width 16383
+    big[8] = 0xFF
+    big[9] = 0x3F
+    with _pytest.raises(EngineError, match="pixel budget"):
+        parse_frame_header(bytes(big))
+    trunc = bytearray(body)
+    with _pytest.raises(EngineError):
+        decode_vp8_frame(bytes(trunc[:20]))
+
+
+def test_vp8_tables_structural_invariants():
+    """The RFC 6386 table module's structural properties (provenance
+    gate for the extracted constants): shapes, the hand-transcribable
+    literals, dequant monotonicity with the RFC's 157/284 maxima, the
+    all-128 type-0 band-0 rows, the spec-quoted kf_bmode first row."""
+    import numpy as np
+
+    from flaco_spark.sources import vp8_tables as t
+
+    assert t.COEFF_BANDS == (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+    dc, ac = list(t.DC_QLOOKUP), list(t.AC_QLOOKUP)
+    assert len(dc) == len(ac) == 128
+    assert dc == sorted(dc) and dc[0] == 4 and dc[-1] == 157
+    assert ac == sorted(ac) and ac[0] == 4 and ac[-1] == 284
+    cp = np.array(t.DEFAULT_COEFF_PROBS, dtype=np.int64).reshape(4, 8, 3, 11)
+    assert bool((cp[0, 0] == 128).all())  # unused band of type 0
+    assert 1 <= cp.min() and cp.max() <= 255
+    up = np.array(t.COEFF_UPDATE_PROBS, dtype=np.int64).reshape(4, 8, 3, 11)
+    assert up.min() >= 128 and int((up == 255).sum()) > 800
+    bm = np.array(t.KF_BMODE_PROBS, dtype=np.int64).reshape(10, 10, 9)
+    assert list(bm[0][0]) == [231, 120, 48, 89, 115, 113, 120, 152, 112]
