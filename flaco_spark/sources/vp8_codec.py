@@ -1098,3 +1098,365 @@ def yuv420_to_rgb(Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> np.ndarray:
         [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)], axis=-1
     )
     return out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (key-frame subset): 16x16 intra modes, one token partition,
+# default probabilities, loop filter off.  Used for gate-lane fixtures
+# and round-trips; its streams are also decoded by libwebp in tests.
+# ---------------------------------------------------------------------------
+
+
+def _linear_map(fn) -> np.ndarray:
+    """Measure the 16x16 linear map of an integer transform by scaled
+    impulses (the rounding term vanishes at scale 4096)."""
+    M = np.zeros((16, 16))
+    for k in range(16):
+        e = [0] * 16
+        e[k] = 4096
+        M[:, k] = np.array(fn(e), dtype=np.float64) / 4096.0
+    return M
+
+
+_IDCT_M = _linear_map(idct4x4)
+_IDCT_INV = np.linalg.inv(_IDCT_M)
+_IWHT_M = _linear_map(iwht4x4)
+_IWHT_INV = np.linalg.inv(_IWHT_M)
+
+
+def _quantize_block(res_flat: np.ndarray, inv: np.ndarray, dq_dc: int, dq_ac: int):
+    """Integer coefficient levels whose dequantized inverse transform
+    approximates ``res_flat`` (the encoder's forward path)."""
+    target = inv @ res_flat.astype(np.float64)
+    levels = [0] * 16
+    for raster in range(16):
+        q = dq_dc if raster == 0 else dq_ac
+        lv = int(np.round(target[raster] / q))
+        levels[raster] = max(-2047, min(2047, lv))
+    return levels
+
+
+def _tokenize(levels_raster: list[int], first: int) -> list[tuple]:
+    """Scan-order (token, extra_cat, value) list for one block: zero
+    runs between nonzeros, EOB after the last nonzero."""
+    scan = [levels_raster[ZIGZAG[i]] for i in range(16)]
+    last = -1
+    for i in range(first, 16):
+        if scan[i]:
+            last = i
+    toks = []
+    if last < first:
+        toks.append(("eob",))
+        return toks
+    for i in range(first, last + 1):
+        v = scan[i]
+        a = abs(v)
+        if a == 0:
+            toks.append(("zero",))
+        elif a <= 4:
+            toks.append(("small", a, v < 0))
+        else:
+            cat = next(c for c in range(5, -1, -1) if a >= CAT_BASE[c])
+            toks.append(("cat", cat, a - CAT_BASE[cat], v < 0))
+    if last < 15:
+        toks.append(("eob",))
+    return toks
+
+
+def _write_block_tokens(
+    be: BoolEncoder, toks: list[tuple], probs_type, first: int, ctx: int
+) -> int:
+    """Mirror of _decode_block's reads; returns the nz flag."""
+    i = first
+    start = 0
+    nz = 0
+    for t in toks:
+        p = probs_type[COEFF_BANDS[i]][ctx]
+        if t[0] == "eob":
+            be.write_tree(TOKEN_TREE, p, TOK_EOB, start)
+            break
+        if t[0] == "zero":
+            be.write_tree(TOKEN_TREE, p, TOK_0, start)
+            ctx = 0
+            start = 2
+            i += 1
+            continue
+        if t[0] == "small":
+            _, a, neg = t
+            be.write_tree(TOKEN_TREE, p, TOK_1 + (a - 1), start)
+            ctx = 1 if a == 1 else 2
+        else:
+            _, cat, extra, neg = t
+            be.write_tree(TOKEN_TREE, p, TOK_CAT1 + cat, start)
+            for bi, pr in enumerate(CAT_PROBS[cat]):
+                be.write_bool(pr, (extra >> (len(CAT_PROBS[cat]) - 1 - bi)) & 1)
+            ctx = 2
+        be.write_bool(128, 1 if neg else 0)
+        nz = 1
+        start = 0
+        i += 1
+    return nz
+
+
+def rgb_to_yuv420(rgb: np.ndarray):
+    """Integer BT.601 studio-range RGB -> YUV 4:2:0 (the inverse
+    convention of yuv420_to_rgb; 2x2 chroma averaging)."""
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    h, w = r.shape
+    Y = np.clip(y, 0, 255).astype(np.uint8)
+
+    def sub(p):
+        ph = p[: h - (h % 2) or h, :]
+        # pad to even dims by edge replication before 2x2 averaging
+        pe = np.pad(
+            p, ((0, h % 2), (0, w % 2)), mode="edge"
+        ).astype(np.int32)
+        return (
+            (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2] + 2)
+            >> 2
+        )
+
+    U = np.clip(sub(u), 0, 255).astype(np.uint8)
+    V = np.clip(sub(v), 0, 255).astype(np.uint8)
+    return Y, U, V
+
+
+def encode_vp8_frame(
+    Y: np.ndarray, U: np.ndarray, V: np.ndarray, width: int, height: int,
+    q_index: int = 12,
+) -> bytes:
+    """A real RFC 6386 key frame: 16x16 intra modes (best of
+    DC/V/H/TM by SAD against the reconstructed-neighbor prediction),
+    Y2 always coded, one token partition, default probabilities,
+    loop filter off."""
+    if not 0 <= q_index <= 127:
+        raise EngineError(f"invalid VP8 quantizer index {q_index}")
+    mbw = (width + 15) // 16
+    mbh = (height + 15) // 16
+    W16, H16 = mbw * 16, mbh * 16
+
+    # MB-padded source planes (edge replication)
+    def pad(p, ph, pw):
+        return np.pad(
+            p.astype(np.int32),
+            ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+            mode="edge",
+        )
+
+    src_y = pad(Y, H16, W16)
+    src_u = pad(U, H16 // 2, W16 // 2)
+    src_v = pad(V, H16 // 2, W16 // 2)
+
+    # reconstruction planes with prediction borders (decoder mirror)
+    rec_y = np.empty((H16 + 1, W16 + 1 + 4), dtype=np.int32)
+    rec_y[0, :] = 127
+    rec_y[:, 0] = 129
+    rec_y[0, 0] = 127
+    rec_u = np.empty((H16 // 2 + 1, W16 // 2 + 1), dtype=np.int32)
+    rec_v = np.empty_like(rec_u)
+    for p in (rec_u, rec_v):
+        p[0, :] = 127
+        p[:, 0] = 129
+        p[0, 0] = 127
+
+    h = FrameHeader()
+    h.segmentation = 0
+    h.seg_abs = 0
+    h.seg_quant = [0] * 4
+    h.seg_lf = [0] * 4
+    h.y_ac_qi = q_index
+    h.y_dc_delta = h.y2_dc_delta = h.y2_ac_delta = 0
+    h.uv_dc_delta = h.uv_ac_delta = 0
+    y1dc, y1ac, y2dc, y2ac, uvdc, uvac = _dequant_factors(h, 0)
+
+    mode_be = BoolEncoder()
+    # header fields (mirrors parse_frame_header's reads)
+    mode_be.write_bool(128, 0)  # color_space
+    mode_be.write_bool(128, 0)  # clamping_type
+    mode_be.write_bool(128, 0)  # segmentation_enabled
+    mode_be.write_bool(128, 0)  # filter_type
+    mode_be.write_literal(6, 0)  # loop_filter_level = 0
+    mode_be.write_literal(3, 0)  # sharpness
+    mode_be.write_bool(128, 0)  # lf_delta_enabled
+    mode_be.write_literal(2, 0)  # log2 partitions = 0 -> 1 partition
+    mode_be.write_literal(7, q_index)
+    for _ in range(5):
+        mode_be.write_bool(128, 0)  # no quant deltas
+    mode_be.write_bool(128, 1)  # refresh_entropy_probs
+    for i in range(4):  # no coefficient probability updates
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    mode_be.write_bool(int(_COEFF_UPDATE[i, j, k, l]), 0)
+    mode_be.write_bool(128, 0)  # mb_no_coeff_skip = 0
+
+    tok_be = BoolEncoder()
+    probs = _COEFF_PROBS_DEFAULT
+    above_y = [[0] * 4 for _ in range(mbw)]
+    above_u = [[0] * 2 for _ in range(mbw)]
+    above_v = [[0] * 2 for _ in range(mbw)]
+    above_y2 = [0] * mbw
+
+    def best_mode(rec, src, y0, x0, size, have_up, have_left):
+        cands = [DC_PRED, V_PRED, H_PRED, TM_PRED]
+        best, best_sad, best_blk = DC_PRED, None, None
+        tgt = src[y0 - 1 : y0 - 1 + size, x0 - 1 : x0 - 1 + size]
+        for m in cands:
+            if m == V_PRED and not have_up:
+                continue
+            if m == H_PRED and not have_left:
+                continue
+            if m == TM_PRED and not (have_up and have_left):
+                continue
+            save = rec[y0 : y0 + size, x0 : x0 + size].copy()
+            _pred_16_or_8(rec, m, y0, x0, size, have_up, have_left)
+            blk = rec[y0 : y0 + size, x0 : x0 + size].copy()
+            rec[y0 : y0 + size, x0 : x0 + size] = save
+            sad = int(np.abs(tgt - blk).sum())
+            if best_sad is None or sad < best_sad:
+                best, best_sad, best_blk = m, sad, blk
+        return best, best_blk
+
+    for mby in range(mbh):
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        for mbx in range(mbw):
+            y0, x0 = mby * 16 + 1, mbx * 16 + 1
+            ymode, pred_y = best_mode(
+                rec_y, src_y, y0, x0, 16, mby > 0, mbx > 0
+            )
+            res = src_y[y0 - 1 : y0 + 15, x0 - 1 : x0 + 15] - pred_y
+            # per-subblock quantized levels; Y2 holds the DC lane
+            y_levels = []
+            dc_targets = np.zeros(16)
+            for sb in range(16):
+                r, c = sb >> 2, sb & 3
+                blk = res[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4].reshape(-1)
+                target = _IDCT_INV @ blk.astype(np.float64)
+                dc_targets[sb] = target[0]
+                levels = [0] * 16
+                for raster in range(1, 16):
+                    lv = int(np.round(target[raster] / y1ac))
+                    levels[raster] = max(-2047, min(2047, lv))
+                y_levels.append(levels)
+            # Y2: forward WHT of the DC lane
+            y2_target = _IWHT_INV @ dc_targets
+            y2_levels = [0] * 16
+            for raster in range(16):
+                q = y2dc if raster == 0 else y2ac
+                y2_levels[raster] = max(
+                    -2047, min(2047, int(np.round(y2_target[raster] / q)))
+                )
+            # chroma
+            cy0, cx0 = mby * 8 + 1, mbx * 8 + 1
+            uvmode, pred_u = best_mode(
+                rec_u, src_u, cy0, cx0, 8, mby > 0, mbx > 0
+            )
+            _pred_16_or_8(rec_v, uvmode, cy0, cx0, 8, mby > 0, mbx > 0)
+            pred_v = rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8].copy()
+            uv_levels = []
+            for plane_src, predp, c0 in (
+                (src_u, pred_u, cx0), (src_v, pred_v, cx0)
+            ):
+                resc = (
+                    plane_src[cy0 - 1 : cy0 + 7, cx0 - 1 : cx0 + 7] - predp
+                )
+                for sb in range(4):
+                    r, c = sb >> 1, sb & 1
+                    blk = resc[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4].reshape(-1)
+                    uv_levels.append(
+                        _quantize_block(blk, _IDCT_INV, uvdc, uvac)
+                    )
+
+            # ---- mode bits (partition 1)
+            mode_be.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, ymode)
+            mode_be.write_tree(UV_MODE_TREE, KF_UV_MODE_PROB, uvmode)
+
+            # ---- token bits (partition 2), decoder read order
+            ctx = above_y2[mbx] + left_y2
+            nz = _write_block_tokens(
+                tok_be, _tokenize(y2_levels, 0), probs[1], 0, ctx
+            )
+            above_y2[mbx] = left_y2 = nz
+            for sb in range(16):
+                r, c = sb >> 2, sb & 3
+                ctx = above_y[mbx][c] + left_y[r]
+                nz = _write_block_tokens(
+                    tok_be, _tokenize(y_levels[sb], 1), probs[0], 1, ctx
+                )
+                above_y[mbx][c] = left_y[r] = nz
+            for pi, (above_c, left_c) in enumerate(
+                ((above_u, left_u), (above_v, left_v))
+            ):
+                for sb in range(4):
+                    r, c = sb >> 1, sb & 1
+                    ctx = above_c[mbx][c] + left_c[r]
+                    nz = _write_block_tokens(
+                        tok_be,
+                        _tokenize(uv_levels[pi * 4 + sb], 0),
+                        probs[2], 0, ctx,
+                    )
+                    above_c[mbx][c] = left_c[r] = nz
+
+            # ---- reconstruction, exactly as the decoder will do it
+            dcs = iwht4x4([v * (y2dc if i == 0 else y2ac)
+                           for i, v in enumerate(y2_levels)])
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = pred_y
+            for sb in range(16):
+                deq = [
+                    y_levels[sb][i] * (y1dc if i == 0 else y1ac)
+                    for i in range(16)
+                ]
+                deq[0] = dcs[sb]
+                if any(deq):
+                    out = idct4x4(deq)
+                    r, c = (sb >> 2) * 4, (sb & 3) * 4
+                    blk = rec_y[y0 + r : y0 + r + 4, x0 + c : x0 + c + 4]
+                    blk += np.array(out, dtype=np.int32).reshape(4, 4)
+                    np.clip(blk, 0, 255, out=blk)
+            rec_u[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_u
+            rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_v
+            for pi, recp in ((0, rec_u), (1, rec_v)):
+                for sb in range(4):
+                    deq = [
+                        uv_levels[pi * 4 + sb][i] * (uvdc if i == 0 else uvac)
+                        for i in range(16)
+                    ]
+                    if any(deq):
+                        out = idct4x4(deq)
+                        r, c = (sb >> 1) * 4, (sb & 1) * 4
+                        blk = recp[
+                            cy0 + r : cy0 + r + 4, cx0 + c : cx0 + c + 4
+                        ]
+                        blk += np.array(out, dtype=np.int32).reshape(4, 4)
+                        np.clip(blk, 0, 255, out=blk)
+
+    part1 = mode_be.finish()
+    part2 = tok_be.finish()
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    header = bytes(
+        [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF]
+    ) + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+    return header + part1 + part2
+
+
+def encode_webp_lossy(
+    rgb: bytes, width: int, height: int, q_index: int = 12
+) -> bytes:
+    """A lossy WebP container ("VP8 " chunk) from raw RGB bytes."""
+    arr = np.frombuffer(rgb, dtype=np.uint8)
+    if arr.size != width * height * 3:
+        raise EngineError("RGB payload size mismatch")
+    Y, U, V = rgb_to_yuv420(arr.reshape(height, width, 3))
+    frame = encode_vp8_frame(Y, U, V, width, height, q_index)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -789,7 +789,8 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         raise EngineError("truncated WebP (RIFF size exceeds data)")
     pos = 12
     vp8l: bytes | None = None
-    saw_lossy = False
+    vp8: bytes | None = None
+    saw_alpha = False
     saw_anim = False
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -800,8 +801,10 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"VP8L":
             vp8l = body
             break
-        if tag == b"VP8 ":
-            saw_lossy = True
+        if tag == b"VP8 " and vp8 is None:
+            vp8 = body
+        if tag == b"ALPH":
+            saw_alpha = True
         if tag == b"ANIM":
             saw_anim = True
         if tag == b"ANMF" and size >= 16:
@@ -819,22 +822,39 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
                 if stag == b"VP8L":
                     vp8l = sbody
                     break
-                if stag == b"VP8 ":
-                    saw_lossy = True
+                if stag == b"VP8 " and vp8 is None:
+                    vp8 = sbody
+                if stag == b"ALPH":
+                    saw_alpha = True
                 sub += 8 + ssize + (ssize & 1)
             if vp8l is not None:
                 break
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if vp8l is None:
-        if saw_lossy:
-            raise EngineError(
-                "lossy WebP (VP8) not supported — lossless (VP8L) only"
+        if vp8 is not None:
+            # r12: lossy VP8 key-frame decode (RFC 6386, vp8_codec.py)
+            # — VERDICT r11 task 3.  An ALPH plane alongside would
+            # change the pixels, so it stays a loud refusal.
+            if saw_alpha:
+                raise EngineError(
+                    "lossy WebP with an ALPH alpha plane is not supported"
+                )
+            from flaco_spark.sources.vp8_codec import (
+                decode_vp8_frame,
+                yuv420_to_rgb,
             )
+
+            W, H, Y, U, V = decode_vp8_frame(vp8)
+            rgb = yuv420_to_rgb(Y, U, V)
+            rgba = np.dstack(
+                [rgb, np.full((H, W), 255, dtype=np.uint8)]
+            )
+            return W, H, 4, rgba.tobytes()
         if saw_anim:
             raise EngineError(
-                "animated WebP has no lossless (VP8L) frame to decode"
+                "animated WebP has no decodable still frame"
             )
-        raise EngineError("WebP has no VP8L bitstream")
+        raise EngineError("WebP has no VP8/VP8L bitstream")
 
     if not vp8l or vp8l[0] != VP8L_MAGIC:
         raise EngineError("bad VP8L signature byte")

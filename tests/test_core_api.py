@@ -3352,3 +3352,278 @@ def test_vp8_tables_structural_invariants():
     assert up.min() >= 128 and int((up == 255).sum()) > 800
     bm = np.array(t.KF_BMODE_PROBS, dtype=np.int64).reshape(10, 10, 9)
     assert list(bm[0][0]) == [231, 120, 48, 89, 115, 113, 120, 152, 112]
+
+
+def test_vp8_encoder_streams_decode_identically_under_libwebp():
+    """Our from-spec VP8 key-frame encoder's streams decode to the
+    SAME Y/U/V under the canonical libwebp and under our decoder, and
+    the luma reconstruction error stays within the per-quantizer
+    bounds the m22 lane asserts."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests import libwebp_ref
+    from flaco_spark.sources.vp8_codec import (
+        decode_vp8_frame,
+        encode_webp_lossy,
+        rgb_to_yuv420,
+    )
+    from flaco_spark.operators.multimodal import _VP8_QI, _VP8_TOL
+
+    if libwebp_ref.load() is None:
+        _pytest.skip("libwebp not available")
+
+    rng = np.random.RandomState(5)
+    for (w, h) in [(48, 32), (33, 17), (16, 64)]:
+        for variant, qi in enumerate(_VP8_QI):
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            data = encode_webp_lossy(
+                np.ascontiguousarray(img).tobytes(), w, h, q_index=qi
+            )
+            chunk_len = int.from_bytes(data[16:20], "little")
+            W, H, Y, U, V = decode_vp8_frame(data[20 : 20 + chunk_len])
+            assert (W, H) == (w, h)
+            ref = libwebp_ref.decode_yuv(data)
+            assert ref is not None, f"libwebp refused our stream q{qi}"
+            assert np.array_equal(Y, ref[2]), f"{w}x{h} q{qi} Y"
+            assert np.array_equal(U, ref[3]), f"{w}x{h} q{qi} U"
+            assert np.array_equal(V, ref[4]), f"{w}x{h} q{qi} V"
+            y_src, _, _ = rgb_to_yuv420(img)
+            err = int(np.abs(Y.astype(int) - y_src.astype(int)).max())
+            assert err <= _VP8_TOL[variant], (qi, err)
+
+
+def test_decode_image_routes_lossy_webp():
+    """decode_webp / decode_image route "VP8 "-chunk WebP through the
+    RFC 6386 decoder (RGBA out, alpha 255); lossy-with-ALPH refuses
+    loudly rather than dropping the alpha plane silently."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.sources.vp8_codec import encode_webp_lossy
+    from flaco_spark.sources.webp_codec import decode_webp
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    data = encode_webp_lossy(img.tobytes(), 40, 24, q_index=4)
+    W, H, C, out = decode_webp(data)
+    assert (W, H, C) == (40, 24, 4)
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(24, 40, 4)
+    assert (arr[:, :, 3] == 255).all()
+    # 4:2:0 luma is quant-bounded; RGB carries chroma-subsampling loss,
+    # so only sanity-check it loosely here (the strict checks are YUV)
+    assert np.abs(arr[:, :, :3].astype(int) - img.astype(int)).mean() < 64
+
+    # VP8X + ALPH + VP8: loud refusal
+    chunk_len = int.from_bytes(data[16:20], "little")
+    vp8 = data[12 : 20 + chunk_len]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x10, 0, 0, 0]) + (
+        (40 - 1).to_bytes(3, "little") + (24 - 1).to_bytes(3, "little")
+    )
+    alph = b"ALPH" + struct.pack("<I", 2) + b"\x00\xff"
+    body = b"WEBP" + vp8x + alph + vp8
+    with _pytest.raises(EngineError, match="ALPH"):
+        decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# round 12: baseline TIFF raster codec — VERDICT r11 task 7
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_feature_matrix():
+    """encode->decode round-trips: gray/RGB, none/PackBits/LZW (with
+    the TIFF early-change width rule), predictor-2-under-LZW, both
+    byte orders, multi-strip layouts, and 1-bit bilevel in both
+    photometric polarities."""
+    import numpy as np
+
+    from flaco_spark.sources.tiff_codec import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(0)
+    checked = 0
+    for (w, h, ch) in [(16, 9, 1), (33, 7, 3), (1, 1, 1), (200, 40, 3)]:
+        hi = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        lo = (rng.randint(0, 4, size=w * h * ch, dtype=np.uint8) * 60).tobytes()
+        for pix in (hi, lo):
+            for comp in ("none", "packbits", "lzw"):
+                for e in ("<", ">"):
+                    for pred in (1, 2) if comp == "lzw" else (1,):
+                        for rps in (None, 3):
+                            t = encode_tiff(
+                                pix, w, h, ch, compression=comp, endian=e,
+                                predictor=pred, rows_per_strip=rps,
+                            )
+                            assert decode_tiff(t) == (w, h, ch, pix), (
+                                w, h, ch, comp, e, pred, rps
+                            )
+                            checked += 1
+    bw = (rng.randint(0, 2, size=20 * 13, dtype=np.uint8) * 255).tobytes()
+    for comp in ("none", "packbits", "lzw"):
+        for photo in (0, 1):
+            t = encode_tiff(
+                bw, 20, 13, 1, compression=comp, bilevel=True,
+                photometric=photo,
+            )
+            assert decode_tiff(t) == (20, 13, 1, bw), (comp, photo)
+            checked += 1
+    assert checked == 134
+
+
+def test_tiff_cross_implementation(spark):
+    """Both directions against the JDK's ImageIO TIFF plugin (the
+    PNG/GIF/Avro discipline): our streams decode pixel-for-pixel
+    under ImageIO across compressions/predictor/byte orders, and
+    ImageIO-written TIFFs (default/LZW/PackBits) decode under our
+    codec — this is the check that caught the LZW early-change
+    off-by-one a self-consistent round-trip sailed through."""
+    import numpy as np
+
+    from flaco_spark.sources.tiff_codec import decode_tiff, encode_tiff
+
+    jvm = spark._jvm
+    rng = np.random.RandomState(3)
+
+    def imageio_read(data, w, h, ch):
+        bis = jvm.java.io.ByteArrayInputStream(bytearray(data))
+        img = jvm.javax.imageio.ImageIO.read(bis)
+        if img is None:
+            return None
+        raster = img.getRaster()
+        got = bytearray()
+        for y in range(h):
+            for x in range(w):
+                for c in range(ch):
+                    got.append(raster.getSample(x, y, c))
+        return bytes(got)
+
+    for (w, h, ch) in [(16, 9, 1), (33, 7, 3), (64, 32, 1)]:
+        pix = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        for comp in ("none", "packbits", "lzw"):
+            for pred in (1, 2) if comp == "lzw" else (1,):
+                for e in ("<", ">"):
+                    t = encode_tiff(
+                        pix, w, h, ch, compression=comp, predictor=pred,
+                        endian=e,
+                    )
+                    assert imageio_read(t, w, h, ch) == pix, (
+                        w, h, ch, comp, pred, e
+                    )
+    for (w, h, ch) in [(20, 11, 1), (17, 8, 3)]:
+        pix = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        img = jvm.java.awt.image.BufferedImage(w, h, 10 if ch == 1 else 5)
+        raster = img.getRaster()
+        i = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(ch):
+                    raster.setSample(x, y, c, pix[i])
+                    i += 1
+        for comp_name in (None, "LZW", "PackBits"):
+            baos = jvm.java.io.ByteArrayOutputStream()
+            ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+                "tiff"
+            ).next()
+            writer.setOutput(ios)
+            param = writer.getDefaultWriteParam()
+            if comp_name:
+                param.setCompressionMode(
+                    jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+                )
+                param.setCompressionType(comp_name)
+            writer.write(
+                None, jvm.javax.imageio.IIOImage(img, None, None), param
+            )
+            ios.flush()
+            assert decode_tiff(bytes(baos.toByteArray())) == (w, h, ch, pix), (
+                w, h, ch, comp_name
+            )
+
+
+def test_tiff_error_surface_and_router():
+    """Loud refusals: CCITT/JPEG-in-TIFF/planar/ambiguous-predictor/
+    truncation/bad magic; multi-page chain counting; decode_image
+    routes II*/MM* magics; declared-dims pixel budget."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flaco_spark.errors import EngineError
+    from flaco_spark.operators.multimodal import decode_image
+    from flaco_spark.sources.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+        tiff_page_count,
+    )
+
+    rng = np.random.RandomState(2)
+    pix = rng.randint(0, 256, size=8 * 4, dtype=np.uint8).tobytes()
+    t = encode_tiff(pix, 8, 4, 1, compression="lzw")
+    assert tiff_page_count(t) == 1
+    assert decode_image(t) == (8, 4, 1, pix)
+    mm = encode_tiff(pix, 8, 4, 1, endian=">")
+    assert decode_image(mm) == (8, 4, 1, pix)
+
+    with _pytest.raises(EngineError, match="byte-order"):
+        decode_tiff(b"XX" + t[2:])
+    with _pytest.raises(EngineError, match="magic"):
+        decode_tiff(t[:2] + b"\x00\x00" + t[4:])
+    with _pytest.raises(EngineError):
+        decode_tiff(t[:30])
+
+    def patch_tag(data, tag, new_value):
+        e = "<"
+        (n,) = _struct.unpack_from(f"{e}H", data, 8)
+        out = bytearray(data)
+        for i in range(n):
+            tid, vtype, count = _struct.unpack_from(
+                f"{e}HHI", data, 10 + 12 * i
+            )
+            if tid == tag:
+                _struct.pack_into(f"{e}I", out, 10 + 12 * i + 8, new_value)
+                return bytes(out)
+        # add is not supported; tests only patch existing tags
+        raise AssertionError(f"tag {tag} not present")
+
+    for comp_id, msg in ((2, "CCITT"), (4, "CCITT"), (7, "JPEG"), (6, "JPEG")):
+        with _pytest.raises(EngineError, match=msg):
+            decode_tiff(patch_tag(t, 259, comp_id))
+    # PlanarConfiguration defaults to 1 and our writer omits it, so
+    # the planar refusal is covered by the decoder branch; predictor
+    # outside LZW is the patchable ambiguity case:
+    amb = patch_tag(encode_tiff(pix, 8, 4, 1, compression="lzw", predictor=2),
+                    259, 1)  # rewrite compression to none, keep predictor 2
+    with _pytest.raises(EngineError, match="ambiguous"):
+        decode_tiff(amb)
+    with _pytest.raises(EngineError, match="predictor 2 is only"):
+        encode_tiff(pix, 8, 4, 1, compression="none", predictor=2)
+    # pixel budget on declared dims
+    with _pytest.raises(EngineError, match="pixel budget"):
+        decode_tiff(patch_tag(patch_tag(t, 256, 30000), 257, 30000))
+
+    # multi-page: append a second IFD chain by concatenating... simpler:
+    # splice file twice with adjusted next-IFD pointer
+    two = bytearray(t)
+    second = encode_tiff(pix, 8, 4, 1)
+    base = len(two)
+    # rewrite second file's internal offsets by +base and chain it
+    e = "<"
+    (n,) = _struct.unpack_from(f"{e}H", second, 8)
+    sec = bytearray(second)
+    for i in range(n):
+        tid, vtype, count = _struct.unpack_from(f"{e}HHI", sec, 10 + 12 * i)
+        size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}[vtype] * count
+        if size > 4 or tid == 273:
+            (v,) = _struct.unpack_from(f"{e}I", sec, 10 + 12 * i + 8)
+            _struct.pack_into(f"{e}I", sec, 10 + 12 * i + 8, v + base)
+    # patch first file's IFD next pointer to point at second IFD
+    (n1,) = _struct.unpack_from(f"{e}H", two, 8)
+    _struct.pack_into(f"{e}I", two, 10 + 12 * n1, base + 8)
+    two += sec
+    assert tiff_page_count(bytes(two)) == 2
+    assert decode_tiff(bytes(two))[:3] == (8, 4, 1)  # page 0 decodes
