@@ -790,7 +790,7 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     pos = 12
     vp8l: bytes | None = None
     vp8: bytes | None = None
-    saw_alpha = False
+    alph: bytes | None = None
     saw_anim = False
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -804,7 +804,7 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"VP8 " and vp8 is None:
             vp8 = body
         if tag == b"ALPH":
-            saw_alpha = True
+            alph = body
         if tag == b"ANIM":
             saw_anim = True
         if tag == b"ANMF" and size >= 16:
@@ -825,7 +825,7 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
                 if stag == b"VP8 " and vp8 is None:
                     vp8 = sbody
                 if stag == b"ALPH":
-                    saw_alpha = True
+                    alph = sbody
                 sub += 8 + ssize + (ssize & 1)
             if vp8l is not None:
                 break
@@ -833,12 +833,9 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     if vp8l is None:
         if vp8 is not None:
             # r12: lossy VP8 key-frame decode (RFC 6386, vp8_codec.py)
-            # — VERDICT r11 task 3.  An ALPH plane alongside would
-            # change the pixels, so it stays a loud refusal.
-            if saw_alpha:
-                raise EngineError(
-                    "lossy WebP with an ALPH alpha plane is not supported"
-                )
+            # — VERDICT r11 task 3 — plus the ALPH alpha plane
+            # (RFC 9649 §4.5: raw or headerless-VP8L, all four
+            # filtering modes).
             from flaco_spark.sources.vp8_codec import (
                 decode_vp8_frame,
                 yuv420_to_rgb,
@@ -846,9 +843,11 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
 
             W, H, Y, U, V = decode_vp8_frame(vp8)
             rgb = yuv420_to_rgb(Y, U, V)
-            rgba = np.dstack(
-                [rgb, np.full((H, W), 255, dtype=np.uint8)]
-            )
+            if alph is not None:
+                alpha = decode_alpha_plane(alph, W, H)
+            else:
+                alpha = np.full((H, W), 255, dtype=np.uint8)
+            rgba = np.dstack([rgb, alpha])
             return W, H, 4, rgba.tobytes()
         if saw_anim:
             raise EngineError(
@@ -866,7 +865,17 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     version = br.read(3)
     if version != 0:
         raise EngineError(f"unsupported VP8L version {version}")
+    img = _decode_argb(br, w, h)
+    rgba = img[:, :, [1, 2, 3, 0]]  # ARGB -> RGBA
+    return img.shape[1], h, 4, rgba.tobytes()
 
+
+def _decode_argb(br: _LsbReader, w: int, h: int) -> np.ndarray:
+    """The VP8L image body after the 5-byte header: level-0
+    transforms, the entropy-coded image, and the inverse transforms
+    in reverse order.  Returns (h, w, 4) uint8 ARGB.  Shared by the
+    VP8L path and the headerless ALPH alpha-plane stream (RFC 9649
+    §4.5, which carries the SAME body at implicit dimensions)."""
     # transforms (level 0 only), inverted in reverse order later
     transforms: list[tuple] = []
     cur_w = w
@@ -956,8 +965,59 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         elif t[0] == "predict":
             _unpredict(img, t[2], t[1], img.shape[1], h)
 
-    rgba = img[:, :, [1, 2, 3, 0]]  # ARGB -> RGBA
-    return img.shape[1], h, 4, rgba.tobytes()
+    return img
+
+
+def decode_alpha_plane(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane (RFC 9649 §4.5):
+    header byte = compression (2 bits: 0 raw / 1 lossless), filtering
+    (2 bits: none/horizontal/vertical/gradient), pre-processing
+    (2 bits, no decode effect); method 1 is a HEADERLESS VP8L body at
+    implicit w x h whose GREEN channel carries the alpha values."""
+    if not body:
+        raise EngineError("empty ALPH chunk")
+    hdr = body[0]
+    method = hdr & 3
+    filt = (hdr >> 2) & 3
+    if method == 0:
+        if len(body) < 1 + w * h:
+            raise EngineError("truncated raw ALPH plane")
+        plane = np.frombuffer(
+            body[1 : 1 + w * h], dtype=np.uint8
+        ).reshape(h, w).astype(np.int32)
+    elif method == 1:
+        br = _LsbReader(body, 1)
+        img = _decode_argb(br, w, h)
+        plane = img[:, :, 2].astype(np.int32)  # green channel
+    else:
+        raise EngineError(f"invalid ALPH compression method {method}")
+    if filt == 0:
+        out = plane
+    elif filt in (1, 2, 3):
+        out = np.zeros_like(plane)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = out[0, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                elif filt == 1:  # horizontal
+                    pred = out[y, x - 1]
+                elif filt == 2:  # vertical
+                    pred = out[y - 1, x]
+                else:  # gradient
+                    g = (
+                        int(out[y, x - 1])
+                        + int(out[y - 1, x])
+                        - int(out[y - 1, x - 1])
+                    )
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+                out[y, x] = (plane[y, x] + pred) & 0xFF
+    else:
+        raise EngineError(f"invalid ALPH filtering method {filt}")
+    return out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

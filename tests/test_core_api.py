@@ -2245,7 +2245,8 @@ def test_webp_error_surface():
 
     with _pytest.raises(EngineError, match="RIFF"):
         decode_webp(b"XXXX" + good[4:])
-    with _pytest.raises(EngineError, match="lossy WebP"):
+    with _pytest.raises(EngineError):  # r12: lossy DECODES now — a
+        # VP8L body behind a VP8 tag is a malformed VP8 frame, loud
         lossy = good[:12] + b"VP8 " + good[16:]
         decode_webp(lossy)
     with _pytest.raises(EngineError, match="animated"):
@@ -2345,11 +2346,13 @@ def test_webp_animated_still_decodes_first_lossless_frame():
     assert (W, H, C) == (11, 6, 4)
     assert out == f1  # FIRST frame, byte-exact
 
-    # animated-lossy: frames carry "VP8 " -> the lossy refusal wins
+    # animated-lossy with a MALFORMED VP8 frame: loud (r12 decodes
+    # real animated-lossy frame 0 — see
+    # test_webp_animated_lossy_still_decodes_first_frame)
     fake_vp8 = b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     body = b"WEBP" + vp8x + anim + anmf(fake_vp8)
     data = b"RIFF" + struct.pack("<I", len(body)) + body
-    with _pytest.raises(EngineError, match="lossy"):
+    with _pytest.raises(EngineError):
         decode_webp(data)
 
 
@@ -3395,8 +3398,8 @@ def test_vp8_encoder_streams_decode_identically_under_libwebp():
 
 def test_decode_image_routes_lossy_webp():
     """decode_webp / decode_image route "VP8 "-chunk WebP through the
-    RFC 6386 decoder (RGBA out, alpha 255); lossy-with-ALPH refuses
-    loudly rather than dropping the alpha plane silently."""
+    RFC 6386 decoder (RGBA out, alpha 255 when no ALPH plane); a
+    malformed ALPH chunk refuses loudly."""
     import struct
 
     import numpy as np
@@ -3417,7 +3420,7 @@ def test_decode_image_routes_lossy_webp():
     # so only sanity-check it loosely here (the strict checks are YUV)
     assert np.abs(arr[:, :, :3].astype(int) - img.astype(int)).mean() < 64
 
-    # VP8X + ALPH + VP8: loud refusal
+    # VP8X + malformed ALPH (truncated raw plane): loud refusal
     chunk_len = int.from_bytes(data[16:20], "little")
     vp8 = data[12 : 20 + chunk_len]
     vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x10, 0, 0, 0]) + (
@@ -3425,7 +3428,12 @@ def test_decode_image_routes_lossy_webp():
     )
     alph = b"ALPH" + struct.pack("<I", 2) + b"\x00\xff"
     body = b"WEBP" + vp8x + alph + vp8
-    with _pytest.raises(EngineError, match="ALPH"):
+    with _pytest.raises(EngineError, match="truncated raw ALPH"):
+        decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # invalid compression method refuses too
+    alph_bad = b"ALPH" + struct.pack("<I", 1) + b"\x02\x00"  # +pad
+    body = b"WEBP" + vp8x + alph_bad + vp8
+    with _pytest.raises(EngineError, match="ALPH compression"):
         decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
@@ -3627,3 +3635,123 @@ def test_tiff_error_surface_and_router():
     two += sec
     assert tiff_page_count(bytes(two)) == 2
     assert decode_tiff(bytes(two))[:3] == (8, 4, 1)  # page 0 decodes
+
+
+def test_webp_lossy_alpha_plane():
+    """Lossy RGBA WebP (VP8X + ALPH + VP8): the alpha plane decodes
+    BIT-EXACTLY against libwebp on real libwebp-encoded files (its
+    encoder picks compression/filter adaptively), and hand-built ALPH
+    chunks pin all four filtering modes and the raw method from the
+    spec's prediction rules."""
+    import ctypes
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tests import libwebp_ref
+    from flaco_spark.sources.webp_codec import decode_alpha_plane, decode_webp
+
+    lib = libwebp_ref.load()
+    if lib is None:
+        _pytest.skip("libwebp not available")
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+    ]
+
+    rng = np.random.RandomState(4)
+    w, h = 40, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    alphas = {
+        "noise": rng.randint(1, 256, size=(h, w), dtype=np.uint8),
+        "hgrad": (40 + xx * 5).clip(0, 255).astype(np.uint8),
+        "vgrad": (40 + yy * 8).clip(0, 255).astype(np.uint8),
+        "flat": np.full((h, w), 200, np.uint8),
+    }
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for name, a in alphas.items():
+        rgba = np.dstack([img, a])
+        out_p = ctypes.c_void_p()
+        n = lib.WebPEncodeRGBA(
+            rgba.tobytes(), w, h, w * 4, 75.0, ctypes.byref(out_p)
+        )
+        data = ctypes.string_at(out_p, n)
+        lib.WebPFree(out_p)
+        ref = libwebp_ref.decode_rgba(data)
+        W, H, C, out = decode_webp(data)
+        assert (W, H, C) == (w, h, 4)
+        ours = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 4)
+        refarr = np.frombuffer(ref[2], dtype=np.uint8).reshape(h, w, 4)
+        assert np.array_equal(ours[:, :, 3], refarr[:, :, 3]), name
+
+    # hand-built raw-method chunks, each filter, vs an independent
+    # in-test forward filter (spec §4.5.3 prediction rules)
+    plane = rng.randint(0, 256, size=(5, 7), dtype=np.uint8).astype(np.int32)
+    for filt in range(4):
+        stored = np.zeros_like(plane)
+        for y in range(5):
+            for x in range(7):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = plane[0, x - 1]
+                elif x == 0:
+                    pred = plane[y - 1, 0]
+                elif filt == 0:
+                    pred = 0
+                elif filt == 1:
+                    pred = plane[y, x - 1]
+                elif filt == 2:
+                    pred = plane[y - 1, x]
+                else:
+                    g = (
+                        int(plane[y, x - 1]) + int(plane[y - 1, x])
+                        - int(plane[y - 1, x - 1])
+                    )
+                    pred = min(255, max(0, g))
+                if filt == 0 and not (x == 0 or y == 0):
+                    pred = 0
+                stored[y, x] = (plane[y, x] - pred) & 0xFF
+        if filt == 0:
+            stored = plane  # no filtering: stored == raw values
+        body = bytes([0 | (filt << 2)]) + stored.astype(np.uint8).tobytes()
+        got = decode_alpha_plane(body, 7, 5)
+        assert np.array_equal(got, plane.astype(np.uint8)), f"filter {filt}"
+
+
+def test_webp_animated_lossy_still_decodes_first_frame():
+    """An animated WebP whose frames are lossy VP8 now decodes as
+    frame 0 (the GIF/VP8L frame-0 precedent) instead of refusing."""
+    import struct
+
+    import numpy as np
+
+    from flaco_spark.sources.vp8_codec import encode_webp_lossy
+    from flaco_spark.sources.webp_codec import decode_webp
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, size=(16, 32, 3), dtype=np.uint8)
+    still = encode_webp_lossy(img.tobytes(), 32, 16, q_index=4)
+    chunk_len = int.from_bytes(still[16:20], "little")
+    vp8_chunk = still[12 : 20 + chunk_len]
+    ref = decode_webp(still)
+
+    def anmf(frame_chunk: bytes) -> bytes:
+        hdr = (
+            (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+            + (32 - 1).to_bytes(3, "little") + (16 - 1).to_bytes(3, "little")
+            + (100).to_bytes(3, "little") + bytes([0])
+        )
+        body = hdr + frame_chunk
+        out = b"ANMF" + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) + (
+        (32 - 1).to_bytes(3, "little") + (16 - 1).to_bytes(3, "little")
+    )
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    body = b"WEBP" + vp8x + anim + anmf(vp8_chunk) + anmf(vp8_chunk)
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_webp(data) == ref
