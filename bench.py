@@ -74,6 +74,12 @@ EXTENDED = [
     # the lossless-WebP (VP8L) lane.
     "m20_jpeg_cmyk_decode",
     "m21_webp_lossless_decode",
+    # r12: the lossy-VP8 lane (RFC 6386 key-frame encode + decode per
+    # document) and the EXIF metadata lane join the codec cost
+    # tracking.  First-round rows have no baseline, so the requote
+    # pass skips them by design.
+    "m22_webp_lossy_decode",
+    "m23_exif_metadata",
 ]
 
 
