@@ -1277,7 +1277,8 @@ def test_m18_m19_jpeg_single_map_stage(spark, sf_dir):
     from flaco_spark.plans import formatted_plan
 
     for name in ("m18_jpeg_decode", "m19_jpeg_progressive_decode",
-                 "m20_jpeg_cmyk_decode", "m21_webp_lossless_decode"):
+                 "m20_jpeg_cmyk_decode", "m21_webp_lossless_decode",
+                 "m22_webp_lossy_decode", "m23_exif_metadata"):
         df = REGISTRY[name].builder(spark, sf_dir)
         plan = formatted_plan(df)
         assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), name
