@@ -244,11 +244,13 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct().persist()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    nstats = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # |V| as a bounded 1-value collect (the g07 max-normalization
+    # pattern): a crossJoin(broadcast(nstats)) per round planned a
+    # BroadcastNestedLoopJoin + BroadcastExchange stage per round for
+    # a single scalar.  Same IEEE double divisions either way.
+    n_nodes = nodes.count()
 
-    ranks = nodes.crossJoin(F.broadcast(nstats)).select(
-        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
-    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     ed = register_cache(
         edges.join(outdeg, "src").select("src", "dst", F.col("od")).persist()
     )
@@ -262,17 +264,17 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quantized_sum).  Inflow mass per node is <= 1, so Q=40 is
         # exact at any corpus scale.
         infl = quantized_sum(contrib, "dst", out="infl")
-        ranks = (
-            nodes.crossJoin(F.broadcast(nstats))
-            .join(infl, nodes.node == infl.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(float(G01_JUMP)) / F.col("n").cast("double")
-                    + F.lit(float(G01_DAMP))
-                    * F.coalesce(F.col("infl"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        # Every node of the both-ways bipartite construction has an
+        # in-edge (fwd covers the s-side, rev the c-side), so infl's
+        # key set IS the node set and the old nodes-LEFT-JOIN-infl
+        # (a SortMergeJoin + two sorts per round) reconstructed the
+        # same relation row-for-row; rank straight off the aggregate.
+        ranks = infl.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(float(G01_JUMP) / n_nodes)
+                + F.lit(float(G01_DAMP)) * F.col("infl")
+            ).alias("rank"),
         )
     w_scored = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
     from pyspark.sql import Window as W
@@ -701,13 +703,13 @@ def g05_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     is_seed = F.expr("node % 2 = 0 AND (node DIV 2) % 97 = 0")
-    sstats = nodes.filter(is_seed).agg(F.count(F.lit(1)).alias("s"))
+    # Seed count as a bounded 1-value collect (the g07 pattern; see
+    # g01): drops the per-round BroadcastNestedLoopJoin for a scalar.
+    n_seeds = nodes.filter(is_seed).count()
 
-    ranks = nodes.crossJoin(F.broadcast(sstats)).select(
+    ranks = nodes.select(
         "node",
-        F.when(is_seed, F.lit(1.0) / F.col("s").cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("rank"),
+        F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("rank"),
     )
     ed = register_cache(
         edges.join(outdeg, "src").select("src", "dst", F.col("od")).persist()
@@ -717,20 +719,20 @@ def g05_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst", (F.col("rank") / F.col("od").cast("double")).alias("x")
         )
         infl = quantized_sum(contrib, "dst", out="infl")
-        ranks = (
-            nodes.crossJoin(F.broadcast(sstats))
-            .join(infl, nodes.node == infl.dst, "left")
-            .select(
-                "node",
-                (
-                    F.when(
-                        is_seed,
-                        F.lit(float(G01_JUMP)) / F.col("s").cast("double"),
-                    ).otherwise(F.lit(0.0))
-                    + F.lit(float(G01_DAMP))
-                    * F.coalesce(F.col("infl"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        # infl's key set is the full node set (both-ways bipartite
+        # construction — see g01), so rank comes straight off the
+        # aggregate; the old nodes-LEFT-JOIN-infl SortMergeJoin per
+        # round rebuilt the identical relation.  is_seed is a pure
+        # expression over the node id, so it evaluates the same here.
+        ranks = infl.select(
+            F.col("dst").alias("node"),
+            (
+                F.when(
+                    F.expr("dst % 2 = 0 AND (dst DIV 2) % 97 = 0"),
+                    F.lit(float(G01_JUMP) / n_seeds),
+                ).otherwise(F.lit(0.0))
+                + F.lit(float(G01_DAMP)) * F.col("infl")
+            ).alias("rank"),
         )
     from pyspark.sql import Window as W
 

@@ -6,7 +6,10 @@ SparkSession, entry() smoke, then every queries() entry compared
 against its oracle_sql() with DuckDB at sf0.01 (column set, row
 count, canonicalized values).  Usage:
 
-    python scripts/driver_sim.py [sf_dir]
+    python scripts/driver_sim.py [sf_dir] [query_name ...]
+
+With query names given, only those registry entries are checked (the
+fast loop for verifying one operator's rewrite against its oracle).
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ def canon(df):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -53,6 +57,11 @@ def main() -> int:
 
     print("entry rows:", entry_mod.entry(spark).count())
     qs, orc = entry_mod.queries(), entry_mod.oracle_sql()
+    if only:
+        unknown = only - qs.keys()
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     print(f"queries: {len(qs)}  oracles: {len(orc)}")
 
     con = duckdb.connect()
