@@ -44,7 +44,22 @@ def write_bucketed(
     sort stage entirely — the join becomes a streaming merge of
     pre-sorted, pre-partitioned files.
     """
-    writer = df.write.format("parquet").bucketBy(num_buckets, key).sortBy(key).mode(mode)
+    # Pre-partition by the bucket key: without it every write TASK
+    # emits one file per bucket it sees (tasks × buckets files — 256
+    # at local[32]; the guide §6 small-files failure mode, and at
+    # scale a metadata explosion).  Spark's bucket id and
+    # repartition's HashPartitioning both murmur3 the key, so each
+    # task lands whole buckets and the output is ~num_buckets files
+    # per table.
+    from pyspark.sql import functions as F
+
+    writer = (
+        df.repartition(num_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .mode(mode)
+    )
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(name)

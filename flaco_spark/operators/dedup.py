@@ -33,6 +33,7 @@ from flaco_spark.functions import (
     word_shingles,
 )
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.tables import table
 
 # ---------------------------------------------------------------------------
@@ -575,6 +576,7 @@ def connected_components(
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
@@ -591,6 +593,10 @@ def connected_components(
         # Pointer jump: label(v) := label(label(v)).  Labels are node
         # ids inside the touched set, so the self-join keyed by label
         # always resolves; left+coalesce guards the identity rows.
+        # The round's STARTING label (_old) rides along so the
+        # convergence check below is a filter-count over this
+        # checkpointed frame — the old separate new⋈old equi-join
+        # was a whole extra shuffle join job per round for one count.
         new_labels = (
             propagated.alias("a")
             .join(
@@ -602,21 +608,17 @@ def connected_components(
             )
             .select(
                 F.col("a.node").alias("node"),
+                F.col("a._old").alias("_old"),
                 F.least(
                     F.col("a.label"), F.coalesce("_jl", F.col("a.label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         if labels.is_cached:
             labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:
@@ -1324,8 +1326,8 @@ GROUP BY lang
 )
 def d15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        sorted(D15_RATES.items()), "lang string, keep_permille int"
+    rates = local_relation(
+        spark, sorted(D15_RATES.items()), "lang string, keep_permille int"
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)

@@ -49,8 +49,9 @@ from flaco_spark.tables import convert_event_ts, table
 def _eager(df: DataFrame) -> DataFrame:
     """Materialize a small result so scratch files can be deleted
     before returning (see q92's rationale in relational_ext.py)."""
-    rows = df.collect()
-    return df.sparkSession.createDataFrame(rows, df.schema)
+    from flaco_spark.localrel import eager_local
+
+    return eager_local(df)
 
 
 @register(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.tables import table
 
 # Schema contract for media feature extraction output.
@@ -1027,7 +1028,7 @@ def m11_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = back.collect()
-        return spark.createDataFrame(rows, back.schema)
+        return local_relation(spark, rows, back.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -357,6 +357,9 @@ def p02_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flaco_spark.functions import cosine, norm
     from flaco_spark.operators.similarity import (
+        _lit_bigints,
+        _lit_doubles,
+        _lit_vecs,
         _pq_assigns_col,
         _pq_codebook_literal,
         _pq_seeds_py,
@@ -378,9 +381,9 @@ def p02_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed_cos DESC, seed_id) — not a vecs×seeds crossJoin window,
     # which at 10× shuffles |corpus|×|seeds| rows through one
     # per-vector window sort (the shape e15's rewrite removed).
-    coarse_ids = F.lit([sid for sid, _ in seeds]).cast("array<bigint>")
-    coarse_vecs = F.lit([v for _, v in seeds]).cast("array<array<double>>")
-    coarse_norms = F.lit([_py_norm(v) for _, v in seeds]).cast("array<double>")
+    coarse_ids = _lit_bigints([sid for sid, _ in seeds])
+    coarse_vecs = _lit_vecs([v for _, v in seeds])
+    coarse_norms = _lit_doubles([_py_norm(v) for _, v in seeds])
     cell = F.array_min(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(seeds))),

@@ -36,6 +36,7 @@ from flaco_spark.compat import (
     sql_one_minus,
 )
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.tables import table
 
 
@@ -659,8 +660,8 @@ def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None
     # partitions an O(npart)-deep when-chain bloats the expression
     # tree (and codegen) linearly, while the broadcast hash join stays
     # one plan node at any partition count.
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off bigint"
+    off_df = local_relation(
+        spark, [(pid, off) for pid, off in offsets.items()], "_pid int, _off bigint"
     )
     return (
         local.join(F.broadcast(off_df), "_pid", "left")
@@ -2251,6 +2252,15 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     import tempfile
 
     src = table(spark, sf_dir, "lineitem").select(*_RT_COLS)
+    # Text encode (CSV/JSON/XML escaping, decimal formatting) is the
+    # CPU cost of this query, and the single local parquet file lands
+    # in ONE scan task — spread the write across cores (the
+    # spread_to_cores contract: no-op at scale where the file count
+    # already gives parallelism; the read side then also gets
+    # per-file parallel parse).
+    from flaco_spark.operators.similarity import spread_to_cores
+
+    src = spread_to_cores(src)
     out = tempfile.mkdtemp(prefix=f"flaco_rt_{fmt}_")
     path = f"{out}/lineitem_{fmt}"
     try:
@@ -2279,7 +2289,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             back = spark.read.schema(_RT_SCHEMA).json(path)
         agg = _roundtrip_aggregate(back)
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -3867,7 +3877,7 @@ def q119_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content_md5"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -3999,7 +4009,7 @@ def q121_mergeschema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars_sum"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -4067,7 +4077,7 @@ def q122_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = agg.collect()  # triggers the single job; metrics now final
     m = obs.get
-    out = spark.createDataFrame(rows, agg.schema)
+    out = local_relation(spark, rows, agg.schema)
     return out.select(
         "l_returnflag",
         "n",
@@ -4531,7 +4541,8 @@ def q128_analyze_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name} doc_id").collect():
             if r.info_name == "distinct_count":
                 ndv_rec = int(r.info_value)
-        return spark.createDataFrame(
+        return local_relation(
+            spark,
             [
                 (
                     actual,
@@ -4620,7 +4631,7 @@ def q129_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("head_suppliers"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -4749,7 +4760,8 @@ def q131_range_partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions_bounded = len(rows) <= Q131_PARTS
     disjoint = all(rows[i].hi <= rows[i + 1].lo for i in range(len(rows) - 1))
     sorted_within = all(r.sorted_flag for r in rows)
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [(n_rows, partitions_bounded, disjoint, sorted_within)],
         "n_rows bigint, partitions_bounded boolean, ranges_disjoint boolean, sorted_within boolean",
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from flaco_spark.functions import cosine, norm, sign_lsh_bucket
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.tables import table
 
 SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)
@@ -630,20 +631,32 @@ def e07_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("sv"),
         norm(F.col("embedding")).alias("sn"),
     )
-    scored = (
+    # MAP-SIDE argmax over a one-row broadcast seed array (same device
+    # and same (cos DESC, seed ASC) tie-break as e10/e15) — the old
+    # row_number window shuffled |pts|·k scored rows for the rank.
+    seed_arr = seeds.agg(
+        F.collect_list(F.struct("seed_id", "sv", "sn")).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (
+                    -cosine(F.col("v"), c["sv"], F.col("vn"), c["sn"])
+                ).alias("negcos"),
+                c["seed_id"].alias("seed_id"),
+            ),
+        )
+    )
+    assigned = (
         e.select(
             "vec_id",
             F.col("embedding").alias("v"),
             norm(F.col("embedding")).alias("vn"),
         )
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("seed_cos", cosine(F.col("v"), F.col("sv"), F.col("vn"), F.col("sn")))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
-    assigned = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"), "v")
+        .crossJoin(F.broadcast(seed_arr))
+        .withColumn("best", best)
+        .select("vec_id", F.col("best.seed_id").alias("cell"), "v")
     )
     dims = assigned.select(
         "cell", F.posexplode(F.slice("v", 1, 8)).alias("pos", "xf")
@@ -726,14 +739,33 @@ def kmeans_fit(
     assigned = None
     prev_assigned = None
     for _ in range(max_iters):
-        scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
-            "sim", cosine(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
+        # MAP-SIDE argmax over a one-row broadcast centroid array
+        # (same device and same (sim DESC, cell ASC) tie-break as
+        # e10/e15) — the old row_number window shuffled |pts|·k
+        # scored rows carrying the full vectors every round.
+        cent_arr = centroids.agg(
+            F.collect_list(F.struct("cell", "cv", "cn")).alias("cents")
         )
-        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (
+                        -cosine(F.col("v"), c["cv"], F.col("vn"), c["cn"])
+                    ).alias("negsim"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
         assigned = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "cell", "v", "sim")
+            pts.crossJoin(F.broadcast(cent_arr))
+            .withColumn("best", best)
+            .select(
+                "vec_id",
+                F.col("best.cell").alias("cell"),
+                "v",
+                (-F.col("best.negsim")).alias("sim"),
+            )
         ).persist()
         # mean cosine similarity of assignments (monotone non-decreasing);
         # this action also materializes the cache.
@@ -760,8 +792,8 @@ def kmeans_fit(
             "cell",
             F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]).alias("cv"),
         ).collect()
-        centroids = spark.createDataFrame(
-            [(r["cell"], r["cv"]) for r in rows], "cell bigint, cv array<double>"
+        centroids = local_relation(
+            spark, [(r["cell"], r["cv"]) for r in rows], "cell bigint, cv array<double>"
         ).withColumn("cn", norm(F.col("cv")))
     pts.unpersist()
     # The final assignment stays cached for the caller's terminal
@@ -1036,14 +1068,37 @@ def e10_kmeans_unrolled(
     )
     assigned = None
     for it in range(iters):
-        scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
-            "sim", cosine(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
+        # MAP-SIDE argmax (the e15/p02 struct device): the centroid
+        # frame folds to ONE k-sized array row, rides out as a
+        # broadcast, and each vector picks min (-sim, cell) over the
+        # array — the same (sim DESC, cell ASC) tie-break the old
+        # row_number window used, but with zero shuffle.  The window
+        # variant shuffled |pts|·k scored rows (each carrying the
+        # 64-double vector) per round just to rank within vec_id —
+        # the plan the doc string already promised not to have.
+        cent_arr = centroids.agg(
+            F.collect_list(F.struct("cell", "cv", "cn")).alias("cents")
         )
-        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (
+                        -cosine(F.col("v"), c["cv"], F.col("vn"), c["cn"])
+                    ).alias("negsim"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
         assigned = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "cell", "sim", "v")
+            pts.crossJoin(F.broadcast(cent_arr))
+            .withColumn("best", best)
+            .select(
+                "vec_id",
+                F.col("best.cell").alias("cell"),
+                (-F.col("best.negsim")).alias("sim"),
+                "v",
+            )
         )
         if it < iters - 1:
             dims = assigned.select(
@@ -1223,20 +1278,72 @@ def _pq_seeds_py(spark: SparkSession, sf_dir: str) -> list:
     )
 
 
+def _dbl_sql(x: float) -> str:
+    """Exact double literal for Spark SQL: repr() is the shortest
+    round-tripping decimal, and a correct parser (Java
+    Double.parseDouble) maps it back to the identical binary64."""
+    return repr(float(x)) + "D"
+
+
+def _arr_sql(vals, leaf) -> str:
+    if vals and isinstance(vals[0], list):
+        return "array(" + ",".join(_arr_sql(v, leaf) for v in vals) + ")"
+    return "array(" + ",".join(leaf(v) for v in vals) + ")"
+
+
+def _lit_bigints(ids) -> "F.Column":
+    """array<bigint> literal via one JVM parse (see _pq_codebook_literal)."""
+    if not ids:
+        return F.lit(list(ids)).cast("array<bigint>")
+    return F.expr("array(" + ",".join(f"{int(i)}L" for i in ids) + ")")
+
+
+def _lit_doubles(vals) -> "F.Column":
+    """array<double> literal via one JVM parse, exact repr doubles."""
+    if not vals:
+        return F.lit(list(vals)).cast("array<double>")
+    return F.expr("array(" + ",".join(_dbl_sql(v) for v in vals) + ")")
+
+
+def _lit_vecs(vecs) -> "F.Column":
+    """array<array<double>> literal via one JVM parse."""
+    if not vecs:
+        return F.lit(list(vecs)).cast("array<array<double>>")
+    return F.expr(
+        "CAST(" + _arr_sql([list(v) for v in vecs], _dbl_sql)
+        + " AS array<array<double>>)"
+    )
+
+
 def _pq_codebook_literal(seeds: list):
     """Per-subspace literal columns from the collected seeds:
     ``ids_by_m`` — array<array<bigint>> — and ``vecs_by_m`` —
     array<array<array<double>>> (each a SINGLE Literal node, not an
     unrolled expression tree).  Explicit casts keep empty literals
-    from carrying VOID element types into zip_with."""
+    from carrying VOID element types into zip_with.
+
+    Built by ONE JVM-side SQL parse per literal (F.expr over exact
+    repr-round-trip doubles): F.lit over the same nested Python
+    lists spent ~1.5 s per query launch converting element-by-element
+    through py4j (measured; the parse is milliseconds) — identical
+    Literal node either way."""
     ids = [[sid for sid, _ in seeds] for _ in range(PQ_M)]
     vecs = [
         [v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for _, v in seeds]
         for m in range(PQ_M)
     ]
+    if not seeds:
+        return (
+            F.lit(ids).cast("array<array<bigint>>"),
+            F.lit(vecs).cast("array<array<array<double>>>"),
+        )
     return (
-        F.lit(ids).cast("array<array<bigint>>"),
-        F.lit(vecs).cast("array<array<array<double>>>"),
+        F.expr(
+            "CAST(" + _arr_sql(ids, lambda i: f"{int(i)}L") + " AS array<array<bigint>>)"
+        ),
+        F.expr(
+            "CAST(" + _arr_sql(vecs, _dbl_sql) + " AS array<array<array<double>>>)"
+        ),
     )
 
 
@@ -1249,10 +1356,18 @@ def _pq_assigns_col(ids_by_m, vecs_by_m):
     Zero shuffles: encode is scan→project, the shape a 100 TB encode
     pass needs."""
 
-    def one(m: int):
-        sv = F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        cand_ids = F.element_at(ids_by_m, m + 1)
-        cand_vecs = F.element_at(vecs_by_m, m + 1)
+    # The subspace index m is a LAMBDA dimension, not a Python unroll:
+    # the old ``F.array(*[one(m) for m in range(PQ_M)])`` built the
+    # whole argmin tree 8 times over (measured 2.0 s of py4j Column
+    # construction + 1.0 s of analysis per query launch at PQ_M=8);
+    # one nested-lambda tree is ~8x smaller, and evaluates the same
+    # expressions with the same (d2, seed_id) tie-break per m.
+    def per_m(mm):
+        sv = F.slice(
+            F.col("v"), (mm - F.lit(1)) * PQ_SUBDIM + F.lit(1), F.lit(PQ_SUBDIM)
+        )
+        cand_ids = F.element_at(ids_by_m, mm)
+        cand_vecs = F.element_at(vecs_by_m, mm)
         return F.array_min(
             F.transform(
                 F.sequence(F.lit(1), F.size(cand_ids)),
@@ -1275,7 +1390,7 @@ def _pq_assigns_col(ids_by_m, vecs_by_m):
             )
         )
 
-    return F.array(*[one(m) for m in range(PQ_M)])
+    return F.transform(F.sequence(F.lit(1), F.lit(PQ_M)), per_m)
 
 
 def _pq_queries_py(spark: SparkSession, sf_dir: str) -> list:
@@ -1290,6 +1405,29 @@ def _pq_queries_py(spark: SparkSession, sf_dir: str) -> list:
     return sorted(
         ((int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows)
     )
+
+
+def _pq_seeds_queries_py(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Both bounded model collects (codebook seeds AND query vectors)
+    out of ONE scan job: the two predicates are pure expressions over
+    vec_id, so one disjunctive collect replaces two back-to-back scan
+    jobs (guide §1.2 — fewer passes; the split is re-derived in
+    Python from the same predicates, values identical)."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(
+            (((F.col("vec_id") % IVF_SEED_MOD) == 3) & (F.col("vec_id") < SEED_ID_CAP))
+            | (F.col("vec_id") < 5)
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    both = sorted(
+        ((int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows)
+    )
+    seeds = [(i, v) for i, v in both if i % IVF_SEED_MOD == 3 and i < SEED_ID_CAP]
+    queries = [(i, v) for i, v in both if i < 5]
+    return seeds, queries
 
 
 def _spark_round(x: float, nd: int) -> float:
@@ -1359,7 +1497,13 @@ def _pq_lut_lit(spark: SparkSession, queries: list, seeds: list):
         ]
         for _, qv in queries
     ]
-    return F.lit(vals).cast("array<array<array<double>>>")
+    if not vals:
+        return F.lit(vals).cast("array<array<array<double>>>")
+    # One JVM-side parse instead of py4j element-by-element (see
+    # _pq_codebook_literal) — same Literal, exact doubles.
+    return F.expr(
+        "CAST(" + _arr_sql(vals, _dbl_sql) + " AS array<array<array<double>>>)"
+    )
 
 
 def _pq_adc_col(lut_lit, qpos_col, idxs_col):
@@ -1420,8 +1564,7 @@ QUALIFY rn <= 5
 def e12_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    seeds = _pq_seeds_py(spark, sf_dir)
-    queries = _pq_queries_py(spark, sf_dir)
+    seeds, queries = _pq_seeds_queries_py(spark, sf_dir)
     if not seeds or not queries:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, adc_d2 double, rn int"
@@ -1717,8 +1860,7 @@ QUALIFY rn <= 5
 def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    seeds = _pq_seeds_py(spark, sf_dir)
-    queries = _pq_queries_py(spark, sf_dir)
+    seeds, queries = _pq_seeds_queries_py(spark, sf_dir)
     if not seeds or not queries:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, adc_d2 double, rn int"
@@ -1727,10 +1869,10 @@ def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coarse quantizer as literals; seed norms computed with the
     # bit-exact Python replica of norm() (same fold, same rounding),
     # so every float matches the oracle's.
-    coarse_ids = F.lit([sid for sid, _ in seeds]).cast("array<bigint>")
-    coarse_vecs = F.lit([v for _, v in seeds]).cast("array<array<double>>")
+    coarse_ids = _lit_bigints([sid for sid, _ in seeds])
+    coarse_vecs = _lit_vecs([v for _, v in seeds])
     sn_vals = [_py_norm(v) for _, v in seeds]
-    coarse_norms = F.lit(sn_vals).cast("array<double>")
+    coarse_norms = _lit_doubles(sn_vals)
 
     def cell_structs(v_col, vn_col):
         """(−cos, cell) structs vs every coarse centroid — ascending
@@ -1763,8 +1905,8 @@ def e15_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_rows.extend(
             (qid, sid, qi + 1) for _, sid in ranked[:IVF_NPROBE]
         )
-    probe_df = spark.createDataFrame(
-        probe_rows, "query_id bigint, cell bigint, qpos int"
+    probe_df = local_relation(
+        spark, probe_rows, "query_id bigint, cell bigint, qpos int"
     )
 
     # ONE corpus scan computes only the coarse cell (256 cosines,
@@ -2276,9 +2418,9 @@ def e20_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id bigint, origin string, list_id bigint, pq_code string, "
             "list_size bigint",
         )
-    coarse_ids = F.lit([sid for sid, _ in seed_rows]).cast("array<bigint>")
-    coarse_vecs = F.lit([v for _, v in seed_rows]).cast("array<array<double>>")
-    coarse_norms = F.lit([_py_norm(v) for _, v in seed_rows]).cast("array<double>")
+    coarse_ids = _lit_bigints([sid for sid, _ in seed_rows])
+    coarse_vecs = _lit_vecs([v for _, v in seed_rows])
+    coarse_norms = _lit_doubles([_py_norm(v) for _, v in seed_rows])
     cell = F.array_min(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(seed_rows))),
@@ -2583,9 +2725,9 @@ def e23_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not seed_rows:
         return spark.createDataFrame([], "list_id bigint, vec_id bigint, pick_rank int")
-    seed_ids = F.lit([sid for sid, _ in seed_rows]).cast("array<bigint>")
-    seed_vecs = F.lit([v for _, v in seed_rows]).cast("array<array<double>>")
-    seed_norms = F.lit([_py_norm(v) for _, v in seed_rows]).cast("array<double>")
+    seed_ids = _lit_bigints([sid for sid, _ in seed_rows])
+    seed_vecs = _lit_vecs([v for _, v in seed_rows])
+    seed_norms = _lit_doubles([_py_norm(v) for _, v in seed_rows])
     cell = F.array_min(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(seed_rows))),
@@ -3014,8 +3156,8 @@ def e26_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "query_id", [F.desc("pcos"), F.asc("neighbor_id")], 10
     ).select("query_id", "neighbor_id", F.col("rn").alias("i"))
 
-    disc = spark.createDataFrame(
-        [(i, Decimal(w)) for i, w in E26_DISCOUNTS], "i int, w decimal(18,8)"
+    disc = local_relation(
+        spark, [(i, Decimal(w)) for i, w in E26_DISCOUNTS], "i int, w decimal(18,8)"
     )
     idcg = disc.agg(
         F.sum((F.lit(11) - F.col("i")).cast("decimal(18,8)") * F.col("w")).alias("v")

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from flaco_spark.functions import tokens
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.tables import table
 
 # Tiny deterministic stopword lexicons for the heuristic language-ID.
@@ -904,7 +905,7 @@ def t17_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    cp = spark.createDataFrame([(n,) for n in T17_CHECKPOINTS], "n_docs bigint")
+    cp = local_relation(spark, [(n,) for n in T17_CHECKPOINTS], "n_docs bigint")
     w = W.orderBy("n_docs").rowsBetween(W.unboundedPreceding, 0)
     return (
         cp.join(F.broadcast(per_cp), cp.n_docs == per_cp.bucket, "left")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from flaco_spark.compat import dsum, money, sql_dsum, sql_money
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.tables import table
 
 
@@ -458,8 +459,8 @@ GROUP BY b.bucket
 )
 def ts09_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    b = spark.createDataFrame(
-        list(VALUE_BUCKETS), "bucket string, lo double, hi double"
+    b = local_relation(
+        spark, list(VALUE_BUCKETS), "bucket string, lo double, hi double"
     )
     joined = e.join(
         F.broadcast(b),
@@ -1356,8 +1357,8 @@ def ts22_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
     )
-    lags = e.sparkSession.createDataFrame(
-        [(lag,) for lag in TS22_LAGS], "lag_h int"
+    lags = local_relation(
+        e.sparkSession, [(lag,) for lag in TS22_LAGS], "lag_h int"
     )
     v = hourly.select(F.col("hour").alias("v_hour"), F.col("views").alias("x"))
     p = hourly.select(F.col("hour").alias("p_hour"), F.col("purchases").alias("y"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.tables import table
 
 
@@ -415,7 +416,7 @@ def u10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

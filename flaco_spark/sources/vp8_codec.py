@@ -245,15 +245,25 @@ class BoolEncoder:
             self.write_bool(probs[i >> 1], bit)
             i = tree[i + bit]
 
-    @staticmethod
-    def _path(tree, start, target):
+    _PATH_CACHE: dict = {}
+
+    @classmethod
+    def _path(cls, tree, start, target):
+        # Trees are immutable module-level tuples and every block of
+        # every frame re-derives the same (tree, start, leaf) paths —
+        # memoize them (measured: _path was ~15% of encode time).
+        key = (id(tree), start, target)
+        hit = cls._PATH_CACHE.get(key)
+        if hit is not None:
+            return hit
         stack = [(start, [])]
         while stack:
             node, path = stack.pop()
             for bit in (0, 1):
                 nxt = tree[node + bit]
                 if nxt == target and target <= 0:
-                    return path + [bit]
+                    cls._PATH_CACHE[key] = path + [bit]
+                    return cls._PATH_CACHE[key]
                 if nxt > 0:
                     stack.append((nxt, path + [bit]))
         raise EngineError("leaf not in tree")
@@ -1128,12 +1138,13 @@ def _quantize_block(res_flat: np.ndarray, inv: np.ndarray, dq_dc: int, dq_ac: in
     """Integer coefficient levels whose dequantized inverse transform
     approximates ``res_flat`` (the encoder's forward path)."""
     target = inv @ res_flat.astype(np.float64)
-    levels = [0] * 16
-    for raster in range(16):
-        q = dq_dc if raster == 0 else dq_ac
-        lv = int(np.round(target[raster] / q))
-        levels[raster] = max(-2047, min(2047, lv))
-    return levels
+    # Vectorized, bit-identical to the old per-raster np.round loop:
+    # np.rint and np.round(…, 0) are the same IEEE half-even rounding.
+    q = np.full(16, dq_ac, np.float64)
+    q[0] = dq_dc
+    return (
+        np.clip(np.rint(target / q), -2047, 2047).astype(np.int64).tolist()
+    )
 
 
 def _tokenize(levels_raster: list[int], first: int) -> list[tuple]:

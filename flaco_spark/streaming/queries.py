@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flaco_spark.inventory import register
+from flaco_spark.localrel import local_relation
 from flaco_spark.streaming.ingest import dedup_stream, windowed_event_counts
 from flaco_spark.tables import convert_event_ts
 
@@ -282,7 +283,7 @@ GROUP BY 1, 2
 )
 def st05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, scratch = _events_stream(spark, sf_dir)
-    dim = spark.createDataFrame(_ST05_DIM, "event_type string, stage string, weight int")
+    dim = local_relation(spark, _ST05_DIM, "event_type string, stage string, weight int")
     enriched = stream.join(F.broadcast(dim), "event_type").groupBy(
         F.window("ts", "1 hour").alias("w"), "stage"
     ).agg(
@@ -369,7 +370,7 @@ def st06_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -542,7 +543,7 @@ def st09_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double").alias("value"),
         )
         rows = snap.collect()
-        return spark.createDataFrame(rows, snap.schema)
+        return local_relation(spark, rows, snap.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -782,8 +783,8 @@ def p04_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(src, f"{src_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out_dir = f"{scratch}/silver"
-    dim = spark.createDataFrame(
-        _ST05_DIM, "event_type string, stage string, weight int"
+    dim = local_relation(
+        spark, _ST05_DIM, "event_type string, stage string, weight int"
     )
 
     def transform(s: DataFrame) -> DataFrame:
@@ -823,7 +824,7 @@ def p04_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_micros").cast("bigint").alias("total_value_micros"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_relation(spark, rows, agg.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
