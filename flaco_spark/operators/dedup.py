@@ -613,6 +613,14 @@ def connected_components(
                     F.col("a.label"), F.coalesce("_jl", F.col("a.label"))
                 ).alias("label"),
             )
+            # EAGER, deliberately: a lazy checkpoint with the
+            # convergence count as its materializing action does run
+            # one job per round instead of two, but the A/B isolate
+            # read 23.8 s vs 6.8 s at sf0.1 (same host window) — the
+            # count's filter plan executes against the UNTRUNCATED
+            # lineage while the checkpoint persists as a side effect,
+            # so every round re-ran the whole label history.  Fewer
+            # jobs is not less work; keep the eager materialize.
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
