@@ -1352,19 +1352,26 @@ def encode_vp8_frame(
                 blk = res[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4].reshape(-1)
                 target = _IDCT_INV @ blk.astype(np.float64)
                 dc_targets[sb] = target[0]
-                levels = [0] * 16
-                for raster in range(1, 16):
-                    lv = int(np.round(target[raster] / y1ac))
-                    levels[raster] = max(-2047, min(2047, lv))
+                # vectorized, bit-identical to the per-raster
+                # int(np.round(...)) loop (np.rint is the same IEEE
+                # half-even rounding; rint output is integral so the
+                # int64 cast is exact); DC rides in Y2, so [0] stays 0
+                levels = (
+                    np.clip(np.rint(target / y1ac), -2047, 2047)
+                    .astype(np.int64)
+                    .tolist()
+                )
+                levels[0] = 0
                 y_levels.append(levels)
             # Y2: forward WHT of the DC lane
             y2_target = _IWHT_INV @ dc_targets
-            y2_levels = [0] * 16
-            for raster in range(16):
-                q = y2dc if raster == 0 else y2ac
-                y2_levels[raster] = max(
-                    -2047, min(2047, int(np.round(y2_target[raster] / q)))
-                )
+            y2q = np.full(16, float(y2ac))
+            y2q[0] = y2dc
+            y2_levels = (
+                np.clip(np.rint(y2_target / y2q), -2047, 2047)
+                .astype(np.int64)
+                .tolist()
+            )
             # chroma
             cy0, cx0 = mby * 8 + 1, mbx * 8 + 1
             uvmode, pred_u = best_mode(

@@ -234,13 +234,16 @@ class _PrefixCode:
         self.max_len = prev_len
         self.lut_bits = min(self.max_len, _LUT_BITS)
         self.lut_mask = (1 << self.lut_bits) - 1
-        self.lut = [None] * (1 << self.lut_bits)
+        lut = [None] * (1 << self.lut_bits)
         for (l, c), s in self.table.items():
             if l <= self.lut_bits:
                 rev = _bit_reverse(c, l)
-                entry = (s, l)
-                for f in range(1 << (self.lut_bits - l)):
-                    self.lut[rev | (f << l)] = entry
+                # all aliases of this codeword sit at stride 2**l from
+                # rev; a stride-slice fill is the same assignment as the
+                # per-alias loop, done at C speed
+                n_alias = 1 << (self.lut_bits - l)
+                lut[rev :: 1 << l] = [(s, l)] * n_alias
+        self.lut = lut
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
@@ -264,6 +267,25 @@ class _PrefixCode:
             if sym is not None:
                 return sym
         raise EngineError("invalid VP8L prefix code word")
+
+
+_PFX_CACHE: dict[tuple[int, ...], _PrefixCode] = {}
+_PFX_CACHE_MAX = 4096  # bounded: executors are long-lived processes
+
+
+def _prefix_code(lengths: list[int]) -> _PrefixCode:
+    """Memoized `_PrefixCode` construction.  Instances are immutable
+    after __init__ (decode only reads), so sharing one per distinct
+    length vector is safe; code-length codes in particular repeat
+    heavily across images."""
+    key = tuple(lengths)
+    code = _PFX_CACHE.get(key)
+    if code is None:
+        code = _PrefixCode(lengths)
+        if len(_PFX_CACHE) >= _PFX_CACHE_MAX:
+            _PFX_CACHE.clear()
+        _PFX_CACHE[key] = code
+    return code
 
 
 def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
@@ -310,7 +332,7 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
     cl_lengths = [0] * len(_CL_ORDER)
     for i in range(num_codes):
         cl_lengths[_CL_ORDER[i]] = br.read(3)
-    cl_code = _PrefixCode(cl_lengths)
+    cl_code = _prefix_code(cl_lengths)
     # optional cap on the number of coded symbols
     if br.read_bit():
         length_nbits = 2 + 2 * br.read(3)
@@ -320,11 +342,29 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
     lengths = [0] * alphabet_size
     prev_nz = 8
     i = 0
+    # the per-symbol loop below is the decoder's hot path (one CL
+    # symbol per alphabet entry); CL code lengths are 3-bit values, so
+    # max_len <= 7 <= the LUT window and EVERY codeword is
+    # LUT-resident — decode inline with bound locals instead of a
+    # method call per symbol (same reads, same errors)
+    cl_single = cl_code.single
+    cl_lut = cl_code.lut
+    cl_lut_mask = cl_code.lut_mask
+    cl_lut_bits = cl_code.lut_bits
     while i < alphabet_size:
         if max_symbol == 0:
             break
         max_symbol -= 1
-        sym = cl_code.decode(br)
+        if cl_single is not None:
+            sym = cl_single
+        else:
+            if br.nbits < cl_lut_bits:
+                br._fill(cl_lut_bits)
+            sym, n = cl_lut[br.hold & cl_lut_mask]
+            if br.padded and br.nbits - br.padded < n:
+                raise EngineError("truncated VP8L bit stream")
+            br.hold >>= n
+            br.nbits -= n
         if sym < 16:
             lengths[i] = sym
             i += 1
@@ -345,16 +385,31 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
             i += rep
         if i > alphabet_size:
             raise EngineError("VP8L code-length repeat overrun")
-    return _PrefixCode(lengths)
+    return _prefix_code(lengths)
+
+
+_LEN_CACHE: dict[tuple, dict[int, int]] = {}
+_LEN_CACHE_MAX = 4096
 
 
 def _build_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
     """Huffman code lengths from frequencies, depth-limited to
-    ``max_len`` with a Kraft repair pass."""
+    ``max_len`` with a Kraft repair pass.  Memoized on the frequency
+    vector (pure function; callers treat the result as read-only)."""
     import heapq
     import itertools
 
-    syms = [s for s, f in freqs.items() if f > 0]
+    items = sorted(freqs.items())
+    key = (max_len, tuple(items))
+    cached = _LEN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    # iterate in sorted-symbol order so tie-breaking (heap order, the
+    # Kraft repair's min) is canonical in the frequency VECTOR, never
+    # in the dict's insertion history — required for the memo to be
+    # sound and makes the emitted stream doc-order-independent
+    syms = [s for s, f in items if f > 0]
     if not syms:
         return {}
     if len(syms) == 1:
@@ -391,6 +446,9 @@ def _build_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
                 changed = True
     if abs(k - 1.0) > 1e-9:
         raise EngineError("internal: VP8L encoder built an invalid code")
+    if len(_LEN_CACHE) >= _LEN_CACHE_MAX:
+        _LEN_CACHE.clear()
+    _LEN_CACHE[key] = lengths
     return lengths
 
 
@@ -412,7 +470,8 @@ def _write_prefix_code(
     bw: _LsbWriter, lengths: dict[int, int], alphabet_size: int
 ) -> dict[int, tuple[int, int]]:
     """Emit one prefix code (simple form for <=2 symbols, else through
-    the code-length code, no RLE) and return symbol -> (code, len)."""
+    the code-length code with spec RLE symbols 16/17/18) and return
+    symbol -> (code, len)."""
     syms = sorted(lengths)
     if len(syms) == 1 and syms[0] < 256:
         bw.write(1, 1)  # simple
@@ -436,10 +495,53 @@ def _write_prefix_code(
         bw.write(syms[1], 8)
         return {syms[0]: (0, 1), syms[1]: (1, 1)}
     bw.write(0, 1)  # code-length-coded
-    full = [lengths.get(s, 0) for s in range(alphabet_size)]
+    full = [0] * alphabet_size
+    for s, l in lengths.items():
+        full[s] = l
+    # Tokenize the per-entry length sequence with the spec's RLE
+    # symbols (§5.2.2): 17/18 for zero runs (3-10 / 11-137), 16 for
+    # repeats of the previous nonzero length (3-6).  Sparse alphabets
+    # (256-280 entries, a few dozen used) collapse from one CL symbol
+    # per entry to a few dozen tokens — the dominant cost of both
+    # writing AND reading a prefix code at small image sizes.  The
+    # stream stays spec-conformant (decoder + libwebp cross-checks);
+    # only its bytes change, never the decoded pixels.
+    tokens: list[tuple[int, int, int]] = []  # (cl_sym, extra, extra_bits)
+    i = 0
+    while i < alphabet_size:
+        l = full[i]
+        if l == 0:
+            run = 1
+            while i + run < alphabet_size and full[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 11:
+                rep = min(run, 137)
+                tokens.append((18, rep - 11, 7))
+                run -= rep
+            if run >= 3:
+                tokens.append((17, run - 3, 3))
+                run = 0
+            while run:
+                tokens.append((0, 0, 0))
+                run -= 1
+        else:
+            tokens.append((l, 0, 0))
+            i += 1
+            run = 0
+            while i + run < alphabet_size and full[i + run] == l:
+                run += 1
+            i += run
+            while run >= 3:
+                rep = min(run, 6)
+                tokens.append((16, rep - 3, 2))
+                run -= rep
+            while run:
+                tokens.append((l, 0, 0))
+                run -= 1
     cl_freqs: dict[int, int] = {}
-    for l in full:
-        cl_freqs[l] = cl_freqs.get(l, 0) + 1
+    for sym, _, _ in tokens:
+        cl_freqs[sym] = cl_freqs.get(sym, 0) + 1
     cl_lengths = _build_lengths(cl_freqs, max_len=7)
     if len(cl_lengths) == 1:
         # a 1-length CL code decodes 0 bits per symbol; give it a
@@ -458,9 +560,24 @@ def _write_prefix_code(
     for i in range(num_codes):
         bw.write(cl_lengths.get(_CL_ORDER[i], 0), 3)
     bw.write(0, 1)  # no max_symbol cap
-    for l in full:
-        c, n = cl_codes[l]
-        bw.write(c, n)
+    # hot path: emit the token stream with the writer's state bound to
+    # locals (same bytes as per-token write() calls)
+    hold = bw.hold
+    nb = bw.nbits
+    append = bw.out.append
+    for sym, extra, ebits in tokens:
+        c, n = cl_codes[sym]
+        hold |= c << nb
+        nb += n
+        if ebits:
+            hold |= extra << nb
+            nb += ebits
+        while nb >= 8:
+            append(hold & 0xFF)
+            hold >>= 8
+            nb -= 8
+    bw.hold = hold
+    bw.nbits = nb
     if len(syms) == 1:
         # symbol >= 256 can't use the simple form; the decoder builds
         # a DEGENERATE 0-bit code from a single nonzero length, so the
@@ -1137,12 +1254,6 @@ def _encode_entropy_image(
             bw.write(0, 1)  # no meta prefix codes
     cache_size = (1 << cache_bits) if cache_bits else 0
 
-    def group_of(i: int) -> int:
-        if num_groups == 1:
-            return 0
-        x, y = i % w, i // w
-        return (y >> meta_bits) * mw + (x >> meta_bits)
-
     # reverse map for the 2D neighborhood distances
     near = {}
     for ci, (dx, dy) in enumerate(_DIST_MAP):
@@ -1169,8 +1280,12 @@ def _encode_entropy_image(
             c.pop()
 
     i = 0
+    single_group = num_groups == 1
     while i < n:
-        gi = group_of(i)
+        if single_group:
+            gi = 0
+        else:
+            gi = ((i // w) >> meta_bits) * mw + ((i % w) >> meta_bits)
         gf, rf, bf, af, df = hists[gi]
         match_len = 0
         match_dist = 0
@@ -1243,30 +1358,51 @@ def _encode_entropy_image(
             _write_prefix_code(bw, _build_lengths(df), 40),
         ))
 
-    # ---- pass 2: emit tokens
+    # ---- pass 2: emit tokens (writer state bound to locals — same
+    # bytes as per-field write() calls; extras from _prefix_encode are
+    # < 2**extra_bits by construction so no masking is needed)
+    hold = bw.hold
+    nb = bw.nbits
+    append = bw.out.append
     for tok in tokens:
         g_codes, r_codes, b_codes, a_codes, d_codes = group_codes[tok[1]]
-        if tok[0] == "lit":
+        kind = tok[0]
+        if kind == "lit":
             px = tok[2]
             c, l = g_codes[(px >> 8) & 0xFF]
-            bw.write(c, l)
+            hold |= c << nb
+            nb += l
             c, l = r_codes[(px >> 16) & 0xFF]
-            bw.write(c, l)
+            hold |= c << nb
+            nb += l
             c, l = b_codes[px & 0xFF]
-            bw.write(c, l)
+            hold |= c << nb
+            nb += l
             c, l = a_codes[(px >> 24) & 0xFF]
-            bw.write(c, l)
-        elif tok[0] == "cache":
+            hold |= c << nb
+            nb += l
+        elif kind == "cache":
             c, l = g_codes[tok[2]]
-            bw.write(c, l)
+            hold |= c << nb
+            nb += l
         else:
             _, _, lc, lex, leb, dc, dex, deb = tok
             c, l = g_codes[256 + lc]
-            bw.write(c, l)
-            bw.write(lex, leb)
+            hold |= c << nb
+            nb += l
+            hold |= lex << nb
+            nb += leb
             c, l = d_codes[dc]
-            bw.write(c, l)
-            bw.write(dex, deb)
+            hold |= c << nb
+            nb += l
+            hold |= dex << nb
+            nb += deb
+        while nb >= 8:
+            append(hold & 0xFF)
+            hold >>= 8
+            nb -= 8
+    bw.hold = hold
+    bw.nbits = nb
 
 
 def encode_webp_lossless(

@@ -3066,6 +3066,74 @@ def test_webp_single_symbol_large_prefix_code_roundtrip():
     assert br.read(3) == 0b101  # stream stays in sync
 
 
+def test_webp_cl_rle_writer_reader_roundtrip():
+    """The r12 encoder emits the spec's code-length RLE symbols
+    (16 = repeat prev nonzero 3-6, 17 = zero run 3-10, 18 = zero run
+    11-137, §5.2.2).  Writer->reader round-trip over length vectors
+    engineered to hit every RLE class, including run lengths at the
+    class boundaries and leftovers below the RLE minimum."""
+    from flaco_spark.sources.webp_codec import (
+        _LsbReader,
+        _LsbWriter,
+        _read_prefix_code,
+        _write_prefix_code,
+    )
+
+    cases = [
+        # Kraft-complete vectors (the reader validates completeness).
+        # zero runs 6 / 4 / 257 / 8 -> 17, 17, 18+18 (137-boundary), 17
+        {0: 2, 7: 2, 12: 2, 270: 3, 271: 3},
+        # same-length run of twenty 5s -> 16(6),16(6),16(6),plain;
+        # trailing run of two 3s stays below the 16 minimum -> plain
+        {**{s: 5 for s in range(10, 30)}, 41: 3, 42: 3, 43: 3},
+        # zero runs of exactly 3 (17 min) and exactly 10 (17 max),
+        # then 264 zeros -> 18(137), 18(127)
+        {0: 1, 4: 2, 15: 2},
+        # the >=256 degenerate single symbol still round-trips
+        {260: 1},
+    ]
+    for lengths in cases:
+        bw = _LsbWriter()
+        _write_prefix_code(bw, lengths, 280)
+        bw.write(0b110, 3)  # sentinel: stream must stay in sync
+        br = _LsbReader(bw.bytes)
+        pc = _read_prefix_code(br, 280)
+        assert br.read(3) == 0b110, f"desync for {lengths}"
+        # the reconstructed code must invert to the SAME length vector
+        if pc.single is not None:
+            assert lengths == {260: 1} and pc.single == 260
+        else:
+            got = {}
+            for (l, _c), s in pc.table.items():
+                got[s] = l
+            assert got == lengths, f"lengths mismatch for {lengths}"
+
+
+def test_webp_build_lengths_memo_is_canonical():
+    """_build_lengths is memoized on the frequency VECTOR; equal
+    frequency content in different dict insertion orders must yield
+    the identical length assignment (and therefore identical emitted
+    streams regardless of document processing order)."""
+    from flaco_spark.sources.webp_codec import (
+        _LEN_CACHE,
+        _LsbWriter,
+        _build_lengths,
+        _write_prefix_code,
+    )
+
+    freqs_a = {5: 7, 9: 1, 3: 7, 200: 2, 17: 1}
+    freqs_b = dict(sorted(freqs_a.items(), reverse=True))
+    _LEN_CACHE.clear()
+    la = _build_lengths(freqs_a)
+    _LEN_CACHE.clear()  # force a fresh computation for the reordered dict
+    lb = _build_lengths(freqs_b)
+    assert la == lb
+    bw_a, bw_b = _LsbWriter(), _LsbWriter()
+    _write_prefix_code(bw_a, la, 280)
+    _write_prefix_code(bw_b, lb, 280)
+    assert bw_a.bytes == bw_b.bytes
+
+
 def test_webp_predictor_vectorized_matches_scalar_reference():
     """The r12 vectorized _unpredict/_forward_predict against the
     naive per-pixel _predict_pixel reference, every mode, on block
