@@ -1881,18 +1881,22 @@ def t27_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return idf * ((tf * F.lit(2.2)) / (tf + F.lit(1.2) * dl_norm))
 
-    r1_parts = []
+    # Round 1 is t22's single stack() pass: every per-query score is a
+    # column expression over the SAME (per_doc ⨯ stats) projection, so
+    # the tokenize+aggregate subtree appears once, not once per query
+    # leg (the unionAll shape re-planned it per leg — no exchange
+    # reuse, 27 parquet scans in the physical plan).
+    stack1 = []
     for qid, terms in T22_QUERIES:
         idx = [T22_TERMS.index(t) for t in terms]
         s = contrib(idx[0])
         for i in idx[1:]:
             s = s + contrib(i)
-        r1_parts.append(
-            joined.select(F.lit(qid).alias("query_id"), "doc_id", s.alias("score"))
-        )
-    r1 = r1_parts[0]
-    for p in r1_parts[1:]:
-        r1 = r1.unionAll(p)
+        stack1.extend([F.lit(qid), s])
+    r1 = joined.select(
+        "doc_id",
+        F.stack(F.lit(len(T22_QUERIES)), *stack1).alias("query_id", "score"),
+    )
     fb = topk_per_query(
         r1.filter(F.col("score") > 0),
         "query_id",
@@ -1902,25 +1906,36 @@ def t27_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fbs = fb.join(per_doc, "doc_id").groupBy("query_id").agg(
         *[F.sum(f"tf_{i}").alias(f"fb_{i}") for i in range(len(T22_TERMS))]
     )
-    r2_parts = []
-    for qid, terms in T22_QUERIES:
+    # Pivot the |queries|-row feedback relation to ONE row (exact
+    # integer sums — a query with no feedback docs pivots to NULL,
+    # which nulls its round-2 scores and the score>0 filter drops
+    # them, exactly as the old empty-crossJoin leg emitted no rows).
+    # One broadcast build replaces |queries| broadcasts that each
+    # re-executed the whole round-1 subtree.
+    fbs1 = fbs.agg(
+        *[
+            F.sum(
+                F.when(F.col("query_id") == qid, F.col(f"fb_{i}"))
+            ).alias(f"fb_{qi}_{i}")
+            for qi, (qid, _) in enumerate(T22_QUERIES)
+            for i in range(len(T22_TERMS))
+        ]
+    )
+    stack2 = []
+    for qi, (qid, terms) in enumerate(T22_QUERIES):
         qset = {T22_TERMS.index(t) for t in terms}
-        f_row = fbs.filter(F.col("query_id") == qid).drop("query_id")
         s = None
         for i in range(len(T22_TERMS)):
             w = (
-                F.lit(6 if i in qset else 0) + F.col(f"fb_{i}")
+                F.lit(6 if i in qset else 0) + F.col(f"fb_{qi}_{i}")
             ).cast("double") / F.lit(6.0)
             term = w * contrib(i)
             s = term if s is None else s + term
-        r2_parts.append(
-            joined.crossJoin(F.broadcast(f_row)).select(
-                F.lit(qid).alias("query_id"), "doc_id", s.alias("score")
-            )
-        )
-    r2 = r2_parts[0]
-    for p in r2_parts[1:]:
-        r2 = r2.unionAll(p)
+        stack2.extend([F.lit(qid), s])
+    r2 = joined.crossJoin(F.broadcast(fbs1)).select(
+        "doc_id",
+        F.stack(F.lit(len(T22_QUERIES)), *stack2).alias("query_id", "score"),
+    )
     return topk_per_query(
         r2.filter(F.col("score") > 0),
         "query_id",

@@ -1375,3 +1375,18 @@ def test_iterative_oracles_keep_materialized_ctes():
     ):
         oracle = REGISTRY[name].oracle
         assert oracle and "MATERIALIZED" in oracle, name
+
+
+def test_t27_shared_corpus_subtree(spark, sf_dir):
+    """t27's two retrieval rounds must share ONE tokenize+aggregate
+    subtree (r12: round-1 scores via a single stack() pass, feedback
+    sums pivoted to one broadcast row).  The per-query-leg unionAll
+    shape re-planned the corpus aggregate per leg — 27 parquet scans
+    and 47 exchanges in the physical plan, with round 2 re-executing
+    the whole round-1 subtree once per query broadcast."""
+    from flaco_spark.plans import exchange_count, formatted_plan
+
+    df = REGISTRY["t27_rocchio_prf"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 12, "corpus subtree re-planned per query leg"
+    assert exchange_count(df) <= 16
