@@ -201,6 +201,16 @@ class _HuffTable:
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         if len(bits) == 16:
             bits = [0] + bits
+        key = (tuple(bits), tuple(vals))
+        cached = _LUT_CACHE.get(key)
+        if cached is not None:
+            # r12 opt: the encode map is as deterministic in (bits,
+            # vals) as the LUT — cache BOTH, so re-parsing the same
+            # DHT (every frame of a lane re-uses Annex-K tables)
+            # skips the whole canonical-code rebuild.
+            _LUT_CACHE.move_to_end(key)
+            self.lut, self.encode_map = cached
+            return
         decode_map: dict[tuple[int, int], int] = {}  # build-time only
         self.encode_map: dict[int, tuple[int, int]] = {}
         code = 0
@@ -213,20 +223,15 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
-        key = (tuple(bits), tuple(vals))
-        lut = _LUT_CACHE.get(key)
-        if lut is None:
-            lut = [None] * 65536
-            for (length, c), sym in decode_map.items():
-                base = c << (16 - length)
-                entry = (sym, length)
-                for s in range(1 << (16 - length)):
-                    lut[base + s] = entry
-            _LUT_CACHE[key] = lut
-            if len(_LUT_CACHE) > _LUT_CACHE_MAX:
-                _LUT_CACHE.popitem(last=False)
-        else:
-            _LUT_CACHE.move_to_end(key)
+        lut = [None] * 65536
+        for (length, c), sym in decode_map.items():
+            base = c << (16 - length)
+            entry = (sym, length)
+            for s in range(1 << (16 - length)):
+                lut[base + s] = entry
+        _LUT_CACHE[key] = (lut, self.encode_map)
+        if len(_LUT_CACHE) > _LUT_CACHE_MAX:
+            _LUT_CACHE.popitem(last=False)
         self.lut = lut
 
 
@@ -449,15 +454,73 @@ def _decode_block_seq(
     reader: _BitReader, coef: np.ndarray,
     dc_tbl: _HuffTable, ac_tbl: _HuffTable, pred: int,
 ) -> int:
-    """Sequential baseline block: DC diff + full AC band (F.2.2)."""
-    t = reader.decode_huff(dc_tbl)
+    """Sequential baseline block: DC diff + full AC band (F.2.2).
+
+    The decode_huff/receive/_extend chain is inlined against local
+    reader state (r12 opt — it was the baseline decoder's dominant
+    cost at one method call per Huffman symbol).  Bit semantics and
+    the error surface are identical to the _BitReader methods."""
+    data = reader.data
+    dlen = len(data)
+    pos = reader.pos
+    bitbuf = reader.bitbuf
+    nbits = reader.nbits
+    stopped = reader.stopped
+    dc_lut = dc_tbl.lut
+    ac_lut = ac_tbl.lut
+
+    # ---- DC symbol (decode_huff(dc_tbl))
+    while nbits < 16 and not stopped:
+        if pos >= dlen:
+            stopped = True
+            break
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= dlen or data[pos + 1] != 0x00:
+                stopped = True  # real marker: stop feeding
+                break
+            pos += 2  # stuffed 0xFF
+        else:
+            pos += 1
+        bitbuf = (bitbuf << 8) | b
+        nbits += 8
+    if nbits >= 16:
+        window = (bitbuf >> (nbits - 16)) & 0xFFFF
+    else:
+        pad = 16 - nbits
+        window = ((bitbuf << pad) | ((1 << pad) - 1)) & 0xFFFF
+    entry = dc_lut[window]
+    if entry is None:
+        raise EngineError("invalid JPEG Huffman code")
+    t, length = entry
+    if length > nbits:
+        raise EngineError("truncated JPEG entropy stream")
+    nbits -= length
+    bitbuf &= (1 << nbits) - 1
     if t > 15:
         # a corrupt DHT can map a code to any byte; an unbounded
         # category would overflow the int32 coefficient store as a
         # numpy OverflowError instead of an EngineError (r10 review —
         # 11/4000 random corruptions escaped this way)
         raise EngineError("invalid JPEG DC category")
-    pred += _extend(reader.receive(t), t)
+    if t:
+        # receive(t) + EXTEND
+        while nbits < t:
+            if stopped or pos >= dlen:
+                raise EngineError("truncated JPEG entropy stream")
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= dlen or data[pos + 1] != 0x00:
+                    raise EngineError("truncated JPEG entropy stream")
+                pos += 2
+            else:
+                pos += 1
+            bitbuf = (bitbuf << 8) | b
+            nbits += 8
+        nbits -= t
+        v = (bitbuf >> nbits) & ((1 << t) - 1)
+        bitbuf &= (1 << nbits) - 1
+        pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
     if not -32768 <= pred <= 32767:
         # r11 (r10 ADVICE): each diff is bounded (t<=15) but the
         # predictor ACCUMULATES across blocks — a corrupt-but-parseable
@@ -471,7 +534,34 @@ def _decode_block_seq(
     coef[0] = pred
     k = 1
     while k < 64:
-        rs = reader.decode_huff(ac_tbl)
+        # ---- AC symbol (decode_huff(ac_tbl))
+        while nbits < 16 and not stopped:
+            if pos >= dlen:
+                stopped = True
+                break
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= dlen or data[pos + 1] != 0x00:
+                    stopped = True
+                    break
+                pos += 2
+            else:
+                pos += 1
+            bitbuf = (bitbuf << 8) | b
+            nbits += 8
+        if nbits >= 16:
+            window = (bitbuf >> (nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - nbits
+            window = ((bitbuf << pad) | ((1 << pad) - 1)) & 0xFFFF
+        entry = ac_lut[window]
+        if entry is None:
+            raise EngineError("invalid JPEG Huffman code")
+        rs, length = entry
+        if length > nbits:
+            raise EngineError("truncated JPEG entropy stream")
+        nbits -= length
+        bitbuf &= (1 << nbits) - 1
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:
@@ -481,8 +571,28 @@ def _decode_block_seq(
         k += r
         if k > 63:
             raise EngineError("JPEG AC index overrun")
-        coef[k] = _extend(reader.receive(s), s)
+        # receive(s) + EXTEND
+        while nbits < s:
+            if stopped or pos >= dlen:
+                raise EngineError("truncated JPEG entropy stream")
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= dlen or data[pos + 1] != 0x00:
+                    raise EngineError("truncated JPEG entropy stream")
+                pos += 2
+            else:
+                pos += 1
+            bitbuf = (bitbuf << 8) | b
+            nbits += 8
+        nbits -= s
+        v = (bitbuf >> nbits) & ((1 << s) - 1)
+        bitbuf &= (1 << nbits) - 1
+        coef[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
+    reader.pos = pos
+    reader.bitbuf = bitbuf
+    reader.nbits = nbits
+    reader.stopped = stopped
     return pred
 
 
@@ -512,12 +622,50 @@ def _decode_ac_first(
     ss: int, se: int, al: int, eobrun: int,
 ) -> int:
     """Progressive AC, first pass over band Ss..Se (G.2.2): EOBn codes
-    carry a run of all-zero (within band) blocks."""
+    carry a run of all-zero (within band) blocks.
+
+    decode_huff/receive/_extend inlined against local reader state
+    (r12 opt, same treatment as _decode_block_seq); identical bit
+    semantics and error surface."""
     if eobrun > 0:
         return eobrun - 1
+    data = reader.data
+    dlen = len(data)
+    pos = reader.pos
+    bitbuf = reader.bitbuf
+    nbits = reader.nbits
+    stopped = reader.stopped
+    ac_lut = ac_tbl.lut
     k = ss
     while k <= se:
-        rs = reader.decode_huff(ac_tbl)
+        # decode_huff(ac_tbl)
+        while nbits < 16 and not stopped:
+            if pos >= dlen:
+                stopped = True
+                break
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= dlen or data[pos + 1] != 0x00:
+                    stopped = True
+                    break
+                pos += 2
+            else:
+                pos += 1
+            bitbuf = (bitbuf << 8) | b
+            nbits += 8
+        if nbits >= 16:
+            window = (bitbuf >> (nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - nbits
+            window = ((bitbuf << pad) | ((1 << pad) - 1)) & 0xFFFF
+        entry = ac_lut[window]
+        if entry is None:
+            raise EngineError("invalid JPEG Huffman code")
+        rs, length = entry
+        if length > nbits:
+            raise EngineError("truncated JPEG entropy stream")
+        nbits -= length
+        bitbuf &= (1 << nbits) - 1
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:
@@ -525,13 +673,50 @@ def _decode_ac_first(
                 continue
             eobrun = (1 << r) - 1
             if r:
-                eobrun += reader.receive(r)
+                # receive(r)
+                while nbits < r:
+                    if stopped or pos >= dlen:
+                        raise EngineError("truncated JPEG entropy stream")
+                    b = data[pos]
+                    if b == 0xFF:
+                        if pos + 1 >= dlen or data[pos + 1] != 0x00:
+                            raise EngineError(
+                                "truncated JPEG entropy stream"
+                            )
+                        pos += 2
+                    else:
+                        pos += 1
+                    bitbuf = (bitbuf << 8) | b
+                    nbits += 8
+                nbits -= r
+                eobrun += (bitbuf >> nbits) & ((1 << r) - 1)
+                bitbuf &= (1 << nbits) - 1
             break
         k += r
         if k > se:
             raise EngineError("JPEG AC index overrun")
-        coef[k] = _extend(reader.receive(s), s) << al
+        # receive(s) + EXTEND
+        while nbits < s:
+            if stopped or pos >= dlen:
+                raise EngineError("truncated JPEG entropy stream")
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= dlen or data[pos + 1] != 0x00:
+                    raise EngineError("truncated JPEG entropy stream")
+                pos += 2
+            else:
+                pos += 1
+            bitbuf = (bitbuf << 8) | b
+            nbits += 8
+        nbits -= s
+        v = (bitbuf >> nbits) & ((1 << s) - 1)
+        bitbuf &= (1 << nbits) - 1
+        coef[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
         k += 1
+    reader.pos = pos
+    reader.bitbuf = bitbuf
+    reader.nbits = nbits
+    reader.stopped = stopped
     return eobrun
 
 
@@ -1018,28 +1203,71 @@ def _encode_ac_band(
 ) -> None:
     """AC coefficients of one block over zigzag band ss..se (the full
     1..63 band in baseline; a spectral-selection slice in progressive —
-    each all-zero tail ends with an EOB0, i.e. EOBRUN of exactly 1)."""
-    band = coef[ss : se + 1]
-    nz = np.nonzero(band)[0]
-    last_nz = ss + int(nz[-1]) if nz.size else ss - 1
+    each all-zero tail ends with an EOB0, i.e. EOBRUN of exactly 1).
+
+    The _BitWriter.write calls are inlined against local writer state
+    and the band crosses numpy->Python once via tolist() (r12 opt —
+    per-element numpy scalar reads and one method call per symbol were
+    the encoder's dominant cost).  Emitted bytes are identical."""
+    band = coef[ss : se + 1].tolist()
+    last_nz = ss - 1
+    for idx in range(len(band) - 1, -1, -1):
+        if band[idx]:
+            last_nz = ss + idx
+            break
+    emap = ac.encode_map
+    out = bw.out
+    bitbuf = bw.bitbuf
+    nbits = bw.nbits
     run = 0
-    for k in range(ss, last_nz + 1):
-        v = int(coef[k])
+    for k in range(0, last_nz + 1 - ss):
+        v = band[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            c, l = ac.encode_map[0xF0]  # ZRL
-            bw.write(c, l)
+            c, l = emap[0xF0]  # ZRL
+            bitbuf = (bitbuf << l) | c
+            nbits += l
+            while nbits >= 8:
+                nbits -= 8
+                b = (bitbuf >> nbits) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
             run -= 16
         s = abs(v).bit_length()
-        c, l = ac.encode_map[(run << 4) | s]
-        bw.write(c, l)
-        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        c, l = emap[(run << 4) | s]
+        bitbuf = (bitbuf << l) | c
+        nbits += l
+        while nbits >= 8:
+            nbits -= 8
+            b = (bitbuf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        vv = (v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+        bitbuf = (bitbuf << s) | vv
+        nbits += s
+        while nbits >= 8:
+            nbits -= 8
+            b = (bitbuf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
         run = 0
     if last_nz < se:
-        c, l = ac.encode_map[0x00]  # EOB
-        bw.write(c, l)
+        c, l = emap[0x00]  # EOB
+        bitbuf = (bitbuf << l) | c
+        nbits += l
+        while nbits >= 8:
+            nbits -= 8
+            b = (bitbuf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+    bw.bitbuf = bitbuf
+    bw.nbits = nbits
 
 
 def _sos_header(specs: list[tuple[int, int, int]], ss: int, se: int,

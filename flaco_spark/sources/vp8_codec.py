@@ -129,6 +129,30 @@ _COEFF_PROBS_DEFAULT = np.array(DEFAULT_COEFF_PROBS, dtype=np.uint8).reshape(
 _COEFF_UPDATE = np.array(COEFF_UPDATE_PROBS, dtype=np.uint8).reshape(4, 8, 3, 11)
 _KF_BMODE = np.array(KF_BMODE_PROBS, dtype=np.uint8).reshape(10, 10, 9)
 
+# Python-native mirrors of the numpy probability tables (r12 opt):
+# the bool coder's hot loops are pure-int arithmetic, and pulling a
+# numpy uint8 scalar out of an ndarray per BIT costs several times
+# the whole split computation (profiled: read_bool/write_bool were
+# ~45% of codec time at 546k calls per 299 docs).  Values identical
+# by construction; the numpy tables stay for any vectorized use.
+
+
+def _nest4(flat, d0=4, d1=8, d2=3, d3=11):
+    it = iter(int(x) for x in flat)
+    return tuple(
+        tuple(tuple(tuple(next(it) for _ in range(d3)) for _ in range(d2))
+              for _ in range(d1))
+        for _ in range(d0)
+    )
+
+
+_COEFF_PROBS_PY = _nest4(DEFAULT_COEFF_PROBS)
+_COEFF_UPDATE_FLAT = tuple(int(x) for x in COEFF_UPDATE_PROBS)  # (i,j,k,l) raster
+_KF_BMODE_PY = tuple(
+    tuple(tuple(int(x) for x in _KF_BMODE[a, l]) for l in range(10))
+    for a in range(10)
+)
+
 
 # ---------------------------------------------------------------------------
 # Boolean arithmetic coder (RFC 6386 §7)
@@ -182,10 +206,42 @@ class BoolDecoder:
         return -v if self.read_bool(128) else v
 
     def read_tree(self, tree, probs, start: int = 0) -> int:
+        # read_bool inlined against local coder state (r12 opt): tree
+        # walks are 1-4 bits and the attribute traffic + call overhead
+        # dominated the arithmetic.  Identical bit semantics.
+        data = self.data
+        dlen = len(data)
+        pos = self.pos
+        value = self.value
+        rng = self.range_
+        bcnt = self.bit_count
         i = start
         while True:
-            i = tree[i + self.read_bool(probs[i >> 1])]
+            prob = probs[i >> 1]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                rng -= split
+                value -= big
+            else:
+                bit = 0
+                rng = split
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bcnt += 1
+                if bcnt == 8:
+                    bcnt = 0
+                    if pos < dlen:
+                        value |= data[pos]
+                    pos += 1
+            i = tree[i + bit]
             if i <= 0:
+                self.pos = pos
+                self.value = value
+                self.range_ = rng
+                self.bit_count = bcnt
                 return -i
 
 
@@ -238,12 +294,44 @@ class BoolEncoder:
         self.write_bool(128, 1 if v < 0 else 0)
 
     def write_tree(self, tree, probs, leaf: int, start: int = 0) -> None:
-        # find the bit path to -leaf by DFS
+        # find the bit path to -leaf by DFS; write_bool inlined
+        # against local coder state (r12 opt) — identical emission.
         path = self._path(tree, start, -leaf)
         i = start
+        out = self.out
+        rng = self.range_
+        bottom = self.bottom
+        bcnt = self.bit_count
         for bit in path:
-            self.write_bool(probs[i >> 1], bit)
+            prob = probs[i >> 1]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            if bit:
+                bottom += split
+                rng -= split
+            else:
+                rng = split
+            while rng < 128:
+                rng <<= 1
+                if bottom & 0x80000000:
+                    # carry propagates into already-emitted bytes
+                    j = len(out) - 1
+                    while j >= 0 and out[j] == 0xFF:
+                        out[j] = 0
+                        j -= 1
+                    if j >= 0:
+                        out[j] += 1
+                    else:
+                        out.insert(0, 1)
+                bottom = (bottom << 1) & 0xFFFFFFFF
+                bcnt -= 1
+                if bcnt == 0:
+                    out.append((bottom >> 24) & 0xFF)
+                    bottom &= 0xFFFFFF
+                    bcnt = 8
             i = tree[i + bit]
+        self.range_ = rng
+        self.bottom = bottom
+        self.bit_count = bcnt
 
     _PATH_CACHE: dict = {}
 
@@ -441,15 +529,72 @@ def parse_frame_header(data: bytes) -> FrameHeader:
 
     h.refresh_entropy = bd.read_bool(128)  # §9.7 (key frame reads it too)
 
-    # token probability updates (§13.4)
-    probs = _COEFF_PROBS_DEFAULT.copy()
-    for i in range(4):
-        for j in range(8):
-            for k in range(3):
-                for l in range(11):
-                    if bd.read_bool(int(_COEFF_UPDATE[i, j, k, l])):
-                        probs[i, j, k, l] = bd.read_literal(8)
-    h.coeff_probs = probs
+    # token probability updates (§13.4) — 1056 bool reads per frame;
+    # read_bool inlined against local coder state over the flat
+    # Python update table (r12 opt; was: one numpy 4-D index + int()
+    # + method call per bit).  Identical bit semantics.
+    probs_flat = None  # updated copy only if any update bit is set
+    upd = _COEFF_UPDATE_FLAT
+    data = bd.data
+    dlen = len(data)
+    pos = bd.pos
+    value = bd.value
+    rng = bd.range_
+    bcnt = bd.bit_count
+    for idx in range(1056):
+        prob = upd[idx]
+        split = 1 + (((rng - 1) * prob) >> 8)
+        big = split << 8
+        if value >= big:
+            bit = 1
+            rng -= split
+            value -= big
+        else:
+            bit = 0
+            rng = split
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            bcnt += 1
+            if bcnt == 8:
+                bcnt = 0
+                if pos < dlen:
+                    value |= data[pos]
+                pos += 1
+        if bit:
+            # read_literal(8): eight bool reads at prob 128
+            v = 0
+            for _ in range(8):
+                split = 1 + ((rng - 1) >> 1)  # prob 128: ((r-1)*128)>>8
+                big = split << 8
+                if value >= big:
+                    b2 = 1
+                    rng -= split
+                    value -= big
+                else:
+                    b2 = 0
+                    rng = split
+                while rng < 128:
+                    value <<= 1
+                    rng <<= 1
+                    bcnt += 1
+                    if bcnt == 8:
+                        bcnt = 0
+                        if pos < dlen:
+                            value |= data[pos]
+                        pos += 1
+                v = (v << 1) | b2
+            if probs_flat is None:
+                probs_flat = [x for l1 in _COEFF_PROBS_PY for l2 in l1
+                              for l3 in l2 for x in l3]
+            probs_flat[idx] = v
+    bd.pos = pos
+    bd.value = value
+    bd.range_ = rng
+    bd.bit_count = bcnt
+    h.coeff_probs = (
+        _COEFF_PROBS_PY if probs_flat is None else _nest4(probs_flat)
+    )
 
     # §9.11
     h.mb_no_skip = bd.read_bool(128)
@@ -492,14 +637,47 @@ def _decode_block(
 ) -> tuple[list[int], int]:
     """One 4x4 coefficient block; returns (dequantized coeffs in
     raster order, nz flag for the neighbor context)."""
+    # The token loop is the decoder's hottest path (read_bool was
+    # ~45% of decode at 546k calls/299 docs); the whole read chain is
+    # inlined against local coder state (r12 opt, the VP8L trick).
+    # Identical bit semantics to read_tree/read_bool.
     coeffs = [0] * 16
     i = first
     start = 0  # tree start: 2 after a zero token (no EOB after 0)
     nz = 0
+    data = bd.data
+    dlen = len(data)
+    pos = bd.pos
+    value = bd.value
+    rng = bd.range_
+    bcnt = bd.bit_count
     while i < 16:
-        band = COEFF_BANDS[i]
-        p = probs_type[band][ctx]
-        tok = bd.read_tree(TOKEN_TREE, p, start)
+        p = probs_type[COEFF_BANDS[i]][ctx]
+        ti = start
+        while True:  # read_tree(TOKEN_TREE, p, start)
+            prob = p[ti >> 1]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                rng -= split
+                value -= big
+            else:
+                bit = 0
+                rng = split
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bcnt += 1
+                if bcnt == 8:
+                    bcnt = 0
+                    if pos < dlen:
+                        value |= data[pos]
+                    pos += 1
+            ti = TOKEN_TREE[ti + bit]
+            if ti <= 0:
+                break
+        tok = -ti
         if tok == TOK_EOB:
             break
         if tok == TOK_0:
@@ -513,16 +691,54 @@ def _decode_block(
         else:
             cat = tok - TOK_CAT1
             extra = 0
-            for pr in CAT_PROBS[cat]:
-                extra = (extra << 1) | bd.read_bool(pr)
+            for prob in CAT_PROBS[cat]:
+                split = 1 + (((rng - 1) * prob) >> 8)
+                big = split << 8
+                if value >= big:
+                    bit = 1
+                    rng -= split
+                    value -= big
+                else:
+                    bit = 0
+                    rng = split
+                while rng < 128:
+                    value <<= 1
+                    rng <<= 1
+                    bcnt += 1
+                    if bcnt == 8:
+                        bcnt = 0
+                        if pos < dlen:
+                            value |= data[pos]
+                        pos += 1
+                extra = (extra << 1) | bit
             v = CAT_BASE[cat] + extra
             ctx = 2
-        if bd.read_bool(128):
+        # sign: read_bool(128)
+        split = 1 + ((rng - 1) >> 1)
+        big = split << 8
+        if value >= big:
+            rng -= split
+            value -= big
             v = -v
+        else:
+            rng = split
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            bcnt += 1
+            if bcnt == 8:
+                bcnt = 0
+                if pos < dlen:
+                    value |= data[pos]
+                pos += 1
         coeffs[ZIGZAG[i]] = v * (dq_dc if i == 0 else dq_ac)
         nz = 1
         start = 0
         i += 1
+    bd.pos = pos
+    bd.value = value
+    bd.range_ = rng
+    bd.bit_count = bcnt
     return coeffs, nz
 
 
@@ -900,7 +1116,7 @@ def decode_vp8_frame(data: bytes):
                         bmodes[sb - 4] if r > 0 else above_bmodes[mbx][c]
                     )
                     left = bmodes[sb - 1] if c > 0 else left_bmodes[r]
-                    probs = _KF_BMODE[above][left]
+                    probs = _KF_BMODE_PY[above][left]
                     bmodes[sb] = bd.read_tree(BMODE_TREE, probs)
             else:
                 imp = IMPLIED_BMODE[ymode]
@@ -927,6 +1143,10 @@ def decode_vp8_frame(data: bytes):
     v_plane[:, 0] = 129
     v_plane[0, 0] = 127
 
+    # dequant factors are a function of the (≤4) segment ids only —
+    # hoisted out of the per-MB loop (r12 opt; identical values)
+    dq_by_seg = [_dequant_factors(h, s) for s in range(4)]
+
     # nonzero-coefficient contexts
     above_y = [[0] * 4 for _ in range(mbw)]
     above_u = [[0] * 2 for _ in range(mbw)]
@@ -942,7 +1162,7 @@ def decode_vp8_frame(data: bytes):
         left_y2 = 0
         for mbx in range(mbw):
             segment, skip, ymode, bmodes, uvmode = mbs[mby * mbw + mbx]
-            y1dc, y1ac, y2dc, y2ac, uvdc, uvac = _dequant_factors(h, segment)
+            y1dc, y1ac, y2dc, y2ac, uvdc, uvac = dq_by_seg[segment]
             has_y2 = ymode != B_PRED
             ycoeffs = [[0] * 16 for _ in range(16)]
             ucoeffs = [[0] * 16 for _ in range(4)]
@@ -1018,7 +1238,8 @@ def decode_vp8_frame(data: bytes):
                                 y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4
                             ]
                             blk += np.array(res, dtype=np.int32).reshape(4, 4)
-                            np.clip(blk, 0, 255, out=blk)
+                            np.maximum(blk, 0, out=blk)
+                            np.minimum(blk, 255, out=blk)
             else:
                 # above-right snapshot for the right-column subblocks
                 if mbx == mbw - 1:
@@ -1042,7 +1263,8 @@ def decode_vp8_frame(data: bytes):
                         res = idct4x4(ycoeffs[sb])
                         blk = y_plane[sy : sy + 4, sx : sx + 4]
                         blk += np.array(res, dtype=np.int32).reshape(4, 4)
-                        np.clip(blk, 0, 255, out=blk)
+                        np.maximum(blk, 0, out=blk)
+                        np.minimum(blk, 255, out=blk)
             cy0, cx0 = mby * 8 + 1, mbx * 8 + 1
             for plane, coeffs in ((u_plane, ucoeffs), (v_plane, vcoeffs)):
                 _pred_16_or_8(plane, uvmode, cy0, cx0, 8, mby > 0, mbx > 0)
@@ -1055,7 +1277,8 @@ def decode_vp8_frame(data: bytes):
                                 cy0 + by : cy0 + by + 4, cx0 + bx : cx0 + bx + 4
                             ]
                             blk += np.array(res, dtype=np.int32).reshape(4, 4)
-                            np.clip(blk, 0, 255, out=blk)
+                            np.maximum(blk, 0, out=blk)
+                            np.minimum(blk, 255, out=blk)
 
     # ---- loop filter (§15)
     if h.filter_level > 0:
@@ -1174,38 +1397,156 @@ def _tokenize(levels_raster: list[int], first: int) -> list[tuple]:
     return toks
 
 
+def _tree_steps(tree, start: int, leaf: int):
+    """(prob_slot, bit) emission sequence write_tree produces for
+    ``leaf`` from ``start`` — the tree walk, precomputed.  None when
+    the leaf is unreachable from that start (EOB after a zero token,
+    which _tokenize never emits)."""
+    target = -leaf
+    stack = [(start, [])]
+    while stack:
+        node, path = stack.pop()
+        for bit in (0, 1):
+            nxt = tree[node + bit]
+            if nxt == target and target <= 0:
+                steps = []
+                i = start
+                for b in path + [bit]:
+                    steps.append((i >> 1, b))
+                    i = tree[i + b]
+                return tuple(steps)
+            if nxt > 0:
+                stack.append((nxt, path + [bit]))
+    return None
+
+
+_TOKEN_STEPS0 = tuple(_tree_steps(TOKEN_TREE, 0, t) for t in range(12))
+_TOKEN_STEPS2 = tuple(_tree_steps(TOKEN_TREE, 2, t) for t in range(12))
+
+
 def _write_block_tokens(
     be: BoolEncoder, toks: list[tuple], probs_type, first: int, ctx: int
 ) -> int:
-    """Mirror of _decode_block's reads; returns the nz flag."""
+    """Mirror of _decode_block's reads; returns the nz flag.  The
+    whole token emission (precomputed tree-walk steps + category
+    extras + sign) is inlined against local encoder state (r12 opt —
+    the per-token write_tree/write_bool calls were the encoder's
+    remaining hot path after the header-prefix memo).  Emission is
+    bit-identical: same probabilities, same bit order."""
     i = first
     start = 0
     nz = 0
+    out = be.out
+    rng = be.range_
+    bottom = be.bottom
+    bcnt = be.bit_count
     for t in toks:
         p = probs_type[COEFF_BANDS[i]][ctx]
-        if t[0] == "eob":
-            be.write_tree(TOKEN_TREE, p, TOK_EOB, start)
+        kind = t[0]
+        if kind == "eob":
+            tok = TOK_EOB
+        elif kind == "zero":
+            tok = TOK_0
+        elif kind == "small":
+            tok = TOK_1 + (t[1] - 1)
+        else:
+            tok = TOK_CAT1 + t[1]
+        for slot, bit in (_TOKEN_STEPS2 if start else _TOKEN_STEPS0)[tok]:
+            prob = p[slot]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            if bit:
+                bottom += split
+                rng -= split
+            else:
+                rng = split
+            while rng < 128:
+                rng <<= 1
+                if bottom & 0x80000000:
+                    j = len(out) - 1
+                    while j >= 0 and out[j] == 0xFF:
+                        out[j] = 0
+                        j -= 1
+                    if j >= 0:
+                        out[j] += 1
+                    else:
+                        out.insert(0, 1)
+                bottom = (bottom << 1) & 0xFFFFFFFF
+                bcnt -= 1
+                if bcnt == 0:
+                    out.append((bottom >> 24) & 0xFF)
+                    bottom &= 0xFFFFFF
+                    bcnt = 8
+        if kind == "eob":
             break
-        if t[0] == "zero":
-            be.write_tree(TOKEN_TREE, p, TOK_0, start)
+        if kind == "zero":
             ctx = 0
             start = 2
             i += 1
             continue
-        if t[0] == "small":
-            _, a, neg = t
-            be.write_tree(TOKEN_TREE, p, TOK_1 + (a - 1), start)
-            ctx = 1 if a == 1 else 2
+        if kind == "small":
+            neg = t[2]
+            ctx = 1 if t[1] == 1 else 2
         else:
-            _, cat, extra, neg = t
-            be.write_tree(TOKEN_TREE, p, TOK_CAT1 + cat, start)
-            for bi, pr in enumerate(CAT_PROBS[cat]):
-                be.write_bool(pr, (extra >> (len(CAT_PROBS[cat]) - 1 - bi)) & 1)
+            cat, extra, neg = t[1], t[2], t[3]
+            cps = CAT_PROBS[cat]
+            nb = len(cps)
+            for bi in range(nb):
+                prob = cps[bi]
+                bit = (extra >> (nb - 1 - bi)) & 1
+                split = 1 + (((rng - 1) * prob) >> 8)
+                if bit:
+                    bottom += split
+                    rng -= split
+                else:
+                    rng = split
+                while rng < 128:
+                    rng <<= 1
+                    if bottom & 0x80000000:
+                        j = len(out) - 1
+                        while j >= 0 and out[j] == 0xFF:
+                            out[j] = 0
+                            j -= 1
+                        if j >= 0:
+                            out[j] += 1
+                        else:
+                            out.insert(0, 1)
+                    bottom = (bottom << 1) & 0xFFFFFFFF
+                    bcnt -= 1
+                    if bcnt == 0:
+                        out.append((bottom >> 24) & 0xFF)
+                        bottom &= 0xFFFFFF
+                        bcnt = 8
             ctx = 2
-        be.write_bool(128, 1 if neg else 0)
+        # sign: write_bool(128, neg)
+        split = 1 + ((rng - 1) >> 1)
+        if neg:
+            bottom += split
+            rng -= split
+        else:
+            rng = split
+        while rng < 128:
+            rng <<= 1
+            if bottom & 0x80000000:
+                j = len(out) - 1
+                while j >= 0 and out[j] == 0xFF:
+                    out[j] = 0
+                    j -= 1
+                if j >= 0:
+                    out[j] += 1
+                else:
+                    out.insert(0, 1)
+            bottom = (bottom << 1) & 0xFFFFFFFF
+            bcnt -= 1
+            if bcnt == 0:
+                out.append((bottom >> 24) & 0xFF)
+                bottom &= 0xFFFFFF
+                bcnt = 8
         nz = 1
         start = 0
         i += 1
+    be.range_ = rng
+    be.bottom = bottom
+    be.bit_count = bcnt
     return nz
 
 
@@ -1222,11 +1563,15 @@ def rgb_to_yuv420(rgb: np.ndarray):
     Y = np.clip(y, 0, 255).astype(np.uint8)
 
     def sub(p):
-        ph = p[: h - (h % 2) or h, :]
         # pad to even dims by edge replication before 2x2 averaging
-        pe = np.pad(
-            p, ((0, h % 2), (0, w % 2)), mode="edge"
-        ).astype(np.int32)
+        # (direct assignment; np.pad's generic machinery was ~7% of
+        # encode at this image size — r12 opt, identical values)
+        pe = np.empty((h + (h % 2), w + (w % 2)), dtype=np.int32)
+        pe[:h, :w] = p
+        if w % 2:
+            pe[:h, w] = p[:, w - 1]
+        if h % 2:
+            pe[h, :] = pe[h - 1, :]
         return (
             (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2] + 2)
             >> 2
@@ -1235,6 +1580,49 @@ def rgb_to_yuv420(rgb: np.ndarray):
     U = np.clip(sub(u), 0, 255).astype(np.uint8)
     V = np.clip(sub(v), 0, 255).astype(np.uint8)
     return Y, U, V
+
+
+# The first-partition header this encoder emits (color space through
+# mb_no_coeff_skip, including the 1056 fixed no-update coefficient
+# probability bits) is a pure function of q_index — ~60% of every
+# frame's write_bool calls re-encoded an identical prefix (r12 opt).
+# The bool-encoder state after the prefix is snapshotted once per
+# q_index and restored per frame; emitted bytes are identical because
+# the state (out, range, bottom, bit_count) is the coder's ENTIRE
+# state and later carries propagate into the restored copy exactly as
+# they would into freshly-written bytes.
+_MODE_PREFIX_CACHE: dict[int, tuple[bytes, int, int, int]] = {}
+
+
+def _mode_header_prefix(q_index: int) -> BoolEncoder:
+    snap = _MODE_PREFIX_CACHE.get(q_index)
+    if snap is None:
+        be = BoolEncoder()
+        # header fields (mirrors parse_frame_header's reads)
+        be.write_bool(128, 0)  # color_space
+        be.write_bool(128, 0)  # clamping_type
+        be.write_bool(128, 0)  # segmentation_enabled
+        be.write_bool(128, 0)  # filter_type
+        be.write_literal(6, 0)  # loop_filter_level = 0
+        be.write_literal(3, 0)  # sharpness
+        be.write_bool(128, 0)  # lf_delta_enabled
+        be.write_literal(2, 0)  # log2 partitions = 0 -> 1 partition
+        be.write_literal(7, q_index)
+        for _ in range(5):
+            be.write_bool(128, 0)  # no quant deltas
+        be.write_bool(128, 1)  # refresh_entropy_probs
+        upd = _COEFF_UPDATE_FLAT
+        for idx in range(1056):  # no coefficient probability updates
+            be.write_bool(upd[idx], 0)
+        be.write_bool(128, 0)  # mb_no_coeff_skip = 0
+        snap = (bytes(be.out), be.range_, be.bottom, be.bit_count)
+        _MODE_PREFIX_CACHE[q_index] = snap
+    be = BoolEncoder()
+    be.out = bytearray(snap[0])
+    be.range_ = snap[1]
+    be.bottom = snap[2]
+    be.bit_count = snap[3]
+    return be
 
 
 def encode_vp8_frame(
@@ -1251,13 +1639,17 @@ def encode_vp8_frame(
     mbh = (height + 15) // 16
     W16, H16 = mbw * 16, mbh * 16
 
-    # MB-padded source planes (edge replication)
+    # MB-padded source planes (edge replication; direct assignment —
+    # np.pad's generic machinery was measurable at this image size)
     def pad(p, ph, pw):
-        return np.pad(
-            p.astype(np.int32),
-            ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
-            mode="edge",
-        )
+        h0, w0 = p.shape
+        out = np.empty((ph, pw), dtype=np.int32)
+        out[:h0, :w0] = p
+        if w0 < pw:
+            out[:h0, w0:] = out[:h0, w0 - 1 : w0]
+        if h0 < ph:
+            out[h0:, :] = out[h0 - 1 : h0, :]
+        return out
 
     src_y = pad(Y, H16, W16)
     src_u = pad(U, H16 // 2, W16 // 2)
@@ -1284,30 +1676,17 @@ def encode_vp8_frame(
     h.y_dc_delta = h.y2_dc_delta = h.y2_ac_delta = 0
     h.uv_dc_delta = h.uv_ac_delta = 0
     y1dc, y1ac, y2dc, y2ac, uvdc, uvac = _dequant_factors(h, 0)
+    # per-frame quantizer vectors for the batched rint/clip paths
+    # (identical values to the old per-block constructions)
+    y2q = np.full(16, float(y2ac))
+    y2q[0] = y2dc
+    uvq = np.full(16, uvac, np.float64)
+    uvq[0] = uvdc
 
-    mode_be = BoolEncoder()
-    # header fields (mirrors parse_frame_header's reads)
-    mode_be.write_bool(128, 0)  # color_space
-    mode_be.write_bool(128, 0)  # clamping_type
-    mode_be.write_bool(128, 0)  # segmentation_enabled
-    mode_be.write_bool(128, 0)  # filter_type
-    mode_be.write_literal(6, 0)  # loop_filter_level = 0
-    mode_be.write_literal(3, 0)  # sharpness
-    mode_be.write_bool(128, 0)  # lf_delta_enabled
-    mode_be.write_literal(2, 0)  # log2 partitions = 0 -> 1 partition
-    mode_be.write_literal(7, q_index)
-    for _ in range(5):
-        mode_be.write_bool(128, 0)  # no quant deltas
-    mode_be.write_bool(128, 1)  # refresh_entropy_probs
-    for i in range(4):  # no coefficient probability updates
-        for j in range(8):
-            for k in range(3):
-                for l in range(11):
-                    mode_be.write_bool(int(_COEFF_UPDATE[i, j, k, l]), 0)
-    mode_be.write_bool(128, 0)  # mb_no_coeff_skip = 0
+    mode_be = _mode_header_prefix(q_index)
 
     tok_be = BoolEncoder()
-    probs = _COEFF_PROBS_DEFAULT
+    probs = _COEFF_PROBS_PY
     above_y = [[0] * 4 for _ in range(mbw)]
     above_u = [[0] * 2 for _ in range(mbw)]
     above_v = [[0] * 2 for _ in range(mbw)]
@@ -1344,34 +1723,39 @@ def encode_vp8_frame(
                 rec_y, src_y, y0, x0, 16, mby > 0, mbx > 0
             )
             res = src_y[y0 - 1 : y0 + 15, x0 - 1 : x0 + 15] - pred_y
-            # per-subblock quantized levels; Y2 holds the DC lane
-            y_levels = []
-            dc_targets = np.zeros(16)
+            # per-subblock quantized levels, all 16 subblocks through
+            # ONE matmul (r12 opt; each column is exactly the old
+            # per-block _IDCT_INV @ blk matvec); np.rint is the same
+            # IEEE half-even rounding as the original per-raster
+            # int(np.round(...)) loop and rint output is integral so
+            # the int64 cast is exact.  DC rides in Y2, so col 0 -> 0.
+            blks = (
+                res.reshape(4, 4, 4, 4)
+                .transpose(0, 2, 1, 3)
+                .reshape(16, 16)
+                .astype(np.float64)
+            )
+            # per-block matvec kept deliberately: one (16,16)@(16,16)
+            # matmul is ~the same speed here but BLAS gemm sums in a
+            # different order than gemv, flipping half-even rint at
+            # ULP boundaries — measured: stream bytes change.  The
+            # rint/clip/tolist tail IS batched (value-preserving).
+            targets = np.empty((16, 16), np.float64)
             for sb in range(16):
-                r, c = sb >> 2, sb & 3
-                blk = res[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4].reshape(-1)
-                target = _IDCT_INV @ blk.astype(np.float64)
-                dc_targets[sb] = target[0]
-                # vectorized, bit-identical to the per-raster
-                # int(np.round(...)) loop (np.rint is the same IEEE
-                # half-even rounding; rint output is integral so the
-                # int64 cast is exact); DC rides in Y2, so [0] stays 0
-                levels = (
-                    np.clip(np.rint(target / y1ac), -2047, 2047)
-                    .astype(np.int64)
-                    .tolist()
-                )
-                levels[0] = 0
-                y_levels.append(levels)
+                targets[sb] = _IDCT_INV @ blks[sb]
+            dc_targets = targets[:, 0].copy()
+            lv = np.rint(targets / y1ac)
+            np.maximum(lv, -2047.0, out=lv)
+            np.minimum(lv, 2047.0, out=lv)
+            lvi = lv.astype(np.int64)
+            lvi[:, 0] = 0
+            y_levels = lvi.tolist()
             # Y2: forward WHT of the DC lane
             y2_target = _IWHT_INV @ dc_targets
-            y2q = np.full(16, float(y2ac))
-            y2q[0] = y2dc
-            y2_levels = (
-                np.clip(np.rint(y2_target / y2q), -2047, 2047)
-                .astype(np.int64)
-                .tolist()
-            )
+            y2l = np.rint(y2_target / y2q)
+            np.maximum(y2l, -2047.0, out=y2l)
+            np.minimum(y2l, 2047.0, out=y2l)
+            y2_levels = y2l.astype(np.int64).tolist()
             # chroma
             cy0, cx0 = mby * 8 + 1, mbx * 8 + 1
             uvmode, pred_u = best_mode(
@@ -1380,18 +1764,26 @@ def encode_vp8_frame(
             _pred_16_or_8(rec_v, uvmode, cy0, cx0, 8, mby > 0, mbx > 0)
             pred_v = rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8].copy()
             uv_levels = []
-            for plane_src, predp, c0 in (
-                (src_u, pred_u, cx0), (src_v, pred_v, cx0)
-            ):
+            for plane_src, predp in ((src_u, pred_u), (src_v, pred_v)):
                 resc = (
                     plane_src[cy0 - 1 : cy0 + 7, cx0 - 1 : cx0 + 7] - predp
                 )
+                # all 4 subblocks through one matmul (same matvec per
+                # column as the old per-block _quantize_block)
+                cblks = (
+                    resc.reshape(2, 4, 2, 4)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(4, 16)
+                    .astype(np.float64)
+                )
+                # per-block matvec for byte-stability (see Y above)
+                ct = np.empty((4, 16), np.float64)
                 for sb in range(4):
-                    r, c = sb >> 1, sb & 1
-                    blk = resc[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4].reshape(-1)
-                    uv_levels.append(
-                        _quantize_block(blk, _IDCT_INV, uvdc, uvac)
-                    )
+                    ct[sb] = _IDCT_INV @ cblks[sb]
+                cl = np.rint(ct / uvq)
+                np.maximum(cl, -2047.0, out=cl)
+                np.minimum(cl, 2047.0, out=cl)
+                uv_levels.extend(cl.astype(np.int64).tolist())
 
             # ---- mode bits (partition 1)
             mode_be.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, ymode)
@@ -1438,7 +1830,8 @@ def encode_vp8_frame(
                     r, c = (sb >> 2) * 4, (sb & 3) * 4
                     blk = rec_y[y0 + r : y0 + r + 4, x0 + c : x0 + c + 4]
                     blk += np.array(out, dtype=np.int32).reshape(4, 4)
-                    np.clip(blk, 0, 255, out=blk)
+                    np.maximum(blk, 0, out=blk)
+                    np.minimum(blk, 255, out=blk)
             rec_u[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_u
             rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_v
             for pi, recp in ((0, rec_u), (1, rec_v)):
@@ -1454,7 +1847,8 @@ def encode_vp8_frame(
                             cy0 + r : cy0 + r + 4, cx0 + c : cx0 + c + 4
                         ]
                         blk += np.array(out, dtype=np.int32).reshape(4, 4)
-                        np.clip(blk, 0, 255, out=blk)
+                        np.maximum(blk, 0, out=blk)
+                        np.minimum(blk, 255, out=blk)
 
     part1 = mode_be.finish()
     part2 = tok_be.finish()
