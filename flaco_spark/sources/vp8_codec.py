@@ -412,6 +412,37 @@ def idct4x4(block: list[int]) -> list[int]:
     return out
 
 
+def _idct4x4_batch(blocks: np.ndarray) -> np.ndarray:
+    """idct4x4 vectorized over an (n, 16) int64 array of raster-order
+    coefficient blocks; returns (n, 16) int64.  Bit-identical to the
+    scalar loop: every op is integer add/multiply/arithmetic-shift,
+    and numpy's int64 ``>>`` is the same floor shift as Python's
+    (values stay far inside int64 — |coeff| <= 2047*q < 2^19, so the
+    *35468 products are < 2^36)."""
+    B = blocks.reshape(-1, 4, 4)
+    X0, X1, X2, X3 = B[:, 0, :], B[:, 1, :], B[:, 2, :], B[:, 3, :]
+    a1 = X0 + X2
+    b1 = X0 - X2
+    c1 = ((X1 * _C2) >> 16) - (X3 + ((X3 * _C1) >> 16))
+    d1 = (X1 + ((X1 * _C1) >> 16)) + ((X3 * _C2) >> 16)
+    tmp = np.empty_like(B)
+    tmp[:, 0, :] = a1 + d1
+    tmp[:, 3, :] = a1 - d1
+    tmp[:, 1, :] = b1 + c1
+    tmp[:, 2, :] = b1 - c1
+    Y0, Y1, Y2, Y3 = tmp[:, :, 0], tmp[:, :, 1], tmp[:, :, 2], tmp[:, :, 3]
+    a1 = Y0 + Y2
+    b1 = Y0 - Y2
+    c1 = ((Y1 * _C2) >> 16) - (Y3 + ((Y3 * _C1) >> 16))
+    d1 = (Y1 + ((Y1 * _C1) >> 16)) + ((Y3 * _C2) >> 16)
+    out = np.empty_like(B)
+    out[:, :, 0] = (a1 + d1 + 4) >> 3
+    out[:, :, 3] = (a1 - d1 + 4) >> 3
+    out[:, :, 1] = (b1 + c1 + 4) >> 3
+    out[:, :, 2] = (b1 - c1 + 4) >> 3
+    return out.reshape(-1, 16)
+
+
 def iwht4x4(block: list[int]) -> list[int]:
     """RFC §14.3 inverse Walsh-Hadamard for the Y2 block."""
     tmp = [0] * 16
@@ -1225,6 +1256,19 @@ def decode_vp8_frame(data: bytes):
                 # the top border row extends right at 127 for
                 # above/above-right reads; nothing to do (preset)
                 pass
+            if not skip:
+                # residuals are independent of the (sequential)
+                # prediction — all 24 idcts of the MB batched through
+                # the bit-identical integer vector path (r12 opt)
+                yres = _idct4x4_batch(
+                    np.array(ycoeffs, dtype=np.int64)
+                ).astype(np.int32).reshape(16, 4, 4)
+                ures = _idct4x4_batch(
+                    np.array(ucoeffs, dtype=np.int64)
+                ).astype(np.int32).reshape(4, 4, 4)
+                vres = _idct4x4_batch(
+                    np.array(vcoeffs, dtype=np.int64)
+                ).astype(np.int32).reshape(4, 4, 4)
             if ymode != B_PRED:
                 _pred_16_or_8(
                     y_plane, ymode, y0, x0, 16, mby > 0, mbx > 0
@@ -1232,12 +1276,11 @@ def decode_vp8_frame(data: bytes):
                 if not skip:
                     for sb in range(16):
                         if any(ycoeffs[sb]):
-                            res = idct4x4(ycoeffs[sb])
                             by, bx = (sb >> 2) * 4, (sb & 3) * 4
                             blk = y_plane[
                                 y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4
                             ]
-                            blk += np.array(res, dtype=np.int32).reshape(4, 4)
+                            blk += yres[sb]
                             np.maximum(blk, 0, out=blk)
                             np.minimum(blk, 255, out=blk)
             else:
@@ -1260,23 +1303,24 @@ def decode_vp8_frame(data: bytes):
                         ar = [int(v) for v in y_plane[sy - 1, sx + 4 : sx + 8]]
                     _pred_b(y_plane, bmodes[sb], sy, sx, ar)
                     if not skip and any(ycoeffs[sb]):
-                        res = idct4x4(ycoeffs[sb])
                         blk = y_plane[sy : sy + 4, sx : sx + 4]
-                        blk += np.array(res, dtype=np.int32).reshape(4, 4)
+                        blk += yres[sb]
                         np.maximum(blk, 0, out=blk)
                         np.minimum(blk, 255, out=blk)
             cy0, cx0 = mby * 8 + 1, mbx * 8 + 1
-            for plane, coeffs in ((u_plane, ucoeffs), (v_plane, vcoeffs)):
+            for pi, (plane, coeffs) in enumerate(
+                ((u_plane, ucoeffs), (v_plane, vcoeffs))
+            ):
                 _pred_16_or_8(plane, uvmode, cy0, cx0, 8, mby > 0, mbx > 0)
                 if not skip:
+                    cres = ures if pi == 0 else vres
                     for sb in range(4):
                         if any(coeffs[sb]):
-                            res = idct4x4(coeffs[sb])
                             by, bx = (sb >> 1) * 4, (sb & 1) * 4
                             blk = plane[
                                 cy0 + by : cy0 + by + 4, cx0 + bx : cx0 + bx + 4
                             ]
-                            blk += np.array(res, dtype=np.int32).reshape(4, 4)
+                            blk += cres[sb]
                             np.maximum(blk, 0, out=blk)
                             np.minimum(blk, 255, out=blk)
 
@@ -1764,6 +1808,7 @@ def encode_vp8_frame(
             _pred_16_or_8(rec_v, uvmode, cy0, cx0, 8, mby > 0, mbx > 0)
             pred_v = rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8].copy()
             uv_levels = []
+            uv_arrs = []
             for plane_src, predp in ((src_u, pred_u), (src_v, pred_v)):
                 resc = (
                     plane_src[cy0 - 1 : cy0 + 7, cx0 - 1 : cx0 + 7] - predp
@@ -1783,7 +1828,9 @@ def encode_vp8_frame(
                 cl = np.rint(ct / uvq)
                 np.maximum(cl, -2047.0, out=cl)
                 np.minimum(cl, 2047.0, out=cl)
-                uv_levels.extend(cl.astype(np.int64).tolist())
+                cl_i = cl.astype(np.int64)
+                uv_arrs.append(cl_i)
+                uv_levels.extend(cl_i.tolist())
 
             # ---- mode bits (partition 1)
             mode_be.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, ymode)
@@ -1816,37 +1863,36 @@ def encode_vp8_frame(
                     above_c[mbx][c] = left_c[r] = nz
 
             # ---- reconstruction, exactly as the decoder will do it
+            # (dequant + idct batched per MB via the bit-identical
+            # integer vector path; levels[0] is overwritten by the
+            # Y2-propagated DC exactly as the scalar loop did)
             dcs = iwht4x4([v * (y2dc if i == 0 else y2ac)
                            for i, v in enumerate(y2_levels)])
             rec_y[y0 : y0 + 16, x0 : x0 + 16] = pred_y
+            deq_y = lvi * y1ac
+            deq_y[:, 0] = dcs
+            yout = _idct4x4_batch(deq_y).astype(np.int32).reshape(16, 4, 4)
             for sb in range(16):
-                deq = [
-                    y_levels[sb][i] * (y1dc if i == 0 else y1ac)
-                    for i in range(16)
-                ]
-                deq[0] = dcs[sb]
-                if any(deq):
-                    out = idct4x4(deq)
+                if deq_y[sb].any():
                     r, c = (sb >> 2) * 4, (sb & 3) * 4
                     blk = rec_y[y0 + r : y0 + r + 4, x0 + c : x0 + c + 4]
-                    blk += np.array(out, dtype=np.int32).reshape(4, 4)
+                    blk += yout[sb]
                     np.maximum(blk, 0, out=blk)
                     np.minimum(blk, 255, out=blk)
             rec_u[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_u
             rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_v
+            uv_lvi = np.concatenate(uv_arrs)
+            deq_uv = uv_lvi * uvac
+            deq_uv[:, 0] = uv_lvi[:, 0] * uvdc
+            uvout = _idct4x4_batch(deq_uv).astype(np.int32).reshape(8, 4, 4)
             for pi, recp in ((0, rec_u), (1, rec_v)):
                 for sb in range(4):
-                    deq = [
-                        uv_levels[pi * 4 + sb][i] * (uvdc if i == 0 else uvac)
-                        for i in range(16)
-                    ]
-                    if any(deq):
-                        out = idct4x4(deq)
+                    if deq_uv[pi * 4 + sb].any():
                         r, c = (sb >> 1) * 4, (sb & 1) * 4
                         blk = recp[
                             cy0 + r : cy0 + r + 4, cx0 + c : cx0 + c + 4
                         ]
-                        blk += np.array(out, dtype=np.int32).reshape(4, 4)
+                        blk += uvout[pi * 4 + sb]
                         np.maximum(blk, 0, out=blk)
                         np.minimum(blk, 255, out=blk)
 
