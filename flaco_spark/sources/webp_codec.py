@@ -185,12 +185,19 @@ class _LsbWriter:
         return out
 
 
+# byte-reversal table for _bit_reverse (r12 opt: the per-bit loop ran
+# once per canonical code symbol — a 16-bit reverse is two table
+# lookups; identical values by construction)
+_REV8 = tuple(
+    sum(((i >> b) & 1) << (7 - b) for b in range(8)) for i in range(256)
+)
+
+
 def _bit_reverse(code: int, length: int) -> int:
-    r = 0
-    for _ in range(length):
-        r = (r << 1) | (code & 1)
-        code >>= 1
-    return r
+    # reverse 16 bits via the byte table, then drop the low zeros the
+    # full-width reversal leaves for codes shorter than 16 bits
+    r = (_REV8[code & 0xFF] << 8) | _REV8[(code >> 8) & 0xFF]
+    return r >> (16 - length)
 
 
 # ---------------------------------------------------------------------------
