@@ -80,6 +80,13 @@ EXTENDED = [
     # pass skips them by design.
     "m22_webp_lossy_decode",
     "m23_exif_metadata",
+    # r13 (VERDICT r12 task 6, additions-only): the two verified r12
+    # restructures that were invisible to the graded surface — t27's
+    # shared-corpus-subtree Rocchio (1.30x interleaved median) and
+    # g05's de-crossJoined personalized PageRank (same rewrite as
+    # g01).  First-round rows: the requote pass skips them by design.
+    "t27_rocchio_prf",
+    "g05_personalized_pagerank",
 ]
 
 
@@ -218,6 +225,26 @@ def _host_probe() -> dict[str, float]:
 
 _BW_BUFS = None
 
+# Running record of the best DRAM bandwidth ANY probe of this process
+# has observed (r13, VERDICT r12 task 1): on a day the host never
+# offers the >=15 GB/s band, every 300 s re-gate held at that floor is
+# pure waste that starves the requote reserve (the r12 driver run:
+# 608 s start gate + per-phase re-gates -> 14/15 flagged rows
+# skipped_time_budget).  Gates AFTER the start gate may relax to just
+# under the best band actually seen this run; the >=15 in_band stamp
+# on phases is unchanged, so cross-round comparability is intact.
+_RUN_BAND = {"best_seen": 0.0, "start_gate_done": False}
+
+
+def _adaptive_floor(requested: float) -> float:
+    """Floor for a post-start quiet gate: never above the band the
+    host has actually offered this run (plus nothing below the basic
+    8 GB/s quiet floor)."""
+    best = _RUN_BAND["best_seen"]
+    if not _RUN_BAND["start_gate_done"] or best <= 0.0 or best >= requested:
+        return requested
+    return max(QUIET_MEMBW_GBPS, min(requested, round(best * 0.95, 1)))
+
 
 def _membw_gbps() -> float:
     """Fault-free DRAM copy bandwidth (GB/s), best of 3 on a 64 MiB
@@ -241,7 +268,10 @@ def _membw_gbps() -> float:
             np.copyto(b, a)
             dt = time.perf_counter() - t0
             best = max(best, 2 * a.nbytes / dt / 1e9)
-        return round(best, 1)
+        best = round(best, 1)
+        if best > _RUN_BAND["best_seen"]:
+            _RUN_BAND["best_seen"] = best
+        return best
     except Exception:  # noqa: BLE001 — probe must never kill the bench
         return 0.0
 
@@ -293,12 +323,18 @@ def _bw_band(gbps: float) -> str:
 
 
 def _wait_for_quiet(
-    max_wait_s: float, label: str, membw_floor: float = QUIET_MEMBW_GBPS
+    max_wait_s: float, label: str, membw_floor: float = QUIET_MEMBW_GBPS,
+    adaptive: bool = False,
 ) -> dict:
     """Poll spin + steal until the host is quiet or the budget runs
     out; returns the gate record for the output JSON.  Proceeding
     anyway after a timeout is deliberate — a bench that never runs is
-    worse than one whose noise is recorded and attributable."""
+    worse than one whose noise is recorded and attributable.
+
+    ``adaptive`` (r13): relax the bandwidth floor to just under the
+    best band any probe of this run has seen — a post-start gate must
+    not burn minutes waiting for a band the host is not offering
+    today (the r12 failure mode that starved the requote reserve)."""
     t0 = time.perf_counter()
     samples = 0
     while True:
@@ -307,10 +343,11 @@ def _wait_for_quiet(
         steal = _steal_rate()
         samples += 1
         waited = time.perf_counter() - t0
+        floor = _adaptive_floor(membw_floor) if adaptive else membw_floor
         quiet = (
             spin <= QUIET_SPIN_S
             and steal <= QUIET_STEAL_JPS
-            and (bw == 0.0 or bw >= membw_floor)  # 0.0 = probe n/a
+            and (bw == 0.0 or bw >= floor)  # 0.0 = probe n/a
         )
         if quiet or waited >= max_wait_s:
             gate = {
@@ -320,7 +357,8 @@ def _wait_for_quiet(
                 "final_spin": spin,
                 "final_steal_jps": steal,
                 "final_membw_gbps": bw,
-                "membw_floor": membw_floor,
+                "membw_floor": floor,
+                "membw_floor_requested": membw_floor,
                 "membw_band": _bw_band(bw),
                 "quiet": quiet,
             }
@@ -385,11 +423,27 @@ PHASE_MAX_ATTEMPTS = 5
 
 def _measure_phase(
     label: str, fn, gate_deadline: float, max_attempts: int = PHASE_MAX_ATTEMPTS,
+    hard_deadline: float | None = None, require_band_evidence: bool = False,
 ):
     """Run one measurement phase, probe-bracketed; re-gate and re-run
     while the bracket is spin-invalid or out-of-band (VERDICT r9
     task 1 — r8/r9 each published an extended phase from a <10 GB/s
     window, so no same-band cross-round pair exists yet).
+
+    r13 (VERDICT r12 task 1) refinements:
+    - ``gate_deadline`` is this PHASE's reserved slice (main() divides
+      the gate budget by phase weight), so a greedy early phase can no
+      longer leave the last phase a single attempt.
+    - An out-of-band-but-spin-valid bracket only re-runs while the
+      host has actually shown a >=15 GB/s window this run — on a
+      below-band day the retries cannot succeed and only burn the
+      requote reserve (the r12 driver run's failure mode).
+    - A final SPIN-INVALID bracket (the r12 headline phase: 2.8 GB/s
+      collapse mid-phase, one attempt, graded as a 5x regression)
+      forces ONE more gate+re-run drawing on ``hard_deadline`` (the
+      overall run budget) even past the phase slice: an invalid
+      bracket recorded as the round's number is strictly worse than a
+      shorter requote pass.
 
     Returns (result, probes, noise_entry, attempts_log): the result
     and bracket of the BEST attempt (in-band+valid first, then widest
@@ -399,7 +453,8 @@ def _measure_phase(
     when the host never offers a ≥15 window in budget)."""
     attempts: list[dict] = []
     candidates: list[tuple[tuple, object, dict, dict, dict]] = []
-    while True:
+
+    def one_attempt() -> tuple[dict, float]:
         t0 = time.perf_counter()
         pre = _host_probe()
         result = fn()
@@ -416,18 +471,38 @@ def _measure_phase(
         score = (1 if ok else 0, 1 if entry["valid"] else 0,
                  entry["membw_min_gbps"])
         candidates.append((score, result, pre, post, entry))
+        return entry, elapsed
+
+    while True:
+        entry, elapsed = one_attempt()
+        ok = entry["valid"] and entry["in_band"]
+        # A below-band retry is only worth its cost if the host has
+        # demonstrated the target band this run (``require_band_evidence``
+        # — set by main(), where the start gate has already searched for
+        # a >=15 window); spin-invalid always retries (mid-phase
+        # contention is transient by definition).  Phase probes of this
+        # very attempt count as evidence too.
+        band_seen = max(
+            _RUN_BAND["best_seen"],
+            max((a["membw_pre"] for a in attempts), default=0.0),
+            max((a["membw_post"] for a in attempts), default=0.0),
+        )
+        band_reachable = (
+            not require_band_evidence
+            or band_seen >= QUIET_MEMBW_MEASURE_GBPS
+        )
+        worth_retry = (not entry["valid"]) or (
+            not entry["in_band"] and band_reachable
+        )
         # Re-run only while budget covers another attempt INCLUDING the
         # re-gate that precedes it (r10 ADVICE: estimating the next
         # attempt as `elapsed` alone let a retry overrun gate_deadline
-        # into the requote reserve by up to the 300 s gate wait).  The
-        # cap mirrors the _wait_for_quiet call below; a gate that goes
-        # the full wait means the host is below band, so budgeting the
-        # worst case only ever skips attempts that would land
-        # out-of-band anyway.
+        # into the requote reserve by up to the 300 s gate wait).
         now = time.perf_counter()
         regate_cap = min(300.0, max(0.0, gate_deadline - now))
         if (
             ok
+            or not worth_retry
             or len(attempts) >= max_attempts
             or now + regate_cap + elapsed > gate_deadline
         ):
@@ -444,8 +519,33 @@ def _measure_phase(
             min(300.0, max(0.0, gate_deadline - time.perf_counter())),
             f"re_{label}",
             membw_floor=QUIET_MEMBW_MEASURE_GBPS,
+            adaptive=True,
         )
-    _, result, pre, post, entry = max(candidates, key=lambda c: c[0])
+    best = max(candidates, key=lambda c: c[0])
+    # Forced re-validation (r13): if the best bracket is SPIN-INVALID,
+    # one more gate + attempt within the overall run budget — never
+    # record a mid-phase collapse as the round's number while any
+    # budget remains.
+    if not best[4]["valid"] and hard_deadline is not None:
+        now = time.perf_counter()
+        last_elapsed = attempts[-1]["elapsed_s"]
+        gate_cap = min(120.0, max(0.0, hard_deadline - now - last_elapsed))
+        if now + gate_cap + last_elapsed <= hard_deadline:
+            print(
+                f"# phase[{label}]: best bracket spin-invalid "
+                f"(ratio {best[4]['spin_ratio']}) — forced re-validation "
+                "attempt from the run budget",
+                file=sys.stderr,
+            )
+            _wait_for_quiet(
+                gate_cap, f"revalidate_{label}",
+                membw_floor=QUIET_MEMBW_MEASURE_GBPS, adaptive=True,
+            )
+            entry, _ = one_attempt()
+            entry_forced = candidates[-1][4]
+            entry_forced["forced_revalidation"] = True
+            best = max(candidates, key=lambda c: c[0])
+    _, result, pre, post, entry = best
     entry["attempts"] = len(attempts)
     entry["band_status"] = "target" if entry["in_band"] else "best_achievable_band"
     if entry["band_status"] != "target":
@@ -614,8 +714,11 @@ def _next_round(search_dir: Path | None = None) -> int:
 # The driver keeps only a ~2 KB stdout tail; BENCH_r08.json was lost
 # when the final line grew past it (VERDICT r8 task 1).  The machine
 # line stays under this bound — everything diagnostic goes to the
-# BENCH_META artifact + stderr instead.
-COMPACT_LINE_MAX = 1500
+# BENCH_META artifact + stderr instead.  r13: raised 1500 -> 1750 for
+# the two EXTENDED additions (t27/g05, VERDICT r12 task 6); still
+# ~300 B under the 2 KB tail, and the shedding valve below is
+# unchanged.
+COMPACT_LINE_MAX = 1750
 
 
 def _compact_record(
@@ -923,6 +1026,25 @@ def main() -> None:
         "start",
         membw_floor=QUIET_MEMBW_MEASURE_GBPS,
     )
+    # After the start gate, later gates may relax to the band the host
+    # actually offers (r13 — see _adaptive_floor): the start gate is
+    # the one that establishes whether >=15 GB/s exists today.
+    _RUN_BAND["start_gate_done"] = True
+
+    # Per-phase gate-budget slices (r13, VERDICT r12 task 1): the
+    # headline phase ran LAST in r12 and the driver gave it exactly one
+    # attempt in a collapsing window.  Weights approximate relative
+    # phase duration (extended is ~3-4x either other phase); unspent
+    # budget rolls forward because each slice is computed from `now`.
+    phase_weights = {"extract": 1.0, "extended": 4.0, "headline": 1.5}
+
+    def phase_slice(phase: str, remaining: tuple[str, ...]) -> float:
+        now = time.perf_counter()
+        total_w = sum(phase_weights[p] for p in remaining)
+        return now + max(0.0, gate_deadline - now) * (
+            phase_weights[phase] / total_w
+        )
+
     registry = load_inventory()
     probes: dict[str, dict] = {}
     noise: dict[str, dict] = {}
@@ -949,7 +1071,11 @@ def main() -> None:
         return t, mem
 
     extract_result, probes["extract"], noise["extract"], phase_attempts["extract"] = (
-        _measure_phase("extract", run_extract, gate_deadline)
+        _measure_phase(
+            "extract", run_extract,
+            phase_slice("extract", ("extract", "extended", "headline")),
+            hard_deadline=deadline, require_band_evidence=True,
+        )
     )
     extract_timings, mem_snapshot = extract_result
     memory.update(mem_snapshot)
@@ -966,6 +1092,7 @@ def main() -> None:
         ),
         "pre_extended",
         membw_floor=QUIET_MEMBW_MEASURE_GBPS,
+        adaptive=True,
     )
 
     spark = get_session(app_name="flaco_spark_bench")
@@ -1015,7 +1142,11 @@ def main() -> None:
         registry[name].builder(spark, sf_dir).count()
         release_caches()
     extended, probes["extended"], noise["extended"], phase_attempts["extended"] = (
-        _measure_phase("extended", lambda: timed_suite(EXTENDED), gate_deadline)
+        _measure_phase(
+            "extended", lambda: timed_suite(EXTENDED),
+            phase_slice("extended", ("extended", "headline")),
+            hard_deadline=deadline, require_band_evidence=True,
+        )
     )
 
     # Headline phase gets its own quiet gate — r8 AND r9 both recorded
@@ -1028,12 +1159,17 @@ def main() -> None:
         ),
         "pre_headline",
         membw_floor=QUIET_MEMBW_MEASURE_GBPS,
+        adaptive=True,
     )
     for name in HEADLINE:
         registry[name].builder(spark, sf_dir).count()
         release_caches()
     timings, probes["headline"], noise["headline"], phase_attempts["headline"] = (
-        _measure_phase("headline", lambda: timed_suite(HEADLINE), gate_deadline)
+        _measure_phase(
+            "headline", lambda: timed_suite(HEADLINE),
+            phase_slice("headline", ("headline",)),
+            hard_deadline=deadline, require_band_evidence=True,
+        )
     )
 
     # Auto-requote (VERDICT r7 task 7, threshold 1.15x): phase-level
@@ -1052,8 +1188,30 @@ def main() -> None:
         if a[k] > 0.0
     ]
     spin_floor = min(run_spins) if run_spins else 0.0
+
+    # Per-phase requote budget split (r13, VERDICT r12 task 1): one
+    # phase's flags must not starve the other pass (r12: 14/15 rows
+    # skipped_time_budget).  Each pass gets a deadline proportional to
+    # its flagged-row count; an unflagged pass cedes its share.
+    def _flag_count(rows: dict[str, float]) -> int:
+        return sum(
+            1
+            for n, s in rows.items()
+            if (b := prev.get(n)) is not None
+            and s > b * REQUOTE_RATIO
+            and s - b >= REQUOTE_ABS
+        )
+
+    n_head, n_ext = _flag_count(timings), _flag_count(extended)
+    now = time.perf_counter()
+    rem = max(0.0, deadline - now)
+    head_deadline = (
+        now + rem * n_head / (n_head + n_ext) if n_head + n_ext else deadline
+    )
     requote_log = _requote_pass(
-        timings, prev, sf_dir, deadline=deadline, spin_quietest=spin_floor
+        timings, prev, sf_dir,
+        deadline=min(deadline, head_deadline) if n_ext else deadline,
+        spin_quietest=spin_floor,
     )
     requote_log += _requote_pass(
         extended, prev, sf_dir, deadline=deadline, spin_quietest=spin_floor
@@ -1104,18 +1262,24 @@ def main() -> None:
         "quiet_gates": [quiet_gate, mid_gate],
         "baseline_window_rounds": BASELINE_WINDOW,
         "min_regression_points": MIN_REGRESSION_POINTS,
-        "notes": "r12: requote baselines are cross-round MEDIANS over "
-                 f"the newest {BASELINE_WINDOW} parseable rounds (one "
-                 "outlier round can no longer mint a flag) and "
-                 "regression_survives needs the median of >="
-                 f"{MIN_REGRESSION_POINTS} clean isolate points; the "
-                 "extended (longest) phase runs first for retry "
-                 "budget.  Phases re-gate and re-measure until the "
-                 "bracket holds the >=15 GB/s band (or stamp "
-                 "best_achievable_band after PHASE_MAX_ATTEMPTS); "
-                 "point verdicts require a bracket under 1.3x the "
-                 "run's quietest spin; cross-round deltas are "
-                 "conditioned on membw_band",
+        "notes": "r13 (VERDICT r12 task 1, adjudication/scheduling "
+                 "only — the per-query timed action is unchanged): "
+                 "each phase gets a weighted slice of the gate budget "
+                 "so the last phase keeps retry attempts; a final "
+                 "spin-invalid bracket forces one re-gated "
+                 "re-validation attempt from the run budget; "
+                 "post-start gates relax to the best band the host "
+                 "has actually offered this run (in_band stamping "
+                 "still >=15); below-band retries only run if a >=15 "
+                 "window was seen; requote budget splits per phase by "
+                 "flag count.  Carried from r12: cross-round MEDIAN "
+                 f"baselines over {BASELINE_WINDOW} rounds, "
+                 "regression_survives needs >="
+                 f"{MIN_REGRESSION_POINTS} clean isolate points, "
+                 "extended phase first, point verdicts need a bracket "
+                 "under 1.3x the run's quietest spin; cross-round "
+                 "deltas are conditioned on membw_band.  t27/g05 "
+                 "join EXTENDED (additions only, VERDICT r12 task 6).",
     }
     try:
         meta_file = f"BENCH_META_r{meta['round']:02d}.json"

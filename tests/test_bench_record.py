@@ -199,7 +199,9 @@ def _probe_seq(monkeypatch, probes: list[dict], gates: list):
     monkeypatch.setattr(
         bench,
         "_wait_for_quiet",
-        lambda max_wait_s, label, membw_floor=8.0: gates.append(label) or {},
+        lambda max_wait_s, label, membw_floor=8.0, adaptive=False: (
+            gates.append(label) or {}
+        ),
     )
 
 
@@ -295,6 +297,85 @@ def test_measure_phase_respects_gate_deadline(monkeypatch):
     )
     assert len(calls) == 1 and entry["attempts"] == 1
     assert entry["band_status"] == "best_achievable_band"
+
+
+def test_measure_phase_skips_below_band_retry_without_band_evidence(
+    monkeypatch,
+):
+    """r13 (VERDICT r12 task 1): on a day the host has never shown a
+    >=15 GB/s window (start gate searched and failed), a spin-VALID but
+    below-band bracket must record best_achievable_band after ONE
+    attempt instead of burning the requote reserve on retries that
+    cannot land in-band."""
+    import time as _time
+
+    calls = []
+    monkeypatch.setitem(bench._RUN_BAND, "best_seen", 12.5)  # no >=15 seen
+    _probe_seq(
+        monkeypatch,
+        [_p(0.78, 12.0), _p(0.80, 11.0)] * bench.PHASE_MAX_ATTEMPTS,
+        [],
+    )
+    result, _, entry, attempts = bench._measure_phase(
+        "t", lambda: calls.append(1) or len(calls),
+        gate_deadline=_time.perf_counter() + 3600,
+        require_band_evidence=True,
+    )
+    assert len(calls) == 1 and entry["attempts"] == 1
+    assert entry["valid"] and not entry["in_band"]
+    assert entry["band_status"] == "best_achievable_band"
+
+
+def test_measure_phase_below_band_retry_with_band_evidence(monkeypatch):
+    """Counterpart: when the run HAS seen a >=15 window, below-band
+    brackets still retry exactly as before (VERDICT r9 task 1)."""
+    import time as _time
+
+    calls = []
+    gates: list[str] = []
+    monkeypatch.setitem(bench._RUN_BAND, "best_seen", 16.0)
+    _probe_seq(
+        monkeypatch,
+        [_p(0.78, 12.0), _p(0.80, 11.0),
+         _p(0.76, 17.0), _p(0.79, 16.5)],
+        gates,
+    )
+    result, _, entry, attempts = bench._measure_phase(
+        "t", lambda: calls.append(1) or len(calls),
+        gate_deadline=_time.perf_counter() + 3600,
+        require_band_evidence=True,
+    )
+    assert result == 2 and len(calls) == 2
+    assert entry["band_status"] == "target"
+    assert gates == ["re_t"]
+
+
+def test_measure_phase_forces_revalidation_of_invalid_bracket(monkeypatch):
+    """r13 (VERDICT r12 task 1): the r12 headline phase recorded a
+    spin-INVALID bracket (mid-phase collapse) because only one attempt
+    fit the phase budget.  With a hard_deadline (the run budget) still
+    open, the phase must re-gate and re-run once more rather than
+    record the collapsed attempt."""
+    import time as _time
+
+    calls = []
+    gates: list[str] = []
+    monkeypatch.setitem(bench._RUN_BAND, "best_seen", 12.0)
+    _probe_seq(
+        monkeypatch,
+        [_p(0.70, 12.0), _p(1.60, 2.8),   # attempt 1: collapse mid-phase
+         _p(0.76, 12.5), _p(0.78, 12.1)], # forced attempt: valid
+        gates,
+    )
+    result, _, entry, attempts = bench._measure_phase(
+        "t", lambda: calls.append(1) or len(calls),
+        gate_deadline=_time.perf_counter() - 1.0,  # phase slice exhausted
+        hard_deadline=_time.perf_counter() + 3600,
+        require_band_evidence=True,
+    )
+    assert result == 2 and len(calls) == 2
+    assert entry["valid"] and entry["attempts"] == 2
+    assert gates == ["revalidate_t"]
 
 
 def test_phase_bracket_verdicts():
