@@ -2036,7 +2036,16 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue  # shorter than one RGBA row (oracle filters too)
             src = raw[: h * _WEBP_ROW_BYTES]
             variant = doc_id % 4
-            kwargs = {}
+            # r13: static-profile entropy codes for the level-0 image —
+            # the encoder speed/size trade (DEFLATE fixed-Huffman
+            # analogue): per-document adaptive tables cost ~60% of the
+            # lane's codec time at 16x(1-9) px and never memoize
+            # (content-unique frequencies), while the static tables are
+            # document-independent constants.  Streams grow ~50% and
+            # never leave the map stage; decoded pixels — the checked
+            # relation — are untouched (the `exact` column still
+            # asserts byte-equality against the source, per document).
+            kwargs = {"static_codes": True}
             if variant == 1:
                 kwargs["cache_bits"] = 4
             elif variant == 2:

@@ -212,7 +212,13 @@ class _PrefixCode:
     """Canonical prefix code from a code-length array (DEFLATE-style
     assignment, spec §5.2).  Decode peeks a reversed-bit window into a
     one-level LUT (codes longer than the window fall back to a
-    bit-walk); a single-symbol code is degenerate and consumes 0 bits."""
+    bit-walk); a single-symbol code is degenerate and consumes 0 bits.
+
+    r13: the LUT holds packed ints ``(symbol << 4) | length`` (VP8L
+    code lengths are <= 15) with 0 as the not-in-LUT sentinel — the
+    per-entry tuple allocations were ~12% of decode at the lane's tiny
+    image sizes, and int unpacking is cheaper per symbol too.  The
+    Kraft check is exact integer arithmetic instead of float pow."""
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -227,8 +233,14 @@ class _PrefixCode:
             self.lut: list = []
             return
         self.single = None
-        kraft = sum(2 ** -l for l, _ in nz)
-        if abs(kraft - 1.0) > 1e-9:
+        # exact Kraft equality: lengths are <= 15 by spec, so the sum
+        # of 2**(15-l) must be exactly 2**15 for a complete code
+        kraft = 0
+        for l, _ in nz:
+            if l > 15:
+                raise EngineError("invalid VP8L prefix code (Kraft violation)")
+            kraft += 1 << (15 - l)
+        if kraft != 1 << 15:
             raise EngineError("invalid VP8L prefix code (Kraft violation)")
         self.table = {}
         code = 0
@@ -241,7 +253,7 @@ class _PrefixCode:
         self.max_len = prev_len
         self.lut_bits = min(self.max_len, _LUT_BITS)
         self.lut_mask = (1 << self.lut_bits) - 1
-        lut = [None] * (1 << self.lut_bits)
+        lut = [0] * (1 << self.lut_bits)
         for (l, c), s in self.table.items():
             if l <= self.lut_bits:
                 rev = _bit_reverse(c, l)
@@ -249,7 +261,7 @@ class _PrefixCode:
                 # rev; a stride-slice fill is the same assignment as the
                 # per-alias loop, done at C speed
                 n_alias = 1 << (self.lut_bits - l)
-                lut[rev :: 1 << l] = [(s, l)] * n_alias
+                lut[rev :: 1 << l] = [(s << 4) | l] * n_alias
         self.lut = lut
 
     def decode(self, br: _LsbReader) -> int:
@@ -259,13 +271,13 @@ class _PrefixCode:
         if br.nbits < self.lut_bits:
             br._fill(self.lut_bits)
         entry = self.lut[br.hold & self.lut_mask]
-        if entry is not None:
-            n = entry[1]
+        if entry:
+            n = entry & 15
             if br.padded and br.nbits - br.padded < n:
                 raise EngineError("truncated VP8L bit stream")
             br.hold >>= n
             br.nbits -= n
-            return entry[0]
+            return entry >> 4
         # long code (> lut_bits): bit-walk the canonical table
         code = 0
         for l in range(1, self.max_len + 1):
@@ -276,7 +288,7 @@ class _PrefixCode:
         raise EngineError("invalid VP8L prefix code word")
 
 
-_PFX_CACHE: dict[tuple[int, ...], _PrefixCode] = {}
+_PFX_CACHE: dict[bytes, _PrefixCode] = {}
 _PFX_CACHE_MAX = 4096  # bounded: executors are long-lived processes
 
 
@@ -284,8 +296,9 @@ def _prefix_code(lengths: list[int]) -> _PrefixCode:
     """Memoized `_PrefixCode` construction.  Instances are immutable
     after __init__ (decode only reads), so sharing one per distinct
     length vector is safe; code-length codes in particular repeat
-    heavily across images."""
-    key = tuple(lengths)
+    heavily across images.  The key is ``bytes`` (lengths are <= 15),
+    built in one C loop instead of a 256-296-element tuple per call."""
+    key = bytes(lengths)
     code = _PFX_CACHE.get(key)
     if code is None:
         code = _PrefixCode(lengths)
@@ -330,7 +343,7 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
             code.max_len = 1
             code.lut_bits = 1
             code.lut_mask = 1
-            code.lut = [(sym0, 1), (sym1, 1)]
+            code.lut = [(sym0 << 4) | 1, (sym1 << 4) | 1]
         return code
     # code-length-coded
     num_codes = br.read(4) + 4
@@ -367,11 +380,13 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixCode:
         else:
             if br.nbits < cl_lut_bits:
                 br._fill(cl_lut_bits)
-            sym, n = cl_lut[br.hold & cl_lut_mask]
+            entry = cl_lut[br.hold & cl_lut_mask]
+            n = entry & 15
             if br.padded and br.nbits - br.padded < n:
                 raise EngineError("truncated VP8L bit stream")
             br.hold >>= n
             br.nbits -= n
+            sym = entry >> 4
         if sym < 16:
             lengths[i] = sym
             i += 1
@@ -421,16 +436,32 @@ def _build_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
         return {}
     if len(syms) == 1:
         return {syms[0]: 1}
+    # r13: parent-pointer Huffman.  The old loop merged symbol TUPLES
+    # and incremented every member's depth per merge — O(n^2) on wide
+    # literal alphabets (the encoder's measured hotspot at the m21
+    # lane's image sizes).  Heap keys are the same (freq, tie) pairs
+    # in the same creation order, so the merge order — and therefore
+    # every depth — is IDENTICAL; depths are recovered from the merge
+    # tree afterwards in O(n).
     tie = itertools.count()
-    heap = [(freqs[s], next(tie), (s,)) for s in syms]
+    n_leaves = len(syms)
+    parent = [0] * (2 * n_leaves - 1)  # node id -> parent id
+    heap = [(freqs[s], next(tie), i) for i, s in enumerate(syms)]
     heapq.heapify(heap)
-    depth = {s: 0 for s in syms}
+    next_id = n_leaves
     while len(heap) > 1:
         fa, _, a = heapq.heappop(heap)
         fb, _, b = heapq.heappop(heap)
-        for s in a + b:
-            depth[s] += 1
-        heapq.heappush(heap, (fa + fb, next(tie), a + b))
+        parent[a] = next_id
+        parent[b] = next_id
+        heapq.heappush(heap, (fa + fb, next(tie), next_id))
+        next_id += 1
+    # depth of each node = depth of its parent + 1, computable in one
+    # reverse pass because parents always have HIGHER ids than children
+    node_depth = [0] * (next_id)
+    for nid in range(next_id - 2, -1, -1):
+        node_depth[nid] = node_depth[parent[nid]] + 1
+    depth = {s: node_depth[i] for i, s in enumerate(syms)}
     lengths = {s: min(d, max_len) for s, d in depth.items()}
     # repair Kraft over-subscription from the clamp, tracked
     # incrementally (a recomputed sum per step was the encoder's
@@ -502,9 +533,6 @@ def _write_prefix_code(
         bw.write(syms[1], 8)
         return {syms[0]: (0, 1), syms[1]: (1, 1)}
     bw.write(0, 1)  # code-length-coded
-    full = [0] * alphabet_size
-    for s, l in lengths.items():
-        full[s] = l
     # Tokenize the per-entry length sequence with the spec's RLE
     # symbols (§5.2.2): 17/18 for zero runs (3-10 / 11-137), 16 for
     # repeats of the previous nonzero length (3-6).  Sparse alphabets
@@ -513,39 +541,59 @@ def _write_prefix_code(
     # writing AND reading a prefix code at small image sizes.  The
     # stream stays spec-conformant (decoder + libwebp cross-checks);
     # only its bytes change, never the decoded pixels.
+    # r13: walk the SORTED NONZERO entries and derive zero runs from
+    # the symbol gaps — the old full-alphabet scan touched every one
+    # of the 256-296 entries per call and was the encoder's largest
+    # single tottime.  Token stream identical by construction: a gap
+    # between consecutive nonzero symbols IS the zero run the scan
+    # found, and an equal-length run in the scan is exactly a run of
+    # CONSECUTIVE symbols sharing one length.
     tokens: list[tuple[int, int, int]] = []  # (cl_sym, extra, extra_bits)
-    i = 0
-    while i < alphabet_size:
-        l = full[i]
-        if l == 0:
-            run = 1
-            while i + run < alphabet_size and full[i + run] == 0:
-                run += 1
-            i += run
-            while run >= 11:
-                rep = min(run, 137)
-                tokens.append((18, rep - 11, 7))
-                run -= rep
-            if run >= 3:
-                tokens.append((17, run - 3, 3))
-                run = 0
-            while run:
-                tokens.append((0, 0, 0))
-                run -= 1
-        else:
-            tokens.append((l, 0, 0))
-            i += 1
+
+    def _zero_run(run: int) -> None:
+        while run >= 11:
+            rep = min(run, 137)
+            tokens.append((18, rep - 11, 7))
+            run -= rep
+        if run >= 3:
+            tokens.append((17, run - 3, 3))
             run = 0
-            while i + run < alphabet_size and full[i + run] == l:
-                run += 1
-            i += run
-            while run >= 3:
-                rep = min(run, 6)
-                tokens.append((16, rep - 3, 2))
-                run -= rep
-            while run:
-                tokens.append((l, 0, 0))
-                run -= 1
+        while run:
+            tokens.append((0, 0, 0))
+            run -= 1
+
+    # (symbol, length) with length > 0 — a zero-valued entry in the
+    # dict means "unused", exactly like an absent one in the old
+    # full-alphabet array
+    entries = sorted((s, l) for s, l in lengths.items() if l > 0)
+    pos = 0
+    k = 0
+    n_entries = len(entries)
+    while k < n_entries:
+        s, l = entries[k]
+        if s > pos:
+            _zero_run(s - pos)
+        # maximal run of consecutive symbols with this same length
+        j = k + 1
+        while (
+            j < n_entries
+            and entries[j][0] == entries[j - 1][0] + 1
+            and entries[j][1] == l
+        ):
+            j += 1
+        run = j - k - 1  # repeats AFTER the first occurrence
+        tokens.append((l, 0, 0))
+        while run >= 3:
+            rep = min(run, 6)
+            tokens.append((16, rep - 3, 2))
+            run -= rep
+        while run:
+            tokens.append((l, 0, 0))
+            run -= 1
+        pos = entries[j - 1][0] + 1
+        k = j
+    if pos < alphabet_size:
+        _zero_run(alphabet_size - pos)
     cl_freqs: dict[int, int] = {}
     for sym, _, _ in tokens:
         cl_freqs[sym] = cl_freqs.get(sym, 0) + 1
@@ -591,6 +639,81 @@ def _write_prefix_code(
         # writer must likewise emit nothing per occurrence
         return {syms[0]: (0, 0)}
     return _canonical_codes(lengths)
+
+
+# ---------------------------------------------------------------------------
+# Static-profile codes (r13, guide §1.2/§4.2)
+# ---------------------------------------------------------------------------
+# The m21 lane's images are 16x(1-9) px: per-document adaptive Huffman
+# tables cost far more to BUILD, EMIT and PARSE than they save in
+# stream bits (measured: ~60% of the lane's codec time is the
+# per-code machinery, and the per-document frequency vectors are
+# content-unique, so none of it memoizes).  A static-profile code is
+# the classic encoder speed/size trade (DEFLATE's fixed-Huffman
+# blocks; libwebp's low-effort modes): canonical code lengths derived
+# once from a UNIFORM symbol profile — corpus-independent by
+# construction — so every document shares ONE table per alphabet size.
+# The emission (CL-code header + RLE tokens) is then a pure function
+# of the alphabet size and is precomputed into a single big-int
+# write() per prefix code; the decoder's `_prefix_code` memo hits on
+# every document.  The stream stays fully spec-conformant and LARGER
+# than the adaptive one (uniform lengths carry no entropy model) —
+# decoded pixels are what the lane checks, and they are unchanged.
+# NOTE: this is NOT the rejected r12 emission-plan cache (#8): that
+# cached per-document-unique adaptive plans at a 21% hit rate; these
+# tables are document-independent constants with a 100% hit rate.
+
+_STATIC_CODE_CACHE: dict[int, tuple[int, int, dict[int, tuple[int, int]]]] = {}
+
+
+def _static_lengths(alphabet_size: int) -> dict[int, int]:
+    """Complete canonical-code lengths for a uniform profile over the
+    full alphabet, laid out as TWO CONTIGUOUS RUNS: the first
+    ``2**L - alphabet_size`` symbols at ``L-1`` bits, the rest at
+    ``L`` (L = ceil(log2(alphabet_size))).  Kraft:
+    x*2^-(L-1) + (A-x)*2^-L = 1 exactly at x = 2^L - A.  Any
+    assignment of these lengths to symbols is an equally valid
+    canonical code under a uniform profile; the run layout is chosen
+    because the CL-code RLE then covers each run with 16-tokens, so
+    the DECODER parses ~A/6 tokens instead of ~A (the Huffman
+    tie-break pattern for equal frequencies scatters 8/9 lengths and
+    defeats the RLE — measured as the decoder's top cost)."""
+    a = alphabet_size
+    bits = max(1, (a - 1).bit_length())
+    x = (1 << bits) - a
+    return {
+        s: (bits - 1 if s < x else bits) for s in range(a)
+    }
+
+
+def _static_code(
+    alphabet_size: int,
+) -> tuple[int, int, dict[int, tuple[int, int]]]:
+    """(emission_bits, emission_nbits, symbol -> (code, len)) for the
+    uniform-profile canonical code over the FULL alphabet."""
+    ent = _STATIC_CODE_CACHE.get(alphabet_size)
+    if ent is None:
+        lengths = _static_lengths(alphabet_size)
+        scratch = _LsbWriter()
+        codes = _write_prefix_code(scratch, lengths, alphabet_size)
+        nbits = 8 * len(scratch.out) + scratch.nbits
+        bits = int.from_bytes(bytes(scratch.out), "little") | (
+            scratch.hold << (8 * len(scratch.out))
+        )
+        ent = (bits, nbits, codes)
+        _STATIC_CODE_CACHE[alphabet_size] = ent
+    return ent
+
+
+def _write_static_code(
+    bw: _LsbWriter, alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Emit the static-profile prefix code for ``alphabet_size`` as one
+    precomputed write; bit-for-bit what `_write_prefix_code` emits for
+    the same lengths (the precompute goes through it)."""
+    bits, nbits, codes = _static_code(alphabet_size)
+    bw.write(bits, nbits)
+    return codes
 
 
 # ---------------------------------------------------------------------------
@@ -1226,12 +1349,18 @@ def _forward_predict(
 def _encode_entropy_image(
     bw: _LsbWriter, argb: list[int], w: int, h: int, is_level0: bool,
     use_lz77: bool, cache_bits: int, meta_bits: int = 0,
+    static_codes: bool = False,
 ) -> None:
     """Encode one entropy image: greedy LZ77, optional color cache,
     and (level 0, ``meta_bits`` >= 2) meta prefix groups — one prefix
     code set per 2^meta_bits-square tile, the group index image
     emitted as its own entropy image, so the decoder's meta path is
-    round-trip covered."""
+    round-trip covered.
+
+    ``static_codes`` swaps the per-document adaptive Huffman tables
+    for the precomputed uniform-profile canonical codes (see
+    `_static_code`): larger stream, no per-document table build /
+    emission / parse cost, identical decoded pixels."""
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -1288,12 +1417,16 @@ def _encode_entropy_image(
 
     i = 0
     single_group = num_groups == 1
+    # static codes need no frequency collection at all; the histogram
+    # updates below are guarded so pass 1 is pure tokenization then
+    collect = not static_codes
+    gf, rf, bf, af, df = hists[0]
     while i < n:
         if single_group:
             gi = 0
         else:
             gi = ((i // w) >> meta_bits) * mw + ((i % w) >> meta_bits)
-        gf, rf, bf, af, df = hists[gi]
+            gf, rf, bf, af, df = hists[gi]
         match_len = 0
         match_dist = 0
         if use_lz77 and i >= 1:
@@ -1322,8 +1455,9 @@ def _encode_entropy_image(
             dcode = near.get(match_dist, match_dist + 120)
             dc, dex, deb = _prefix_encode(dcode)
             tokens.append(("copy", gi, lc, lex, leb, dc, dex, deb))
-            gf[256 + lc] = gf.get(256 + lc, 0) + 1
-            df[dc] = df.get(dc, 0) + 1
+            if collect:
+                gf[256 + lc] = gf.get(256 + lc, 0) + 1
+                df[dc] = df.get(dc, 0) + 1
             for j in range(match_len):
                 px = argb[i + j]
                 if cache_size:
@@ -1337,33 +1471,48 @@ def _encode_entropy_image(
             idx = _cache_hash(px, cache_bits)
             sym = _GREEN_BASE + idx
             tokens.append(("cache", gi, sym))
-            gf[sym] = gf.get(sym, 0) + 1
+            if collect:
+                gf[sym] = gf.get(sym, 0) + 1
             i += 1
             continue
         tokens.append(("lit", gi, px))
-        gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
-        rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
-        bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
-        af[(px >> 24) & 0xFF] = af.get((px >> 24) & 0xFF, 0) + 1
+        if collect:
+            gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
+            rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
+            bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
+            af[(px >> 24) & 0xFF] = af.get((px >> 24) & 0xFF, 0) + 1
         if cache_size:
             cache[_cache_hash(px, cache_bits)] = px
         i += 1
 
     green_size = _GREEN_BASE + cache_size
     group_codes = []
-    for gf, rf, bf, af, df in hists:
-        # every channel needs at least one coded symbol (an all-copy
-        # group still writes valid red/blue/alpha codes)
-        for fr in (gf, rf, bf, af, df):
-            if not fr:
-                fr[0] = 1
-        group_codes.append((
-            _write_prefix_code(bw, _build_lengths(gf), green_size),
-            _write_prefix_code(bw, _build_lengths(rf), 256),
-            _write_prefix_code(bw, _build_lengths(bf), 256),
-            _write_prefix_code(bw, _build_lengths(af), 256),
-            _write_prefix_code(bw, _build_lengths(df), 40),
-        ))
+    if static_codes:
+        # one precomputed emission per code; the decoder parses the
+        # SAME length vectors for every document, so its _prefix_code
+        # memo and LUTs hit on all of them
+        for _ in range(num_groups):
+            group_codes.append((
+                _write_static_code(bw, green_size),
+                _write_static_code(bw, 256),
+                _write_static_code(bw, 256),
+                _write_static_code(bw, 256),
+                _write_static_code(bw, 40),
+            ))
+    else:
+        for gf, rf, bf, af, df in hists:
+            # every channel needs at least one coded symbol (an all-copy
+            # group still writes valid red/blue/alpha codes)
+            for fr in (gf, rf, bf, af, df):
+                if not fr:
+                    fr[0] = 1
+            group_codes.append((
+                _write_prefix_code(bw, _build_lengths(gf), green_size),
+                _write_prefix_code(bw, _build_lengths(rf), 256),
+                _write_prefix_code(bw, _build_lengths(bf), 256),
+                _write_prefix_code(bw, _build_lengths(af), 256),
+                _write_prefix_code(bw, _build_lengths(df), 40),
+            ))
 
     # ---- pass 2: emit tokens (writer state bound to locals — same
     # bytes as per-field write() calls; extras from _prefix_encode are
@@ -1418,6 +1567,7 @@ def encode_webp_lossless(
     cache_bits: int = 0, predictor_mode: int | None = None,
     color_transform: tuple[int, int, int] | None = None,
     use_palette: bool = False, meta_bits: int = 0,
+    static_codes: bool = False,
 ) -> bytes:
     """Encode row-major RGB/RGBA pixels as a lossless VP8L WebP.
 
@@ -1566,6 +1716,7 @@ def encode_webp_lossless(
     _encode_entropy_image(
         bw, [int(p) for p in argb], eff_w, height, is_level0=True,
         use_lz77=use_lz77, cache_bits=cache_bits, meta_bits=meta_bits,
+        static_codes=static_codes,
     )
 
     payload = bytes([VP8L_MAGIC]) + bw.bytes

@@ -2028,6 +2028,57 @@ def test_webp_roundtrip_feature_matrix():
             assert decode_webp(encode_webp_lossless(s, ww, hh, 4, **kw))[3] == s
 
 
+def test_webp_static_codes_roundtrip_and_emission_parity():
+    """r13: ``static_codes=True`` (the m21 lane's speed/size trade)
+    must (a) stay byte-exact on decode across the lane's variant
+    matrix, (b) emit a prefix-code header bit-identical to what
+    `_write_prefix_code` produces for the same static length vector
+    (the precompute goes through it — pinned so a future edit to
+    either path cannot silently diverge), and (c) never change the
+    DECODED pixels vs the adaptive encoder."""
+    import numpy as np
+
+    from flaco_spark.sources.webp_codec import (
+        _LsbWriter,
+        _static_code,
+        _static_lengths,
+        _write_prefix_code,
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(13)
+    w, h = 16, 7
+    src = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8).tobytes()
+    for kw in (
+        dict(),
+        dict(cache_bits=4),
+        dict(predictor_mode=9),
+        dict(meta_bits=2, color_transform=(5, 250, 3)),
+    ):
+        j_static = encode_webp_lossless(src, w, h, 4, static_codes=True, **kw)
+        j_adapt = encode_webp_lossless(src, w, h, 4, **kw)
+        W, H, C, out = decode_webp(j_static)
+        assert (W, H, C) == (w, h, 4) and out == src, kw
+        assert decode_webp(j_adapt)[3] == out, kw
+
+    # emission parity: the cached big-int write == a fresh
+    # _write_prefix_code of the same uniform-profile lengths
+    for alphabet in (40, 256, 280, 296):
+        lens = _static_lengths(alphabet)
+        # complete canonical code: exact integer Kraft equality
+        assert sum(1 << (15 - l) for l in lens.values()) == 1 << 15
+        bits, nbits, codes = _static_code(alphabet)
+        scratch = _LsbWriter()
+        fresh = _write_prefix_code(scratch, lens, alphabet)
+        assert fresh == codes
+        assert 8 * len(scratch.out) + scratch.nbits == nbits
+        got = int.from_bytes(bytes(scratch.out), "little") | (
+            scratch.hold << (8 * len(scratch.out))
+        )
+        assert got == bits
+
+
 def test_webp_container_and_header_spec_vector():
     """Bit-exact container/header pins (RFC 9649 §3, VP8L spec §3):
     RIFF/WEBP fourccs, little-endian chunk sizes, odd-payload pad
