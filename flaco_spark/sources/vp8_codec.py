@@ -478,6 +478,22 @@ class FrameHeader:
     pass
 
 
+# r13 (guide §1.2): the bool-decoded header section — segmentation,
+# loop filter, quant indices, and the 1056 token-probability update
+# bits — is a pure function of the partition BYTES it consumes (the
+# arithmetic decoder's state after the header depends only on
+# part[:pos]).  Streams from one encoder configuration share that
+# byte prefix verbatim (our encoder's first-partition prefix is a
+# pure function of q_index — the same fact its _mode_header_prefix
+# memo exploits), so the decode side memoizes the parsed header +
+# coder state keyed ON THE CONSUMED BYTES: content-keyed within a
+# process, never keyed on any corpus or doc identity.  The
+# uncompressed 10-byte tag (frame size, dimensions, part1_size) is
+# still parsed per call.
+_HDR_MEMO: dict[bytes, list] = {}
+_HDR_MEMO_MAX = 256
+
+
 def parse_frame_header(data: bytes) -> FrameHeader:
     """Uncompressed header (§9.1) + the key-frame first-partition
     header fields, through the token probability updates."""
@@ -504,7 +520,23 @@ def parse_frame_header(data: bytes) -> FrameHeader:
     check_pixel_budget(h.width, h.height, "VP8")
     if 10 + h.part1_size > len(data):
         raise EngineError("VP8 first partition overruns frame")
-    bd = BoolDecoder(data[10 : 10 + h.part1_size])
+    part = data[10 : 10 + h.part1_size]
+    for prefix, snap_h, snap_bd in _HDR_MEMO.get(bytes(part[:12]), ()):
+        if part.startswith(prefix):
+            import copy
+
+            cached = copy.copy(snap_h)
+            # per-frame fields from the uncompressed tag (not covered
+            # by the memo key) ride over from `h`
+            for f in ("key_frame", "version", "show_frame", "part1_size",
+                      "width", "hscale", "height", "vscale"):
+                setattr(cached, f, getattr(h, f))
+            bd = BoolDecoder.__new__(BoolDecoder)
+            bd.data = part
+            bd.pos, bd.value, bd.range_, bd.bit_count = snap_bd
+            cached.bd = bd
+            return cached
+    bd = BoolDecoder(part)
     h.color_space = bd.read_bool(128)
     h.clamping_type = bd.read_bool(128)
 
@@ -631,6 +663,19 @@ def parse_frame_header(data: bytes) -> FrameHeader:
     h.mb_no_skip = bd.read_bool(128)
     h.prob_skip_false = bd.read_literal(8) if h.mb_no_skip else 0
 
+    # memoize: key = the exact partition bytes the header consumed
+    # (value/range were built from part[:pos] only).  The snapshot's
+    # list fields are shared by every hit — downstream decode only
+    # reads them (do not mutate a FrameHeader after parse).
+    import copy
+
+    if len(_HDR_MEMO) >= _HDR_MEMO_MAX:
+        _HDR_MEMO.clear()
+    _HDR_MEMO.setdefault(bytes(part[:12]), []).append(
+        (bytes(part[: bd.pos]), copy.copy(h),
+         (bd.pos, bd.value, bd.range_, bd.bit_count))
+    )
+
     h.bd = bd  # continues with per-MB mode data
     return h
 
@@ -682,8 +727,9 @@ def _decode_block(
     value = bd.value
     rng = bd.range_
     bcnt = bd.bit_count
+    bands = COEFF_BANDS
     while i < 16:
-        p = probs_type[COEFF_BANDS[i]][ctx]
+        p = probs_type[bands[i]][ctx]
         ti = start
         while True:  # read_tree(TOKEN_TREE, p, start)
             prob = p[ti >> 1]
@@ -1259,16 +1305,15 @@ def decode_vp8_frame(data: bytes):
             if not skip:
                 # residuals are independent of the (sequential)
                 # prediction — all 24 idcts of the MB batched through
-                # the bit-identical integer vector path (r12 opt)
-                yres = _idct4x4_batch(
-                    np.array(ycoeffs, dtype=np.int64)
-                ).astype(np.int32).reshape(16, 4, 4)
-                ures = _idct4x4_batch(
-                    np.array(ucoeffs, dtype=np.int64)
-                ).astype(np.int32).reshape(4, 4, 4)
-                vres = _idct4x4_batch(
-                    np.array(vcoeffs, dtype=np.int64)
-                ).astype(np.int32).reshape(4, 4, 4)
+                # the bit-identical integer vector path (r12 opt);
+                # r13: one call over Y+U+V (the ops are elementwise
+                # per row, so stacking planes changes nothing)
+                res = _idct4x4_batch(
+                    np.array(ycoeffs + ucoeffs + vcoeffs, dtype=np.int64)
+                ).astype(np.int32)
+                yres = res[:16].reshape(16, 4, 4)
+                ures = res[16:20].reshape(4, 4, 4)
+                vres = res[20:24].reshape(4, 4, 4)
             if ymode != B_PRED:
                 _pred_16_or_8(
                     y_plane, ymode, y0, x0, 16, mby > 0, mbx > 0
@@ -1414,38 +1459,11 @@ def _quantize_block(res_flat: np.ndarray, inv: np.ndarray, dq_dc: int, dq_ac: in
     )
 
 
-def _tokenize(levels_raster: list[int], first: int) -> list[tuple]:
-    """Scan-order (token, extra_cat, value) list for one block: zero
-    runs between nonzeros, EOB after the last nonzero."""
-    scan = [levels_raster[ZIGZAG[i]] for i in range(16)]
-    last = -1
-    for i in range(first, 16):
-        if scan[i]:
-            last = i
-    toks = []
-    if last < first:
-        toks.append(("eob",))
-        return toks
-    for i in range(first, last + 1):
-        v = scan[i]
-        a = abs(v)
-        if a == 0:
-            toks.append(("zero",))
-        elif a <= 4:
-            toks.append(("small", a, v < 0))
-        else:
-            cat = next(c for c in range(5, -1, -1) if a >= CAT_BASE[c])
-            toks.append(("cat", cat, a - CAT_BASE[cat], v < 0))
-    if last < 15:
-        toks.append(("eob",))
-    return toks
-
-
 def _tree_steps(tree, start: int, leaf: int):
     """(prob_slot, bit) emission sequence write_tree produces for
     ``leaf`` from ``start`` — the tree walk, precomputed.  None when
     the leaf is unreachable from that start (EOB after a zero token,
-    which _tokenize never emits)."""
+    which the fused tokenizer in _write_block_tokens never emits)."""
     target = -leaf
     stack = [(start, [])]
     while stack:
@@ -1469,14 +1487,23 @@ _TOKEN_STEPS2 = tuple(_tree_steps(TOKEN_TREE, 2, t) for t in range(12))
 
 
 def _write_block_tokens(
-    be: BoolEncoder, toks: list[tuple], probs_type, first: int, ctx: int
+    be: BoolEncoder, levels_raster: list[int], probs_type, first: int,
+    ctx: int,
 ) -> int:
     """Mirror of _decode_block's reads; returns the nz flag.  The
     whole token emission (precomputed tree-walk steps + category
     extras + sign) is inlined against local encoder state (r12 opt —
     the per-token write_tree/write_bool calls were the encoder's
     remaining hot path after the header-prefix memo).  Emission is
-    bit-identical: same probabilities, same bit order."""
+    bit-identical: same probabilities, same bit order.  r13: the
+    tokenizer (the former _tokenize — zero runs between nonzeros, EOB
+    after the last nonzero, never EOB after a zero) is fused into the
+    emission loop, removing one tuple list per block."""
+    scan = [levels_raster[ZIGZAG[k]] for k in range(16)]
+    last = -1
+    for k in range(first, 16):
+        if scan[k]:
+            last = k
     i = first
     start = 0
     nz = 0
@@ -1484,18 +1511,47 @@ def _write_block_tokens(
     rng = be.range_
     bottom = be.bottom
     bcnt = be.bit_count
-    for t in toks:
-        p = probs_type[COEFF_BANDS[i]][ctx]
-        kind = t[0]
-        if kind == "eob":
+    bands = COEFF_BANDS
+    while True:
+        # classify coefficient i (zero / small 1-4 / category 1-6),
+        # or EOB once past the last nonzero
+        kind = 2  # value
+        cat = -1
+        if i > last:
+            if last == 15:
+                break  # a full block carries no EOB
             tok = TOK_EOB
-        elif kind == "zero":
-            tok = TOK_0
-        elif kind == "small":
-            tok = TOK_1 + (t[1] - 1)
+            kind = 0
         else:
-            tok = TOK_CAT1 + t[1]
-        for slot, bit in (_TOKEN_STEPS2 if start else _TOKEN_STEPS0)[tok]:
+            v = scan[i]
+            if v == 0:
+                tok = TOK_0
+                kind = 1
+            else:
+                a = v if v > 0 else -v
+                neg = v < 0
+                if a <= 4:
+                    tok = TOK_1 + (a - 1)
+                    new_ctx = 1 if a == 1 else 2
+                else:
+                    cat = next(
+                        c for c in range(5, -1, -1) if a >= CAT_BASE[c]
+                    )
+                    tok = TOK_CAT1 + cat
+                    extra = a - CAT_BASE[cat]
+                    new_ctx = 2
+        p = probs_type[bands[i]][ctx]
+        steps = (_TOKEN_STEPS2 if start else _TOKEN_STEPS0)[tok]
+        if steps is None:
+            # zero runs sit between nonzeros, so EOB never follows a
+            # zero token (the tree from start=2 has no EOB leaf); fail
+            # loudly if a future change breaks that invariant
+            # (r12 ADVICE)
+            raise EngineError(
+                "internal: VP8 token unreachable from tree start "
+                f"(token {tok}, start {start})"
+            )
+        for slot, bit in steps:
             prob = p[slot]
             split = 1 + (((rng - 1) * prob) >> 8)
             if bit:
@@ -1520,18 +1576,15 @@ def _write_block_tokens(
                     out.append((bottom >> 24) & 0xFF)
                     bottom &= 0xFFFFFF
                     bcnt = 8
-        if kind == "eob":
+        if kind == 0:  # eob
             break
-        if kind == "zero":
+        if kind == 1:  # zero
             ctx = 0
             start = 2
             i += 1
             continue
-        if kind == "small":
-            neg = t[2]
-            ctx = 1 if t[1] == 1 else 2
-        else:
-            cat, extra, neg = t[1], t[2], t[3]
+        ctx = new_ctx
+        if cat >= 0:
             cps = CAT_PROBS[cat]
             nb = len(cps)
             for bi in range(nb):
@@ -1560,7 +1613,6 @@ def _write_block_tokens(
                         out.append((bottom >> 24) & 0xFF)
                         bottom &= 0xFFFFFF
                         bcnt = 8
-            ctx = 2
         # sign: write_bool(128, neg)
         split = 1 + ((rng - 1) >> 1)
         if neg:
@@ -1838,15 +1890,13 @@ def encode_vp8_frame(
 
             # ---- token bits (partition 2), decoder read order
             ctx = above_y2[mbx] + left_y2
-            nz = _write_block_tokens(
-                tok_be, _tokenize(y2_levels, 0), probs[1], 0, ctx
-            )
+            nz = _write_block_tokens(tok_be, y2_levels, probs[1], 0, ctx)
             above_y2[mbx] = left_y2 = nz
             for sb in range(16):
                 r, c = sb >> 2, sb & 3
                 ctx = above_y[mbx][c] + left_y[r]
                 nz = _write_block_tokens(
-                    tok_be, _tokenize(y_levels[sb], 1), probs[0], 1, ctx
+                    tok_be, y_levels[sb], probs[0], 1, ctx
                 )
                 above_y[mbx][c] = left_y[r] = nz
             for pi, (above_c, left_c) in enumerate(
@@ -1856,9 +1906,7 @@ def encode_vp8_frame(
                     r, c = sb >> 1, sb & 1
                     ctx = above_c[mbx][c] + left_c[r]
                     nz = _write_block_tokens(
-                        tok_be,
-                        _tokenize(uv_levels[pi * 4 + sb], 0),
-                        probs[2], 0, ctx,
+                        tok_be, uv_levels[pi * 4 + sb], probs[2], 0, ctx
                     )
                     above_c[mbx][c] = left_c[r] = nz
 
@@ -1871,7 +1919,18 @@ def encode_vp8_frame(
             rec_y[y0 : y0 + 16, x0 : x0 + 16] = pred_y
             deq_y = lvi * y1ac
             deq_y[:, 0] = dcs
-            yout = _idct4x4_batch(deq_y).astype(np.int32).reshape(16, 4, 4)
+            rec_u[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_u
+            rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_v
+            uv_lvi = np.concatenate(uv_arrs)
+            deq_uv = uv_lvi * uvac
+            deq_uv[:, 0] = uv_lvi[:, 0] * uvdc
+            # r13: one idct call over Y+UV (elementwise per row —
+            # stacking planes is bit-identical to separate calls)
+            allout = _idct4x4_batch(
+                np.concatenate((deq_y, deq_uv))
+            ).astype(np.int32)
+            yout = allout[:16].reshape(16, 4, 4)
+            uvout = allout[16:24].reshape(8, 4, 4)
             for sb in range(16):
                 if deq_y[sb].any():
                     r, c = (sb >> 2) * 4, (sb & 3) * 4
@@ -1879,12 +1938,6 @@ def encode_vp8_frame(
                     blk += yout[sb]
                     np.maximum(blk, 0, out=blk)
                     np.minimum(blk, 255, out=blk)
-            rec_u[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_u
-            rec_v[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_v
-            uv_lvi = np.concatenate(uv_arrs)
-            deq_uv = uv_lvi * uvac
-            deq_uv[:, 0] = uv_lvi[:, 0] * uvdc
-            uvout = _idct4x4_batch(deq_uv).astype(np.int32).reshape(8, 4, 4)
             for pi, recp in ((0, rec_u), (1, rec_v)):
                 for sb in range(4):
                     if deq_uv[pi * 4 + sb].any():
