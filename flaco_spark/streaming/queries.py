@@ -42,22 +42,78 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     src_dir = f"{scratch}/src"
     src = f"{sf_dir}/events.parquet"
     # the fixture is a single file at the driver's SF dirs but a
-    # Spark-written DIRECTORY in scaled probes — mirror either shape
+    # Spark-written DIRECTORY in scaled probes — mirror either shape.
+    # r13: symlink instead of copying bytes — the file source only
+    # LISTS and READS the staged dir; what must be private is the
+    # directory identity the source tracks, not the file contents
+    # (fallback to a real copy where symlinks are unavailable).
     if os.path.isdir(src):
         shutil.copytree(src, src_dir)
     else:
         os.mkdir(src_dir)
-        shutil.copy(src, f"{src_dir}/events.parquet")
+        try:
+            os.symlink(src, f"{src_dir}/events.parquet")
+        except OSError:
+            shutil.copy(src, f"{src_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
     return convert_event_ts(stream), scratch
 
 
-def _drain(stream_df: DataFrame, scratch: str, mode: str, prefix: str) -> DataFrame:
-    """Run the streaming query to completion (availableNow) into a
-    memory sink and return the sink table."""
-    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+# One streaming state partition per this many bytes of bounded-replay
+# input (r13, guide §2.2/§5): Structured Streaming has no AQE — the
+# number of state-store instances (= streaming shuffle partitions) is
+# frozen from spark.sql.shuffle.partitions at the first micro-batch,
+# which our session sizes to the CORE COUNT.  At sf0.1 that meant 32
+# state stores, 32 delta-file commits and 32 tasks per micro-batch
+# for ~3600 state rows (measured: commit time was the bulk of
+# addBatch).  Deriving the count from the staged input size is the
+# same input-proportional rule AQE applies to batch exchanges, so it
+# scales: a 100 TB backfill gets thousands of state partitions, a
+# megabyte fixture gets one.
+_STATE_PART_BYTES = 32 << 20
+_STATE_PART_MAX = 32768
+
+
+def _scaled_state_partitions(scratch: str) -> int | None:
+    """Streaming shuffle-partition count derived from the bytes staged
+    under ``{scratch}/src``; None when the size cannot be read."""
+    src_dir = os.path.join(scratch, "src")
     try:
+        nbytes = 0
+        for root, _dirs, files in os.walk(src_dir):
+            for f in files:
+                nbytes += os.stat(os.path.join(root, f)).st_size
+    except OSError:
+        return None
+    return max(1, min(nbytes // _STATE_PART_BYTES + 1, _STATE_PART_MAX))
+
+
+def _drain(
+    stream_df: DataFrame, scratch: str, mode: str, prefix: str,
+    min_parts: int = 1,
+) -> DataFrame:
+    """Run the streaming query to completion (availableNow) into a
+    memory sink and return the sink table.
+
+    ``min_parts`` floors the derived partition count — Python
+    stateful operators (applyInPandasWithState / transformWithState)
+    do their per-KEY work in Python workers, so their partition count
+    must cover the executor parallelism regardless of input bytes
+    (guide §4: the Python boundary needs the parallelism; measured:
+    st04 at 1 partition serialized ~1500 user groups through one
+    worker, 1.8 -> 7.4 s)."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    spark = stream_df.sparkSession
+    n_parts = _scaled_state_partitions(scratch)
+    if n_parts is not None and min_parts > 1:
+        n_parts = max(n_parts, min_parts)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if n_parts is not None:
+            # scoped to this query's planning: restored right after the
+            # drain, before the sink table is read
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -68,6 +124,7 @@ def _drain(stream_df: DataFrame, scratch: str, mode: str, prefix: str) -> DataFr
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         # The memory sink owns the rows (on success); the staged source
         # copy and checkpoint are dead weight either way — reclaim them
         # even when the query fails.
@@ -231,7 +288,10 @@ def st04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, scratch = _events_stream(spark, sf_dir)
     sessions = sessionize_stream(stream)
-    sink = _drain(sessions, scratch, "append", "st04")
+    sink = _drain(
+        sessions, scratch, "append", "st04",
+        min_parts=spark.sparkContext.defaultParallelism,
+    )
     return sink.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -414,7 +474,14 @@ def st07_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream, scratch = _events_stream(spark, sf_dir)
         totals = running_totals_stream(stream)
-        sink = _drain(totals, scratch, "append", "st07")
+        # Python stateful operator: keep the executor parallelism
+        # (see _drain's min_parts note); fewer partitions also means
+        # fewer RocksDB instances, but the per-key Python work is the
+        # measured dominant cost class for this operator family.
+        sink = _drain(
+            totals, scratch, "append", "st07",
+            min_parts=spark.sparkContext.defaultParallelism,
+        )
     finally:
         if prev is None:
             spark.conf.unset(key)
