@@ -229,6 +229,12 @@ class _HuffTable:
             entry = (sym, length)
             for s in range(1 << (16 - length)):
                 lut[base + s] = entry
+        # shared BY REFERENCE with every table built from the same
+        # (bits, vals) — wrap read-only so an accidental in-place
+        # mutation raises instead of corrupting the cache (r12 ADVICE)
+        import types
+
+        self.encode_map = types.MappingProxyType(self.encode_map)
         _LUT_CACHE[key] = (lut, self.encode_map)
         if len(_LUT_CACHE) > _LUT_CACHE_MAX:
             _LUT_CACHE.popitem(last=False)
@@ -459,7 +465,11 @@ def _decode_block_seq(
     The decode_huff/receive/_extend chain is inlined against local
     reader state (r12 opt — it was the baseline decoder's dominant
     cost at one method call per Huffman symbol).  Bit semantics and
-    the error surface are identical to the _BitReader methods."""
+    the error surface are identical to the _BitReader methods.
+    NOTE (r12 ADVICE): on EngineError the _BitReader object's state is
+    UNDEFINED (locals are not synced back before raising); no caller
+    resumes after an EngineError today — a future recovery path must
+    sync pos/bitbuf/nbits/stopped before raising here."""
     data = reader.data
     dlen = len(data)
     pos = reader.pos

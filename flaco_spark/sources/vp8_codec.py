@@ -160,6 +160,19 @@ _KF_BMODE_PY = tuple(
 
 
 class BoolDecoder:
+    """RFC 6386 boolean arithmetic decoder.
+
+    NOTE (r12 ADVICE): the read_bool/read_tree bit semantics are
+    INLINED against local coder state in several hot paths — any fix
+    to the coder arithmetic must be mirrored in every copy or
+    decode silently diverges.  Inlined decoder copies:
+    parse_frame_header (the 1056-bit token-prob update loop) and
+    _decode_block (token tree walk, category extras, sign).  Inlined
+    ENCODER copies (BoolEncoder.write_bool mirror):
+    _write_block_tokens (tree steps, category extras, sign).
+    tests/test_property_differential.py round-trips random streams
+    through the coder as a divergence backstop."""
+
     __slots__ = ("data", "pos", "value", "range_", "bit_count")
 
     def __init__(self, data: bytes) -> None:
